@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Readers for the driver-provided parquet tables (TESTDATA.md).
+  *
+  * Every reader is a plain parquet scan so Catalyst predicate pushdown /
+  * column pruning apply to whatever the caller chains on top — at 100 TB
+  * these tables would be partitioned (lineitem by l_shipdate month, orders
+  * by o_orderdate month, events by date) and the same code would get
+  * dynamic partition pruning for free; nothing here assumes single-file
+  * inputs.
+  */
+object Tables {
+  private def p(dir: String, name: String): String = s"$dir/$name.parquet"
+
+  def region(s: SparkSession, dir: String): DataFrame   = s.read.parquet(p(dir, "region"))
+  def nation(s: SparkSession, dir: String): DataFrame   = s.read.parquet(p(dir, "nation"))
+  def customer(s: SparkSession, dir: String): DataFrame = s.read.parquet(p(dir, "customer"))
+  def supplier(s: SparkSession, dir: String): DataFrame = s.read.parquet(p(dir, "supplier"))
+  def part(s: SparkSession, dir: String): DataFrame     = s.read.parquet(p(dir, "part"))
+  def orders(s: SparkSession, dir: String): DataFrame   = s.read.parquet(p(dir, "orders"))
+  def lineitem(s: SparkSession, dir: String): DataFrame = s.read.parquet(p(dir, "lineitem"))
+  def documents(s: SparkSession, dir: String): DataFrame = s.read.parquet(p(dir, "documents"))
+  def embeddings(s: SparkSession, dir: String): DataFrame = s.read.parquet(p(dir, "embeddings"))
+
+  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's reader rejects
+    * by default (PARQUET_TYPE_ILLEGAL). `nanosAsLong` maps it to LongType
+    * (epoch nanos); downstream code derives second/timestamp columns from
+    * it explicitly, which also pins the truncation semantics the DuckDB
+    * oracle must mirror (`epoch_ns(ts)`).
+    */
+  def events(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    s.read.parquet(p(dir, "events"))
+  }
+
+  /** events + derived time columns shared by the session / ad suites.
+    * All derivations are integer arithmetic on epoch nanos so they are
+    * bit-identical to the oracle's `epoch_ns`-based expressions.
+    */
+  def eventsEnriched(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .withColumn("sec", expr("ts div 1000000000"))
+      .withColumn("t", expr("timestamp_micros(ts div 1000)"))
+      .withColumn("date", date_format(col("t"), "yyyy-MM-dd"))
+      .withColumn("hour", hour(col("t")))
+}

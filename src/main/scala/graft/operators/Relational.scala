@@ -1,0 +1,335 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+
+/** Relational operator core — the scan/filter/join/agg/window/sort/set-op
+  * inventory of SURVEY.md §2.1–2.8, each re-expressed as a declarative
+  * DataFrame plan over the driver testdata so Catalyst supplies pushdown,
+  * pruning, partial aggregation, broadcast selection, and whole-stage
+  * codegen. Each query has a DuckDB oracle with identical column names.
+  *
+  * Cross-engine determinism rules used throughout (Spark vs DuckDB must
+  * hash-match bit-for-bit):
+  *  - money sums go through DECIMAL(18,2): exact, association-free; the
+  *    final cast to double is correctly rounded in both engines.
+  *  - top-k orderings always carry a unique tie-break key.
+  *  - double division of exact integers/decimals is IEEE-identical.
+  */
+object Relational {
+
+  /** Exact money arithmetic: cast to decimal before summing so the result
+    * is independent of partitioning / evaluation order (a double sum over
+    * a shuffled 100 TB table is nondeterministic in its last ulps).
+    */
+  private def dec(c: Column): Column = c.cast("decimal(18,2)")
+  private def money(c: Column): Column = round(c, 2).cast("double")
+
+  /** Q01 — pricing summary (SURVEY A8/A6 analog; TPC-H Q1 shape).
+    * Hash aggregate with partial (map-side) combine; no shuffle beyond the
+    * single group-by exchange on (l_returnflag, l_linestatus) — at 100 TB
+    * the 6-group cardinality means partial aggregation does ~all the work.
+    * Reference: session/src/main/scala/SessionStat.scala:164-239 does the
+    * same multi-metric per-key aggregation by hand with reduceByKey chains.
+    */
+  def q01Agg(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        money(sum(dec(col("l_quantity")))).as("sum_qty"),
+        money(sum(dec(col("l_extendedprice")))).as("sum_base_price"),
+        money(sum(dec(col("l_extendedprice")) * (lit(1).cast("decimal(18,2)") - dec(col("l_discount"))))).as("sum_disc_price"),
+        count(lit(1)).as("count_order"))
+
+  val q01Sql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(round(sum(CAST(l_quantity AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_qty,
+      |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_base_price,
+      |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))), 2) AS DOUBLE) AS sum_disc_price,
+      |  count(*) AS count_order
+      |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin
+
+  /** Q02 — filter + projection pushdown (SURVEY S1/S2/P2).
+    * The shipdate range and quantity predicate reach the parquet scan as
+    * PushedFilters; ReadSchema carries only the 5 referenced columns.
+    */
+  def q02FilterPushdown(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .where(col("l_shipdate") >= lit("1995-01-01").cast("timestamp")
+        && col("l_shipdate") < lit("1996-01-01").cast("timestamp")
+        && col("l_quantity") < 5)
+      .select(
+        col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+        money(dec(col("l_extendedprice")) * (lit(1).cast("decimal(18,2)") - dec(col("l_discount")))).as("disc_price"))
+
+  val q02Sql: String =
+    """SELECT l_orderkey, l_linenumber, l_quantity,
+      |  CAST(round(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))), 2) AS DOUBLE) AS disc_price
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1995-01-01' AND l_shipdate < TIMESTAMP '1996-01-01' AND l_quantity < 5""".stripMargin
+
+  /** Q03 — multi-way join + aggregate (SURVEY J2/J3).
+    * nation (25 rows) is explicitly broadcast — the 100 TB-scale rule is
+    * that dimension tables ride along with every executor instead of
+    * forcing a shuffle of the fact side; customer⋈orders shuffles on the
+    * join key once and AQE handles skew.
+    */
+  def q03JoinAgg(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(
+        money(sum(dec(col("o_totalprice")))).as("total_revenue"),
+        count(lit(1)).as("n_orders"))
+
+  val q03Sql: String =
+    """SELECT n_name,
+      |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS total_revenue,
+      |  count(*) AS n_orders
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |GROUP BY n_name""".stripMargin
+
+  /** Q04 — ranking window, top-3 per partition (SURVEY W1:
+    * areaStat/src/main/scala/AreaTop3Stat.scala:81-105). Unique tie-break
+    * on p_partkey keeps the result deterministic across engines.
+    */
+  def q04WindowTopk(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("p_brand")).orderBy(col("p_retailprice").desc, col("p_partkey").asc)
+    Tables.part(s, dir)
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= 3)
+      .select(col("p_brand"), col("p_partkey"), col("p_name"), col("p_retailprice"), col("rn"))
+  }
+
+  val q04Sql: String =
+    """SELECT p_brand, p_partkey, p_name, p_retailprice, rn FROM (
+      |  SELECT p_brand, p_partkey, p_name, p_retailprice,
+      |    row_number() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey ASC) AS rn
+      |  FROM part) t WHERE rn <= 3""".stripMargin
+
+  /** Q05 — global top-k (SURVEY T1: session/.../SortKey.scala secondary
+    * sort + take(10)). Catalyst plans TakeOrderedAndProject: each partition
+    * keeps its local top-10, only k rows per partition reach the driver —
+    * the pattern that survives 100 TB, unlike the reference's sortByKey
+    * full shuffle.
+    */
+  def q05TopkOrder(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      .limit(10)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+
+  val q05Sql: String =
+    """SELECT o_orderkey, o_custkey, o_totalprice
+      |FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""".stripMargin
+
+  /** Q06 — left outer join + coalesce-to-zero (SURVEY J4:
+    * SessionStat.scala:241-267 leftOuterJoin chain). One shuffle on the
+    * join key; count/sum absorb the null-extension.
+    */
+  def q06LeftJoin(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir)
+      .join(Tables.orders(s, dir), col("c_custkey") === col("o_custkey"), "left")
+      .groupBy(col("c_custkey"))
+      .agg(
+        count(col("o_orderkey")).as("n_orders"),
+        coalesce(money(sum(dec(col("o_totalprice")))), lit(0.0)).as("spend"))
+
+  val q06Sql: String =
+    """SELECT c_custkey, count(o_orderkey) AS n_orders,
+      |  coalesce(CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE), 0.0) AS spend
+      |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+      |GROUP BY c_custkey""".stripMargin
+
+  /** Q07 — semi join / EXISTS (SURVEY J6: isin-over-driver-array replaced
+    * by a distributed left_semi, which stays executor-side at any scale).
+    */
+  def q07SemiJoin(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir)
+      .where(col("c_mktsegment") === "AUTOMOBILE")
+      .join(Tables.orders(s, dir), col("c_custkey") === col("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"))
+
+  val q07Sql: String =
+    """SELECT c_custkey, c_name FROM customer
+      |WHERE c_mktsegment = 'AUTOMOBILE'
+      |  AND EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin
+
+  /** Q08 — anti join / NOT EXISTS (SURVEY J7: the streaming blacklist
+    * filter, batch shape): customers with no completed ('F') order. */
+  def q08AntiJoin(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir)
+      .join(
+        Tables.orders(s, dir).where(col("o_orderstatus") === "F"),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+
+  val q08Sql: String =
+    """SELECT c_custkey, c_name, c_mktsegment FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'F')""".stripMargin
+
+  /** Q09 — distinct (SURVEY A4). */
+  def q09Distinct(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir).select(col("c_mktsegment"), col("c_nationkey")).distinct()
+
+  val q09Sql: String =
+    "SELECT DISTINCT c_mktsegment, c_nationkey FROM customer"
+
+  /** Q10 — union + distinct spine (SURVEY §2.7: the top-10-categories
+    * spine that SessionStat.scala:164-184 builds with flatMap branching).
+    */
+  def q10Union(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir).select(col("c_nationkey").as("nationkey"))
+      .unionByName(Tables.supplier(s, dir).select(col("s_nationkey").as("nationkey")))
+      .distinct()
+
+  val q10Sql: String =
+    """SELECT DISTINCT nationkey FROM (
+      |  SELECT c_nationkey AS nationkey FROM customer
+      |  UNION ALL SELECT s_nationkey AS nationkey FROM supplier) t""".stripMargin
+
+  /** Q11 — JSON field extraction (SURVEY F2: UDF get_json_field replaced
+    * by the codegen'd built-in get_json_object). */
+  def q11JsonExtract(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .select(get_json_object(col("props"), "$.k").cast("bigint").as("k"))
+      .groupBy(col("k"))
+      .agg(count(lit(1)).as("n"))
+
+  val q11Sql: String =
+    """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k, count(*) AS n
+      |FROM events GROUP BY 1""".stripMargin
+
+  /** Q12 — CASE WHEN tiering (SURVEY F3: area → area_level). */
+  def q12CaseWhen(s: SparkSession, dir: String): DataFrame =
+    Tables.nation(s, dir)
+      .join(broadcast(Tables.region(s, dir)), col("n_regionkey") === col("r_regionkey"))
+      .select(
+        col("n_name"), col("r_name"),
+        when(col("r_name").isin("EUROPE", "ASIA"), "A Level")
+          .when(col("r_name") === "AMERICA", "B Level")
+          .when(col("r_name") === "AFRICA", "C Level")
+          .otherwise("D Level").as("area_level"))
+
+  val q12Sql: String =
+    """SELECT n_name, r_name,
+      |  CASE WHEN r_name IN ('EUROPE','ASIA') THEN 'A Level'
+      |       WHEN r_name = 'AMERICA' THEN 'B Level'
+      |       WHEN r_name = 'AFRICA' THEN 'C Level'
+      |       ELSE 'D Level' END AS area_level
+      |FROM nation JOIN region ON n_regionkey = r_regionkey""".stripMargin
+
+  /** Q13 — distinct group-concat (SURVEY A7: GroupConcatDistinct UDAF →
+    * built-in collect_set + sort_array; canonical ascending order makes
+    * the packed string deterministic, unlike the reference's
+    * merge-without-dedup UDAF, GroupConcatDistinct.scala:38-51).
+    */
+  def q13GroupConcat(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir)
+      .groupBy(col("c_nationkey"))
+      .agg(concat_ws(",", sort_array(collect_set(col("c_mktsegment")))).as("segments"))
+
+  val q13Sql: String =
+    """SELECT c_nationkey, string_agg(DISTINCT c_mktsegment, ',' ORDER BY c_mktsegment) AS segments
+      |FROM customer GROUP BY c_nationkey""".stripMargin
+
+  /** Q14 — running aggregate window (SURVEY T3 frame analog). The frame
+    * sum runs in DECIMAL so the running value is exact and
+    * association-free (a double running sum differs between engines'
+    * window implementations).
+    */
+  def q14RunningWindow(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.orders(s, dir)
+      .select(
+        col("o_custkey"), col("o_orderkey"),
+        money(sum(dec(col("o_totalprice"))).over(w)).as("running_spend"))
+  }
+
+  val q14Sql: String =
+    """SELECT o_custkey, o_orderkey,
+      |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+      |    PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS DOUBLE) AS running_spend
+      |FROM orders""".stripMargin
+
+  /** Q15 — rollup (engine-completeness extension; the reference has no
+    * grouping sets, SURVEY §2.4 note). */
+  def q15Rollup(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir)
+      .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, dir)), col("n_regionkey") === col("r_regionkey"))
+      .rollup(col("r_name"), col("n_name"))
+      .agg(count(lit(1)).as("n_customers"))
+
+  val q15Sql: String =
+    """SELECT r_name, n_name, count(*) AS n_customers
+      |FROM customer JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY ROLLUP (r_name, n_name)""".stripMargin
+
+  /** Q16 — lead/lag analytic window (SURVEY T3: the page-flow pairing).
+    * Day difference computed on DATE-truncated values so both engines
+    * count calendar days.
+    */
+  def q16LeadLag(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+    Tables.orders(s, dir)
+      .withColumn("next_date", lead(col("o_orderdate"), 1).over(w))
+      .where(col("next_date").isNotNull)
+      .select(
+        col("o_custkey"), col("o_orderkey"),
+        datediff(to_date(col("next_date")), to_date(col("o_orderdate"))).as("days_to_next"))
+  }
+
+  val q16Sql: String =
+    """SELECT o_custkey, o_orderkey,
+      |  date_diff('day', CAST(o_orderdate AS DATE), CAST(next_date AS DATE)) AS days_to_next
+      |FROM (
+      |  SELECT o_custkey, o_orderkey, o_orderdate,
+      |    lead(o_orderdate, 1) OVER (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC) AS next_date
+      |  FROM orders) t
+      |WHERE next_date IS NOT NULL""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_agg" -> (q01Agg _),
+    "q02_filter_pushdown" -> (q02FilterPushdown _),
+    "q03_join_agg" -> (q03JoinAgg _),
+    "q04_window_topk" -> (q04WindowTopk _),
+    "q05_topk_order" -> (q05TopkOrder _),
+    "q06_left_join" -> (q06LeftJoin _),
+    "q07_semi_join" -> (q07SemiJoin _),
+    "q08_anti_join" -> (q08AntiJoin _),
+    "q09_distinct" -> (q09Distinct _),
+    "q10_union" -> (q10Union _),
+    "q11_json_extract" -> (q11JsonExtract _),
+    "q12_case_when" -> (q12CaseWhen _),
+    "q13_group_concat" -> (q13GroupConcat _),
+    "q14_running_window" -> (q14RunningWindow _),
+    "q15_rollup" -> (q15Rollup _),
+    "q16_lead_lag" -> (q16LeadLag _))
+
+  val oracleSql: Map[String, String] = Map(
+    "q01_agg" -> q01Sql,
+    "q02_filter_pushdown" -> q02Sql,
+    "q03_join_agg" -> q03Sql,
+    "q04_window_topk" -> q04Sql,
+    "q05_topk_order" -> q05Sql,
+    "q06_left_join" -> q06Sql,
+    "q07_semi_join" -> q07Sql,
+    "q08_anti_join" -> q08Sql,
+    "q09_distinct" -> q09Sql,
+    "q10_union" -> q10Sql,
+    "q11_json_extract" -> q11Sql,
+    "q12_case_when" -> q12Sql,
+    "q13_group_concat" -> q13Sql,
+    "q14_running_window" -> q14Sql,
+    "q15_rollup" -> q15Sql,
+    "q16_lead_lag" -> q16Sql)
+}

@@ -1,0 +1,28 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** One shared local SparkSession across all suites (object-held so sbt's
+  * single test JVM creates it once). Config mirrors Verify/Bench.
+  */
+object SparkTestBase {
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-test")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+  val sf: String = "/root/testdata/sf0.001"
+}
+
+abstract class GraftSuite extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkTestBase.spark
+  def sf: String = SparkTestBase.sf
+}
