@@ -9,7 +9,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object SparkEntry {
   private def modules: Seq[(Map[String, (SparkSession, String) => DataFrame], Map[String, String])] =
     Seq(
-      (operators.Relational.queries, operators.Relational.oracleSql))
+      (operators.Relational.queries, operators.Relational.oracleSql),
+      (operators.Sessions.queries, operators.Sessions.oracleSql),
+      (operators.Categories.queries, operators.Categories.oracleSql))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

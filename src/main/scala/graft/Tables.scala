@@ -26,15 +26,18 @@ object Tables {
   def embeddings(s: SparkSession, dir: String): DataFrame = s.read.parquet(p(dir, "embeddings"))
 
   /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's reader rejects
-    * by default (PARQUET_TYPE_ILLEGAL). `nanosAsLong` maps it to LongType
+    * by default (PARQUET_TYPE_ILLEGAL). Sessions that read `events` must set
+    * `spark.sql.legacy.parquet.nanosAsLong=true` **at session build time**
+    * (Verify, Bench and the test base all do) — mapping ts to LongType
     * (epoch nanos); downstream code derives second/timestamp columns from
     * it explicitly, which also pins the truncation semantics the DuckDB
-    * oracle must mirror (`epoch_ns(ts)`).
+    * oracle must mirror (`epoch_ns(ts)`). The conf is deliberately NOT set
+    * here: mutating session conf from inside a reader is order-dependent
+    * global state (a plan built before the first events read would see
+    * different conf than one built after).
     */
-  def events(s: SparkSession, dir: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+  def events(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(p(dir, "events"))
-  }
 
   /** events + derived time columns shared by the session / ad suites.
     * All derivations are integer arithmetic on epoch nanos so they are

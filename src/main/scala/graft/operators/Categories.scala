@@ -1,0 +1,177 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+
+/** Category-ranking spine + page-flow conversion (SURVEY 需求3/需求5):
+  * the explode-CSV → per-key counts move (A3), the distinct-spine +
+  * 3× left-join + coalesce-to-zero shape (J4), the secondary-sort top-10
+  * (T1), and the lead()-paired conversion rate (T3) — reference:
+  * session/src/main/scala/SessionStat.scala:164-312,
+  * pageState/src/main/scala/PageOneStepConvertRate.scala:85-135.
+  *
+  * Scale notes: the spine and each count leg shuffle on the category key
+  * once; the three left joins co-partition on that same key so AQE reuses
+  * the exchange. The top-10 is TakeOrderedAndProject (k rows per partition
+  * to the driver). The one-pass `sum(when(...))` alternative (half the
+  * shuffles) is what a fresh design would use — the 3-join shape is kept
+  * deliberately because it IS the reference operator under test.
+  */
+object Categories {
+
+  /** Per-order CSV id-list (built from lineitem, mirroring the reference's
+    * order_category_ids strings) — then explode(split(...)) back to rows
+    * and count per key: the A3 CSV-explode operator, full round trip. */
+  def c01ExplodeCsv(s: SparkSession, dir: String): DataFrame = {
+    val csv = Tables.lineitem(s, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(concat_ws(",", sort_array(collect_list(col("l_partkey").cast("string")))).as("partkey_csv"))
+    csv
+      .select(col("l_orderkey"), explode(split(col("partkey_csv"), ",")).as("pk"))
+      .select(col("pk").cast("bigint").as("partkey"))
+      .groupBy(col("partkey"))
+      .agg(count(lit(1)).as("n_lines"))
+  }
+
+  val c01Sql: String =
+    """WITH csv AS (
+      |  SELECT l_orderkey,
+      |    array_to_string(list_sort(list(CAST(l_partkey AS VARCHAR))), ',') AS partkey_csv
+      |  FROM lineitem GROUP BY l_orderkey
+      |)
+      |SELECT CAST(pk AS BIGINT) AS partkey, count(*) AS n_lines
+      |FROM (SELECT unnest(string_split(partkey_csv, ',')) AS pk FROM csv)
+      |GROUP BY 1""".stripMargin
+
+  /** The click/order/pay count spine on events: distinct key spine from
+    * three event classes, per-class counts, 3× left join + coalesce(0).
+    * Keys are the props.k JSON field (P6). */
+  def spine(s: SparkSession, dir: String): DataFrame = {
+    val ev = Sessions.enriched(s, dir).where(col("k").isNotNull)
+    def leg(tpe: String, as: String): DataFrame =
+      ev.where(col("event_type") === tpe)
+        .groupBy(col("k")).agg(count(lit(1)).as(as))
+    val keys = ev.where(col("event_type").isin("click", "view", "purchase"))
+      .select(col("k")).distinct()
+    keys
+      .join(leg("click", "click_count"), Seq("k"), "left")
+      .join(leg("view", "view_count"), Seq("k"), "left")
+      .join(leg("purchase", "purchase_count"), Seq("k"), "left")
+      .select(
+        col("k"),
+        coalesce(col("click_count"), lit(0L)).as("click_count"),
+        coalesce(col("view_count"), lit(0L)).as("view_count"),
+        coalesce(col("purchase_count"), lit(0L)).as("purchase_count"))
+  }
+
+  private val spineSql: String =
+    """WITH ev AS (
+      |  SELECT event_type, TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+      |  FROM events
+      |  WHERE TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) IS NOT NULL
+      |), keys AS (
+      |  SELECT DISTINCT k FROM ev WHERE event_type IN ('click','view','purchase')
+      |), cl AS (SELECT k, count(*) AS c FROM ev WHERE event_type='click' GROUP BY k),
+      |   vw AS (SELECT k, count(*) AS c FROM ev WHERE event_type='view' GROUP BY k),
+      |   pu AS (SELECT k, count(*) AS c FROM ev WHERE event_type='purchase' GROUP BY k),
+      |spine AS (
+      |  SELECT keys.k,
+      |    coalesce(cl.c, 0) AS click_count,
+      |    coalesce(vw.c, 0) AS view_count,
+      |    coalesce(pu.c, 0) AS purchase_count
+      |  FROM keys LEFT JOIN cl ON keys.k = cl.k
+      |            LEFT JOIN vw ON keys.k = vw.k
+      |            LEFT JOIN pu ON keys.k = pu.k
+      |)""".stripMargin
+
+  def c02SpineCounts(s: SparkSession, dir: String): DataFrame = spine(s, dir)
+
+  val c02Sql: String = s"$spineSql SELECT * FROM spine"
+
+  /** Top-10 categories with the reference's multi-column secondary sort
+    * (click desc, view desc, purchase desc) + unique tie-break — planned
+    * as TakeOrderedAndProject, not a global sort. */
+  def c03Top10(s: SparkSession, dir: String): DataFrame =
+    spine(s, dir)
+      .orderBy(col("click_count").desc, col("view_count").desc,
+        col("purchase_count").desc, col("k").asc)
+      .limit(10)
+
+  val c03Sql: String =
+    s"""$spineSql
+       |SELECT * FROM spine
+       |ORDER BY click_count DESC, view_count DESC, purchase_count DESC, k ASC
+       |LIMIT 10""".stripMargin
+
+  /** Page-flow single-step conversion rate: pair each event with the next
+    * event in its session (lead over the session timeline), count pairs,
+    * divide by the count of the starting event type. The rate is a
+    * division of two exact integers — IEEE-identical across engines. */
+  def c04PageConvert(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("session_id")).orderBy(col("ts").asc, col("event_id").asc)
+    val paired = Sessions.sessionized(s, dir)
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+    val pairs = paired.where(col("next_type").isNotNull)
+      .groupBy(col("event_type"), col("next_type"))
+      .agg(count(lit(1)).as("n_pairs"))
+    val starts = paired
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_starts"))
+    pairs.join(starts, Seq("event_type"))
+      .select(
+        concat(col("event_type"), lit("->"), col("next_type")).as("pair"),
+        col("n_pairs"), col("n_starts"),
+        (col("n_pairs").cast("double") / col("n_starts").cast("double")).as("rate"))
+  }
+
+  val c04Sql: String =
+    s"""${sessPrefix}, paired AS (
+       |  SELECT event_type,
+       |    lead(event_type, 1) OVER (PARTITION BY session_id ORDER BY ns, event_id) AS next_type
+       |  FROM sess
+       |), pairs AS (
+       |  SELECT event_type, next_type, count(*) AS n_pairs
+       |  FROM paired WHERE next_type IS NOT NULL GROUP BY 1, 2
+       |), starts AS (
+       |  SELECT event_type, count(*) AS n_starts FROM paired GROUP BY 1
+       |)
+       |SELECT pairs.event_type || '->' || next_type AS pair, n_pairs, n_starts,
+       |  CAST(n_pairs AS DOUBLE) / CAST(n_starts AS DOUBLE) AS rate
+       |FROM pairs JOIN starts ON pairs.event_type = starts.event_type""".stripMargin
+
+  /** The reference's packed-string output (PageSplitConvertRate:
+    * "1_2=0.97|2_3=..."): rates rounded via round(n*100/m)/100 then
+    * rendered through DECIMAL(10,2) so both engines format identically. */
+  def c05ConvertPacked(s: SparkSession, dir: String): DataFrame =
+    c04PageConvert(s, dir)
+      .select(concat(
+        col("pair"), lit("="),
+        (round(col("n_pairs") * 100.0 / col("n_starts")) / 100.0)
+          .cast("decimal(10,2)").cast("string")).as("kv"))
+      .agg(concat_ws("|", array_sort(collect_list(col("kv")))).as("convert_rate"))
+
+  val c05Sql: String =
+    s"""WITH inner_q AS ($c04Sql)
+       |SELECT coalesce(string_agg(kv, '|' ORDER BY kv), '') AS convert_rate
+       |FROM (
+       |  SELECT pair || '=' || CAST(CAST(round(n_pairs * 100.0 / n_starts) / 100.0 AS DECIMAL(10,2)) AS VARCHAR) AS kv
+       |  FROM inner_q)""".stripMargin
+
+  private def sessPrefix: String = Sessions.sessSql
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c01_explode_csv" -> (c01ExplodeCsv _),
+    "c02_spine_counts" -> (c02SpineCounts _),
+    "c03_top10_categories" -> (c03Top10 _),
+    "c04_page_convert" -> (c04PageConvert _),
+    "c05_convert_packed" -> (c05ConvertPacked _))
+
+  val oracleSql: Map[String, String] = Map(
+    "c01_explode_csv" -> c01Sql,
+    "c02_spine_counts" -> c02Sql,
+    "c03_top10_categories" -> c03Sql,
+    "c04_page_convert" -> c04Sql,
+    "c05_convert_packed" -> c05Sql)
+}

@@ -201,7 +201,7 @@ object Relational {
       .agg(count(lit(1)).as("n"))
 
   val q11Sql: String =
-    """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k, count(*) AS n
+    """SELECT TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k, count(*) AS n
       |FROM events GROUP BY 1""".stripMargin
 
   /** Q12 — CASE WHEN tiering (SURVEY F3: area → area_level). */

@@ -1,0 +1,273 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+import graft.functions.{Predicates, TaskParams}
+
+/** Session-analytics suite (SURVEY 需求1–2): sessionization, per-session
+  * composite aggregation, bucketized stats in ONE aggregation pass, and the
+  * null-tolerant parameterized filter with same-pass counters — the
+  * reference hand-rolls all of this with groupByKey + a custom accumulator
+  * (session/src/main/scala/SessionStat.scala:519-673,
+  * SessionAccumulator.scala:5-38); here each is a single declarative plan.
+  *
+  * Scale notes (100 TB):
+  *  - Sessionization is one shuffle on user_id (the window partition key);
+  *    user_id is high-cardinality and unskewed, so partitions stay small.
+  *  - The bucket stats are ONE hash aggregate over the session table — no
+  *    accumulator, no second pass, no driver-side state.
+  *  - All stats aggregates are partial-aggregated map-side before the
+  *    single exchange; output cardinality is tiny (1 row / per-stratum).
+  */
+object Sessions {
+
+  /** 30-minute inactivity gap, per the classic sessionization convention
+    * (the reference's data arrives pre-sessioned; the gap rule is the
+    * capability its session_id column implies). */
+  val GapSeconds = 1800L
+
+  /** events + derived columns: ns (event time, epoch nanos), sec, date,
+    * hour, k (the JSON props field). */
+  def enriched(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .withColumn("sec", expr("ts div 1000000000"))
+      .withColumn("t", expr("timestamp_micros(ts div 1000)"))
+      .withColumn("date", date_format(col("t"), "yyyy-MM-dd"))
+      .withColumn("hour", hour(col("t")))
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("bigint"))
+
+  /** Gap-based sessionization: lag + new-session flag + running sum of
+    * flags within the user's timeline. Exactly one shuffle (on user_id). */
+  def sessionized(s: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts").asc, col("event_id").asc)
+    enriched(s, dir)
+      .withColumn("prev_sec", lag(col("sec"), 1).over(byUser))
+      .withColumn("new_sess",
+        when(col("prev_sec").isNull || col("sec") - col("prev_sec") > GapSeconds, 1L).otherwise(0L))
+      .withColumn("session_idx",
+        sum(col("new_sess")).over(byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("session_id", concat(col("user_id"), lit("_"), col("session_idx")))
+      .drop("prev_sec", "new_sess")
+  }
+
+  /** Shared DuckDB CTE mirroring [[enriched]] + [[sessionized]]. */
+  private[operators] val sessSql: String =
+    """WITH ev AS (
+      |  SELECT event_id, user_id, event_type, value,
+      |    epoch_ns(ts) AS ns,
+      |    epoch_ns(ts) // 1000000000 AS sec,
+      |    strftime(make_timestamp(epoch_ns(ts) // 1000), '%Y-%m-%d') AS date,
+      |    hour(make_timestamp(epoch_ns(ts) // 1000)) AS hour,
+      |    TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+      |  FROM events
+      |), lagged AS (
+      |  SELECT *, CASE WHEN lag(sec) OVER (PARTITION BY user_id ORDER BY ns, event_id) IS NULL
+      |                   OR sec - lag(sec) OVER (PARTITION BY user_id ORDER BY ns, event_id) > 1800
+      |            THEN 1 ELSE 0 END AS new_sess
+      |  FROM ev
+      |), sess AS (
+      |  SELECT *, CAST(user_id AS VARCHAR) || '_' || CAST(
+      |      sum(new_sess) OVER (PARTITION BY user_id ORDER BY ns, event_id
+      |                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS VARCHAR) AS session_id
+      |  FROM lagged
+      |)""".stripMargin
+
+  // ---------------------------------------------------------------- s01
+  /** Event → session assignment (the sessionize operator itself). */
+  def s01Sessionize(s: SparkSession, dir: String): DataFrame =
+    sessionized(s, dir).select(col("event_id"), col("user_id"), col("session_id"))
+
+  val s01Sql: String =
+    s"""$sessSql
+       |SELECT event_id, user_id, session_id FROM sess""".stripMargin
+
+  // ---------------------------------------------------------------- s02
+  /** Per-session composite aggregate in one pass: min/max time, step
+    * count, sorted-distinct event types and k values — the reference's
+    * hand loop at SessionStat.scala:618-673 building a packed string;
+    * here real columns out of one hash aggregate. */
+  def s02SessionAgg(s: SparkSession, dir: String): DataFrame =
+    sessionized(s, dir)
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(
+        min(col("sec")).as("start_sec"),
+        max(col("sec")).as("end_sec"),
+        (max(col("sec")) - min(col("sec"))).as("visit_length"),
+        count(lit(1)).as("step_length"),
+        concat_ws(",", sort_array(collect_set(col("event_type")))).as("event_types"),
+        concat_ws(",", sort_array(collect_set(col("k").cast("string")))).as("ks"))
+
+  val s02Sql: String =
+    s"""$sessSql
+       |SELECT user_id, session_id,
+       |  min(sec) AS start_sec, max(sec) AS end_sec,
+       |  max(sec) - min(sec) AS visit_length,
+       |  count(*) AS step_length,
+       |  coalesce(string_agg(DISTINCT event_type, ',' ORDER BY event_type), '') AS event_types,
+       |  coalesce(string_agg(DISTINCT CAST(k AS VARCHAR), ',' ORDER BY CAST(k AS VARCHAR)), '') AS ks
+       |FROM sess GROUP BY user_id, session_id""".stripMargin
+
+  // ---------------------------------------------------------------- s03
+  /** All bucketized visit/step stats in ONE aggregation (SURVEY A6) —
+    * bucket boundaries exactly mirror the reference's if-chains
+    * (SessionStat.scala:581-617: calculateVisitLength/calculateStepLength;
+    * note visit_length 0 falls in NO bucket there, preserved here).
+    * Ratios use round(n*100/total)/100 — identical HALF-away-from-zero
+    * rounding in Spark and DuckDB for positive values. */
+  def s03BucketStats(s: SparkSession, dir: String): DataFrame = {
+    val sess = s02SessionAgg(s, dir)
+    def bucket(c: Column): Column = sum(when(c, 1L).otherwise(0L))
+    val v = col("visit_length")
+    val p = col("step_length")
+    val agg = sess.agg(
+      count(lit(1)).as("session_count"),
+      bucket(v.between(1, 3)).as("visit_1s_3s"),
+      bucket(v.between(4, 6)).as("visit_4s_6s"),
+      bucket(v.between(7, 9)).as("visit_7s_9s"),
+      bucket(v.between(10, 30)).as("visit_10s_30s"),
+      bucket(v > 30 && v <= 60).as("visit_30s_60s"),
+      bucket(v > 60 && v <= 180).as("visit_1m_3m"),
+      bucket(v > 180 && v <= 600).as("visit_3m_10m"),
+      bucket(v > 600 && v <= 1800).as("visit_10m_30m"),
+      bucket(v > 1800).as("visit_30m"),
+      bucket(p.between(1, 3)).as("step_1_3"),
+      bucket(p.between(4, 6)).as("step_4_6"),
+      bucket(p.between(7, 9)).as("step_7_9"),
+      bucket(p.between(10, 30)).as("step_10_30"),
+      bucket(p > 30 && p <= 60).as("step_30_60"),
+      bucket(p > 60).as("step_60"))
+    agg.select(
+      col("session_count") +:
+        agg.columns.filter(_ != "session_count").map { c =>
+          (round(col(c) * 100.0 / col("session_count")) / 100.0).as(s"ratio_$c")
+        }.toSeq: _*)
+  }
+
+  val s03Sql: String = {
+    val buckets = Seq(
+      "visit_1s_3s" -> "visit_length BETWEEN 1 AND 3",
+      "visit_4s_6s" -> "visit_length BETWEEN 4 AND 6",
+      "visit_7s_9s" -> "visit_length BETWEEN 7 AND 9",
+      "visit_10s_30s" -> "visit_length BETWEEN 10 AND 30",
+      "visit_30s_60s" -> "visit_length > 30 AND visit_length <= 60",
+      "visit_1m_3m" -> "visit_length > 60 AND visit_length <= 180",
+      "visit_3m_10m" -> "visit_length > 180 AND visit_length <= 600",
+      "visit_10m_30m" -> "visit_length > 600 AND visit_length <= 1800",
+      "visit_30m" -> "visit_length > 1800",
+      "step_1_3" -> "step_length BETWEEN 1 AND 3",
+      "step_4_6" -> "step_length BETWEEN 4 AND 6",
+      "step_7_9" -> "step_length BETWEEN 7 AND 9",
+      "step_10_30" -> "step_length BETWEEN 10 AND 30",
+      "step_30_60" -> "step_length > 30 AND step_length <= 60",
+      "step_60" -> "step_length > 60")
+    val cols = buckets.map { case (n, cond) =>
+      s"round(sum(CASE WHEN $cond THEN 1 ELSE 0 END) * 100.0 / count(*)) / 100.0 AS ratio_$n"
+    }.mkString(",\n  ")
+    s"""$sessSql, sa AS (
+       |  SELECT session_id, max(sec) - min(sec) AS visit_length, count(*) AS step_length
+       |  FROM sess GROUP BY session_id
+       |)
+       |SELECT count(*) AS session_count,
+       |  $cols
+       |FROM sa""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- s04
+  /** Parameterized filter via the null-tolerant predicate builder (F9) +
+    * all counters in the SAME pass (SURVEY P3/A6: the reference filters
+    * row-by-row updating a custom accumulator, SessionStat.scala:519-578;
+    * here the filter is one `where` — with absent params constant-folded
+    * away — and the counters one aggregation). */
+  val s04Params: TaskParams = TaskParams(Map(
+    "eventTypes" -> "click,purchase,view",
+    "minValue" -> "5.0",
+    "maxValue" -> "80.0",
+    "minK" -> "10",
+    "keyword" -> "")) // empty ⇒ no constraint ⇒ folded out of the plan
+
+  def s04FilteredStats(s: SparkSession, dir: String): DataFrame = {
+    val p = s04Params
+    val filtered = enriched(s, dir).where(Predicates.all(
+      Predicates.in(col("event_type"), p.getSeq("eventTypes")),
+      Predicates.betweenD(col("value"), p.getDouble("minValue"), p.getDouble("maxValue")),
+      Predicates.between(col("k"), p.getLong("minK"), None),
+      Predicates.equalTo(col("event_type"), p.get("keyword"))))
+    filtered.agg(
+      count(lit(1)).as("n_events"),
+      sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("n_click"),
+      sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("n_purchase"),
+      sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("n_view"),
+      round(sum(col("value").cast("decimal(18,2)")), 2).cast("double").as("sum_value"),
+      countDistinct(col("user_id")).as("n_users"))
+  }
+
+  val s04Sql: String =
+    """SELECT count(*) AS n_events,
+      |  sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS n_click,
+      |  sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purchase,
+      |  sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS n_view,
+      |  CAST(round(sum(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_value,
+      |  count(DISTINCT user_id) AS n_users
+      |FROM events
+      |WHERE event_type IN ('click','purchase','view')
+      |  AND value >= 5.0 AND value <= 80.0
+      |  AND TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) >= 10""".stripMargin
+
+  // ---------------------------------------------------------------- s05
+  /** Stratified seeded sampling (SURVEY M2: SessionStat.scala:314-454):
+    * per-(date,hour) quota proportional to stratum size, sampled with
+    * row_number over rand(seed). No driver-side index maps (the
+    * reference's countByKey + broadcast HashMap): the total is a 1-row
+    * broadcast cross join and the quota table a broadcast join — both
+    * scale-free. Output is the per-stratum sampled count, which the
+    * oracle reproduces from the quota formula alone (the sample identity
+    * is Spark-PRNG-specific; the invariant is engine-independent). */
+  val SampleTarget = 200L
+
+  def s05StratifiedSample(s: SparkSession, dir: String): DataFrame = {
+    val ev = enriched(s, dir)
+    // counts reused twice (total + quota) → persist (SURVEY M3)
+    val counts = ev.groupBy(col("date"), col("hour")).agg(count(lit(1)).as("cnt")).persist()
+    val total = counts.agg(sum(col("cnt")).as("total"))
+    val quota = counts.crossJoin(broadcast(total))
+      .withColumn("quota", greatest(lit(1L), expr(s"cnt * $SampleTarget div total")))
+      .select(col("date"), col("hour"), col("quota"))
+    // rand must be materialized in a Project before it can order a window
+    val w = Window.partitionBy(col("date"), col("hour"))
+      .orderBy(col("rnd"), col("event_id"))
+    ev.join(broadcast(quota), Seq("date", "hour"))
+      .withColumn("rnd", rand(42))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= col("quota"))
+      .groupBy(col("date"), col("hour"))
+      .agg(count(lit(1)).as("n_sampled"))
+  }
+
+  val s05Sql: String =
+    s"""WITH ev AS (
+       |  SELECT strftime(make_timestamp(epoch_ns(ts) // 1000), '%Y-%m-%d') AS date,
+       |         hour(make_timestamp(epoch_ns(ts) // 1000)) AS hour
+       |  FROM events
+       |), counts AS (
+       |  SELECT date, hour, count(*) AS cnt FROM ev GROUP BY date, hour
+       |), tot AS (SELECT sum(cnt) AS total FROM counts)
+       |SELECT date, hour,
+       |  least(greatest(1, cnt * $SampleTarget // total), cnt) AS n_sampled
+       |FROM counts, tot""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s01_sessionize" -> (s01Sessionize _),
+    "s02_session_agg" -> (s02SessionAgg _),
+    "s03_bucket_stats" -> (s03BucketStats _),
+    "s04_filtered_stats" -> (s04FilteredStats _),
+    "s05_stratified_sample" -> (s05StratifiedSample _))
+
+  val oracleSql: Map[String, String] = Map(
+    "s01_sessionize" -> s01Sql,
+    "s02_session_agg" -> s02Sql,
+    "s03_bucket_stats" -> s03Sql,
+    "s04_filtered_stats" -> s04Sql,
+    "s05_stratified_sample" -> s05Sql)
+}

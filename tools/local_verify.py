@@ -23,7 +23,7 @@ def canon(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        return repr(round(v, 9))
+        return f"{v:.9g}"
     if isinstance(v, bytes):
         return v.hex()
     if isinstance(v, list):
