@@ -11,7 +11,9 @@ object SparkEntry {
     Seq(
       (operators.Relational.queries, operators.Relational.oracleSql),
       (operators.Sessions.queries, operators.Sessions.oracleSql),
-      (operators.Categories.queries, operators.Categories.oracleSql))
+      (operators.Categories.queries, operators.Categories.oracleSql),
+      (operators.LlmText.queries, operators.LlmText.oracleSql),
+      (operators.Embeddings.queries, operators.Embeddings.oracleSql))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

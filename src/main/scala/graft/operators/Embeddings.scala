@@ -1,0 +1,176 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+
+/** Similarity search over the `embeddings` table (vec_id, embedding
+  * FLOAT[64], label): brute-force cosine top-k as the correctness
+  * baseline, and a hyperplane-LSH-bucketed variant as the scale path.
+  *
+  * Cross-engine determinism: embeddings are quantized to integers
+  * (round(x*10000)) before any arithmetic. Dot products and squared norms
+  * are then EXACT (sums < 2^53, order-independent), and cosine =
+  * dot / (sqrt(na)*sqrt(nb)) is a fixed sequence of correctly-rounded
+  * IEEE ops — bit-identical in Spark and DuckDB, so rankings can't
+  * diverge at rounding boundaries. Ties break on neighbor id.
+  *
+  * Scale design: brute force is O(Q·N) and exists as the oracle/recall
+  * baseline — the query side is explicitly subsampled, never all-pairs.
+  * The production path (e02) buckets by deterministic random-hyperplane
+  * signs (classic SimHash-for-cosine LSH): candidate generation is an
+  * equi-join on the bucket key, so the pair count is Σ bucket², bounded
+  * by the signature width — add planes to split hot buckets. An IVF
+  * variant would swap the sign-signature for a learned-centroid
+  * assignment; the join shape is identical.
+  */
+object Embeddings {
+
+  private val Quant = 10000
+
+  /** vec_id, label, q = integer-quantized embedding. */
+  private def quantized(s: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(s, dir).select(
+      col("vec_id"), col("label"),
+      transform(col("embedding"), x => round(x.cast("double") * Quant).cast("long")).as("q"))
+
+  private val quantSql: String =
+    s"""WITH qv AS (
+       |  SELECT vec_id, label,
+       |    list_transform(CAST(embedding AS DOUBLE[]), x -> CAST(round(x * $Quant) AS BIGINT)) AS q
+       |  FROM embeddings
+       |)""".stripMargin
+
+  /** Exact integer dot product of two quantized vectors. */
+  private def dotQ(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+
+  private def normQ(a: Column): Column = dotQ(a, a)
+
+  // ---------------------------------------------------------------- e01
+  /** Brute-force cosine top-k for a deterministic query subsample
+    * (vec_id % 5 == 0): the recall baseline every ANN variant is judged
+    * against. Ranking via row_number over (cos desc, neighbor asc). */
+  val TopK = 5
+
+  def e01KnnBrute(s: SparkSession, dir: String): DataFrame = {
+    val v = quantized(s, dir)
+    val queries = v.where(col("vec_id") % 5 === 0)
+      .select(col("vec_id").as("query_id"), col("q").as("qa"))
+    val cands = v.select(col("vec_id").as("neighbor_id"), col("q").as("qb"))
+    val scored = queries.join(cands, col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        (dotQ(col("qa"), col("qb")).cast("double") /
+          (sqrt(normQ(col("qa")).cast("double")) * sqrt(normQ(col("qb")).cast("double")))).as("cos"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= TopK)
+  }
+
+  val e01Sql: String =
+    s"""$quantSql, scored AS (
+       |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+       |    CAST(list_dot_product(a.q, b.q) AS DOUBLE) /
+       |      (sqrt(CAST(list_dot_product(a.q, a.q) AS DOUBLE)) *
+       |       sqrt(CAST(list_dot_product(b.q, b.q) AS DOUBLE))) AS cos
+       |  FROM qv a JOIN qv b ON a.vec_id % 5 = 0 AND a.vec_id <> b.vec_id
+       |)
+       |SELECT query_id, neighbor_id, cos, rank FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+       |  FROM scored) t
+       |WHERE rank <= $TopK""".stripMargin
+
+  // ---------------------------------------------------------------- e02
+  /** Hyperplane-LSH bucketed ANN: 4 deterministic ±1 hyperplanes → 16
+    * buckets; candidates are an equi-join on the bucket key; exact
+    * cosine + top-3 within the bucket. */
+  val NumPlanes = 4
+  val Dim = 64
+
+  /** Deterministic ±1 hyperplanes (Knuth-multiplicative bit spread) —
+    * the same literals are embedded in the oracle SQL. */
+  private[operators] val planes: IndexedSeq[IndexedSeq[Int]] =
+    (0 until NumPlanes).map { p =>
+      (0 until Dim).map { d =>
+        if ((((p * Dim + d) * 2654435761L) >>> 16 & 1L) == 1L) 1 else -1
+      }
+    }
+
+  private def bucketCol(q: Column): Column =
+    (0 until NumPlanes).map { p =>
+      val plane = array(planes(p).map(v => lit(v.toLong)): _*)
+      when(dotQ(q, plane) > 0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  def e02AnnBucketed(s: SparkSession, dir: String): DataFrame = {
+    val v = quantized(s, dir).withColumn("bucket", bucketCol(col("q")))
+    val a = v.select(col("bucket"), col("vec_id").as("query_id"), col("q").as("qa"))
+    val b = v.select(col("bucket"), col("vec_id").as("neighbor_id"), col("q").as("qb"))
+    val scored = a.join(b, Seq("bucket")).where(col("query_id") =!= col("neighbor_id"))
+      .select(col("bucket"), col("query_id"), col("neighbor_id"),
+        (dotQ(col("qa"), col("qb")).cast("double") /
+          (sqrt(normQ(col("qa")).cast("double")) * sqrt(normQ(col("qb")).cast("double")))).as("cos"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= 3)
+  }
+
+  val e02Sql: String = {
+    val planeLits = (0 until NumPlanes).map { p =>
+      s"[${planes(p).mkString(", ")}]"
+    }
+    val bucketExpr = (0 until NumPlanes).map { p =>
+      s"CASE WHEN list_dot_product(q, ${planeLits(p)}) > 0 THEN ${1L << p} ELSE 0 END"
+    }.mkString(" + ")
+    s"""$quantSql, bv AS (
+       |  SELECT vec_id, q, $bucketExpr AS bucket FROM qv
+       |), scored AS (
+       |  SELECT a.bucket, a.vec_id AS query_id, b.vec_id AS neighbor_id,
+       |    CAST(list_dot_product(a.q, b.q) AS DOUBLE) /
+       |      (sqrt(CAST(list_dot_product(a.q, a.q) AS DOUBLE)) *
+       |       sqrt(CAST(list_dot_product(b.q, b.q) AS DOUBLE))) AS cos
+       |  FROM bv a JOIN bv b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+       |)
+       |SELECT bucket, query_id, neighbor_id, cos, rank FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+       |  FROM scored) t
+       |WHERE rank <= 3""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- e03
+  /** Per-label centroid stats (the IVF building block): per-dimension
+    * integer component sums, reduced to (count, squared-norm of the
+    * centroid-sum vector) per label — all exact integer arithmetic. At
+    * scale this is the assignment table an IVF index trains from: one
+    * shuffle on (label, dim), one on label. */
+  def e03LabelCentroids(s: SparkSession, dir: String): DataFrame = {
+    val v = quantized(s, dir)
+    val comps = v
+      .select(col("label"), col("q"), explode(sequence(lit(1), lit(Dim))).as("i"))
+      .select(col("label"), col("i"), element_at(col("q"), col("i")).as("comp"))
+    val cents = comps.groupBy(col("label"), col("i")).agg(sum(col("comp")).as("csum"))
+    val norms = cents.groupBy(col("label")).agg(sum(col("csum") * col("csum")).as("c_norm2"))
+    v.groupBy(col("label")).agg(count(lit(1)).as("n_vecs")).join(norms, Seq("label"))
+  }
+
+  val e03Sql: String =
+    s"""$quantSql, comps AS (
+       |  SELECT label, i, q[i] AS comp FROM qv, generate_series(1, $Dim) g(i)
+       |), cents AS (
+       |  SELECT label, i, sum(comp) AS csum FROM comps GROUP BY 1, 2
+       |), norms AS (
+       |  SELECT label, CAST(sum(csum * csum) AS BIGINT) AS c_norm2 FROM cents GROUP BY 1
+       |)
+       |SELECT counts.label, n_vecs, c_norm2
+       |FROM (SELECT label, count(*) AS n_vecs FROM qv GROUP BY 1) counts
+       |JOIN norms ON counts.label = norms.label""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e01_knn_brute" -> (e01KnnBrute _),
+    "e02_ann_bucketed" -> (e02AnnBucketed _),
+    "e03_label_centroids" -> (e03LabelCentroids _))
+
+  val oracleSql: Map[String, String] = Map(
+    "e01_knn_brute" -> e01Sql,
+    "e02_ann_bucketed" -> e02Sql,
+    "e03_label_centroids" -> e03Sql)
+}

@@ -1,0 +1,332 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.Portable._
+
+/** LLM-training-data text pipeline over the `documents` table: exact and
+  * near deduplication (MinHash + banded LSH, SimHash, n-gram Jaccard),
+  * text statistics / quality scoring, language-ID heuristic, and document
+  * fingerprinting. No reference counterpart — this is the 100 TB
+  * training-data extension the north star asks for; the operators follow
+  * the standard published designs (Broder's MinHash/LSH, Charikar's
+  * SimHash, winnowing-style fingerprint sampling).
+  *
+  * Scale design (the part that matters at 100 TB):
+  *  - Near-dup candidate generation is ALWAYS a banded-LSH bucket join —
+  *    one equi-join per band on the band key — never an all-pairs product.
+  *    All-pairs appears only inside a bucket after blocking.
+  *  - Pairwise verification (exact Jaccard) runs only on LSH candidates.
+  *  - The quadratic d04 path is blocked by (lang, length-band) — the
+  *    classic blocking-key trick that bounds each bucket's pair count.
+  *  - Everything is expressions (codegen-friendly); no UDFs, no driver
+  *    loops; each stage is one shuffle on an explicit key.
+  *
+  * Cross-engine determinism: token/shingle hashes are the portable md5
+  * 60-bit prefix ([[graft.functions.Portable.h64]]); MinHash permutations
+  * are (A*h + B) mod P over a 30-bit-masked hash so products stay < 2^61
+  * (DuckDB errors on signed-64 overflow where Spark would wrap).
+  */
+object LlmText {
+
+  // ---------------------------------------------------------------- shared
+  private val ShingleN = 3
+  private val NumHashes = 8
+  private val P = 2147483647L // 2^31 - 1
+  private val A: IndexedSeq[Long] = (1 to NumHashes).map(i => (i * 2654435761L) % P)
+  private val B: IndexedSeq[Long] = (1 to NumHashes).map(i => (i * 40503L + 2531011L) % P)
+
+  /** doc_id + normalized text + token array. */
+  private def base(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+        normText(col("text")).as("norm"))
+      .withColumn("toks", split(col("norm"), " "))
+
+  private val baseSql: String =
+    s"""WITH base AS (
+       |  SELECT doc_id, lang, source, n_chars,
+       |    ${normTextSql("text")} AS norm,
+       |    ${tokensSql("text")} AS toks
+       |  FROM documents
+       |)""".stripMargin
+
+  /** Distinct word-n-gram shingle set per doc. */
+  private def withShingleSet(df: DataFrame): DataFrame =
+    df.withColumn("sh", array_distinct(shingles(col("toks"), ShingleN)))
+
+  private val shSqlCte: String =
+    s""", shd AS (
+       |  SELECT doc_id, lang, list_distinct(${shinglesSql("toks", ShingleN)}) AS sh FROM base
+       |)""".stripMargin
+
+  // ---------------------------------------------------------------- d01
+  /** Exact dedup: hash of normalized content, one representative (min
+    * doc_id) per group. groupBy on the hash — the scale-safe exact-dedup:
+    * one shuffle keyed by content hash, no pairwise anything. */
+  def d01ExactDedup(s: SparkSession, dir: String): DataFrame =
+    base(s, dir)
+      .groupBy(sha2(col("norm"), 256).as("content_hash"))
+      .agg(min(col("doc_id")).as("rep_doc_id"), count(lit(1)).as("n_dups"))
+
+  val d01Sql: String =
+    s"""$baseSql
+       |SELECT sha256(norm) AS content_hash, min(doc_id) AS rep_doc_id, count(*) AS n_dups
+       |FROM base GROUP BY 1""".stripMargin
+
+  // ---------------------------------------------------------------- d02
+  /** MinHash signatures: k=8 permutations (A_i*h + B_i) mod P over the
+    * 30-bit-masked portable shingle hash. One md5 per shingle, k cheap
+    * mixes — not k md5s (the 100 TB version of the same trade). */
+  def d02MinhashSig(s: SparkSession, dir: String): DataFrame = {
+    val hq = transform(col("sh"), x => h64(x).bitwiseAND(lit(0x3FFFFFFFL)))
+    val withH = withShingleSet(base(s, dir)).withColumn("hq", hq)
+    val mhCols = (0 until NumHashes).map { i =>
+      coalesce(
+        array_min(transform(col("hq"), h => (lit(A(i)) * h + lit(B(i))) % lit(P))),
+        lit(-1L)).as(s"mh$i")
+    }
+    withH.select(col("doc_id") +: mhCols: _*)
+  }
+
+  private def mhExprSql(i: Int): String =
+    s"coalesce(list_min(list_transform(sh, x -> (${A(i)} * (${h64Sql("x")} & 1073741823) + ${B(i)}) % $P)), -1) AS mh$i"
+
+  val d02Sql: String =
+    s"""$baseSql$shSqlCte
+       |SELECT doc_id, ${(0 until NumHashes).map(mhExprSql).mkString(",\n  ")}
+       |FROM shd""".stripMargin
+
+  // ---------------------------------------------------------------- d03
+  /** Banded-LSH near-dup detection: 8 bands of r=1 — one equi-join per
+    * band on the band key, union, distinct — then exact shingle-Jaccard
+    * verification of the candidates only. The all-pairs product never
+    * appears in the plan at any scale; candidate volume is governed by
+    * the band/row trade-off, not by n². */
+  def d03LshNeardup(s: SparkSession, dir: String): DataFrame = {
+    val shd = withShingleSet(base(s, dir)).select(col("doc_id"), col("sh"))
+    val sig = d02MinhashSig(s, dir)
+    val bands = (0 until NumHashes).map { i =>
+      val a = sig.select(col("doc_id").as("doc_a"), col(s"mh$i").as("band_key"))
+      val b = sig.select(col("doc_id").as("doc_b"), col(s"mh$i").as("band_key"))
+      a.join(b, Seq("band_key")).where(col("doc_a") < col("doc_b"))
+        .select(col("doc_a"), col("doc_b"))
+    }
+    val cand = bands.reduce(_ unionByName _).distinct()
+    cand
+      .join(shd.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
+      .join(shd.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))).cast("double")).as("jaccard"))
+  }
+
+  val d03Sql: String = {
+    val bandSelects = (0 until NumHashes).map { i =>
+      s"SELECT a.doc_id AS doc_a, b.doc_id AS doc_b FROM sig a JOIN sig b ON a.mh$i = b.mh$i AND a.doc_id < b.doc_id"
+    }.mkString("\n  UNION\n  ")
+    s"""$baseSql$shSqlCte, sig AS (
+       |  SELECT doc_id, ${(0 until NumHashes).map(mhExprSql).mkString(", ")} FROM shd
+       |), cand AS (
+       |  $bandSelects
+       |)
+       |SELECT cand.doc_a, cand.doc_b,
+       |  CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE) /
+       |  CAST(len(list_distinct(x.sh || y.sh)) AS DOUBLE) AS jaccard
+       |FROM cand JOIN shd x ON cand.doc_a = x.doc_id
+       |          JOIN shd y ON cand.doc_b = y.doc_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- d04
+  /** Token-set Jaccard near-dup within (lang, length-band) blocks — the
+    * blocking-key pattern: the quadratic runs only inside a block, and
+    * near-identical docs land in the same block by construction. */
+  val JaccardThreshold = 0.9
+
+  def d04JaccardNeardup(s: SparkSession, dir: String): DataFrame = {
+    val tk = base(s, dir)
+      .select(col("doc_id"), col("lang"), array_distinct(col("toks")).as("tk"))
+      .withColumn("band", expr("size(tk) div 20"))
+    val a = tk.select(col("lang"), col("band"), col("doc_id").as("doc_a"), col("tk").as("tk_a"))
+    val b = tk.select(col("lang"), col("band"), col("doc_id").as("doc_b"), col("tk").as("tk_b"))
+    a.join(b, Seq("lang", "band")).where(col("doc_a") < col("doc_b"))
+      .withColumn("jaccard",
+        size(array_intersect(col("tk_a"), col("tk_b"))).cast("double") /
+          size(array_union(col("tk_a"), col("tk_b"))).cast("double"))
+      .where(col("jaccard") >= JaccardThreshold)
+      .select(col("doc_a"), col("doc_b"), col("lang"), col("jaccard"))
+  }
+
+  val d04Sql: String =
+    s"""$baseSql, tk AS (
+       |  SELECT doc_id, lang, list_distinct(toks) AS tk, len(list_distinct(toks)) // 20 AS band
+       |  FROM base
+       |)
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.lang,
+       |  CAST(len(list_intersect(a.tk, b.tk)) AS DOUBLE) /
+       |  CAST(len(list_distinct(a.tk || b.tk)) AS DOUBLE) AS jaccard
+       |FROM tk a JOIN tk b ON a.lang = b.lang AND a.band = b.band AND a.doc_id < b.doc_id
+       |WHERE CAST(len(list_intersect(a.tk, b.tk)) AS DOUBLE) /
+       |      CAST(len(list_distinct(a.tk || b.tk)) AS DOUBLE) >= $JaccardThreshold""".stripMargin
+
+  // ---------------------------------------------------------------- d05
+  /** SimHash (60-bit): term-frequency-weighted bit votes over the
+    * portable token hash; bit b of the signature is the sign of the
+    * weighted vote sum. Two hash aggregates, both keyed by doc — the
+    * 64× bit fan-out is a map-side explode, not a shuffle multiplier. */
+  val SimhashBits = 60
+
+  def d05Simhash(s: SparkSession, dir: String): DataFrame =
+    base(s, dir)
+      .select(col("doc_id"), explode(col("toks")).as("token"))
+      .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("w"))
+      .withColumn("th", h64(col("token")))
+      .select(col("doc_id"), col("th"), col("w"),
+        explode(sequence(lit(0), lit(SimhashBits - 1))).as("bit"))
+      .withColumn("vote",
+        when(expr("shiftright(th, bit) & 1") === 1, col("w")).otherwise(-col("w")))
+      .groupBy(col("doc_id"), col("bit")).agg(sum(col("vote")).as("v"))
+      .groupBy(col("doc_id"))
+      .agg(sum(when(col("v") > 0, expr("shiftleft(CAST(1 AS BIGINT), bit)")).otherwise(0L)).as("simhash"))
+
+  val d05Sql: String =
+    s"""$baseSql, tf AS (
+       |  SELECT doc_id, token, count(*) AS w
+       |  FROM (SELECT doc_id, unnest(toks) AS token FROM base) GROUP BY 1, 2
+       |), votes AS (
+       |  SELECT doc_id, bit,
+       |    sum(CASE WHEN (${h64Sql("token")} >> bit) & 1 = 1 THEN w ELSE -w END) AS v
+       |  FROM tf, generate_series(0, ${SimhashBits - 1}) g(bit)
+       |  GROUP BY 1, 2
+       |)
+       |SELECT doc_id,
+       |  sum(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS simhash
+       |FROM votes GROUP BY 1""".stripMargin
+
+  // ---------------------------------------------------------------- d06
+  /** Text statistics + quality scoring in one pass: char/token counts
+    * (whitespace and regex tokenizers), distinct ratio, average token
+    * length, stopword ratio, and a quality flag — all exact-integer
+    * arithmetic so ratios are IEEE-identical across engines. */
+  private val Stopwords = Seq("the", "a", "of", "to", "and", "in", "is")
+
+  def d06TextStats(s: SparkSession, dir: String): DataFrame = {
+    val stopArr = array(Stopwords.map(lit): _*)
+    base(s, dir).select(
+      col("doc_id"), col("lang"), col("n_chars"),
+      size(col("toks")).as("n_tokens"),
+      size(array_distinct(col("toks"))).as("n_distinct"),
+      size(regexp_extract_all(col("norm"), lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0))).as("n_tokens_re"),
+      (size(array_distinct(col("toks"))).cast("double") / size(col("toks")).cast("double")).as("distinct_ratio"),
+      ((length(col("norm")) - size(col("toks")) + 1).cast("double") / size(col("toks")).cast("double")).as("avg_token_len"),
+      (size(filter(col("toks"), t => array_contains(stopArr, t))).cast("double") /
+        size(col("toks")).cast("double")).as("stopword_ratio"))
+      .withColumn("is_quality",
+        col("n_tokens") >= 20 && col("distinct_ratio") >= 0.1 && col("avg_token_len") < 15)
+  }
+
+  val d06Sql: String = {
+    val stopList = Stopwords.map(w => s"'$w'").mkString(", ")
+    s"""$baseSql
+       |SELECT doc_id, lang, n_chars,
+       |  len(toks) AS n_tokens,
+       |  len(list_distinct(toks)) AS n_distinct,
+       |  len(regexp_extract_all(norm, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS n_tokens_re,
+       |  CAST(len(list_distinct(toks)) AS DOUBLE) / CAST(len(toks) AS DOUBLE) AS distinct_ratio,
+       |  CAST(length(norm) - len(toks) + 1 AS DOUBLE) / CAST(len(toks) AS DOUBLE) AS avg_token_len,
+       |  CAST(len(list_filter(toks, t -> t IN ($stopList))) AS DOUBLE) / CAST(len(toks) AS DOUBLE) AS stopword_ratio,
+       |  len(toks) >= 20
+       |    AND CAST(len(list_distinct(toks)) AS DOUBLE) / CAST(len(toks) AS DOUBLE) >= 0.1
+       |    AND CAST(length(norm) - len(toks) + 1 AS DOUBLE) / CAST(len(toks) AS DOUBLE) < 15 AS is_quality
+       |FROM base""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- d07
+  /** Language-ID heuristic: marker-stopword hit counts per language,
+    * argmax with deterministic precedence (en > es > de > fr on ties).
+    * The standard n-gram/stopword profile approach compressed to one
+    * projection — no model, no UDF. */
+  private val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to"),
+    "es" -> Seq("el", "la", "de", "y", "que"),
+    "de" -> Seq("der", "die", "und", "das", "ist"),
+    "fr" -> Seq("le", "la", "et", "les", "des"))
+
+  def d07LangId(s: SparkSession, dir: String): DataFrame = {
+    val scored = LangMarkers.foldLeft(base(s, dir)) { case (df, (lg, markers)) =>
+      val arr = array(markers.map(lit): _*)
+      df.withColumn(s"score_$lg", size(filter(col("toks"), t => array_contains(arr, t))))
+    }
+    val best = LangMarkers.map(_._1).map(lg => col(s"score_$lg"))
+    scored.select(
+      col("doc_id"), col("lang").as("tagged_lang"),
+      LangMarkers.foldRight(lit("und")) { case ((lg, _), els) =>
+        when(col(s"score_$lg") === greatest(best: _*) && greatest(best: _*) > 0, lg).otherwise(els)
+      }.as("pred_lang"))
+  }
+
+  val d07Sql: String = {
+    val scores = LangMarkers.map { case (lg, ms) =>
+      s"len(list_filter(toks, t -> t IN (${ms.map(m => s"'$m'").mkString(", ")}))) AS score_$lg"
+    }.mkString(",\n    ")
+    val gr = s"greatest(${LangMarkers.map { case (lg, _) => s"score_$lg" }.mkString(", ")})"
+    val caseExpr = LangMarkers.map { case (lg, _) =>
+      s"WHEN score_$lg = $gr AND $gr > 0 THEN '$lg'"
+    }.mkString("\n    ")
+    s"""$baseSql, scored AS (
+       |  SELECT doc_id, lang,
+       |    $scores
+       |  FROM base
+       |)
+       |SELECT doc_id, lang AS tagged_lang,
+       |  CASE $caseExpr ELSE 'und' END AS pred_lang
+       |FROM scored""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- d08
+  /** Document fingerprint: hashed word-4-gram sampling (winnowing-style
+    * mod-sampling: keep shingle hashes ≡ 0 mod 8), reduced to a compact
+    * (min, xor, count) fingerprint. Sub-linear output per doc, exact
+    * arithmetic, order-independent — safe under any partitioning. */
+  def d08Fingerprint(s: SparkSession, dir: String): DataFrame =
+    base(s, dir)
+      .withColumn("sh4", array_distinct(shingles(col("toks"), 4)))
+      .select(col("doc_id"), explode(col("sh4")).as("sg"))
+      .withColumn("h", h64(col("sg")))
+      .where(col("h") % 8 === 0)
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_selected"),
+        min(col("h")).as("fp_min"),
+        expr("bit_xor(h)").as("fp_xor"))
+
+  val d08Sql: String =
+    s"""$baseSql, sg AS (
+       |  SELECT doc_id, unnest(list_distinct(${shinglesSql("toks", 4)})) AS sg FROM base
+       |), hashed AS (
+       |  SELECT doc_id, ${h64Sql("sg")} AS h FROM sg
+       |)
+       |SELECT doc_id, count(*) AS n_selected, min(h) AS fp_min, bit_xor(h) AS fp_xor
+       |FROM hashed WHERE h % 8 = 0 GROUP BY 1""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d01_exact_dedup" -> (d01ExactDedup _),
+    "d02_minhash_sig" -> (d02MinhashSig _),
+    "d03_lsh_neardup" -> (d03LshNeardup _),
+    "d04_jaccard_neardup" -> (d04JaccardNeardup _),
+    "d05_simhash" -> (d05Simhash _),
+    "d06_text_stats" -> (d06TextStats _),
+    "d07_lang_id" -> (d07LangId _),
+    "d08_fingerprint" -> (d08Fingerprint _))
+
+  val oracleSql: Map[String, String] = Map(
+    "d01_exact_dedup" -> d01Sql,
+    "d02_minhash_sig" -> d02Sql,
+    "d03_lsh_neardup" -> d03Sql,
+    "d04_jaccard_neardup" -> d04Sql,
+    "d05_simhash" -> d05Sql,
+    "d06_text_stats" -> d06Sql,
+    "d07_lang_id" -> d07Sql,
+    "d08_fingerprint" -> d08Sql)
+}
