@@ -13,7 +13,8 @@ object SparkEntry {
       (operators.Sessions.queries, operators.Sessions.oracleSql),
       (operators.Categories.queries, operators.Categories.oracleSql),
       (operators.LlmText.queries, operators.LlmText.oracleSql),
-      (operators.Embeddings.queries, operators.Embeddings.oracleSql))
+      (operators.Embeddings.queries, operators.Embeddings.oracleSql),
+      (streaming.AdAnalytics.queries, streaming.AdAnalytics.oracleSql))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

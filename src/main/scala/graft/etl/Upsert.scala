@@ -1,0 +1,39 @@
+package graft.etl
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The reference's three JDBC upsert semantics (SURVEY S8:
+  * adversStat/src/main/scala/JdbcHelper.scala:124 accumulate, :230/:360
+  * overwrite, :283-309 delete+insert), re-expressed as pure DataFrame
+  * merges so they compose with `foreachBatch` against any store. The
+  * semantics are the capability; MySQL was incidental. At scale each of
+  * these is a `MERGE INTO` against a transactional table format — the
+  * row-level semantics below are exactly what that MERGE would encode,
+  * and the unit suite pins how the three diverge on the same input.
+  */
+object Upsert {
+
+  /** Insert-or-accumulate (ad_user_click_count): new keys insert, existing
+    * keys ADD the incoming value. Union + re-aggregate — one shuffle on
+    * the key, no row-by-row lookups. */
+  def accumulate(store: DataFrame, batch: DataFrame, keys: Seq[String], valueCol: String): DataFrame =
+    store.unionByName(batch)
+      .groupBy(keys.map(col): _*)
+      .agg(sum(col(valueCol)).as(valueCol))
+
+  /** Insert-or-overwrite (ad_stat / ad_click_trend): incoming rows replace
+    * same-key rows wholesale. Anti-join out the stale rows, append the
+    * batch. */
+  def overwrite(store: DataFrame, batch: DataFrame, keys: Seq[String]): DataFrame =
+    store.join(batch.select(keys.map(col): _*).distinct(), keys, "left_anti")
+      .unionByName(batch)
+
+  /** Delete-then-insert (ad_province_top3): every PARTITION key present in
+    * the batch is fully deleted first — rows of that partition absent from
+    * the batch disappear (unlike [[overwrite]], which only replaces
+    * matching full keys). */
+  def deleteInsert(store: DataFrame, batch: DataFrame, partitionKeys: Seq[String]): DataFrame =
+    store.join(batch.select(partitionKeys.map(col): _*).distinct(), partitionKeys, "left_anti")
+      .unionByName(batch)
+}

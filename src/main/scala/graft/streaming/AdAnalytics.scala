@@ -1,0 +1,199 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import graft.etl.Upsert
+import Streams.EventRow
+
+/** Streaming analytics suite (SURVEY 需求7–10, ST1–ST9) re-expressed as
+  * Structured Streaming over the `events` fixture: raw-line parsing,
+  * stream-static blacklist anti-join, per-batch keyed counts with
+  * accumulate-upsert + threshold promotion, cumulative state via
+  * flatMapGroupsWithState, sliding event-time windows with a watermark,
+  * and per-key ranking of the running aggregate — reference:
+  * adversStat/src/main/scala/AdverStat.scala:23-326.
+  *
+  * Determinism/oracle story: every query runs `Trigger.AvailableNow` over
+  * a static file, so its final state equals the batch aggregate over the
+  * same input — each has a DuckDB oracle. Batch-count invariance (the
+  * same final state regardless of micro-batch splits) is pinned by the
+  * MemoryStream unit suite.
+  *
+  * Scale notes: all aggregation state is keyed (user / window / date) and
+  * lives in the state store, partitioned by key — nothing driver-side.
+  * Threshold promotion happens once per batch on the aggregated store
+  * (the reference's per-record JDBC lookup at AdverStat.scala:294 is the
+  * anti-pattern this replaces). Sinks fold through `foreachBatch` +
+  * [[graft.etl.Upsert]] merges — at scale those become MERGE INTO a
+  * transactional table; the row semantics are identical.
+  */
+object AdAnalytics {
+
+  /** events stream rendered to the reference's space-delimited ad-log
+    * line format ("timestamp user field value", SURVEY P5/S6 analog). */
+  private def lines(s: SparkSession, dir: String): DataFrame =
+    Streams.tableStream(s, dir, "events")
+      .select(concat_ws(" ",
+        col("ts"), col("user_id"), col("event_type"), col("value")).as("value"))
+
+  // ---------------------------------------------------------------- st01
+  /** Raw line parse (P5) → typed columns → keyed count, complete mode:
+    * the 需求7 per-key count shape, minus sentinels. */
+  def st01ParseCount(s: SparkSession, dir: String): DataFrame = {
+    val parsed = lines(s, dir)
+      .withColumn("f", split(col("value"), " "))
+      .select(
+        col("f").getItem(0).cast("long").as("ts"),
+        col("f").getItem(1).cast("long").as("user_id"),
+        col("f").getItem(2).as("event_type"))
+    Streams.runComplete(s, parsed.groupBy(col("event_type")).agg(count(lit(1)).as("n")))
+  }
+
+  val st01Sql: String =
+    "SELECT event_type, count(*) AS n FROM events GROUP BY 1"
+
+  // ---------------------------------------------------------------- st02
+  /** 1-hour sliding window per 15 minutes over event time, with a
+    * watermark (ST8+ST9: AdverStat.scala:93-109 reduceByKeyAndWindow —
+    * which trusted wall-clock and never expired state; the watermark is
+    * the documented divergence). Window starts surface as epoch seconds. */
+  def st02SlidingWindow(s: SparkSession, dir: String): DataFrame = {
+    val ev = Streams.tableStream(s, dir, "events")
+      .withColumn("t", expr("timestamp_micros(ts div 1000)"))
+      .withWatermark("t", "10 minutes")
+    val agg = ev
+      .groupBy(window(col("t"), "1 hour", "15 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").cast("long").as("ws_sec"), col("event_type"), col("n"))
+    Streams.runComplete(s, agg)
+  }
+
+  val st02Sql: String =
+    """WITH ev AS (
+      |  SELECT epoch_ns(ts) // 1000000000 AS sec, event_type FROM events
+      |)
+      |SELECT (sec // 900) * 900 - k * 900 AS ws_sec, event_type, count(*) AS n
+      |FROM ev, generate_series(0, 3) g(k)
+      |GROUP BY 1, 2""".stripMargin
+
+  // ---------------------------------------------------------------- st03
+  /** Stream-static blacklist anti-join (ST3/J7: the reference re-read
+    * MySQL per batch inside `transform`, AdverStat.scala:54-69; here the
+    * static side is a DataFrame that Spark re-resolves each micro-batch).
+    * Blacklist = users with > 18 'error' events. */
+  val ErrorThreshold = 18L
+
+  def st03BlacklistAnti(s: SparkSession, dir: String): DataFrame = {
+    val blacklist = graft.Tables.events(s, dir)
+      .where(col("event_type") === "error")
+      .groupBy(col("user_id")).agg(count(lit(1)).as("n_err"))
+      .where(col("n_err") > ErrorThreshold)
+      .select(col("user_id"))
+    val clean = Streams.tableStream(s, dir, "events")
+      .join(blacklist, Seq("user_id"), "left_anti")
+    Streams.runComplete(s, clean.groupBy(col("user_id")).agg(count(lit(1)).as("n")))
+  }
+
+  val st03Sql: String =
+    s"""SELECT user_id, count(*) AS n FROM events
+       |WHERE user_id NOT IN (
+       |  SELECT user_id FROM events WHERE event_type = 'error'
+       |  GROUP BY 1 HAVING count(*) > $ErrorThreshold)
+       |GROUP BY 1""".stripMargin
+
+  // ---------------------------------------------------------------- st04
+  /** Cumulative per-user state via flatMapGroupsWithState (ST6/A11: the
+    * updateStateByKey replacement — explicit keyed state, update output),
+    * folded through an overwrite-upsert store (update-mode emissions are
+    * cumulative snapshots, so same-key rows replace). */
+  def st04CumulativeState(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val updates = Streams.tableStream(s, dir, "events").as[EventRow]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (uid: Long, it: Iterator[EventRow], state: GroupState[Long]) =>
+          val total = state.getOption.getOrElse(0L) + it.size
+          state.update(total)
+          Iterator((uid, total))
+      }
+      .toDF("user_id", "total")
+    val empty = Seq.empty[(Long, Long)].toDF("user_id", "total")
+    Streams.runForeachBatch(s, updates, "update", empty)(
+      (store, batch) => Upsert.overwrite(store, batch, Seq("user_id")))
+  }
+
+  val st04Sql: String =
+    "SELECT user_id, count(*) AS total FROM events GROUP BY 1"
+
+  // ---------------------------------------------------------------- st05
+  /** Per-batch keyed counts + accumulate-upsert + threshold promotion
+    * (ST4+ST5+S8-accumulate, 需求7): each batch's delta counts fold into
+    * the store with += semantics; promotion to the "blacklist" output
+    * happens ONCE per run on the aggregated store — never per record. */
+  val PromoteThreshold = 70L
+
+  def st05ThresholdPromote(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val empty = Seq.empty[(Long, Long)].toDF("user_id", "n")
+    val store = Streams.runForeachBatch(
+      s, Streams.tableStream(s, dir, "events"), "append", empty) { (store, batch) =>
+      val delta = batch.groupBy(col("user_id")).agg(count(lit(1)).as("n"))
+      Upsert.accumulate(store, delta, Seq("user_id"), "n")
+    }
+    store.where(col("n") > PromoteThreshold)
+  }
+
+  val st05Sql: String =
+    s"""SELECT user_id, count(*) AS n FROM events
+       |GROUP BY 1 HAVING count(*) > $PromoteThreshold""".stripMargin
+
+  // ---------------------------------------------------------------- st06
+  /** Daily top-3 event types off the running aggregate (ST7/W2, 需求9 —
+    * implementing the documented intent, not the reference's broken SQL,
+    * AdverStat.scala:134-169): per-batch delta counts accumulate; the
+    * rank-and-replace (delete+insert per date) runs on the final store. */
+  def st06DailyTop3(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Streams.tableStream(s, dir, "events")
+      .withColumn("date", date_format(expr("timestamp_micros(ts div 1000)"), "yyyy-MM-dd"))
+    val empty = Seq.empty[(String, String, Long)].toDF("date", "event_type", "n")
+    val store = Streams.runForeachBatch(s, ev, "append", empty) { (store, batch) =>
+      val delta = batch.groupBy(col("date"), col("event_type")).agg(count(lit(1)).as("n"))
+      Upsert.accumulate(store, delta, Seq("date", "event_type"), "n")
+    }
+    val ranked = store.withColumn("rnk",
+      row_number().over(Window.partitionBy(col("date")).orderBy(col("n").desc, col("event_type").asc)))
+      .where(col("rnk") <= 3)
+    // delete+insert of each date's top-3 into the (initially empty) result
+    Upsert.deleteInsert(ranked.limit(0), ranked, Seq("date"))
+  }
+
+  val st06Sql: String =
+    """WITH c AS (
+      |  SELECT strftime(make_timestamp(epoch_ns(ts) // 1000), '%Y-%m-%d') AS date,
+      |         event_type, count(*) AS n
+      |  FROM events GROUP BY 1, 2
+      |)
+      |SELECT date, event_type, n, rnk FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY date ORDER BY n DESC, event_type ASC) AS rnk
+      |  FROM c) t
+      |WHERE rnk <= 3""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "st01_parse_count" -> (st01ParseCount _),
+    "st02_sliding_window" -> (st02SlidingWindow _),
+    "st03_blacklist_anti" -> (st03BlacklistAnti _),
+    "st04_cumulative_state" -> (st04CumulativeState _),
+    "st05_threshold_promote" -> (st05ThresholdPromote _),
+    "st06_daily_top3" -> (st06DailyTop3 _))
+
+  val oracleSql: Map[String, String] = Map(
+    "st01_parse_count" -> st01Sql,
+    "st02_sliding_window" -> st02Sql,
+    "st03_blacklist_anti" -> st03Sql,
+    "st04_cumulative_state" -> st04Sql,
+    "st05_threshold_promote" -> st05Sql,
+    "st06_daily_top3" -> st06Sql)
+}

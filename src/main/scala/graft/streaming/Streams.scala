@@ -1,0 +1,85 @@
+package graft.streaming
+
+import java.nio.file.Files
+import java.util.UUID
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.streaming.Trigger
+
+/** Structured-Streaming plumbing shared by the ad-analytics suite
+  * (SURVEY ST1–ST9). Streams are file-source reads over the driver
+  * parquet fixtures run with `Trigger.AvailableNow` — deterministic and
+  * offline, which is what makes streaming results oracle-checkable: the
+  * final state of an AvailableNow run over a static input equals the
+  * batch aggregate over the same input. Kafka would swap in via
+  * `readStream.format("kafka")` with the identical downstream plan
+  * (SURVEY S5); unit tests use MemoryStream for multi-batch behavior.
+  */
+object Streams {
+
+  case class EventRow(event_id: Long, ts: Long, user_id: Long,
+                      event_type: String, value: Double, props: String)
+
+  /** Streaming read of a driver parquet table (schema inferred from a
+    * batch read of the same file — file streams require explicit schema).
+    * The file-stream source only accepts directories; the fixture is a
+    * single parquet FILE, so it is exposed through a symlink in a temp
+    * directory (no data copied). */
+  def tableStream(s: SparkSession, dir: String, name: String): DataFrame = {
+    val src = java.nio.file.Paths.get(s"$dir/$name.parquet")
+    val d = Files.createTempDirectory(s"graft-stream-$name-")
+    Files.createSymbolicLink(d.resolve(s"$name.parquet"), src)
+    val schema = s.read.parquet(src.toString).schema
+    s.readStream.schema(schema).parquet(d.toString)
+  }
+
+  private def ckpt(): String =
+    Files.createTempDirectory("graft-ckpt-").toString
+
+  private def freshName(): String =
+    "graft_mem_" + UUID.randomUUID().toString.replace("-", "")
+
+  /** Run an AvailableNow streaming aggregation to completion into a
+    * complete-mode in-memory sink (ST1 trigger + ST2 checkpoint) and
+    * return the final table. */
+  def runComplete(s: SparkSession, df: DataFrame): DataFrame = {
+    val qn = freshName()
+    val q = df.writeStream
+      .format("memory").queryName(qn)
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", ckpt())
+      .start()
+    q.awaitTermination()
+    s.table(qn)
+  }
+
+  /** Run an AvailableNow stream through `foreachBatch`, folding each
+    * micro-batch into a running store DataFrame via `merge` (one of the
+    * [[graft.etl.Upsert]] semantics). The merged store is materialized
+    * (persist + count) INSIDE the batch callback — a batch DataFrame must
+    * not escape its `foreachBatch` invocation unmaterialized. Returns the
+    * final store. */
+  def runForeachBatch(
+      s: SparkSession,
+      df: DataFrame,
+      outputMode: String,
+      initialStore: DataFrame)(
+      merge: (DataFrame, DataFrame) => DataFrame): DataFrame = {
+    var store = initialStore
+    val q = df.writeStream
+      .outputMode(outputMode)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val merged = merge(store, batch).persist()
+        merged.count() // materialize now; the batch DF dies with this call
+        if (store ne initialStore) store.unpersist()
+        store = merged
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", ckpt())
+      .start()
+    q.awaitTermination()
+    store
+  }
+}

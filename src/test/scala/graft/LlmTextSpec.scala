@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Embeddings, LlmText}
+
+class LlmTextSpec extends GraftSuite {
+
+  test("d01: dedup groups partition the corpus") {
+    val df = LlmText.d01ExactDedup(spark, sf)
+    val total = Tables.documents(spark, sf).count()
+    assert(df.agg(sum("n_dups")).collect()(0).getLong(0) === total)
+    assert(df.select("content_hash").distinct().count() === df.count())
+  }
+
+  test("d03: LSH candidates are valid ordered pairs with jaccard in [0,1]") {
+    val rows = LlmText.d03LshNeardup(spark, sf).collect()
+    assert(rows.nonEmpty, "banded LSH found no candidates on the fixture")
+    rows.foreach { r =>
+      assert(r.getLong(1) < r.getLong(0) || r.getLong(0) < r.getLong(1))
+      val j = r.getDouble(2)
+      assert(j >= 0.0 && j <= 1.0)
+    }
+    // the fixture plants near-duplicates: LSH must surface at least one
+    assert(rows.exists(_.getDouble(2) > 0.8), "no near-dup pair found by LSH")
+  }
+
+  test("d04: blocked jaccard pairs all meet the threshold; near-dup pair agrees with LSH") {
+    val rows = LlmText.d04JaccardNeardup(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getDouble(3) >= LlmText.JaccardThreshold))
+  }
+
+  test("d05: simhash fits the configured bit width and is deterministic") {
+    val a = LlmText.d05Simhash(spark, sf).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val b = LlmText.d05Simhash(spark, sf).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a === b)
+    a.values.foreach(v => assert(v >= 0L && v < (1L << LlmText.SimhashBits)))
+  }
+
+  test("d06: stats are internally consistent") {
+    LlmText.d06TextStats(spark, sf).collect().foreach { r =>
+      val nTokens = r.getInt(r.fieldIndex("n_tokens"))
+      val nDistinct = r.getInt(r.fieldIndex("n_distinct"))
+      assert(nDistinct <= nTokens && nDistinct > 0)
+      val sr = r.getDouble(r.fieldIndex("stopword_ratio"))
+      assert(sr >= 0.0 && sr <= 1.0)
+    }
+  }
+
+  test("d07: predicted language is a known code") {
+    val langs = Set("en", "es", "de", "fr", "und")
+    LlmText.d07LangId(spark, sf).collect()
+      .foreach(r => assert(langs.contains(r.getString(2))))
+  }
+
+  test("e01/e02: ranking contract — dense ranks, cosine in [-1,1], bucketed ⊆ brute force top quality") {
+    val brute = Embeddings.e01KnnBrute(spark, sf).collect()
+    val byQuery = brute.groupBy(_.getLong(0))
+    byQuery.foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_.getInt(3))
+      assert(sorted.map(_.getInt(3)).toSeq === (1 to sorted.length))
+      assert(sorted.sliding(2).forall {
+        case Array(a, b) => a.getDouble(2) >= b.getDouble(2)
+        case _ => true
+      })
+      sorted.foreach(r => assert(math.abs(r.getDouble(2)) <= 1.0 + 1e-9))
+    }
+    val bucketed = Embeddings.e02AnnBucketed(spark, sf).collect()
+    assert(bucketed.nonEmpty)
+    bucketed.groupBy(_.getLong(1)).foreach { case (_, rows) =>
+      assert(rows.length <= 3)
+    }
+  }
+
+  test("e03: label centroid stats cover all vectors") {
+    val df = Embeddings.e03LabelCentroids(spark, sf)
+    val total = Tables.embeddings(spark, sf).count()
+    assert(df.agg(sum("n_vecs")).collect()(0).getLong(0) === total)
+    df.collect().foreach(r => assert(r.getLong(2) >= 0L))
+  }
+}

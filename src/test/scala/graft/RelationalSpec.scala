@@ -73,11 +73,28 @@ class RelationalSpec extends GraftSuite {
     }
   }
 
-  test("q14 running window is monotone per customer") {
-    val rows = q14RunningWindow(spark, sf).collect()
-    rows.groupBy(_.getAs[Long]("o_custkey")).values.foreach { g =>
-      val run = g.sortBy(_.getAs[Long]("o_orderkey")) // orderkey increases with date in fixture? just check positivity
-      run.foreach(r => assert(r.getAs[Double]("running_spend") > 0))
+  test("q14 running window equals a recomputed per-customer cumulative sum") {
+    val expected = Tables.orders(spark, sf)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"), col("o_totalprice"))
+      .collect()
+      // o_orderdate reads as TIMESTAMP_NTZ (LocalDateTime); its ISO string
+      // sorts chronologically, which is all the recompute needs
+      .map(r => (r.getLong(0), r.getLong(1), r.get(2).toString, r.getDouble(3)))
+      .groupBy(_._1)
+      .toSeq
+      .flatMap { case (cust, rows) =>
+        val sorted = rows.sortBy(t => (t._3, t._2))
+        var acc = BigDecimal(0)
+        sorted.map { case (_, okey, _, price) =>
+          acc += BigDecimal(price).setScale(2, BigDecimal.RoundingMode.HALF_UP)
+          (cust, okey) -> acc.setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble
+        }
+      }
+    val got = q14RunningWindow(spark, sf).collect()
+      .map(r => (r.getAs[Long]("o_custkey"), r.getAs[Long]("o_orderkey")) -> r.getAs[Double]("running_spend"))
+      .toMap
+    expected.foreach { case (key, exp) =>
+      assert(got(key) === exp, s"running_spend mismatch at $key")
     }
   }
 

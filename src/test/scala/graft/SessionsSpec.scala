@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Sessions
+import graft.functions.{Predicates, TaskParams}
+
+class SessionsSpec extends GraftSuite {
+
+  test("s01: gap rule holds — intra-session gaps <= 1800s, new session after larger gap") {
+    val rows = Sessions.sessionized(spark, sf)
+      .select("user_id", "session_id", "sec")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .sortBy(t => (t._1, t._3))
+    rows.sliding(2).foreach {
+      case Array((u1, s1, t1), (u2, s2, t2)) if u1 == u2 =>
+        val gap = t2 - t1
+        if (s1 == s2) assert(gap <= Sessions.GapSeconds, s"gap $gap inside session $s1")
+        else assert(gap > Sessions.GapSeconds, s"gap $gap across sessions $s1 -> $s2")
+      case _ => ()
+    }
+  }
+
+  test("s02: step lengths sum to total event count") {
+    val total = Tables.events(spark, sf).count()
+    val stepSum = Sessions.s02SessionAgg(spark, sf)
+      .agg(sum("step_length")).collect()(0).getLong(0)
+    assert(stepSum === total)
+  }
+
+  test("s03: one-row output, ratios in [0,1], step buckets partition all sessions") {
+    val df = Sessions.s03BucketStats(spark, sf)
+    val row = df.collect()(0)
+    assert(df.count() === 1)
+    val ratios = df.columns.zipWithIndex.filter(_._1.startsWith("ratio_"))
+    ratios.foreach { case (c, i) =>
+      val v = row.getDouble(i)
+      assert(v >= 0.0 && v <= 1.0, s"$c = $v out of range")
+    }
+    // every session has >=1 step so the step buckets are exhaustive:
+    // rounded ratios must sum to ~1
+    val stepSum = df.columns.zipWithIndex
+      .filter(_._1.startsWith("ratio_step_")).map(p => row.getDouble(p._2)).sum
+    assert(math.abs(stepSum - 1.0) < 0.05, s"step ratios sum $stepSum")
+  }
+
+  test("predicate builder: missing params mean no constraint (F9)") {
+    import spark.implicits._
+    val df = Seq((1L, "a"), (25L, "b"), (99L, "c")).toDF("v", "s")
+    // all params absent -> everything passes
+    val open = df.where(Predicates.all(
+      Predicates.between(col("v"), None, None),
+      Predicates.in(col("s"), None),
+      Predicates.equalTo(col("s"), None)))
+    assert(open.count() === 3)
+    // constrained
+    assert(df.where(Predicates.between(col("v"), Some(2L), Some(50L))).count() === 1)
+    assert(df.where(Predicates.in(col("s"), Some(Seq("a", "c")))).count() === 2)
+    // absent clauses are constant-folded out of the plan entirely
+    assert(open.queryExecution.optimizedPlan.toString.toLowerCase.indexOf("filter") === -1)
+  }
+
+  test("task params: flat json parse + typed getters") {
+    val p = TaskParams.fromJson("""{"startAge": "20", "cities": "sh,bj", "ratio": 0.5, "empty": ""}""")
+    assert(p.getLong("startAge").contains(20L))
+    assert(p.getSeq("cities").contains(Seq("sh", "bj")))
+    assert(p.getDouble("ratio").contains(0.5))
+    assert(p.get("empty").isEmpty)   // empty string = absent
+    assert(p.get("missing").isEmpty)
+  }
+
+  test("s05: per-stratum sample counts satisfy the quota formula") {
+    val ev = Sessions.enriched(spark, sf)
+    val total = ev.count()
+    val expected = ev.groupBy("date", "hour").count().collect()
+      .map(r => (r.getString(0), r.getInt(1)) ->
+        math.min(math.max(1L, r.getLong(2) * Sessions.SampleTarget / total), r.getLong(2)))
+      .toMap
+    val got = Sessions.s05StratifiedSample(spark, sf).collect()
+      .map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(got === expected)
+  }
+}

@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+import graft.etl.Upsert
+import graft.streaming.{AdAnalytics, Streams}
+
+/** Multi-batch streaming behavior that AvailableNow-over-one-file can't
+  * exercise: batch-count invariance of the foreachBatch upsert folds and
+  * cross-batch state in flatMapGroupsWithState (SURVEY ST4-ST6).
+  */
+class StreamingSpec extends GraftSuite {
+
+  private def ckpt(): String =
+    java.nio.file.Files.createTempDirectory("graft-test-ckpt-").toString
+
+  test("accumulate-upsert over 3 micro-batches equals the batch aggregate") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[(Long, String)]
+    var store = Seq.empty[(Long, Long)].toDF("user_id", "n")
+    val q = ms.toDF().toDF("user_id", "event_type")
+      .writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val delta = batch.groupBy(col("user_id")).agg(count(lit(1)).as("n"))
+        val merged = Upsert.accumulate(store, delta, Seq("user_id"), "n").persist()
+        merged.count()
+        store = merged
+        ()
+      }
+      .option("checkpointLocation", ckpt()).start()
+    ms.addData((1L, "a"), (1L, "b"), (2L, "a"))
+    q.processAllAvailable()
+    ms.addData((1L, "c"))
+    q.processAllAvailable()
+    ms.addData((2L, "b"), (3L, "a"))
+    q.processAllAvailable()
+    q.stop()
+    val got = store.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 3L, 2L -> 2L, 3L -> 1L))
+  }
+
+  test("flatMapGroupsWithState carries cumulative counts across batches") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[Long]
+    val updates = ms.toDS()
+      .groupByKey(identity)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (uid: Long, it: Iterator[Long], state: GroupState[Long]) =>
+          val total = state.getOption.getOrElse(0L) + it.size
+          state.update(total)
+          Iterator((uid, total))
+      }.toDF("user_id", "total")
+    var store = Seq.empty[(Long, Long)].toDF("user_id", "total")
+    val q = updates.writeStream.outputMode("update")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val merged = Upsert.overwrite(store, batch, Seq("user_id")).persist()
+        merged.count()
+        store = merged
+        ()
+      }
+      .option("checkpointLocation", ckpt()).start()
+    ms.addData(1L, 1L, 2L)
+    q.processAllAvailable()
+    ms.addData(1L, 3L)
+    q.processAllAvailable()
+    q.stop()
+    val got = store.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 3L, 2L -> 1L, 3L -> 1L))
+  }
+
+  test("st suite: AvailableNow final state equals batch aggregates (smoke at sf0.001)") {
+    val total = Tables.events(spark, sf).count()
+    val st01 = AdAnalytics.st01ParseCount(spark, sf)
+    assert(st01.agg(sum("n")).collect()(0).getLong(0) === total)
+    val st04 = AdAnalytics.st04CumulativeState(spark, sf)
+    assert(st04.agg(sum("total")).collect()(0).getLong(0) === total)
+  }
+
+  test("sliding window: each event lands in exactly 4 window instances") {
+    val total = Tables.events(spark, sf).count()
+    val windowed = AdAnalytics.st02SlidingWindow(spark, sf)
+    assert(windowed.agg(sum("n")).collect()(0).getLong(0) === total * 4)
+  }
+}
