@@ -14,7 +14,9 @@ object SparkEntry {
       (operators.Categories.queries, operators.Categories.oracleSql),
       (operators.LlmText.queries, operators.LlmText.oracleSql),
       (operators.Embeddings.queries, operators.Embeddings.oracleSql),
-      (streaming.AdAnalytics.queries, streaming.AdAnalytics.oracleSql))
+      (streaming.AdAnalytics.queries, streaming.AdAnalytics.oracleSql),
+      (operators.Misc.queries, operators.Misc.oracleSql),
+      (operators.Multimodal.queries, operators.Multimodal.oracleSql))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

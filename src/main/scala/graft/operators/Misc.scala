@@ -1,0 +1,119 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Remaining small operator families from SURVEY §2: the SQL-string entry
+  * surface (S10), local collection sources (S4), the string kit (F7) and
+  * the date/time kit (F5) — each a first-class oracle-checked query.
+  */
+object Misc {
+
+  // ---------------------------------------------------------------- m01
+  /** SQL-text entry over temp views (S10: the AreaTop3 style,
+    * areaStat/src/main/scala/AreaTop3Stat.scala:127-152 — views stitch
+    * lazy plans, Catalyst fuses the whole tree at the action). */
+  def m01SqlEntry(s: SparkSession, dir: String): DataFrame = {
+    Tables.customer(s, dir).createOrReplaceTempView("customer_v")
+    Tables.orders(s, dir).createOrReplaceTempView("orders_v")
+    s.sql("""
+      SELECT c_mktsegment,
+             count(*) AS n_orders,
+             CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS revenue
+      FROM orders_v JOIN customer_v ON o_custkey = c_custkey
+      WHERE o_orderstatus <> 'F'
+      GROUP BY c_mktsegment
+    """)
+  }
+
+  val m01Sql: String =
+    """SELECT c_mktsegment, count(*) AS n_orders,
+      |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS revenue
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |WHERE o_orderstatus <> 'F'
+      |GROUP BY c_mktsegment""".stripMargin
+
+  // ---------------------------------------------------------------- m02
+  /** Local collection source (S4: sparkContext.makeRDD of the city dim,
+    * AreaTop3Stat.scala:166-174) — a driver-side Seq becomes a DataFrame
+    * and broadcast-joins the distributed side; the dim rides to every
+    * executor, no shuffle of the fact side. */
+  private val regionAreas: Seq[(Int, String, String)] = Seq(
+    (0, "AMER", "A Level"), (1, "EMEA", "B Level"), (2, "APAC", "A Level"),
+    (3, "EMEA", "B Level"), (4, "MEA", "C Level"))
+
+  def m02LocalCollection(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val dim = regionAreas.toDF("r_key", "area_code", "area_level")
+    Tables.nation(s, dir)
+      .join(broadcast(dim), col("n_regionkey") === col("r_key"))
+      .groupBy(col("area_code"), col("area_level"))
+      .agg(count(lit(1)).as("n_nations"))
+  }
+
+  val m02Sql: String = {
+    val values = regionAreas.map { case (k, c, l) => s"($k, '$c', '$l')" }.mkString(", ")
+    s"""SELECT area_code, area_level, count(*) AS n_nations
+       |FROM nation JOIN (VALUES $values) dim(r_key, area_code, area_level)
+       |  ON n_regionkey = r_key
+       |GROUP BY 1, 2""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- m03
+  /** String kit (F7: commons/.../Utils.scala:194-290 — zero-pad
+    * `fulfuill`, id:name packing, trim/case, substring). */
+  def m03StringKit(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir).select(
+      col("c_custkey"),
+      lpad(col("c_custkey").cast("string"), 9, "0").as("padded_key"),
+      concat(col("c_custkey"), lit(":"), col("c_name")).as("packed"),
+      upper(col("c_mktsegment")).as("seg_upper"),
+      substring(col("c_name"), 1, 8).as("name_prefix"),
+      length(trim(col("c_name"))).as("name_len"))
+
+  val m03Sql: String =
+    """SELECT c_custkey,
+      |  lpad(CAST(c_custkey AS VARCHAR), 9, '0') AS padded_key,
+      |  CAST(c_custkey AS VARCHAR) || ':' || c_name AS packed,
+      |  upper(c_mktsegment) AS seg_upper,
+      |  substring(c_name, 1, 8) AS name_prefix,
+      |  length(trim(c_name)) AS name_len
+      |FROM customer""".stripMargin
+
+  // ---------------------------------------------------------------- m04
+  /** Date/time kit (F5: the reference's joda string formats —
+    * yyyyMMdd date keys, yyyy-MM-dd_HH date-hour keys, yyyyMMddHHmm
+    * minute keys, day arithmetic — via built-in date_format/datediff). */
+  def m04DatetimeKit(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .withColumn("t", expr("timestamp_micros(ts div 1000)"))
+      .select(
+        col("event_id"),
+        date_format(col("t"), "yyyyMMdd").as("date_key"),
+        date_format(col("t"), "yyyy-MM-dd_HH").as("date_hour"),
+        date_format(col("t"), "yyyyMMddHHmm").as("minute_key"),
+        datediff(to_date(col("t")), lit("2024-01-01").cast("date")).as("days_since"),
+        (expr("ts div 1000000000") % 86400).as("second_of_day"))
+
+  val m04Sql: String =
+    """SELECT event_id,
+      |  strftime(t, '%Y%m%d') AS date_key,
+      |  strftime(t, '%Y-%m-%d_%H') AS date_hour,
+      |  strftime(t, '%Y%m%d%H%M') AS minute_key,
+      |  date_diff('day', DATE '2024-01-01', CAST(t AS DATE)) AS days_since,
+      |  (epoch_ns(ts) // 1000000000) % 86400 AS second_of_day
+      |FROM (SELECT event_id, ts, make_timestamp(epoch_ns(ts) // 1000) AS t FROM events)""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m01_sql_entry" -> (m01SqlEntry _),
+    "m02_local_collection" -> (m02LocalCollection _),
+    "m03_string_kit" -> (m03StringKit _),
+    "m04_datetime_kit" -> (m04DatetimeKit _))
+
+  val oracleSql: Map[String, String] = Map(
+    "m01_sql_entry" -> m01Sql,
+    "m02_local_collection" -> m02Sql,
+    "m03_string_kit" -> m03Sql,
+    "m04_datetime_kit" -> m04Sql)
+}

@@ -1,0 +1,147 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.Portable._
+
+/** Multimodal-column plumbing: media as opaque `binary` content with
+  * typed metadata, chunk/frame sampling, and feature extraction. The
+  * image/audio codecs are NOT in this environment, so the decode step is
+  * a clearly-marked deterministic STUB ([[FakeDecoder]]) — what is real
+  * and tested is everything Spark-side: the binary column representation,
+  * the schema, the partition-parallel batch shape (mapPartitions — the
+  * Scala analogue of mapInPandas batching), and the frame/feature
+  * plumbing. Content is derived from `documents.text` bytes so every
+  * stage is reproducible and oracle-checkable.
+  *
+  * Scale notes: media blobs stay opaque binary all the way through the
+  * scan (no decode before the filter); frame sampling is a map-side
+  * generator (sequence + explode), so a 100 TB media table fans out
+  * without a shuffle; feature extraction is per-partition batched, the
+  * shape GPU/codec vendors need.
+  */
+object Multimodal {
+
+  /** media_id + media_type + binary content + deterministic metadata. */
+  def media(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir).select(
+      col("doc_id").as("media_id"),
+      element_at(array(lit("image"), lit("audio"), lit("video")),
+        (col("doc_id") % 3 + 1).cast("int")).as("media_type"),
+      encode(col("text"), "UTF-8").as("content"),
+      col("n_chars").as("byte_len"))
+
+  // ---------------------------------------------------------------- mm01
+  /** Typed metadata per media row: dimensions/duration derived
+    * deterministically from the content hash (the STUB for header
+    * parsing — a real decoder reads these from the container format). */
+  def mm01MediaMeta(s: SparkSession, dir: String): DataFrame =
+    media(s, dir)
+      .withColumn("h", h64(col("media_id")))
+      .select(
+        col("media_id"), col("media_type"), col("byte_len"),
+        octet_length(col("content")).as("content_bytes"),
+        when(col("media_type") === "image", lit(16) + (col("h") % 64) * 16).otherwise(lit(null).cast("bigint")).as("width"),
+        when(col("media_type") === "image", lit(16) + (col("h") % 48) * 16).otherwise(lit(null).cast("bigint")).as("height"),
+        when(col("media_type") =!= "image", (col("h") % 300000) + 1000).otherwise(lit(null).cast("bigint")).as("duration_ms"))
+
+  val mm01Sql: String = {
+    val h = h64Sql("doc_id")
+    s"""SELECT doc_id AS media_id,
+       |  (['image','audio','video'])[CAST(doc_id % 3 + 1 AS INT)] AS media_type,
+       |  n_chars AS byte_len,
+       |  octet_length(encode(text)) AS content_bytes,
+       |  CASE WHEN doc_id % 3 = 0 THEN 16 + ($h % 64) * 16 ELSE NULL END AS width,
+       |  CASE WHEN doc_id % 3 = 0 THEN 16 + ($h % 48) * 16 ELSE NULL END AS height,
+       |  CASE WHEN doc_id % 3 <> 0 THEN ($h % 300000) + 1000 ELSE NULL END AS duration_ms
+       |FROM documents""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- mm02
+  /** Frame/chunk sampling: fixed-stride chunks of the content with a
+    * per-frame content hash — the video-frame-extraction shape (generator
+    * fan-out, no shuffle; each frame row carries provenance). Chunking
+    * runs on the text (DuckDB cannot substring blobs), which carries the
+    * identical byte content for this corpus. */
+  val FrameStride = 64
+
+  def mm02FrameSample(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id").as("media_id"), col("text"), col("n_chars"))
+      .withColumn("frame_idx", explode(sequence(lit(0), expr(s"(n_chars - 1) div $FrameStride"))))
+      .select(
+        col("media_id"), col("frame_idx"),
+        // substring with a column start position needs the SQL form
+        expr(s"md5(substring(text, CAST(frame_idx * $FrameStride + 1 AS INT), $FrameStride))")
+          .as("frame_hash"))
+
+  val mm02Sql: String =
+    s"""WITH fr AS (
+       |  SELECT doc_id, text, unnest(generate_series(0, (n_chars - 1) // $FrameStride)) AS i
+       |  FROM documents
+       |)
+       |SELECT doc_id AS media_id, i AS frame_idx,
+       |  md5(substring(text, CAST(i * $FrameStride + 1 AS INT), $FrameStride)) AS frame_hash
+       |FROM fr""".stripMargin
+
+  // ---------------------------------------------------------------- mm03
+  /** Feature-extraction STUB: 8 deterministic pseudo-features per media
+    * row derived from the content hash — stands in for an embedding
+    * model; the schema/batch shape is what production swaps onto. */
+  val NumFeatures = 8
+
+  def mm03FeatureStub(s: SparkSession, dir: String): DataFrame = {
+    val withMd5 = media(s, dir).withColumn("m", md5(col("content")))
+    val feats = (0 until NumFeatures).map { j =>
+      ((h64(concat(col("m"), lit(s"|$j"))) % 1000).cast("double") / 1000.0).as(s"f$j")
+    }
+    withMd5.select(col("media_id") +: feats: _*)
+  }
+
+  val mm03Sql: String = {
+    // DuckDB's md5 takes VARCHAR; hashing the text hashes the same UTF-8
+    // bytes Spark's md5(binary content) sees
+    val feats = (0 until NumFeatures).map { j =>
+      s"CAST(${h64Sql(s"md5(text) || '|$j'")} % 1000 AS DOUBLE) / 1000.0 AS f$j"
+    }.mkString(",\n  ")
+    s"""SELECT doc_id AS media_id,
+       |  $feats
+       |FROM documents""".stripMargin
+  }
+
+  // ------------------------------------------------------- decode stub
+  final case class MediaFrame(media_id: Long, frame_idx: Int, payload: Array[Byte])
+  final case class DecodedFrame(media_id: Long, frame_idx: Int, feature: Double)
+
+  /** Partition-parallel decode plumbing (the mapInPandas analogue):
+    * batches flow through [[FakeDecoder]] per partition — a real codec
+    * would replace `FakeDecoder.decode` and nothing else. Unit-tested;
+    * not oracle-checked (the stub is the point, not the values). */
+  def decodeFrames(frames: Dataset[MediaFrame]): Dataset[DecodedFrame] = {
+    import frames.sparkSession.implicits._
+    frames.mapPartitions { it =>
+      // per-partition init cost (codec/model load) amortizes over the batch
+      val decoder = FakeDecoder
+      it.map(f => DecodedFrame(f.media_id, f.frame_idx, decoder.decode(f.payload)))
+    }
+  }
+
+  /** STUB: deterministic stand-in for an image/audio codec (none are
+    * installed in this environment). Replace with the real decoder. */
+  object FakeDecoder {
+    def decode(payload: Array[Byte]): Double =
+      if (payload == null || payload.isEmpty) 0.0
+      else payload.foldLeft(0L)((a, b) => (a * 31 + (b & 0xff)) & 0xFFFFFF).toDouble / 0xFFFFFF
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm01_media_meta" -> (mm01MediaMeta _),
+    "mm02_frame_sample" -> (mm02FrameSample _),
+    "mm03_feature_stub" -> (mm03FeatureStub _))
+
+  val oracleSql: Map[String, String] = Map(
+    "mm01_media_meta" -> mm01Sql,
+    "mm02_frame_sample" -> mm02Sql,
+    "mm03_feature_stub" -> mm03Sql)
+}

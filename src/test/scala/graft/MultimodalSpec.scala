@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Multimodal
+import graft.operators.Multimodal.{DecodedFrame, MediaFrame}
+
+class MultimodalSpec extends GraftSuite {
+
+  test("mm01: metadata typed by media kind — images sized, av timed") {
+    Multimodal.mm01MediaMeta(spark, sf).collect().foreach { r =>
+      val tpe = r.getString(r.fieldIndex("media_type"))
+      val width = r.fieldIndex("width")
+      val dur = r.fieldIndex("duration_ms")
+      if (tpe == "image") {
+        assert(!r.isNullAt(width) && r.isNullAt(dur))
+        assert(r.getLong(width) >= 16)
+      } else {
+        assert(r.isNullAt(width) && !r.isNullAt(dur))
+        assert(r.getLong(dur) >= 1000)
+      }
+    }
+  }
+
+  test("mm02: frame counts match the stride arithmetic") {
+    val frames = Multimodal.mm02FrameSample(spark, sf)
+      .groupBy("media_id").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expected = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("n_chars")).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1) - 1) / Multimodal.FrameStride + 1)).toMap
+    assert(frames === expected)
+  }
+
+  test("decode plumbing: mapPartitions batches flow through the stub decoder") {
+    import spark.implicits._
+    val frames = Seq(
+      MediaFrame(1L, 0, Array[Byte](1, 2, 3)),
+      MediaFrame(1L, 1, Array[Byte](4, 5)),
+      MediaFrame(2L, 0, Array.emptyByteArray)).toDS()
+    val decoded = Multimodal.decodeFrames(frames).collect().sortBy(f => (f.media_id, f.frame_idx))
+    assert(decoded.map(d => (d.media_id, d.frame_idx)).toSeq ===
+      Seq((1L, 0), (1L, 1), (2L, 0)))
+    decoded.foreach(d => assert(d.feature >= 0.0 && d.feature <= 1.0))
+    assert(decoded(2).feature === 0.0) // empty payload
+    // determinism: same input, same features
+    val again = Multimodal.decodeFrames(frames).collect().sortBy(f => (f.media_id, f.frame_idx))
+    assert(again.map(_.feature).toSeq === decoded.map(_.feature).toSeq)
+  }
+
+  test("m-suite: sql entry + local collection agree with direct plans") {
+    val viaSql = graft.operators.Misc.m01SqlEntry(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val direct = Tables.orders(spark, sf).where(col("o_orderstatus") =!= "F")
+      .join(Tables.customer(spark, sf), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(viaSql === direct)
+    assert(graft.operators.Misc.m02LocalCollection(spark, sf)
+      .agg(sum("n_nations")).collect()(0).getLong(0) === 25L)
+  }
+}
