@@ -1,0 +1,23 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+import graft.functions.{ArrayOps, LongDot}
+
+/** Session extension registering the graft-native Catalyst expressions —
+  * activate with `spark.sql.extensions=graft.GraftExtensions` at session
+  * build (Verify, Bench and the test base do). This is the supported
+  * public injection point for custom expressions: the function resolves
+  * through the registry like a built-in and participates in whole-stage
+  * codegen.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      new FunctionIdentifier(ArrayOps.LongDotName),
+      new ExpressionInfo(classOf[LongDot].getName, ArrayOps.LongDotName),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        LongDot(children(0), children(1))))
+  }
+}

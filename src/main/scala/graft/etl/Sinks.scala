@@ -1,0 +1,48 @@
+package graft.etl
+
+import java.util.Properties
+
+import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+/** Output surfaces (SURVEY S6/S7/S9/S11): JDBC append, managed-table
+  * write, streaming file sink, console sink. The reference appends every
+  * result to MySQL (6 call sites, e.g. SessionStat.scala:508-514) and
+  * overwrites Hive tables from the mock loader (MockDataGenerate.scala:
+  * 147-150); tests exercise these against embedded Derby / a temp
+  * warehouse — the sink code is identical against any JDBC url or
+  * catalog. Upsert-flavored sinks live in [[Upsert]] (composed inside
+  * `foreachBatch`).
+  */
+object Sinks {
+
+  /** Append rows to a JDBC table (S7). Partition-parallel: each task
+    * opens one connection and writes its partition — the driver never
+    * materializes the result. */
+  def jdbcAppend(df: DataFrame, url: String, table: String,
+                 props: Properties = new Properties()): Unit =
+    df.write.mode(SaveMode.Append).jdbc(url, table, props)
+
+  /** Overwrite a managed catalog table (S9: DROP + saveAsTable). */
+  def saveTable(df: DataFrame, name: String): Unit =
+    df.write.mode(SaveMode.Overwrite).format("parquet").saveAsTable(name)
+
+  /** Streaming parquet file sink (S6 producer analog): append-mode
+    * exactly-once file output with checkpointed offsets. */
+  def streamToParquet(df: DataFrame, path: String, checkpoint: String): StreamingQuery =
+    df.writeStream.format("parquet")
+      .outputMode("append")
+      .option("path", path)
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+
+  /** Console sink (S11 — dev only, like the reference's foreachRDD
+    * println at AdverStat.scala:88). */
+  def streamToConsole(df: DataFrame, checkpoint: String): StreamingQuery =
+    df.writeStream.format("console")
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+}

@@ -1,0 +1,90 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+
+/** Native codegen'd integer dot product over two ARRAY<BIGINT> columns.
+  *
+  * The similarity-search hot path (cosine over quantized embeddings) folds
+  * 64 multiplies per pair. Spark's higher-order functions
+  * (`zip_with` + `aggregate`) evaluate that fold INTERPRETED — each lambda
+  * application allocates and boxes — and they block whole-stage codegen
+  * for the surrounding operator. This expression is the preferred
+  * extension point from the design rules (custom Catalyst `Expression`
+  * with `doGenCode` beats a Scala UDF): the generated code is a tight
+  * primitive `long` loop inlined into the enclosing WholeStageCodegen
+  * stage, no boxing, no virtual calls.
+  *
+  * Null semantics match the built-in arithmetic expressions: null in →
+  * null out. Arrays of unequal length dot over the common prefix (the
+  * quantizer always emits fixed-length vectors; tolerating ragged input
+  * beats throwing inside generated code).
+  */
+case class LongDot(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(t: DataType): Boolean = t match {
+      case ArrayType(LongType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"long_dot requires two ARRAY<BIGINT> arguments, got ${left.dataType} / ${right.dataType}")
+  }
+
+  override def dataType: DataType = LongType
+
+  override def prettyName: String = "long_dot"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      acc += x.getLong(i) * y.getLong(i)
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |long $acc = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $acc += $a.getLong($i) * $b.getLong($i);
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Column-API surface for the graft-native expressions. `long_dot` is
+  * registered by [[graft.GraftExtensions]] (SparkSessionExtensions,
+  * `spark.sql.extensions=graft.GraftExtensions` — set by Verify/Bench/
+  * tests); sessions built without the extension transparently fall back
+  * to the semantically-identical interpreted higher-order fold.
+  */
+object ArrayOps {
+  val LongDotName = "long_dot"
+
+  def longDot(s: SparkSession, a: Column, b: Column): Column =
+    if (s.catalog.functionExists(LongDotName)) call_function(LongDotName, a, b)
+    else aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+}

@@ -29,11 +29,15 @@ object Embeddings {
 
   private val Quant = 10000
 
-  /** vec_id, label, q = integer-quantized embedding. */
+  /** vec_id, label, q = integer-quantized embedding. Repartitioned to the
+    * session's parallelism — the single-file fixture otherwise yields one
+    * input split and serializes every pairwise stage. */
   private def quantized(s: SparkSession, dir: String): DataFrame =
-    Tables.embeddings(s, dir).select(
-      col("vec_id"), col("label"),
-      transform(col("embedding"), x => round(x.cast("double") * Quant).cast("long")).as("q"))
+    Tables.embeddings(s, dir)
+      .repartition(s.sparkContext.defaultParallelism)
+      .select(
+        col("vec_id"), col("label"),
+        transform(col("embedding"), x => round(x.cast("double") * Quant).cast("long")).as("q"))
 
   private val quantSql: String =
     s"""WITH qv AS (
@@ -42,11 +46,12 @@ object Embeddings {
        |  FROM embeddings
        |)""".stripMargin
 
-  /** Exact integer dot product of two quantized vectors. */
-  private def dotQ(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
-
-  private def normQ(a: Column): Column = dotQ(a, a)
+  /** Exact integer dot product of two quantized vectors — the native
+    * codegen'd [[graft.functions.LongDot]] expression: the interpreted
+    * `aggregate(zip_with(...))` fold was the hot path of every pairwise
+    * stage (it also blocked whole-stage codegen for the join operator). */
+  private def dotQ(s: SparkSession)(a: Column, b: Column): Column =
+    graft.functions.ArrayOps.longDot(s, a, b)
 
   // ---------------------------------------------------------------- e01
   /** Brute-force cosine top-k for a deterministic query subsample
@@ -59,10 +64,15 @@ object Embeddings {
     val queries = v.where(col("vec_id") % 5 === 0)
       .select(col("vec_id").as("query_id"), col("q").as("qa"))
     val cands = v.select(col("vec_id").as("neighbor_id"), col("q").as("qb"))
-    val scored = queries.join(cands, col("query_id") =!= col("neighbor_id"))
+    val dot = dotQ(s) _
+    // broadcast the candidate side: brute force IS a nested loop; with the
+    // broadcast it parallelizes over query partitions instead of pinning
+    // the whole product on one task
+    val scored = queries.join(broadcast(cands), col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
-        (dotQ(col("qa"), col("qb")).cast("double") /
-          (sqrt(normQ(col("qa")).cast("double")) * sqrt(normQ(col("qb")).cast("double")))).as("cos"))
+        (dot(col("qa"), col("qb")).cast("double") /
+          (sqrt(dot(col("qa"), col("qa")).cast("double")) *
+            sqrt(dot(col("qb"), col("qb")).cast("double")))).as("cos"))
     val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w)).where(col("rank") <= TopK)
   }
@@ -96,20 +106,24 @@ object Embeddings {
       }
     }
 
-  private def bucketCol(q: Column): Column =
+  private def bucketCol(s: SparkSession, q: Column): Column =
     (0 until NumPlanes).map { p =>
       val plane = array(planes(p).map(v => lit(v.toLong)): _*)
-      when(dotQ(q, plane) > 0, lit(1L << p)).otherwise(lit(0L))
+      when(dotQ(s)(q, plane) > 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
 
   def e02AnnBucketed(s: SparkSession, dir: String): DataFrame = {
-    val v = quantized(s, dir).withColumn("bucket", bucketCol(col("q")))
+    val dot = dotQ(s) _
+    val v = quantized(s, dir).withColumn("bucket", bucketCol(s, col("q")))
     val a = v.select(col("bucket"), col("vec_id").as("query_id"), col("q").as("qa"))
     val b = v.select(col("bucket"), col("vec_id").as("neighbor_id"), col("q").as("qb"))
-    val scored = a.join(b, Seq("bucket")).where(col("query_id") =!= col("neighbor_id"))
+    // bucket keys are few (2^planes) — broadcast keeps parallelism on the
+    // left side's partitioning instead of hashing into #buckets partitions
+    val scored = a.join(broadcast(b), Seq("bucket")).where(col("query_id") =!= col("neighbor_id"))
       .select(col("bucket"), col("query_id"), col("neighbor_id"),
-        (dotQ(col("qa"), col("qb")).cast("double") /
-          (sqrt(normQ(col("qa")).cast("double")) * sqrt(normQ(col("qb")).cast("double")))).as("cos"))
+        (dot(col("qa"), col("qb")).cast("double") /
+          (sqrt(dot(col("qa"), col("qa")).cast("double")) *
+            sqrt(dot(col("qb"), col("qb")).cast("double")))).as("cos"))
     val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w)).where(col("rank") <= 3)
   }

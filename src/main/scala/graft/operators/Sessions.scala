@@ -257,17 +257,33 @@ object Sessions {
        |  least(greatest(1, cnt * $SampleTarget // total), cnt) AS n_sampled
        |FROM counts, tot""".stripMargin
 
+  // ---------------------------------------------------------------- s06
+  /** Per-(session, event_type) counts (SURVEY A9: the reference builds a
+    * per-session HashMap of category counts inside flatMap,
+    * SessionStat.scala:112-130 — here it IS the group key). */
+  def s06SessionTypeCounts(s: SparkSession, dir: String): DataFrame =
+    sessionized(s, dir)
+      .groupBy(col("session_id"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+
+  val s06Sql: String =
+    s"""$sessSql
+       |SELECT session_id, event_type, count(*) AS n
+       |FROM sess GROUP BY 1, 2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s01_sessionize" -> (s01Sessionize _),
     "s02_session_agg" -> (s02SessionAgg _),
     "s03_bucket_stats" -> (s03BucketStats _),
     "s04_filtered_stats" -> (s04FilteredStats _),
-    "s05_stratified_sample" -> (s05StratifiedSample _))
+    "s05_stratified_sample" -> (s05StratifiedSample _),
+    "s06_session_type_counts" -> (s06SessionTypeCounts _))
 
   val oracleSql: Map[String, String] = Map(
     "s01_sessionize" -> s01Sql,
     "s02_session_agg" -> s02Sql,
     "s03_bucket_stats" -> s03Sql,
     "s04_filtered_stats" -> s04Sql,
-    "s05_stratified_sample" -> s05Sql)
+    "s05_stratified_sample" -> s05Sql,
+    "s06_session_type_counts" -> s06Sql)
 }

@@ -1,0 +1,42 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.ArrayOps
+
+class ArrayOpsSpec extends GraftSuite {
+
+  test("long_dot registers via GraftExtensions and matches the interpreted fold") {
+    import spark.implicits._
+    assert(spark.catalog.functionExists(ArrayOps.LongDotName),
+      "GraftExtensions did not register long_dot")
+    val df = Seq(
+      (Seq(1L, 2L, 3L), Seq(4L, 5L, 6L)),
+      (Seq(-7L, 0L, 9L), Seq(2L, 100L, -3L)),
+      (Seq.empty[Long], Seq.empty[Long])).toDF("a", "b")
+    val got = df.select(ArrayOps.longDot(spark, col("a"), col("b"))).collect().map(_.getLong(0))
+    val ref = df.select(
+      aggregate(zip_with(col("a"), col("b"), (x, y) => x * y), lit(0L), (acc, x) => acc + x))
+      .collect().map(_.getLong(0))
+    assert(got.toSeq === ref.toSeq)
+    assert(got.toSeq === Seq(32L, -41L, 0L))
+  }
+
+  test("long_dot is null-safe and participates in whole-stage codegen") {
+    import spark.implicits._
+    val df = Seq((Some(Seq(1L, 2L)), Option.empty[Seq[Long]])).toDF("a", "b")
+    val row = df.select(ArrayOps.longDot(spark, col("a"), col("b"))).collect()(0)
+    assert(row.isNullAt(0))
+    // the expression must NOT force the plan out of whole-stage codegen
+    // (a local Seq would be constant-folded to LocalTableScan, so use a
+    // parquet-backed plan)
+    val q = Tables.embeddings(spark, sf)
+      .select(transform(col("embedding"), x => x.cast("long")).as("q"))
+    val plan = q.select(ArrayOps.longDot(spark, col("q"), col("q")).as("d"))
+      .queryExecution.executedPlan.toString
+    // the `*(n)` prefix marks operators inside a WholeStageCodegen span;
+    // the long_dot Project must carry it (interpreted higher-order
+    // functions, by contrast, strip it — visible on the transform Project)
+    val dotLine = plan.linesIterator.find(_.contains("long_dot")).getOrElse("")
+    assert(dotLine.trim.startsWith("*("), s"long_dot project not codegen'd:\n$plan")
+  }
+}
