@@ -79,6 +79,33 @@ class StreamingSpec extends GraftSuite {
     assert(st04.agg(sum("total")).collect()(0).getLong(0) === total)
   }
 
+  test("ST9: watermark drops late data in append-mode windows") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[Long] // event time as epoch seconds
+    val agg = ms.toDF().toDF("sec")
+      .withColumn("t", expr("timestamp_seconds(sec)"))
+      .withWatermark("t", "5 minutes")
+      .groupBy(window(col("t"), "10 minutes"))
+      .count()
+      .select(col("window.start").cast("long").as("ws"), col("count"))
+    val qn = "graft_wm_test"
+    val q = agg.writeStream.format("memory").queryName(qn)
+      .outputMode("append")
+      .option("checkpointLocation", ckpt()).start()
+    ms.addData(600L, 1800L)  // watermark advances to 1800s - 5min = 1500s
+    q.processAllAvailable()
+    ms.addData(0L)           // LATE: window [0,600) closed at watermark 1500
+    ms.addData(3600L)        // advances watermark, finalizing earlier windows
+    q.processAllAvailable()
+    ms.addData(7200L)        // flush finalized windows through append mode
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table(qn).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.get(600L).contains(1L), s"on-time window missing: $out")
+    assert(!out.contains(0L), s"late event's window must be dropped: $out")
+  }
+
   test("sliding window: each event lands in exactly 4 window instances") {
     val total = Tables.events(spark, sf).count()
     val windowed = AdAnalytics.st02SlidingWindow(spark, sf)
