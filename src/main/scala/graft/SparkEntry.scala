@@ -18,9 +18,12 @@ object SparkEntry {
       (operators.Misc.queries, operators.Misc.oracleSql),
       (operators.Multimodal.queries, operators.Multimodal.oracleSql))
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * The AreaTop3 composite (需求6) exercises local-collection dim,
+    * broadcast join, composite agg with distinct group-concat, ranking
+    * window, and CASE tiering in one plan. */
   def entry(spark: SparkSession): DataFrame =
-    operators.Relational.q03JoinAgg(spark, "/root/testdata/sf0.001")
+    operators.Categories.c07AreaTop3(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

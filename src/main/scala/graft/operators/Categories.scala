@@ -161,17 +161,125 @@ object Categories {
 
   private def sessPrefix: String = Sessions.sessSql
 
+  /** 需求4 composite: top-10 sessions (by click count) within each of the
+    * top-10 categories (SessionStat.scala:95-161 — two groupByKey
+    * shuffles and an in-memory sortWith there; a semi-join + one window
+    * here). */
+  def c06Top10Sessions(s: SparkSession, dir: String): DataFrame = {
+    val top10 = c03Top10(s, dir).select(col("k"))
+    val perSession = Sessions.sessionized(s, dir)
+      .where(col("event_type") === "click" && col("k").isNotNull)
+      .join(broadcast(top10), Seq("k"), "left_semi")
+      .groupBy(col("k"), col("session_id"))
+      .agg(count(lit(1)).as("n_clicks"))
+    val w = Window.partitionBy(col("k")).orderBy(col("n_clicks").desc, col("session_id").asc)
+    perSession.withColumn("rnk", row_number().over(w)).where(col("rnk") <= 10)
+  }
+
+  val c06Sql: String =
+    s"""$sessPrefix, counts AS (
+       |  SELECT k,
+       |    sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS click_count,
+       |    sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS view_count,
+       |    sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchase_count
+       |  FROM sess WHERE k IS NOT NULL AND event_type IN ('click','view','purchase')
+       |  GROUP BY k
+       |), top10 AS (
+       |  SELECT k FROM counts
+       |  ORDER BY click_count DESC, view_count DESC, purchase_count DESC, k ASC LIMIT 10
+       |), per_session AS (
+       |  SELECT k, session_id, count(*) AS n_clicks
+       |  FROM sess WHERE event_type = 'click' AND k IN (SELECT k FROM top10)
+       |  GROUP BY 1, 2
+       |)
+       |SELECT k, session_id, n_clicks, rnk FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY k ORDER BY n_clicks DESC, session_id ASC) AS rnk
+       |  FROM per_session) t
+       |WHERE rnk <= 10""".stripMargin
+
+  /** 需求6 composite — the reference's AreaTop3 flagship
+    * (AreaTop3Stat.scala:15-125) in ONE declarative plan: local city dim
+    * (S4) broadcast-joined (J3), per-(area,category) counts + distinct
+    * city group-concat (A7/A8), product-type decode (F4), top-3 ranking
+    * window per area (W1), area-level CASE (F3). City = user_id mod 10,
+    * category = props.k — the fixture's analogues of the reference's
+    * city_id / click_category_id. */
+  private val cityDim: Seq[(Long, String, String)] = Seq(
+    (0L, "city_0", "North"), (1L, "city_1", "North"), (2L, "city_2", "East"),
+    (3L, "city_3", "East"), (4L, "city_4", "South"), (5L, "city_5", "South"),
+    (6L, "city_6", "West"), (7L, "city_7", "West"), (8L, "city_8", "Central"),
+    (9L, "city_9", "Central"))
+
+  def c07AreaTop3(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val dim = cityDim.toDF("city_id", "city_name", "area")
+    val clicks = Sessions.enriched(s, dir)
+      .where(col("event_type") === "click" && col("k").isNotNull)
+      .withColumn("city_id", col("user_id") % 10)
+    val counted = clicks
+      .join(broadcast(dim), Seq("city_id"))
+      .groupBy(col("area"), col("k"))
+      .agg(
+        count(lit(1)).as("click_count"),
+        concat_ws(",", sort_array(collect_set(
+          concat(col("city_id"), lit(":"), col("city_name"))))).as("city_infos"))
+    val w = Window.partitionBy(col("area")).orderBy(col("click_count").desc, col("k").asc)
+    counted
+      .withColumn("rnk", row_number().over(w)).where(col("rnk") <= 3)
+      .select(
+        col("area"),
+        when(col("area").isin("North", "East"), "A Level")
+          .when(col("area") === "South", "B Level")
+          .otherwise("C Level").as("area_level"),
+        col("k").as("product_id"),
+        when(col("k") % 2 === 0, "Self").otherwise("Third").as("product_type"),
+        col("city_infos"), col("click_count"), col("rnk"))
+  }
+
+  val c07Sql: String = {
+    val dimValues = cityDim.map { case (i, n, a) => s"($i, '$n', '$a')" }.mkString(", ")
+    s"""WITH clicks AS (
+       |  SELECT user_id % 10 AS city_id,
+       |    TRY_CAST(json_extract_string(props, '$$.k') AS BIGINT) AS k
+       |  FROM events
+       |  WHERE event_type = 'click'
+       |    AND TRY_CAST(json_extract_string(props, '$$.k') AS BIGINT) IS NOT NULL
+       |), dim(city_id, city_name, area) AS (VALUES $dimValues),
+       |counted AS (
+       |  SELECT area, k, count(*) AS click_count,
+       |    string_agg(DISTINCT CAST(clicks.city_id AS VARCHAR) || ':' || city_name, ','
+       |               ORDER BY CAST(clicks.city_id AS VARCHAR) || ':' || city_name) AS city_infos
+       |  FROM clicks JOIN dim ON clicks.city_id = dim.city_id
+       |  GROUP BY area, k
+       |)
+       |SELECT area,
+       |  CASE WHEN area IN ('North','East') THEN 'A Level'
+       |       WHEN area = 'South' THEN 'B Level'
+       |       ELSE 'C Level' END AS area_level,
+       |  k AS product_id,
+       |  CASE WHEN k % 2 = 0 THEN 'Self' ELSE 'Third' END AS product_type,
+       |  city_infos, click_count, rnk
+       |FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY area ORDER BY click_count DESC, k ASC) AS rnk
+       |  FROM counted) t
+       |WHERE rnk <= 3""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "c01_explode_csv" -> (c01ExplodeCsv _),
     "c02_spine_counts" -> (c02SpineCounts _),
     "c03_top10_categories" -> (c03Top10 _),
     "c04_page_convert" -> (c04PageConvert _),
-    "c05_convert_packed" -> (c05ConvertPacked _))
+    "c05_convert_packed" -> (c05ConvertPacked _),
+    "c06_top10_sessions" -> (c06Top10Sessions _),
+    "c07_area_top3" -> (c07AreaTop3 _))
 
   val oracleSql: Map[String, String] = Map(
     "c01_explode_csv" -> c01Sql,
     "c02_spine_counts" -> c02Sql,
     "c03_top10_categories" -> c03Sql,
     "c04_page_convert" -> c04Sql,
-    "c05_convert_packed" -> c05Sql)
+    "c05_convert_packed" -> c05Sql,
+    "c06_top10_sessions" -> c06Sql,
+    "c07_area_top3" -> c07Sql)
 }

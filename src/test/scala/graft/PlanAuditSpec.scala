@@ -1,0 +1,62 @@
+package graft
+
+import graft.operators.{Categories, Embeddings, LlmText, Multimodal, Sessions}
+
+/** Pins the PHYSICAL plan shapes that make these operators scale — the
+  * "would I run this at 100 TB" audit as assertions, so a regression that
+  * silently degrades a plan (lost broadcast, surprise shuffle, dropped
+  * TakeOrdered) fails the build, not just the benchmark.
+  */
+class PlanAuditSpec extends GraftSuite {
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("entry/flagship produces rows at sf0.001 (driver smoke contract)") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("sessionize shuffles exactly once (on user_id)") {
+    val p = plan(Sessions.sessionized(spark, sf))
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges === 1, s"expected 1 exchange:\n$p")
+  }
+
+  test("top-10 categories plans TakeOrderedAndProject, not a global sort") {
+    val p = plan(Categories.c03Top10(spark, sf))
+    assert(p.contains("TakeOrderedAndProject"), s"no TakeOrderedAndProject:\n$p")
+  }
+
+  test("LSH candidate generation never plans a cartesian product") {
+    val p = plan(LlmText.d03LshNeardup(spark, sf))
+    assert(!p.contains("CartesianProduct"), s"cartesian in LSH plan:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"band joins should broadcast:\n$p")
+  }
+
+  test("bucketed ANN joins on the bucket key via broadcast hash join") {
+    val p = plan(Embeddings.e02AnnBucketed(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), s"no broadcast hash join:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("fingerprinting and frame sampling are map-only (no keyed shuffle)") {
+    // the round-robin repartition (small-file fan-out) is allowed; a
+    // hashpartitioning exchange would mean a keyed shuffle crept in
+    val pFp = plan(LlmText.d08Fingerprint(spark, sf))
+    assert(!pFp.contains("Exchange hashpartitioning"), s"fingerprint plan shuffles:\n$pFp")
+    val pFr = plan(Multimodal.mm02FrameSample(spark, sf))
+    assert(!pFr.contains("Exchange hashpartitioning"), s"frame sampling shuffles:\n$pFr")
+  }
+
+  test("area-top3 composite broadcasts the city dim") {
+    val p = plan(Categories.c07AreaTop3(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), s"dim join not broadcast:\n$p")
+  }
+
+  test("exact dedup is a single hash-aggregate exchange on the content hash") {
+    val p = plan(LlmText.d01ExactDedup(spark, sf))
+    // repartition round-robin + the aggregate exchange; no joins, no sorts
+    assert(!p.contains("Join"), s"dedup must not join:\n$p")
+    assert(p.contains("HashAggregate"), s"dedup should hash-aggregate:\n$p")
+  }
+}
