@@ -37,6 +37,14 @@ object Sinks {
       .trigger(Trigger.AvailableNow())
       .start()
 
+  /** Date-partitioned parquet write — the 100 TB layout: every batch
+    * table partitioned by its date key so date-range queries get
+    * dynamic partition pruning for free (scans touch only matching
+    * directories; `PartitionFilters` in the read plan, pinned by
+    * SinksSpec). */
+  def writePartitioned(df: DataFrame, path: String, partitionCols: Seq[String]): Unit =
+    df.write.mode(SaveMode.Overwrite).partitionBy(partitionCols: _*).parquet(path)
+
   /** Console sink (S11 — dev only, like the reference's foreachRDD
     * println at AdverStat.scala:88). */
   def streamToConsole(df: DataFrame, checkpoint: String): StreamingQuery =

@@ -178,13 +178,60 @@ object Embeddings {
        |FROM (SELECT label, count(*) AS n_vecs FROM qv GROUP BY 1) counts
        |JOIN norms ON counts.label = norms.label""".stripMargin
 
+  // ---------------------------------------------------------------- e04
+  /** Embedding-cosine near-duplicate detection: pairs above a cosine
+    * threshold, bucketed by the same hyperplane LSH as e02 (candidate
+    * generation is the bucket equi-join; the threshold filter replaces
+    * the top-k window). The dedup-family combinator: content survives if
+    * no EARLIER (lower-id) vector sits within the threshold.
+    *
+    * Threshold note: production near-dup uses ~0.95; the fixture's
+    * embeddings are independent gaussians (max pairwise cosine ≈ 0.51),
+    * so the operator is exercised at 0.4 — the top tail of the
+    * distribution — to keep a non-trivial, deterministic result. */
+  val CosineThreshold = 0.4
+
+  def e04CosineNeardup(s: SparkSession, dir: String): DataFrame = {
+    val dot = dotQ(s) _
+    val v = quantized(s, dir).withColumn("bucket", bucketCol(s, col("q")))
+    val a = v.select(col("bucket"), col("vec_id").as("vec_a"), col("q").as("qa"))
+    val b = v.select(col("bucket"), col("vec_id").as("vec_b"), col("q").as("qb"))
+    a.join(broadcast(b), Seq("bucket")).where(col("vec_a") < col("vec_b"))
+      .withColumn("cos",
+        dot(col("qa"), col("qb")).cast("double") /
+          (sqrt(dot(col("qa"), col("qa")).cast("double")) *
+            sqrt(dot(col("qb"), col("qb")).cast("double"))))
+      .where(col("cos") >= CosineThreshold)
+      .select(col("vec_a"), col("vec_b"), col("cos"))
+  }
+
+  val e04Sql: String = {
+    val planeLits = (0 until NumPlanes).map(p => s"[${planes(p).mkString(", ")}]")
+    val bucketExpr = (0 until NumPlanes).map { p =>
+      s"CASE WHEN list_dot_product(q, ${planeLits(p)}) > 0 THEN ${1L << p} ELSE 0 END"
+    }.mkString(" + ")
+    s"""$quantSql, bv AS (
+       |  SELECT vec_id, q, $bucketExpr AS bucket FROM qv
+       |)
+       |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       |  CAST(list_dot_product(a.q, b.q) AS DOUBLE) /
+       |    (sqrt(CAST(list_dot_product(a.q, a.q) AS DOUBLE)) *
+       |     sqrt(CAST(list_dot_product(b.q, b.q) AS DOUBLE))) AS cos
+       |FROM bv a JOIN bv b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+       |WHERE CAST(list_dot_product(a.q, b.q) AS DOUBLE) /
+       |    (sqrt(CAST(list_dot_product(a.q, a.q) AS DOUBLE)) *
+       |     sqrt(CAST(list_dot_product(b.q, b.q) AS DOUBLE))) >= $CosineThreshold""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "e01_knn_brute" -> (e01KnnBrute _),
     "e02_ann_bucketed" -> (e02AnnBucketed _),
-    "e03_label_centroids" -> (e03LabelCentroids _))
+    "e03_label_centroids" -> (e03LabelCentroids _),
+    "e04_cosine_neardup" -> (e04CosineNeardup _))
 
   val oracleSql: Map[String, String] = Map(
     "e01_knn_brute" -> e01Sql,
     "e02_ann_bucketed" -> e02Sql,
-    "e03_label_centroids" -> e03Sql)
+    "e03_label_centroids" -> e03Sql,
+    "e04_cosine_neardup" -> e04Sql)
 }

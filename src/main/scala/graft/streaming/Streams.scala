@@ -20,6 +20,20 @@ object Streams {
   case class EventRow(event_id: Long, ts: Long, user_id: Long,
                       event_type: String, value: Double, props: String)
 
+  /** Kafka source surface (SURVEY S5: AdverStat.scala:33-49 — the
+    * reference's `commerce-consumer-group` direct stream of ad-log text
+    * lines). Downstream plans are identical to the file-source path:
+    * parse with `split` (st01) and aggregate. NOT exercisable in this
+    * environment (no Kafka jars / broker, zero egress) — calling start()
+    * would fail to load the provider; the method documents the swap-in. */
+  def kafkaLines(s: SparkSession, brokers: String, topic: String): DataFrame =
+    s.readStream.format("kafka")
+      .option("kafka.bootstrap.servers", brokers)
+      .option("subscribe", topic)
+      .option("startingOffsets", "latest")
+      .load()
+      .selectExpr("CAST(value AS STRING) AS value")
+
   /** Streaming read of a driver parquet table (schema inferred from a
     * batch read of the same file — file streams require explicit schema).
     * The file-stream source only accepts directories; the fixture is a

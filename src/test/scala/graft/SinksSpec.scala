@@ -46,6 +46,18 @@ class SinksSpec extends GraftSuite {
     assert(written.columns.toSeq === Seq("event_id", "event_type"))
   }
 
+  test("partitioned write: date filter prunes partitions at the scan") {
+    val out = tmp("graft-part-out-")
+    val ev = graft.operators.Sessions.enriched(spark, sf)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("date"))
+    Sinks.writePartitioned(ev, out, Seq("date"))
+    val oneDay = spark.read.parquet(out).where(col("date") === "2024-01-02")
+    val plan = oneDay.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(date"), s"no partition pruning:\n$plan")
+    val expected = ev.where(col("date") === "2024-01-02").count()
+    assert(oneDay.count() === expected && expected > 0)
+  }
+
   test("S11: console sink runs to completion (dev surface)") {
     val q = Sinks.streamToConsole(
       graft.streaming.Streams.tableStream(spark, sf, "events")
