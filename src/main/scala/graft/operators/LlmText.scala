@@ -343,7 +343,45 @@ object LlmText {
        |  CASE WHEN len(sel) = 0 THEN 0 ELSE list_reduce(sel, (a, x) -> xor(a, x)) END AS fp_xor
        |FROM hashed""".stripMargin
 
+  // ---------------------------------------------------------------- d09
+  /** End-to-end near-dedup: the survivor set a training pipeline keeps.
+    * A document is dropped iff it has a near-duplicate with a SMALLER
+    * doc_id among the LSH-verified pairs (the standard keep-first rule —
+    * cheaper than connected components and deterministic; transitive
+    * chains keep their minimum element and may keep later elements whose
+    * direct pair fell below threshold, which is the accepted behavior of
+    * keep-first dedup). Shape: banded-LSH pairs → threshold → anti-join;
+    * the corpus is never compared all-pairs. */
+  val NeardupThreshold = 0.8
+
+  def d09NeardupSurvivors(s: SparkSession, dir: String): DataFrame = {
+    val doomed = d03LshNeardup(s, dir)
+      .where(col("jaccard") >= NeardupThreshold)
+      .select(col("doc_b").as("doc_id"))
+    base(s, dir)
+      .join(doomed, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("lang"), col("source"))
+  }
+
+  val d09Sql: String =
+    s"""$baseSql$shSqlCte, sig AS (
+       |  SELECT doc_id, ${(0 until NumHashes).map(mhExprSql).mkString(", ")} FROM shd
+       |), cand AS (
+       |  ${(0 until NumHashes).map { i =>
+             s"SELECT a.doc_id AS doc_a, b.doc_id AS doc_b FROM sig a JOIN sig b ON a.mh$i = b.mh$i AND a.doc_id < b.doc_id"
+           }.mkString("\n  UNION\n  ")}
+       |), doomed AS (
+       |  SELECT DISTINCT cand.doc_b AS doc_id
+       |  FROM cand JOIN shd x ON cand.doc_a = x.doc_id
+       |            JOIN shd y ON cand.doc_b = y.doc_id
+       |  WHERE CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE) /
+       |        CAST(len(list_distinct(x.sh || y.sh)) AS DOUBLE) >= $NeardupThreshold
+       |)
+       |SELECT doc_id, lang, source FROM base
+       |WHERE doc_id NOT IN (SELECT doc_id FROM doomed)""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d09_neardup_survivors" -> (d09NeardupSurvivors _),
     "d01_exact_dedup" -> (d01ExactDedup _),
     "d02_minhash_sig" -> (d02MinhashSig _),
     "d03_lsh_neardup" -> (d03LshNeardup _),
@@ -354,6 +392,7 @@ object LlmText {
     "d08_fingerprint" -> (d08Fingerprint _))
 
   val oracleSql: Map[String, String] = Map(
+    "d09_neardup_survivors" -> d09Sql,
     "d01_exact_dedup" -> d01Sql,
     "d02_minhash_sig" -> d02Sql,
     "d03_lsh_neardup" -> d03Sql,

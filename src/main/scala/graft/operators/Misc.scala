@@ -146,17 +146,50 @@ object Misc {
       |  sum(len(string_split(csv, ','))) AS n_csv_ids
       |FROM enc GROUP BY 1""".stripMargin
 
+  // ---------------------------------------------------------------- m06
+  /** Two-phase salted aggregation — the hot-key spreading pattern for
+    * skewed group-bys at scale: phase 1 aggregates on (key, salt) so a
+    * hot key's rows land on `Salts` reducers instead of one; phase 2
+    * recombines per key. For algebraic aggregates over a LOW-cardinality
+    * key, map-side partial aggregation already does this (q01); salting
+    * is the tool when the keyspace is large but skewed, or when the
+    * aggregate is not partial-friendly (e.g. exact distinct counting —
+    * demonstrated here: distinct users per category, phase 1 dedups
+    * (k, salt-by-user) shards, phase 2 sums disjoint shard counts).
+    * Salting by a DETERMINISTIC hash of the dedup column keeps shards
+    * disjoint, so the recombined result is exact. */
+  val Salts = 16
+
+  def m06SaltedAgg(s: SparkSession, dir: String): DataFrame =
+    Sessions.enriched(s, dir)
+      .where(col("k").isNotNull)
+      .withColumn("salt", pmod(col("user_id"), lit(Salts)))
+      .groupBy(col("k"), col("salt"))
+      .agg(count(lit(1)).as("n"), countDistinct(col("user_id")).as("u"))
+      .groupBy(col("k"))
+      .agg(sum(col("n")).as("n_events"), sum(col("u")).as("n_users"))
+
+  val m06Sql: String =
+    """SELECT TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+      |  count(*) AS n_events,
+      |  count(DISTINCT user_id) AS n_users
+      |FROM events
+      |WHERE TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) IS NOT NULL
+      |GROUP BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m01_sql_entry" -> (m01SqlEntry _),
     "m02_local_collection" -> (m02LocalCollection _),
     "m03_string_kit" -> (m03StringKit _),
     "m04_datetime_kit" -> (m04DatetimeKit _),
-    "m05_sentinels" -> (m05Sentinels _))
+    "m05_sentinels" -> (m05Sentinels _),
+    "m06_salted_agg" -> (m06SaltedAgg _))
 
   val oracleSql: Map[String, String] = Map(
     "m01_sql_entry" -> m01Sql,
     "m02_local_collection" -> m02Sql,
     "m03_string_kit" -> m03Sql,
     "m04_datetime_kit" -> m04Sql,
-    "m05_sentinels" -> m05Sql)
+    "m05_sentinels" -> m05Sql,
+    "m06_salted_agg" -> m06Sql)
 }
