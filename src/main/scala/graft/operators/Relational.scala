@@ -297,7 +297,60 @@ object Relational {
       |  FROM orders) t
       |WHERE next_date IS NOT NULL""".stripMargin
 
+  /** Q17 — cube (engine completeness alongside q15's rollup: all 2^n
+    * grouping-set combinations in one pass). */
+  def q17Cube(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"))
+
+  val q17Sql: String =
+    """SELECT o_orderstatus, o_orderpriority, count(*) AS n
+      |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""".stripMargin
+
+  /** Q18 — correlated scalar subquery: orders above their customer's own
+    * average. Catalyst decorrelates this into an aggregate + join — the
+    * plan a hand-written self-join would produce, for free. */
+  def q18CorrelatedSubquery(s: SparkSession, dir: String): DataFrame = {
+    Tables.orders(s, dir).createOrReplaceTempView("orders_q18")
+    s.sql("""
+      SELECT o_orderkey, o_custkey, o_totalprice
+      FROM orders_q18 o
+      WHERE o_totalprice > (SELECT avg(o2.o_totalprice) * 1.5
+                            FROM orders_q18 o2
+                            WHERE o2.o_custkey = o.o_custkey)
+    """)
+  }
+
+  val q18Sql: String =
+    """SELECT o_orderkey, o_custkey, o_totalprice
+      |FROM orders o
+      |WHERE o_totalprice > (SELECT avg(o2.o_totalprice) * 1.5
+      |                      FROM orders o2
+      |                      WHERE o2.o_custkey = o.o_custkey)""".stripMargin
+
+  /** Q19 — pivot: wide per-status counts. Pivot values are given
+    * explicitly so the output schema is static (a discovery pivot would
+    * need an extra pass AND make the schema data-dependent). */
+  def q19Pivot(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .groupBy(col("o_orderpriority"))
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .withColumnsRenamed(Map("F" -> "n_f", "O" -> "n_o", "P" -> "n_p"))
+
+  val q19Sql: String =
+    """SELECT o_orderpriority,
+      |  sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_f,
+      |  sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS n_o,
+      |  sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS n_p
+      |FROM orders GROUP BY o_orderpriority""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q17_cube" -> (q17Cube _),
+    "q18_correlated_subquery" -> (q18CorrelatedSubquery _),
+    "q19_pivot" -> (q19Pivot _),
     "q01_agg" -> (q01Agg _),
     "q02_filter_pushdown" -> (q02FilterPushdown _),
     "q03_join_agg" -> (q03JoinAgg _),
@@ -316,6 +369,9 @@ object Relational {
     "q16_lead_lag" -> (q16LeadLag _))
 
   val oracleSql: Map[String, String] = Map(
+    "q17_cube" -> q17Sql,
+    "q18_correlated_subquery" -> q18Sql,
+    "q19_pivot" -> q19Sql,
     "q01_agg" -> q01Sql,
     "q02_filter_pushdown" -> q02Sql,
     "q03_join_agg" -> q03Sql,
