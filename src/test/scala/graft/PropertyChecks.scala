@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Properties}
+import org.scalacheck.Prop.forAll
+import graft.functions.{Predicates, TaskParams}
+import graft.operators.Multimodal.FakeDecoder
+
+/** Property-based checks (scalacheck) for the session-free pure surfaces:
+  * parameter parsing, predicate folding, and the deterministic decode
+  * stub. Spark-bound invariants live in the scalatest suites.
+  */
+object PropertyChecks extends Properties("graft") {
+
+  private val key: Gen[String] =
+    Gen.nonEmptyListOf(Gen.alphaChar).map(_.mkString).suchThat(_.nonEmpty)
+  private val value: Gen[String] =
+    Gen.listOf(Gen.alphaNumChar).map(_.mkString)
+  private val flatMap: Gen[Map[String, String]] =
+    Gen.mapOf(Gen.zip(key, value))
+
+  private def render(m: Map[String, String]): String =
+    m.map { case (k, v) => s""""$k": "$v"""" }.mkString("{", ", ", "}")
+
+  property("taskparams: flat-json parse round-trips alphanumeric maps") =
+    forAll(flatMap) { m =>
+      TaskParams.fromJson(render(m)).params == m
+    }
+
+  property("taskparams: empty values are absent, longs parse back") =
+    forAll(key, Gen.long) { (k, n) =>
+      val p = TaskParams(Map(k -> n.toString, "empty" -> ""))
+      p.getLong(k).contains(n) && p.get("empty").isEmpty
+    }
+
+  property("predicates: all-absent params fold to literal true") = {
+    val c = col("x")
+    Prop(
+      Predicates.between(c, None, None).toString == lit(true).toString &&
+        Predicates.in(c, None).toString == lit(true).toString &&
+        Predicates.in(c, Some(Seq.empty)).toString == lit(true).toString &&
+        Predicates.equalTo(c, None).toString == lit(true).toString &&
+        Predicates.all().toString == lit(true).toString)
+  }
+
+  property("predicates: any present bound produces a non-trivial column") =
+    forAll(Gen.long, Gen.long) { (lo, hi) =>
+      val c = col("x")
+      Predicates.between(c, Some(lo), Some(hi)).toString != lit(true).toString &&
+      Predicates.between(c, Some(lo), None).toString != lit(true).toString &&
+      Predicates.between(c, None, Some(hi)).toString != lit(true).toString
+    }
+
+  property("decode stub: deterministic, bounded, total") =
+    forAll(Gen.listOf(Gen.chooseNum(Byte.MinValue, Byte.MaxValue))) { bytes =>
+      val payload = bytes.toArray
+      val a = FakeDecoder.decode(payload)
+      val b = FakeDecoder.decode(payload)
+      a == b && a >= 0.0 && a <= 1.0 && (payload.nonEmpty || a == 0.0)
+    }
+}
