@@ -347,7 +347,31 @@ object Relational {
       |  sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS n_p
       |FROM orders GROUP BY o_orderpriority""".stripMargin
 
+  /** Q20 — RANGE window frame (time-based): per customer, total spend in
+    * the trailing 7 days (q14's ROWS frame counts rows; RANGE bounds by
+    * VALUE distance). Both engines see the frame as epoch-second
+    * distance, decimal-exact sums. */
+  def q20RangeFrame(s: SparkSession, dir: String): DataFrame = {
+    // o_orderdate reads as TIMESTAMP_NTZ, which has no direct long cast;
+    // via TIMESTAMP (session tz pinned UTC) to epoch seconds
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate").cast("timestamp").cast("long"))
+      .rangeBetween(-7L * 86400, 0)
+    Tables.orders(s, dir)
+      .select(
+        col("o_custkey"), col("o_orderkey"),
+        money(sum(dec(col("o_totalprice"))).over(w)).as("spend_7d"))
+  }
+
+  val q20Sql: String =
+    """SELECT o_custkey, o_orderkey,
+      |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+      |    PARTITION BY o_custkey ORDER BY epoch(o_orderdate)
+      |    RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW), 2) AS DOUBLE) AS spend_7d
+      |FROM orders""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q20_range_frame" -> (q20RangeFrame _),
     "q17_cube" -> (q17Cube _),
     "q18_correlated_subquery" -> (q18CorrelatedSubquery _),
     "q19_pivot" -> (q19Pivot _),
@@ -369,6 +393,7 @@ object Relational {
     "q16_lead_lag" -> (q16LeadLag _))
 
   val oracleSql: Map[String, String] = Map(
+    "q20_range_frame" -> q20Sql,
     "q17_cube" -> q17Sql,
     "q18_correlated_subquery" -> q18Sql,
     "q19_pivot" -> q19Sql,
