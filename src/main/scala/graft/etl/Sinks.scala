@@ -45,6 +45,19 @@ object Sinks {
   def writePartitioned(df: DataFrame, path: String, partitionCols: Seq[String]): Unit =
     df.write.mode(SaveMode.Overwrite).partitionBy(partitionCols: _*).parquet(path)
 
+  /** Bucketed managed table (the co-located-join layout): rows are
+    * hash-bucketed AND sorted by the join key at write time, so a join
+    * of two tables bucketed the same way needs NO shuffle and NO sort at
+    * read time — the 100 TB answer for a fact⋈fact join that runs every
+    * day: pay the partitioning once at ingest, never per query
+    * (SinksSpec pins the exchange-free join plan). */
+  def writeBucketed(df: DataFrame, name: String, bucketCol: String, buckets: Int): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .bucketBy(buckets, bucketCol)
+      .sortBy(bucketCol)
+      .format("parquet")
+      .saveAsTable(name)
+
   /** Console sink (S11 — dev only, like the reference's foreachRDD
     * println at AdverStat.scala:88). */
   def streamToConsole(df: DataFrame, checkpoint: String): StreamingQuery =

@@ -370,7 +370,29 @@ object Relational {
       |    RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW), 2) AS DOUBLE) AS spend_7d
       |FROM orders""".stripMargin
 
+  /** Q21 — intersect / except (completing the set-op family next to
+    * q10's union+distinct): nations having customers but no suppliers,
+    * and nations having both. Both plan as aggregates + semi/anti joins. */
+  def q21SetOps(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir).select(col("c_nationkey").as("nationkey"))
+    val su = Tables.supplier(s, dir).select(col("s_nationkey").as("nationkey"))
+    c.except(su).withColumn("relation", lit("customers_only"))
+      .unionByName(c.intersect(su).withColumn("relation", lit("both")))
+  }
+
+  val q21Sql: String =
+    """SELECT nationkey, 'customers_only' AS relation FROM (
+      |  SELECT DISTINCT c_nationkey AS nationkey FROM customer
+      |  EXCEPT
+      |  SELECT s_nationkey AS nationkey FROM supplier)
+      |UNION ALL
+      |SELECT nationkey, 'both' AS relation FROM (
+      |  SELECT c_nationkey AS nationkey FROM customer
+      |  INTERSECT
+      |  SELECT s_nationkey AS nationkey FROM supplier)""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q21_set_ops" -> (q21SetOps _),
     "q20_range_frame" -> (q20RangeFrame _),
     "q17_cube" -> (q17Cube _),
     "q18_correlated_subquery" -> (q18CorrelatedSubquery _),
@@ -393,6 +415,7 @@ object Relational {
     "q16_lead_lag" -> (q16LeadLag _))
 
   val oracleSql: Map[String, String] = Map(
+    "q21_set_ops" -> q21Sql,
     "q20_range_frame" -> q20Sql,
     "q17_cube" -> q17Sql,
     "q18_correlated_subquery" -> q18Sql,

@@ -58,6 +58,30 @@ class SinksSpec extends GraftSuite {
     assert(oneDay.count() === expected && expected > 0)
   }
 
+  test("bucketed tables join without a shuffle (co-located join)") {
+    Sinks.writeBucketed(Tables.orders(spark, sf), "graft_orders_b", "o_custkey", 8)
+    Sinks.writeBucketed(
+      Tables.customer(spark, sf).withColumnRenamed("c_custkey", "o_custkey"),
+      "graft_customer_b", "o_custkey", 8)
+    // the scenario bucketing exists for is fact⋈fact where NEITHER side
+    // broadcasts — the tiny fixture would auto-broadcast, so disable it
+    // to surface the co-located sort-merge join
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table("graft_orders_b")
+        .join(spark.table("graft_customer_b"), "o_custkey")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), s"bucketed join still shuffles:\n$plan")
+      assert(plan.contains("Bucketed: true"), s"bucketed read not used:\n$plan")
+      assert(joined.count() === Tables.orders(spark, sf).count())
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+      spark.sql("DROP TABLE graft_orders_b")
+      spark.sql("DROP TABLE graft_customer_b")
+    }
+  }
+
   test("S11: console sink runs to completion (dev surface)") {
     val q = Sinks.streamToConsole(
       graft.streaming.Streams.tableStream(spark, sf, "events")
