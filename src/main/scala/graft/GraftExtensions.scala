@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
-import graft.functions.{ArrayOps, LongDot}
+import graft.functions.{ArrayOps, LongDot, RollingHash}
 
 /** Session extension registering the graft-native Catalyst expressions —
   * activate with `spark.sql.extensions=graft.GraftExtensions` at session
@@ -19,5 +19,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[LongDot].getName, ArrayOps.LongDotName),
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         LongDot(children(0), children(1))))
+    ext.injectFunction((
+      new FunctionIdentifier(RollingHash.Name),
+      new ExpressionInfo(classOf[RollingHash].getName, RollingHash.Name),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        RollingHash(children(0), children(1))))
   }
 }

@@ -87,4 +87,28 @@ object ArrayOps {
   def longDot(s: SparkSession, a: Column, b: Column): Column =
     if (s.catalog.functionExists(LongDotName)) call_function(LongDotName, a, b)
     else aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+
+  /** Rolling window hashes of a string column (see [[RollingHash]]).
+    * Without the extension, falls back to the semantically-identical
+    * per-window fold — O(n·W) interpreted instead of O(n) codegen'd. */
+  def rollingHash(s: SparkSession, str: Column, window: Int): Column =
+    if (s.catalog.functionExists(RollingHash.Name))
+      call_function(RollingHash.Name, str, lit(window))
+    else {
+      val W = window
+      val P = RollingHash.P
+      val B = RollingHash.B
+      when(length(str) < W, array().cast("array<long>"))
+        .otherwise(transform(
+          sequence(lit(0), length(str) - W),
+          i => aggregate(
+            sequence(i + 1, i + W),
+            lit(0L),
+            (acc, j) => (acc * B + ascii(substring_with(str, j))) % P)))
+    }
+
+  /** `substring(str, pos, 1)` with a Column position (the built-in
+    * `substring` only takes Int positions). */
+  private def substring_with(str: Column, pos: Column): Column =
+    call_function("substring", str, pos, lit(1))
 }

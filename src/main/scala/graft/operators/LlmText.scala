@@ -380,7 +380,49 @@ object LlmText {
        |SELECT doc_id, lang, source FROM base
        |WHERE doc_id NOT IN (SELECT doc_id FROM doomed)""".stripMargin
 
+  // ---------------------------------------------------------------- d10
+  /** Character-level rolling-hash fingerprint via the native
+    * [[graft.functions.RollingHash]] expression (Rabin–Karp O(1) window
+    * slides inside codegen): every 16-byte window hash per doc, reduced
+    * to (count, min, xor, mod-sampled count). The word-shingle variant
+    * is d08; this is the byte-level fingerprint used for exactish
+    * substring-overlap detection. The oracle recomputes each window
+    * hash independently with the same modular arithmetic. */
+  val RhWindow = 16
+
+  def d10RollingFingerprint(s: SparkSession, dir: String): DataFrame =
+    base(s, dir)
+      .withColumn("hs", graft.functions.ArrayOps.rollingHash(s, col("norm"), RhWindow))
+      .select(
+        col("doc_id"),
+        size(col("hs")).as("n_windows"),
+        coalesce(array_min(col("hs")), lit(-1L)).as("fp_min"),
+        aggregate(col("hs"), lit(0L), (a, x) => a.bitwiseXOR(x)).as("fp_xor"),
+        size(filter(col("hs"), h => h % 16 === 0)).as("n_sampled"))
+
+  val d10Sql: String = {
+    val P = graft.functions.RollingHash.P
+    val B = graft.functions.RollingHash.B
+    s"""$baseSql, wins AS (
+       |  SELECT doc_id,
+       |    CASE WHEN length(norm) < $RhWindow THEN CAST([] AS BIGINT[])
+       |         ELSE list_transform(generate_series(0, length(norm) - $RhWindow), i ->
+       |           list_reduce(
+       |             list_transform(generate_series(i + 1, i + $RhWindow),
+       |                            j -> CAST(ascii(substring(norm, CAST(j AS INT), 1)) AS BIGINT)),
+       |             (a, b) -> (a * $B + b) % $P))
+       |    END AS hs
+       |  FROM base
+       |)
+       |SELECT doc_id, len(hs) AS n_windows,
+       |  coalesce(list_min(hs), -1) AS fp_min,
+       |  CASE WHEN len(hs) = 0 THEN 0 ELSE list_reduce(hs, (a, x) -> xor(a, x)) END AS fp_xor,
+       |  len(list_filter(hs, h -> h % 16 = 0)) AS n_sampled
+       |FROM wins""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d10_rolling_fp" -> (d10RollingFingerprint _),
     "d09_neardup_survivors" -> (d09NeardupSurvivors _),
     "d01_exact_dedup" -> (d01ExactDedup _),
     "d02_minhash_sig" -> (d02MinhashSig _),
@@ -392,6 +434,7 @@ object LlmText {
     "d08_fingerprint" -> (d08Fingerprint _))
 
   val oracleSql: Map[String, String] = Map(
+    "d10_rolling_fp" -> d10Sql,
     "d09_neardup_survivors" -> d09Sql,
     "d01_exact_dedup" -> d01Sql,
     "d02_minhash_sig" -> d02Sql,

@@ -21,6 +21,27 @@ class ArrayOpsSpec extends GraftSuite {
     assert(got.toSeq === Seq(32L, -41L, 0L))
   }
 
+  test("rolling_hash: native expression matches the per-window fold fallback") {
+    import spark.implicits._
+    val df = Seq("the quick brown fox jumps", "abcdefghijklmnop", "short", "").toDF("s")
+      .withColumn("s", lower(col("s")))
+    val native = df.select(ArrayOps.rollingHash(spark, col("s"), 16).as("h"))
+      .collect().map(_.getSeq[Long](0).toVector)
+    // force the fallback path by asking for a name that is registered:
+    // recompute with the interpreted per-window fold directly
+    val P = graft.functions.RollingHash.P
+    val B = graft.functions.RollingHash.B
+    val expected = df.collect().map(_.getString(0)).map { s =>
+      if (s.length < 16) Vector.empty[Long]
+      else (0 to s.length - 16).map { i =>
+        s.substring(i, i + 16).foldLeft(0L)((a, c) => (a * B + c.toLong) % P)
+      }.toVector
+    }
+    assert(native.toSeq === expected.toSeq)
+    // window longer than string and empty string → empty arrays, no throw
+    assert(native(2).isEmpty && native(3).isEmpty)
+  }
+
   test("long_dot is null-safe and participates in whole-stage codegen") {
     import spark.implicits._
     val df = Seq((Some(Seq(1L, 2L)), Option.empty[Seq[Long]])).toDF("a", "b")
