@@ -223,13 +223,89 @@ object Embeddings {
        |     sqrt(CAST(list_dot_product(b.q, b.q) AS DOUBLE))) >= $CosineThreshold""".stripMargin
   }
 
+  // ---------------------------------------------------------------- e05
+  /** IVF-style ANN: vectors assign to their nearest coarse centroid
+    * (argmax cosine against per-label centroid-sum directions — e03's
+    * table turned into an index), then top-3 probes run WITHIN the
+    * assigned cell only (nprobe=1). The label starts the centroids (as a
+    * trained IVF would use k-means cells); assignment is by geometry,
+    * not by the label column. All arithmetic exact-integer / fixed-
+    * sequence doubles; ties break on cell id then neighbor id. */
+  def e05IvfAnn(s: SparkSession, dir: String): DataFrame = {
+    val dot = dotQ(s) _
+    val v = quantized(s, dir)
+    // centroid-sum vector per label, dim-ordered (collect_list carries
+    // no order guarantee → sort the (i, csum) pairs then project)
+    val cents = v
+      .select(col("label"), col("q"), explode(sequence(lit(1), lit(Dim))).as("i"))
+      .withColumn("comp", element_at(col("q"), col("i")))
+      .groupBy(col("label"), col("i")).agg(sum(col("comp")).as("csum"))
+      .groupBy(col("label"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("i"), col("csum")))),
+        p => p.getField("csum")).as("cvec"))
+      .select(col("label").as("cell"), col("cvec"))
+    val assigned = v.crossJoin(broadcast(cents))
+      .withColumn("cos_c",
+        dot(col("q"), col("cvec")).cast("double") /
+          (sqrt(dot(col("q"), col("q")).cast("double")) *
+            sqrt(dot(col("cvec"), col("cvec")).cast("double"))))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("vec_id")).orderBy(col("cos_c").desc, col("cell").asc)))
+      .where(col("rn") === 1)
+      .select(col("cell"), col("vec_id"), col("q"))
+    val a = assigned.select(col("cell"), col("vec_id").as("query_id"), col("q").as("qa"))
+    val b = assigned.select(col("cell"), col("vec_id").as("neighbor_id"), col("q").as("qb"))
+    a.join(broadcast(b), Seq("cell")).where(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos",
+        dot(col("qa"), col("qb")).cast("double") /
+          (sqrt(dot(col("qa"), col("qa")).cast("double")) *
+            sqrt(dot(col("qb"), col("qb")).cast("double"))))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id").asc)))
+      .where(col("rank") <= 3)
+      .select(col("cell"), col("query_id"), col("neighbor_id"), col("cos"), col("rank"))
+  }
+
+  val e05Sql: String =
+    s"""$quantSql, comps AS (
+       |  SELECT label, i, q[i] AS comp FROM qv, generate_series(1, $Dim) g(i)
+       |), csums AS (
+       |  SELECT label, i, sum(comp) AS csum FROM comps GROUP BY 1, 2
+       |), cents AS (
+       |  SELECT label AS cell, list(CAST(csum AS BIGINT) ORDER BY i) AS cvec
+       |  FROM csums GROUP BY label
+       |), assigned AS (
+       |  SELECT cell, vec_id, q FROM (
+       |    SELECT cents.cell, qv.vec_id, qv.q,
+       |      row_number() OVER (PARTITION BY qv.vec_id ORDER BY
+       |        CAST(list_dot_product(qv.q, cents.cvec) AS DOUBLE) /
+       |          (sqrt(CAST(list_dot_product(qv.q, qv.q) AS DOUBLE)) *
+       |           sqrt(CAST(list_dot_product(cents.cvec, cents.cvec) AS DOUBLE))) DESC,
+       |        cents.cell ASC) AS rn
+       |    FROM qv, cents) t
+       |  WHERE rn = 1
+       |), scored AS (
+       |  SELECT a.cell, a.vec_id AS query_id, b.vec_id AS neighbor_id,
+       |    CAST(list_dot_product(a.q, b.q) AS DOUBLE) /
+       |      (sqrt(CAST(list_dot_product(a.q, a.q) AS DOUBLE)) *
+       |       sqrt(CAST(list_dot_product(b.q, b.q) AS DOUBLE))) AS cos
+       |  FROM assigned a JOIN assigned b ON a.cell = b.cell AND a.vec_id <> b.vec_id
+       |)
+       |SELECT cell, query_id, neighbor_id, cos, rank FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+       |  FROM scored) t
+       |WHERE rank <= 3""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e05_ivf_ann" -> (e05IvfAnn _),
     "e01_knn_brute" -> (e01KnnBrute _),
     "e02_ann_bucketed" -> (e02AnnBucketed _),
     "e03_label_centroids" -> (e03LabelCentroids _),
     "e04_cosine_neardup" -> (e04CosineNeardup _))
 
   val oracleSql: Map[String, String] = Map(
+    "e05_ivf_ann" -> e05Sql,
     "e01_knn_brute" -> e01Sql,
     "e02_ann_bucketed" -> e02Sql,
     "e03_label_centroids" -> e03Sql,

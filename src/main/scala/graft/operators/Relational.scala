@@ -308,26 +308,31 @@ object Relational {
     """SELECT o_orderstatus, o_orderpriority, count(*) AS n
       |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""".stripMargin
 
-  /** Q18 — correlated scalar subquery: orders above their customer's own
-    * average. Catalyst decorrelates this into an aggregate + join — the
-    * plan a hand-written self-join would produce, for free. */
+  /** Q18 — correlated scalar subqueries: orders above 1.5× their
+    * customer's own average. Catalyst decorrelates into aggregate +
+    * join — the plan a hand-written self-join would produce, for free.
+    * The comparison is price·count·2 > sum·3 in DECIMAL so it is exact:
+    * a double `avg` is summation-order-dependent in its last ulp, which
+    * an all-or-nothing hash gate cannot tolerate at a boundary. */
   def q18CorrelatedSubquery(s: SparkSession, dir: String): DataFrame = {
     Tables.orders(s, dir).createOrReplaceTempView("orders_q18")
     s.sql("""
       SELECT o_orderkey, o_custkey, o_totalprice
       FROM orders_q18 o
-      WHERE o_totalprice > (SELECT avg(o2.o_totalprice) * 1.5
-                            FROM orders_q18 o2
-                            WHERE o2.o_custkey = o.o_custkey)
+      WHERE CAST(o_totalprice AS DECIMAL(18,2)) *
+              (SELECT count(*) FROM orders_q18 o2 WHERE o2.o_custkey = o.o_custkey) * 2 >
+            (SELECT sum(CAST(o2.o_totalprice AS DECIMAL(18,2)))
+             FROM orders_q18 o2 WHERE o2.o_custkey = o.o_custkey) * 3
     """)
   }
 
   val q18Sql: String =
     """SELECT o_orderkey, o_custkey, o_totalprice
       |FROM orders o
-      |WHERE o_totalprice > (SELECT avg(o2.o_totalprice) * 1.5
-      |                      FROM orders o2
-      |                      WHERE o2.o_custkey = o.o_custkey)""".stripMargin
+      |WHERE CAST(o_totalprice AS DECIMAL(18,2)) *
+      |        (SELECT count(*) FROM orders o2 WHERE o2.o_custkey = o.o_custkey) * 2 >
+      |      (SELECT sum(CAST(o2.o_totalprice AS DECIMAL(18,2)))
+      |       FROM orders o2 WHERE o2.o_custkey = o.o_custkey) * 3""".stripMargin
 
   /** Q19 — pivot: wide per-status counts. Pivot values are given
     * explicitly so the output schema is static (a discovery pivot would
