@@ -421,7 +421,62 @@ object LlmText {
        |FROM wins""".stripMargin
   }
 
+  // ---------------------------------------------------------------- d11
+  /** The full training-corpus curation pipeline in ONE declarative plan —
+    * what a user actually runs: exact dedup (keep min doc_id per
+    * normalized content) → near-dup removal (keep-first over LSH-verified
+    * pairs, d09's rule) → quality filter (d06's flag) → per-lang corpus
+    * stats. Every stage is the oracle-checked operator above, composed;
+    * Catalyst fuses the whole tree. */
+  def d11CuratedCorpus(s: SparkSession, dir: String): DataFrame = {
+    val exactReps = base(s, dir)
+      .groupBy(col("norm")).agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"))
+    val nearDoomed = d03LshNeardup(s, dir)
+      .where(col("jaccard") >= NeardupThreshold)
+      .select(col("doc_b").as("doc_id"))
+    val quality = d06TextStats(s, dir)
+      .where(col("is_quality"))
+      .select(col("doc_id"), col("lang"), col("n_tokens"))
+    quality
+      .join(exactReps, Seq("doc_id"), "left_semi")
+      .join(nearDoomed, Seq("doc_id"), "left_anti")
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        min(col("doc_id")).as("first_doc"))
+  }
+
+  val d11Sql: String =
+    s"""$baseSql$shSqlCte, sig AS (
+       |  SELECT doc_id, ${(0 until NumHashes).map(mhExprSql).mkString(", ")} FROM shd
+       |), cand AS (
+       |  ${(0 until NumHashes).map { i =>
+             s"SELECT a.doc_id AS doc_a, b.doc_id AS doc_b FROM sig a JOIN sig b ON a.mh$i = b.mh$i AND a.doc_id < b.doc_id"
+           }.mkString("\n  UNION\n  ")}
+       |), doomed AS (
+       |  SELECT DISTINCT cand.doc_b AS doc_id
+       |  FROM cand JOIN shd x ON cand.doc_a = x.doc_id
+       |            JOIN shd y ON cand.doc_b = y.doc_id
+       |  WHERE CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE) /
+       |        CAST(len(list_distinct(x.sh || y.sh)) AS DOUBLE) >= $NeardupThreshold
+       |), exact_reps AS (
+       |  SELECT min(doc_id) AS doc_id FROM base GROUP BY norm
+       |), quality AS (
+       |  SELECT doc_id, lang, len(toks) AS n_tokens FROM base
+       |  WHERE len(toks) >= 20
+       |    AND CAST(len(list_distinct(toks)) AS DOUBLE) / CAST(len(toks) AS DOUBLE) >= 0.1
+       |    AND CAST(length(norm) - len(toks) + 1 AS DOUBLE) / CAST(len(toks) AS DOUBLE) < 15
+       |)
+       |SELECT lang, count(*) AS n_docs, sum(n_tokens) AS n_tokens, min(doc_id) AS first_doc
+       |FROM quality
+       |WHERE doc_id IN (SELECT doc_id FROM exact_reps)
+       |  AND doc_id NOT IN (SELECT doc_id FROM doomed)
+       |GROUP BY lang""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d11_curated_corpus" -> (d11CuratedCorpus _),
     "d10_rolling_fp" -> (d10RollingFingerprint _),
     "d09_neardup_survivors" -> (d09NeardupSurvivors _),
     "d01_exact_dedup" -> (d01ExactDedup _),
@@ -434,6 +489,7 @@ object LlmText {
     "d08_fingerprint" -> (d08Fingerprint _))
 
   val oracleSql: Map[String, String] = Map(
+    "d11_curated_corpus" -> d11Sql,
     "d10_rolling_fp" -> d10Sql,
     "d09_neardup_survivors" -> d09Sql,
     "d01_exact_dedup" -> d01Sql,

@@ -181,7 +181,27 @@ object AdAnalytics {
       |  FROM c) t
       |WHERE rnk <= 3""".stripMargin
 
+  // ---------------------------------------------------------------- st07
+  /** Streaming deduplication: `dropDuplicates` over the state store. The
+    * input is the stream unioned with itself — without dedup every count
+    * doubles, so the oracle (plain batch counts) proves the dedup
+    * actually fired. At scale the state is bounded with
+    * `dropDuplicatesWithinWatermark` (keys expire past the watermark);
+    * the unbounded form mirrors the reference's forever-state semantics. */
+  def st07StreamDedup(s: SparkSession, dir: String): DataFrame = {
+    val once = Streams.tableStream(s, dir, "events")
+    val twice = once.unionByName(Streams.tableStream(s, dir, "events"))
+    val deduped = twice
+      .select(col("event_id"), col("event_type"))
+      .dropDuplicates("event_id")
+    Streams.runComplete(s, deduped.groupBy(col("event_type")).agg(count(lit(1)).as("n")))
+  }
+
+  val st07Sql: String =
+    "SELECT event_type, count(*) AS n FROM events GROUP BY 1"
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "st07_stream_dedup" -> (st07StreamDedup _),
     "st01_parse_count" -> (st01ParseCount _),
     "st02_sliding_window" -> (st02SlidingWindow _),
     "st03_blacklist_anti" -> (st03BlacklistAnti _),
@@ -190,6 +210,7 @@ object AdAnalytics {
     "st06_daily_top3" -> (st06DailyTop3 _))
 
   val oracleSql: Map[String, String] = Map(
+    "st07_stream_dedup" -> st07Sql,
     "st01_parse_count" -> st01Sql,
     "st02_sliding_window" -> st02Sql,
     "st03_blacklist_anti" -> st03Sql,
