@@ -200,7 +200,48 @@ object AdAnalytics {
   val st07Sql: String =
     "SELECT event_type, count(*) AS n FROM events GROUP BY 1"
 
+  // ---------------------------------------------------------------- st08
+  /** STREAMING sessionization via `session_window` — the state-store
+    * equivalent of the batch lag+cumsum sessionizer (Sessions.sessionized):
+    * per (user, session) event counts with a 30-minute gap. Semantics
+    * note pinned by the oracle: session_window closes at `t + gap`, so an
+    * event at EXACTLY the gap boundary starts a NEW session (`>=`), and
+    * it compares full microsecond timestamps — the oracle mirrors both
+    * (the batch sessionizer deliberately keeps the reference-style
+    * whole-second `>` rule; the two agree everywhere except exact-boundary
+    * events, absent from the fixture but pinned separately anyway). */
+  def st08SessionWindow(s: SparkSession, dir: String): DataFrame = {
+    val ev = Streams.tableStream(s, dir, "events")
+      .withColumn("t", expr("timestamp_micros(ts div 1000)"))
+      .withWatermark("t", "1 hour")
+    val agg = ev
+      .groupBy(session_window(col("t"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(
+        col("user_id"),
+        col("session_window.start").cast("long").as("ws_sec"),
+        col("n_events"))
+    Streams.runComplete(s, agg)
+  }
+
+  val st08Sql: String =
+    """WITH ev AS (
+      |  SELECT user_id, epoch_ns(ts) // 1000 AS us FROM events
+      |), lagged AS (
+      |  SELECT *, CASE WHEN lag(us) OVER w IS NULL
+      |                   OR us - lag(us) OVER w >= 1800000000 THEN 1 ELSE 0 END AS new_sess
+      |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY us)
+      |), sess AS (
+      |  SELECT user_id, us,
+      |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY us
+      |                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      |  FROM lagged
+      |)
+      |SELECT user_id, min(us) // 1000000 AS ws_sec, count(*) AS n_events
+      |FROM sess GROUP BY user_id, sid""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "st08_session_window" -> (st08SessionWindow _),
     "st07_stream_dedup" -> (st07StreamDedup _),
     "st01_parse_count" -> (st01ParseCount _),
     "st02_sliding_window" -> (st02SlidingWindow _),
@@ -210,6 +251,7 @@ object AdAnalytics {
     "st06_daily_top3" -> (st06DailyTop3 _))
 
   val oracleSql: Map[String, String] = Map(
+    "st08_session_window" -> st08Sql,
     "st07_stream_dedup" -> st07Sql,
     "st01_parse_count" -> st01Sql,
     "st02_sliding_window" -> st02Sql,
