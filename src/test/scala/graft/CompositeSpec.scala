@@ -69,6 +69,25 @@ class CompositeSpec extends GraftSuite {
     stats.foreach(r => assert(langs.contains(r.getString(0))))
   }
 
+  test("typed Aggregator groupConcatDistinct agrees with the built-in expression form") {
+    import graft.functions.Aggregators
+    val viaAggregator = Tables.customer(spark, sf)
+      .groupBy(col("c_nationkey"))
+      .agg(Aggregators.groupConcatDistinct(col("c_mktsegment")).as("segments"))
+      .collect().map(r => r.getInt(0) -> r.getString(1)).toMap
+    val viaBuiltins = Relational.q13GroupConcat(spark, sf)
+      .collect().map(r => r.getInt(0) -> r.getString(1)).toMap
+    assert(viaAggregator === viaBuiltins)
+  }
+
+  test("approximate distinct counting stays within HLL error bounds") {
+    val exact = Tables.events(spark, sf).select(countDistinct(col("user_id"))).collect()(0).getLong(0)
+    val approx = Tables.events(spark, sf)
+      .select(approx_count_distinct(col("user_id"), 0.02)).collect()(0).getLong(0)
+    assert(math.abs(approx - exact).toDouble / exact < 0.05,
+      s"approx $approx vs exact $exact")
+  }
+
   test("st08: streaming session_window count equals batch session count") {
     val streamSessions = graft.streaming.AdAnalytics.st08SessionWindow(spark, sf).count()
     val batchSessions = graft.operators.Sessions.s02SessionAgg(spark, sf).count()
