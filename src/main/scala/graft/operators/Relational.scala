@@ -396,7 +396,31 @@ object Relational {
       |  INTERSECT
       |  SELECT s_nationkey AS nationkey FROM supplier)""".stripMargin
 
+  /** Q22 — explicit GROUPING SETS + grouping_id (the general form under
+    * q15's rollup / q17's cube): status-only and priority-only totals in
+    * one pass, disambiguated by the grouping id. */
+  def q22GroupingSets(s: SparkSession, dir: String): DataFrame = {
+    Tables.orders(s, dir).createOrReplaceTempView("orders_q22")
+    s.sql("""
+      SELECT o_orderstatus, o_orderpriority,
+             grouping(o_orderstatus) AS g_status,
+             grouping(o_orderpriority) AS g_priority,
+             count(*) AS n
+      FROM orders_q22
+      GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+    """)
+  }
+
+  val q22Sql: String =
+    """SELECT o_orderstatus, o_orderpriority,
+      |  grouping(o_orderstatus) AS g_status,
+      |  grouping(o_orderpriority) AS g_priority,
+      |  count(*) AS n
+      |FROM orders
+      |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q22_grouping_sets" -> (q22GroupingSets _),
     "q21_set_ops" -> (q21SetOps _),
     "q20_range_frame" -> (q20RangeFrame _),
     "q17_cube" -> (q17Cube _),
@@ -420,6 +444,7 @@ object Relational {
     "q16_lead_lag" -> (q16LeadLag _))
 
   val oracleSql: Map[String, String] = Map(
+    "q22_grouping_sets" -> q22Sql,
     "q21_set_ops" -> q21Sql,
     "q20_range_frame" -> q20Sql,
     "q17_cube" -> q17Sql,
