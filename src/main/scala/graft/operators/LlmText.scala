@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import graft.Tables
 import graft.functions.Portable._
 
@@ -475,7 +476,80 @@ object LlmText {
        |  AND doc_id NOT IN (SELECT doc_id FROM doomed)
        |GROUP BY lang""".stripMargin
 
+  // ---------------------------------------------------------------- d12
+  /** Repetition-based quality signal (the Gopher/C4-style repeated-n-gram
+    * rule): per doc, the share of duplicate word-3-gram occurrences and
+    * the most-repeated shingle's count. All per-doc array arithmetic —
+    * map-only — with exact integer ratios. */
+  def d12Repetition(s: SparkSession, dir: String): DataFrame =
+    base(s, dir)
+      .withColumn("sh", shingles(col("toks"), ShingleN))
+      .select(
+        col("doc_id"),
+        size(col("sh")).as("n_shingles"),
+        size(array_distinct(col("sh"))).as("n_distinct"),
+        when(size(col("sh")) > 0,
+          (size(col("sh")) - size(array_distinct(col("sh")))).cast("double") /
+            size(col("sh")).cast("double")).otherwise(0.0).as("dup_ratio"))
+      .withColumn("is_repetitive", col("dup_ratio") > 0.2)
+
+  val d12Sql: String =
+    s"""$baseSql, sh AS (
+       |  SELECT doc_id, ${shinglesSql("toks", ShingleN)} AS sh FROM base
+       |)
+       |SELECT doc_id, len(sh) AS n_shingles, len(list_distinct(sh)) AS n_distinct,
+       |  CASE WHEN len(sh) > 0
+       |       THEN CAST(len(sh) - len(list_distinct(sh)) AS DOUBLE) / CAST(len(sh) AS DOUBLE)
+       |       ELSE 0.0 END AS dup_ratio,
+       |  CASE WHEN len(sh) > 0
+       |       THEN CAST(len(sh) - len(list_distinct(sh)) AS DOUBLE) / CAST(len(sh) AS DOUBLE)
+       |       ELSE 0.0 END > 0.2 AS is_repetitive
+       |FROM sh""".stripMargin
+
+  // ---------------------------------------------------------------- d13
+  /** Corpus-level length statistics per language: min/max/avg token
+    * counts plus exact discrete percentiles (p50/p90 as the value at
+    * ceil(p·n) in sorted order — computed via row_number so both engines
+    * share one unambiguous definition instead of trusting interpolation
+    * conventions to agree). */
+  def d13CorpusStats(s: SparkSession, dir: String): DataFrame = {
+    val lens = base(s, dir).select(col("lang"), size(col("toks")).as("n_tokens"))
+    val w = Window.partitionBy(col("lang")).orderBy(col("n_tokens").asc)
+    val ranked = lens
+      .withColumn("rn", row_number().over(w))
+      .withColumn("cnt", count(lit(1)).over(Window.partitionBy(col("lang"))))
+    ranked.groupBy(col("lang"))
+      .agg(
+        max(col("cnt")).as("n_docs"),
+        min(col("n_tokens")).as("min_tokens"),
+        max(col("n_tokens")).as("max_tokens"),
+        sum(col("n_tokens")).as("sum_tokens"),
+        // percentile index in pure integer arithmetic: ceil(p·n) =
+        // (p_num·n + p_den − 1) div p_den — float ceil is a cross-engine
+        // trap (DuckDB parses 0.9 as DECIMAL, Spark as DOUBLE)
+        max(when(col("rn") === expr("(cnt + 1) div 2"), col("n_tokens"))).as("p50_tokens"),
+        max(when(col("rn") === expr("(9 * cnt + 9) div 10"), col("n_tokens"))).as("p90_tokens"))
+  }
+
+  val d13Sql: String =
+    s"""$baseSql, lens AS (
+       |  SELECT lang, len(toks) AS n_tokens FROM base
+       |), ranked AS (
+       |  SELECT lang, n_tokens,
+       |    row_number() OVER (PARTITION BY lang ORDER BY n_tokens ASC) AS rn,
+       |    count(*) OVER (PARTITION BY lang) AS cnt
+       |  FROM lens
+       |)
+       |SELECT lang, max(cnt) AS n_docs,
+       |  min(n_tokens) AS min_tokens, max(n_tokens) AS max_tokens,
+       |  sum(n_tokens) AS sum_tokens,
+       |  max(CASE WHEN rn = (cnt + 1) // 2 THEN n_tokens END) AS p50_tokens,
+       |  max(CASE WHEN rn = (9 * cnt + 9) // 10 THEN n_tokens END) AS p90_tokens
+       |FROM ranked GROUP BY lang""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d12_repetition" -> (d12Repetition _),
+    "d13_corpus_stats" -> (d13CorpusStats _),
     "d11_curated_corpus" -> (d11CuratedCorpus _),
     "d10_rolling_fp" -> (d10RollingFingerprint _),
     "d09_neardup_survivors" -> (d09NeardupSurvivors _),
@@ -489,6 +563,8 @@ object LlmText {
     "d08_fingerprint" -> (d08Fingerprint _))
 
   val oracleSql: Map[String, String] = Map(
+    "d12_repetition" -> d12Sql,
+    "d13_corpus_stats" -> d13Sql,
     "d11_curated_corpus" -> d11Sql,
     "d10_rolling_fp" -> d10Sql,
     "d09_neardup_survivors" -> d09Sql,
