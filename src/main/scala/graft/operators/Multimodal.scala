@@ -110,6 +110,41 @@ object Multimodal {
        |FROM documents""".stripMargin
   }
 
+  // ---------------------------------------------------------------- mm04
+  /** Resize/thumbnail STUB: target dimensions scale down proportionally
+    * (capped at 64px on the long edge) and the "resized payload" is a
+    * deterministic content reduction — a real image library would swap in
+    * at the marked expression; the schema (orig/new dims + resized-bytes
+    * hash) and the map-only plumbing are the real part. */
+  def mm04ResizeStub(s: SparkSession, dir: String): DataFrame =
+    mm01MediaMeta(s, dir)
+      .where(col("media_type") === "image")
+      .join(Tables.documents(s, dir).select(col("doc_id").as("media_id"), col("text")), Seq("media_id"))
+      .select(
+        col("media_id"), col("width"), col("height"),
+        least(col("width"), lit(64L)).as("new_width"),
+        // Spark's `/` on longs yields DOUBLE; integer div keeps both
+        // engines in exact integer arithmetic
+        expr("greatest(CAST(1 AS BIGINT), (height * least(width, CAST(64 AS BIGINT))) div width)")
+          .as("new_height"),
+        // STUB: stands in for the decoded-resized-reencoded payload
+        md5(substring(col("text"), 1, 64)).as("resized_hash"))
+
+  val mm04Sql: String = {
+    val h = h64Sql("doc_id")
+    s"""WITH meta AS (
+       |  SELECT doc_id AS media_id, text,
+       |    16 + ($h % 64) * 16 AS width,
+       |    16 + ($h % 48) * 16 AS height
+       |  FROM documents WHERE doc_id % 3 = 0
+       |)
+       |SELECT media_id, width, height,
+       |  least(width, 64) AS new_width,
+       |  greatest(1, (height * least(width, 64)) // width) AS new_height,
+       |  md5(substring(text, 1, 64)) AS resized_hash
+       |FROM meta""".stripMargin
+  }
+
   // ------------------------------------------------------- decode stub
   final case class MediaFrame(media_id: Long, frame_idx: Int, payload: Array[Byte])
   final case class DecodedFrame(media_id: Long, frame_idx: Int, feature: Double)
@@ -138,10 +173,12 @@ object Multimodal {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm01_media_meta" -> (mm01MediaMeta _),
     "mm02_frame_sample" -> (mm02FrameSample _),
-    "mm03_feature_stub" -> (mm03FeatureStub _))
+    "mm03_feature_stub" -> (mm03FeatureStub _),
+    "mm04_resize_stub" -> (mm04ResizeStub _))
 
   val oracleSql: Map[String, String] = Map(
     "mm01_media_meta" -> mm01Sql,
     "mm02_frame_sample" -> mm02Sql,
-    "mm03_feature_stub" -> mm03Sql)
+    "mm03_feature_stub" -> mm03Sql,
+    "mm04_resize_stub" -> mm04Sql)
 }
