@@ -21,9 +21,17 @@ object SparkEntry {
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The AreaTop3 composite (需求6) exercises local-collection dim,
     * broadcast join, composite agg with distinct group-concat, ranking
-    * window, and CASE tiering in one plan. */
-  def entry(spark: SparkSession): DataFrame =
+    * window, and CASE tiering in one plan.
+    *
+    * `entry` receives a CALLER-built session, so the job-entry conf the
+    * engine's own mains set at build time (events' parquet-nanos flag,
+    * UTC) is applied here explicitly — runtime-settable SQL confs, set
+    * once at the entry point (not hidden inside a reader). */
+  def entry(spark: SparkSession): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     operators.Categories.c07AreaTop3(spark, "/root/testdata/sf0.001")
+  }
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
