@@ -177,7 +177,32 @@ object Misc {
       |WHERE TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) IS NOT NULL
       |GROUP BY 1""".stripMargin
 
+  // ---------------------------------------------------------------- m07
+  /** Date-range filtering on STRING dates (SURVEY §7.4.4 / S1: the
+    * reference compares zero-padded ISO date strings lexically —
+    * `where date >= '…' and date <= '…'` spliced into SQL; its default
+    * params even contain the invalid '2020-11-31', which only works
+    * BECAUSE of string comparison). The convention is preserved at the
+    * boundary: lexical order == chronological order for this format, and
+    * the predicate pushes to the scan like any other. */
+  def m07DateRangeStrings(s: SparkSession, dir: String): DataFrame =
+    Sessions.enriched(s, dir)
+      .where(col("date") >= "2024-01-05" && col("date") <= "2024-01-15")
+      .groupBy(col("date"))
+      .agg(count(lit(1)).as("n_events"), countDistinct(col("user_id")).as("n_users"))
+
+  val m07Sql: String =
+    """WITH ev AS (
+      |  SELECT user_id,
+      |    strftime(make_timestamp(epoch_ns(ts) // 1000), '%Y-%m-%d') AS date
+      |  FROM events
+      |)
+      |SELECT date, count(*) AS n_events, count(DISTINCT user_id) AS n_users
+      |FROM ev WHERE date >= '2024-01-05' AND date <= '2024-01-15'
+      |GROUP BY date""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m07_date_range_strings" -> (m07DateRangeStrings _),
     "m01_sql_entry" -> (m01SqlEntry _),
     "m02_local_collection" -> (m02LocalCollection _),
     "m03_string_kit" -> (m03StringKit _),
@@ -186,6 +211,7 @@ object Misc {
     "m06_salted_agg" -> (m06SaltedAgg _))
 
   val oracleSql: Map[String, String] = Map(
+    "m07_date_range_strings" -> m07Sql,
     "m01_sql_entry" -> m01Sql,
     "m02_local_collection" -> m02Sql,
     "m03_string_kit" -> m03Sql,
