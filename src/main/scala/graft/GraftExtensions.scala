@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
-import graft.functions.{ArrayOps, LongDot, RollingHash}
+import graft.functions.{ArrayOps, LongDot, MinHashSigExpr, RollingHash}
 
 /** Session extension registering the graft-native Catalyst expressions —
   * activate with `spark.sql.extensions=graft.GraftExtensions` at session
@@ -24,5 +24,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[RollingHash].getName, RollingHash.Name),
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         RollingHash(children(0), children(1))))
+    ext.injectFunction((
+      new FunctionIdentifier(ArrayOps.MinHashSigName),
+      new ExpressionInfo(classOf[MinHashSigExpr].getName, ArrayOps.MinHashSigName),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        MinHashSigExpr(children(0))))
   }
 }

@@ -111,4 +111,23 @@ object ArrayOps {
     * `substring` only takes Int positions). */
   private def substring_with(str: Column, pos: Column): Column =
     call_function("substring", str, pos, lit(1))
+
+  val MinHashSigName = "min_hash_sig"
+
+  /** MinHash signature array of a normalized-text column (see
+    * [[MinHashSigExpr]]). Without the extension, falls back to the
+    * value-identical composable expression chain. */
+  def minHashSig(s: SparkSession, norm: Column): Column =
+    if (s.catalog.functionExists(MinHashSigName)) call_function(MinHashSigName, norm)
+    else {
+      import MinHashParams._
+      val toks = split(norm, " ")
+      val sh = Portable.shingles(toks, ShingleN)
+      val hq = transform(sh, x => Portable.h64(x).bitwiseAND(lit(0x3FFFFFFFL)))
+      array((0 until NumHashes).map { i =>
+        coalesce(
+          array_min(transform(hq, h => (lit(A(i)) * h + lit(B(i))) % lit(P))),
+          lit(-1L))
+      }: _*)
+    }
 }

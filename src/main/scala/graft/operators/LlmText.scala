@@ -32,11 +32,8 @@ import graft.functions.Portable._
 object LlmText {
 
   // ---------------------------------------------------------------- shared
-  private val ShingleN = 3
-  private val NumHashes = 8
-  private val P = 2147483647L // 2^31 - 1
-  private val A: IndexedSeq[Long] = (1 to NumHashes).map(i => (i * 2654435761L) % P)
-  private val B: IndexedSeq[Long] = (1 to NumHashes).map(i => (i * 40503L + 2531011L) % P)
+  // single source of truth shared with the fused native expression
+  import graft.functions.MinHashParams.{A, B, NumHashes, P, ShingleN}
 
   /** doc_id + normalized text + token array. Repartitioned to the
     * session's parallelism: the fixture is one small parquet file → one
@@ -85,16 +82,15 @@ object LlmText {
   // ---------------------------------------------------------------- d02
   /** MinHash signatures: k=8 permutations (A_i*h + B_i) mod P over the
     * 30-bit-masked portable shingle hash. One md5 per shingle, k cheap
-    * mixes — not k md5s (the 100 TB version of the same trade). */
+    * mixes — not k md5s (the 100 TB version of the same trade). Computed
+    * by the fused native [[graft.functions.MinHashSigExpr]] (one eval per
+    * doc instead of k·#shingles interpreted lambdas; value-identical, so
+    * the oracle below is untouched). */
   def d02MinhashSig(s: SparkSession, dir: String): DataFrame = {
-    val hq = transform(col("sh"), x => h64(x).bitwiseAND(lit(0x3FFFFFFFL)))
-    val withH = withShingleSet(base(s, dir)).withColumn("hq", hq)
-    val mhCols = (0 until NumHashes).map { i =>
-      coalesce(
-        array_min(transform(col("hq"), h => (lit(A(i)) * h + lit(B(i))) % lit(P))),
-        lit(-1L)).as(s"mh$i")
-    }
-    withH.select(col("doc_id") +: mhCols: _*)
+    val sig = base(s, dir)
+      .withColumn("mh", graft.functions.ArrayOps.minHashSig(s, col("norm")))
+    val mhCols = (0 until NumHashes).map(i => element_at(col("mh"), i + 1).as(s"mh$i"))
+    sig.select(col("doc_id") +: mhCols: _*)
   }
 
   private def mhExprSql(i: Int): String =
