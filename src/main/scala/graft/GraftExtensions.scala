@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
-import graft.functions.{ArrayOps, LongDot, MinHashSigExpr, RollingHash}
+import graft.functions.{ArrayOps, LongDot, MinHashSigExpr, RollingHash, WordShinglesExpr}
 
 /** Session extension registering the graft-native Catalyst expressions —
   * activate with `spark.sql.extensions=graft.GraftExtensions` at session
@@ -29,5 +29,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[MinHashSigExpr].getName, ArrayOps.MinHashSigName),
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         MinHashSigExpr(children(0))))
+    ext.injectFunction((
+      new FunctionIdentifier(WordShinglesExpr.Name),
+      new ExpressionInfo(classOf[WordShinglesExpr].getName, WordShinglesExpr.Name),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        WordShinglesExpr(children(0), children(1))))
   }
 }

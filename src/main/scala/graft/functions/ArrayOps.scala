@@ -112,6 +112,13 @@ object ArrayOps {
   private def substring_with(str: Column, pos: Column): Column =
     call_function("substring", str, pos, lit(1))
 
+  /** Distinct word-n-gram set of a normalized-text column (see
+    * [[WordShinglesExpr]]); falls back to the composable chain. */
+  def wordShingles(s: SparkSession, norm: Column, n: Int): Column =
+    if (s.catalog.functionExists(WordShinglesExpr.Name))
+      call_function(WordShinglesExpr.Name, norm, lit(n))
+    else array_distinct(Portable.shingles(split(norm, " "), n))
+
   val MinHashSigName = "min_hash_sig"
 
   /** MinHash signature array of a normalized-text column (see

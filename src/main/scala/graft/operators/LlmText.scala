@@ -57,8 +57,8 @@ object LlmText {
        |)""".stripMargin
 
   /** Distinct word-n-gram shingle set per doc. */
-  private def withShingleSet(df: DataFrame): DataFrame =
-    df.withColumn("sh", array_distinct(shingles(col("toks"), ShingleN)))
+  private def withShingleSet(s: SparkSession, df: DataFrame): DataFrame =
+    df.withColumn("sh", graft.functions.ArrayOps.wordShingles(s, col("norm"), ShingleN))
 
   private val shSqlCte: String =
     s""", shd AS (
@@ -112,7 +112,7 @@ object LlmText {
     // (16 re-evaluations of the whole shingle+hash pipeline otherwise —
     // SURVEY M3, the shared-intermediate persist) and the shingle sets
     // feed the two verification joins
-    val shd = withShingleSet(base(s, dir)).select(col("doc_id"), col("sh")).persist()
+    val shd = withShingleSet(s, base(s, dir)).select(col("doc_id"), col("sh")).persist()
     val sig = d02MinhashSig(s, dir).persist()
     val bands = (0 until NumHashes).map { i =>
       val a = sig.select(col("doc_id").as("doc_a"), col(s"mh$i").as("band_key"))
@@ -320,7 +320,8 @@ object LlmText {
     * shingle hash passes the mod-sample get the (-1, 0, 0) sentinel. */
   def d08Fingerprint(s: SparkSession, dir: String): DataFrame =
     base(s, dir)
-      .withColumn("hs", transform(array_distinct(shingles(col("toks"), 4)), x => h64(x)))
+      .withColumn("hs",
+        transform(graft.functions.ArrayOps.wordShingles(s, col("norm"), 4), x => h64(x)))
       .withColumn("sel", filter(col("hs"), h => h % 8 === 0))
       .select(
         col("doc_id"),
@@ -479,14 +480,18 @@ object LlmText {
     * map-only — with exact integer ratios. */
   def d12Repetition(s: SparkSession, dir: String): DataFrame =
     base(s, dir)
-      .withColumn("sh", shingles(col("toks"), ShingleN))
+      // total shingle count is pure arithmetic (len - n + 1, floor 0);
+      // only the DISTINCT set needs materializing (fused expression)
+      .withColumn("n_shingles",
+        when(size(col("toks")) < ShingleN, 0)
+          .otherwise(size(col("toks")) - (ShingleN - 1)))
+      .withColumn("n_distinct",
+        size(graft.functions.ArrayOps.wordShingles(s, col("norm"), ShingleN)))
       .select(
-        col("doc_id"),
-        size(col("sh")).as("n_shingles"),
-        size(array_distinct(col("sh"))).as("n_distinct"),
-        when(size(col("sh")) > 0,
-          (size(col("sh")) - size(array_distinct(col("sh")))).cast("double") /
-            size(col("sh")).cast("double")).otherwise(0.0).as("dup_ratio"))
+        col("doc_id"), col("n_shingles"), col("n_distinct"),
+        when(col("n_shingles") > 0,
+          (col("n_shingles") - col("n_distinct")).cast("double") /
+            col("n_shingles").cast("double")).otherwise(0.0).as("dup_ratio"))
       .withColumn("is_repetitive", col("dup_ratio") > 0.2)
 
   val d12Sql: String =
