@@ -225,7 +225,7 @@ object LlmText {
        |  GROUP BY 1, 2
        |)
        |SELECT doc_id,
-       |  sum(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS simhash
+       |  CAST(sum(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS BIGINT) AS simhash
        |FROM votes GROUP BY 1""".stripMargin
 
   // ---------------------------------------------------------------- d06
@@ -467,7 +467,7 @@ object LlmText {
        |    AND CAST(len(list_distinct(toks)) AS DOUBLE) / CAST(len(toks) AS DOUBLE) >= 0.1
        |    AND CAST(length(norm) - len(toks) + 1 AS DOUBLE) / CAST(len(toks) AS DOUBLE) < 15
        |)
-       |SELECT lang, count(*) AS n_docs, sum(n_tokens) AS n_tokens, min(doc_id) AS first_doc
+       |SELECT lang, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS n_tokens, min(doc_id) AS first_doc
        |FROM quality
        |WHERE doc_id IN (SELECT doc_id FROM exact_reps)
        |  AND doc_id NOT IN (SELECT doc_id FROM doomed)
@@ -543,7 +543,7 @@ object LlmText {
        |)
        |SELECT lang, max(cnt) AS n_docs,
        |  min(n_tokens) AS min_tokens, max(n_tokens) AS max_tokens,
-       |  sum(n_tokens) AS sum_tokens,
+       |  CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
        |  max(CASE WHEN rn = (cnt + 1) // 2 THEN n_tokens END) AS p50_tokens,
        |  max(CASE WHEN rn = (9 * cnt + 9) // 10 THEN n_tokens END) AS p90_tokens
        |FROM ranked GROUP BY lang""".stripMargin

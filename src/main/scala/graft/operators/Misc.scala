@@ -140,10 +140,10 @@ object Misc {
       |  FROM ev
       |)
       |SELECT event_type, count(*) AS n,
-      |  sum(CASE WHEN k_sent = -1 THEN 1 ELSE 0 END) AS n_sentinel,
+      |  CAST(sum(CASE WHEN k_sent = -1 THEN 1 ELSE 0 END) AS BIGINT) AS n_sentinel,
       |  count(k_null) AS n_valid,
       |  count(csv) AS n_with_csv,
-      |  sum(len(string_split(csv, ','))) AS n_csv_ids
+      |  CAST(sum(len(string_split(csv, ','))) AS BIGINT) AS n_csv_ids
       |FROM enc GROUP BY 1""".stripMargin
 
   // ---------------------------------------------------------------- m06

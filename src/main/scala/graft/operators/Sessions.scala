@@ -205,9 +205,9 @@ object Sessions {
 
   val s04Sql: String =
     """SELECT count(*) AS n_events,
-      |  sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS n_click,
-      |  sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purchase,
-      |  sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS n_view,
+      |  CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+      |  CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+      |  CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
       |  CAST(round(sum(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_value,
       |  count(DISTINCT user_id) AS n_users
       |FROM events
@@ -252,9 +252,9 @@ object Sessions {
        |  FROM events
        |), counts AS (
        |  SELECT date, hour, count(*) AS cnt FROM ev GROUP BY date, hour
-       |), tot AS (SELECT sum(cnt) AS total FROM counts)
+       |), tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM counts)
        |SELECT date, hour,
-       |  least(greatest(1, cnt * $SampleTarget // total), cnt) AS n_sampled
+       |  CAST(least(greatest(1, cnt * $SampleTarget // total), cnt) AS BIGINT) AS n_sampled
        |FROM counts, tot""".stripMargin
 
   // ---------------------------------------------------------------- s06
