@@ -117,9 +117,10 @@ object Embeddings {
     val v = quantized(s, dir).withColumn("bucket", bucketCol(s, col("q")))
     val a = v.select(col("bucket"), col("vec_id").as("query_id"), col("q").as("qa"))
     val b = v.select(col("bucket"), col("vec_id").as("neighbor_id"), col("q").as("qb"))
-    // bucket keys are few (2^planes) — broadcast keeps parallelism on the
-    // left side's partitioning instead of hashing into #buckets partitions
-    val scored = a.join(broadcast(b), Seq("bucket")).where(col("query_id") =!= col("neighbor_id"))
+    // strategy-gated ([[SelfJoin]]): broadcast locally (bucket keys are
+    // few — 2^planes — so broadcasting keeps parallelism on the left
+    // side's partitioning); shuffle on bucket + AQE skew-split at 100 TB
+    val scored = SelfJoin.on(a, b, Seq("bucket")).where(col("query_id") =!= col("neighbor_id"))
       .select(col("bucket"), col("query_id"), col("neighbor_id"),
         (dot(col("qa"), col("qb")).cast("double") /
           (sqrt(dot(col("qa"), col("qa")).cast("double")) *
@@ -196,7 +197,7 @@ object Embeddings {
     val v = quantized(s, dir).withColumn("bucket", bucketCol(s, col("q")))
     val a = v.select(col("bucket"), col("vec_id").as("vec_a"), col("q").as("qa"))
     val b = v.select(col("bucket"), col("vec_id").as("vec_b"), col("q").as("qb"))
-    a.join(broadcast(b), Seq("bucket")).where(col("vec_a") < col("vec_b"))
+    SelfJoin.on(a, b, Seq("bucket")).where(col("vec_a") < col("vec_b"))
       .withColumn("cos",
         dot(col("qa"), col("qb")).cast("double") /
           (sqrt(dot(col("qa"), col("qa")).cast("double")) *
@@ -256,7 +257,7 @@ object Embeddings {
       .select(col("cell"), col("vec_id"), col("q"))
     val a = assigned.select(col("cell"), col("vec_id").as("query_id"), col("q").as("qa"))
     val b = assigned.select(col("cell"), col("vec_id").as("neighbor_id"), col("q").as("qb"))
-    a.join(broadcast(b), Seq("cell")).where(col("query_id") =!= col("neighbor_id"))
+    SelfJoin.on(a, b, Seq("cell")).where(col("query_id") =!= col("neighbor_id"))
       .withColumn("cos",
         dot(col("qa"), col("qb")).cast("double") /
           (sqrt(dot(col("qa"), col("qa")).cast("double")) *

@@ -117,17 +117,18 @@ object LlmText {
     val bands = (0 until NumHashes).map { i =>
       val a = sig.select(col("doc_id").as("doc_a"), col(s"mh$i").as("band_key"))
       val b = sig.select(col("doc_id").as("doc_b"), col(s"mh$i").as("band_key"))
-      // band buckets are tiny; broadcasting the right side keeps each
-      // band join shuffle-free (at 100 TB: shuffle both sides on
-      // band_key — the standard banded-LSH bucket join — and let AQE
-      // split any hot bucket)
-      a.join(broadcast(b), Seq("band_key")).where(col("doc_a") < col("doc_b"))
+      // strategy-gated ([[SelfJoin]]): broadcast locally (band buckets
+      // are tiny, keeps each band join shuffle-free); shuffle on
+      // band_key at 100 TB — the standard banded-LSH bucket join, AQE
+      // splitting any hot bucket
+      SelfJoin.on(a, b, Seq("band_key")).where(col("doc_a") < col("doc_b"))
         .select(col("doc_a"), col("doc_b"))
     }
     val cand = bands.reduce(_ unionByName _).distinct()
-    cand
-      .join(broadcast(shd.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))), Seq("doc_a"))
-      .join(broadcast(shd.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))), Seq("doc_b"))
+    val verA = SelfJoin.on(
+      cand, shd.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
+    SelfJoin.on(
+      verA, shd.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
       .select(col("doc_a"), col("doc_b"),
         (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
           size(array_union(col("sh_a"), col("sh_b"))).cast("double")).as("jaccard"))
@@ -161,12 +162,10 @@ object LlmText {
       .withColumn("band", expr("size(tk) div 20"))
     val a = tk.select(col("lang"), col("band"), col("doc_id").as("doc_a"), col("tk").as("tk_a"))
     val b = tk.select(col("lang"), col("band"), col("doc_id").as("doc_b"), col("tk").as("tk_b"))
-    // broadcast the right side: a shuffle join on (lang, band) would hash
-    // the whole corpus into ~#langs×#bands partitions — a skew trap; with
-    // a broadcast, parallelism follows the left side's partitioning. At
-    // 100 TB d04 runs per-block after LSH blocking (d03), where the
-    // broadcast side is one block, so the pattern holds.
-    a.join(broadcast(b), Seq("lang", "band")).where(col("doc_a") < col("doc_b"))
+    // strategy-gated ([[SelfJoin]]): broadcast locally (a shuffle join on
+    // (lang, band) hashes the corpus into ~#langs×#bands partitions — a
+    // skew trap without AQE); shuffle+AQE-skew-split at 100 TB
+    SelfJoin.on(a, b, Seq("lang", "band")).where(col("doc_a") < col("doc_b"))
       // size-compatibility prune: jac >= T implies min|set| >= T * max|set|
       // (|A∩B| <= min, |A∪B| >= max), so this drops no qualifying pair but
       // skips the O(n) set ops for pairs that cannot reach the threshold

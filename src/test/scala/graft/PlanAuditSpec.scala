@@ -39,6 +39,22 @@ class PlanAuditSpec extends GraftSuite {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("shuffle strategy plans sort-merge joins with an exchange on the bucket key") {
+    spark.conf.set(graft.operators.SelfJoin.StrategyConf, "shuffle")
+    try {
+      val pLsh = plan(LlmText.d03LshNeardup(spark, sf))
+      assert(!pLsh.contains("CartesianProduct"), s"cartesian in shuffle LSH plan:\n$pLsh")
+      assert(pLsh.contains("SortMergeJoin"), s"band joins should sort-merge:\n$pLsh")
+      assert(!pLsh.contains("BroadcastHashJoin"),
+        s"shuffle strategy must not broadcast the full signature table:\n$pLsh")
+      val pAnn = plan(Embeddings.e02AnnBucketed(spark, sf))
+      assert(pAnn.contains("SortMergeJoin"), s"bucket join should sort-merge:\n$pAnn")
+      assert("Exchange hashpartitioning\\(bucket".r.findFirstIn(pAnn).nonEmpty,
+        s"no exchange on the bucket key:\n$pAnn")
+      assert(!pAnn.contains("CartesianProduct"))
+    } finally spark.conf.unset(graft.operators.SelfJoin.StrategyConf)
+  }
+
   test("fingerprinting and frame sampling are map-only (no keyed shuffle)") {
     // the round-robin repartition (small-file fan-out) is allowed; a
     // hashpartitioning exchange would mean a keyed shuffle crept in
