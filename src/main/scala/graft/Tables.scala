@@ -39,6 +39,25 @@ object Tables {
   def events(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(p(dir, "events"))
 
+  /** Catalog-table input surface (S1: the reference reads Hive-managed
+    * tables — `session/src/main/scala/SessionStat.scala:701-710`; here
+    * the same contract is an EXTERNAL parquet table registered in the
+    * session catalog and read back via `spark.table`). The catalog scan
+    * resolves to the same parquet relation as the path read, so
+    * PushedFilters / ReadSchema / partition pruning are identical
+    * (pinned in CatalogSpec). Drop-and-recreate keeps the registered
+    * location current when one session switches fixture dirs — both are
+    * metadata-only operations. At 100 TB this is the metastore entry a
+    * warehouse would own; `etl/Sinks.saveAsTable` is the write side of
+    * the same surface.
+    */
+  def catalogTable(s: SparkSession, dir: String, name: String): DataFrame = {
+    val tbl = s"${name}_cat"
+    s.sql(s"DROP TABLE IF EXISTS $tbl")
+    s.catalog.createTable(tbl, p(dir, name), "parquet")
+    s.table(tbl)
+  }
+
   /** events + derived time columns shared by the session / ad suites.
     * All derivations are integer arithmetic on epoch nanos so they are
     * bit-identical to the oracle's `epoch_ns`-based expressions.

@@ -201,7 +201,37 @@ object Misc {
       |FROM ev WHERE date >= '2024-01-05' AND date <= '2024-01-15'
       |GROUP BY date""".stripMargin
 
+  // ---------------------------------------------------------------- m08
+  /** Catalog-table scan + date-range predicate (S1 through the catalog:
+    * the reference's input path is a Hive-managed table,
+    * SessionStat.scala:701-710 — here [[Tables.catalogTable]] registers
+    * the parquet fixture as an external table and the query reads it
+    * back via `spark.table`). Same PushedFilters as the path-based q02
+    * scan — CatalogSpec pins that the catalog hop costs nothing. The
+    * timestamp column is rendered as a yyyy-MM-dd string at the boundary
+    * (timestamp cell-hash conventions differ across engines; the string
+    * form is the reference's own date convention, see m07). */
+  def m08CatalogScan(s: SparkSession, dir: String): DataFrame =
+    Tables.catalogTable(s, dir, "orders")
+      .where(col("o_orderdate") >= lit("1995-06-01").cast("timestamp")
+        && col("o_orderdate") < lit("1995-09-01").cast("timestamp")
+        && col("o_orderstatus") === "O")
+      .select(
+        col("o_orderkey"), col("o_custkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_date"),
+        col("o_totalprice"))
+
+  val m08Sql: String =
+    """SELECT o_orderkey, o_custkey,
+      |  strftime(o_orderdate, '%Y-%m-%d') AS o_date,
+      |  o_totalprice
+      |FROM orders
+      |WHERE o_orderdate >= TIMESTAMP '1995-06-01'
+      |  AND o_orderdate < TIMESTAMP '1995-09-01'
+      |  AND o_orderstatus = 'O'""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m08_catalog_scan" -> (m08CatalogScan _),
     "m07_date_range_strings" -> (m07DateRangeStrings _),
     "m01_sql_entry" -> (m01SqlEntry _),
     "m02_local_collection" -> (m02LocalCollection _),
@@ -211,6 +241,7 @@ object Misc {
     "m06_salted_agg" -> (m06SaltedAgg _))
 
   val oracleSql: Map[String, String] = Map(
+    "m08_catalog_scan" -> m08Sql,
     "m07_date_range_strings" -> m07Sql,
     "m01_sql_entry" -> m01Sql,
     "m02_local_collection" -> m02Sql,
