@@ -185,9 +185,9 @@ object AdAnalytics {
   /** Streaming deduplication: `dropDuplicates` over the state store. The
     * input is the stream unioned with itself — without dedup every count
     * doubles, so the oracle (plain batch counts) proves the dedup
-    * actually fired. At scale the state is bounded with
-    * `dropDuplicatesWithinWatermark` (keys expire past the watermark);
-    * the unbounded form mirrors the reference's forever-state semantics. */
+    * actually fired. The unbounded form mirrors the reference's
+    * forever-state semantics; the scale path is [[boundedDedup]], whose
+    * key-expiry behavior StreamingSpec pins with a MemoryStream. */
   def st07StreamDedup(s: SparkSession, dir: String): DataFrame = {
     val once = Streams.tableStream(s, dir, "events")
     val twice = once.unionByName(Streams.tableStream(s, dir, "events"))
@@ -199,6 +199,19 @@ object AdAnalytics {
 
   val st07Sql: String =
     "SELECT event_type, count(*) AS n FROM events GROUP BY 1"
+
+  /** Watermark-BOUNDED streaming dedup — the 100 TB form of st07: state
+    * keys expire once the watermark passes them, so state size is
+    * proportional to the duplicate-arrival window, not to the stream's
+    * full key history (the unbounded `dropDuplicates` state grows
+    * forever — the one deliberate scale-killer inherited from the
+    * reference). Semantics consequence, pinned in StreamingSpec: a
+    * duplicate arriving within `delay` of the original is dropped; the
+    * same key re-arriving after its state expired is emitted again —
+    * exactly-once only within the watermark horizon. */
+  def boundedDedup(stream: DataFrame, tsCol: String, idCols: Seq[String],
+      delay: String): DataFrame =
+    stream.withWatermark(tsCol, delay).dropDuplicatesWithinWatermark(idCols)
 
   // ---------------------------------------------------------------- st08
   /** STREAMING sessionization via `session_window` — the state-store

@@ -106,6 +106,34 @@ class StreamingSpec extends GraftSuite {
     assert(!out.contains(0L), s"late event's window must be dropped: $out")
   }
 
+  test("bounded dedup drops in-horizon duplicates and expires keys past the watermark") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[(Long, Long)] // (event_id, event time as epoch seconds)
+    val in = ms.toDF().toDF("event_id", "sec")
+      .withColumn("t", expr("timestamp_seconds(sec)"))
+    val deduped = AdAnalytics.boundedDedup(in, "t", Seq("event_id"), "10 seconds")
+    val qn = "graft_bounded_dedup_test"
+    val q = deduped.select(col("event_id"), col("sec")).writeStream
+      .format("memory").queryName(qn).outputMode("append")
+      .option("checkpointLocation", ckpt()).start()
+    ms.addData((1L, 0L), (1L, 5L), (2L, 3L)) // id=1 dup inside the horizon
+    q.processAllAvailable()
+    ms.addData((3L, 200L))                   // watermark → 190s; ids 1,2 expire
+    q.processAllAvailable()
+    ms.addData((1L, 195L))                   // same key AFTER expiry
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table(qn).collect().map(r => r.getLong(0) -> r.getLong(1)).toSeq
+    // exactly ONE of the two in-horizon id=1 duplicates survives (which
+    // one is not ordered within a batch), plus the post-expiry re-emit
+    assert(rows.count { case (id, sec) => id == 1L && sec < 100L } === 1,
+      s"in-horizon duplicate must be dropped: $rows")
+    assert(rows.contains(1L -> 195L), s"key 1 must re-emit after state expiry: $rows")
+    assert(rows.contains(2L -> 3L) && rows.contains(3L -> 200L), s"$rows")
+    spark.catalog.dropTempView(qn)
+  }
+
   test("sliding window: each event lands in exactly 4 window instances") {
     val total = Tables.events(spark, sf).count()
     val windowed = AdAnalytics.st02SlidingWindow(spark, sf)
