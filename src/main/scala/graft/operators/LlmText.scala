@@ -547,7 +547,91 @@ object LlmText {
        |  max(CASE WHEN rn = (9 * cnt + 9) // 10 THEN n_tokens END) AS p90_tokens
        |FROM ranked GROUP BY lang""".stripMargin
 
+  // ---------------------------------------------------------------- d14
+  /** Connected near-dup CLUSTERS: every doc that appears in a verified
+    * near-dup pair gets cluster_id = min doc_id of its connected
+    * component — the standard corpus-dedup clustering that keep-first
+    * (d09) approximates (d09 keeps min elements but judges each pair
+    * locally; clustering makes chains A~B~C one group even when A~C
+    * fell below threshold). Singleton docs (no qualifying edge) are not
+    * in the output by construction.
+    *
+    * Shape: iterative min-label propagation over the symmetric LSH edge
+    * list — per round one equi-join on doc_id + one min-aggregate, both
+    * ordinary shuffles; the driver holds ZERO graph data (the loop is
+    * control flow only, one boolean action per round — the Pregel
+    * shape). Rounds = O(component diameter); near-dup components are
+    * chains of near-identical docs, so diameter is small by
+    * construction — the 10-round cap is generous, and convergence is
+    * checked each round (early exit). At 100 TB with adversarial
+    * diameters the drop-in upgrade is the large-star/small-star
+    * alternation (O(log n) rounds, same per-round join shape); see
+    * docs/SCALE.md. */
+  val MaxClusterRounds = 10
+
+  def d14NeardupClusters(s: SparkSession, dir: String): DataFrame = {
+    val pairs = d03LshNeardup(s, dir)
+      .where(col("jaccard") >= NeardupThreshold)
+      .select(col("doc_a"), col("doc_b"))
+    val edges = pairs
+      .unionByName(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      .persist()
+    var labels = edges.select(col("doc_a").as("doc_id")).distinct()
+      .withColumn("comp", col("doc_id")).persist()
+    var rounds = 0
+    var converged = false
+    while (!converged && rounds < MaxClusterRounds) {
+      val fromNeighbors = edges
+        .join(labels.withColumnRenamed("doc_id", "doc_b"), Seq("doc_b"))
+        .select(col("doc_a").as("doc_id"), col("comp"))
+      val next = labels.unionByName(fromNeighbors)
+        .groupBy(col("doc_id")).agg(min(col("comp")).as("comp"))
+        .persist()
+      converged = next.as("n")
+        .join(labels.as("o"), Seq("doc_id"))
+        .where(col("n.comp") =!= col("o.comp"))
+        .isEmpty
+      labels.unpersist()
+      labels = next
+      rounds += 1
+    }
+    edges.unpersist()
+    labels.select(col("doc_id"), col("comp").as("cluster_id"))
+  }
+
+  /** Shared CTE spine (base → shingles → signatures → band candidates)
+    * for the near-dup family oracles, with [[d14Sql]] prefixing
+    * RECURSIVE for its reachability CTE. */
+  private def candSqlCtes: String =
+    s"""$baseSql$shSqlCte, sig AS (
+       |  SELECT doc_id, ${(0 until NumHashes).map(mhExprSql).mkString(", ")} FROM shd
+       |), cand AS (
+       |  ${(0 until NumHashes).map { i =>
+             s"SELECT a.doc_id AS doc_a, b.doc_id AS doc_b FROM sig a JOIN sig b ON a.mh$i = b.mh$i AND a.doc_id < b.doc_id"
+           }.mkString("\n  UNION\n  ")}
+       |)""".stripMargin
+
+  val d14Sql: String =
+    s"""WITH RECURSIVE${candSqlCtes.stripPrefix("WITH")}, pairs AS (
+       |  SELECT cand.doc_a, cand.doc_b
+       |  FROM cand JOIN shd x ON cand.doc_a = x.doc_id
+       |            JOIN shd y ON cand.doc_b = y.doc_id
+       |  WHERE CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE) /
+       |        CAST(len(list_distinct(x.sh || y.sh)) AS DOUBLE) >= $NeardupThreshold
+       |), edges AS (
+       |  SELECT doc_a, doc_b FROM pairs
+       |  UNION
+       |  SELECT doc_b AS doc_a, doc_a AS doc_b FROM pairs
+       |), reach AS (
+       |  SELECT doc_a AS doc_id, doc_a AS r FROM edges
+       |  UNION
+       |  SELECT e.doc_a AS doc_id, reach.r
+       |  FROM edges e JOIN reach ON reach.doc_id = e.doc_b
+       |)
+       |SELECT doc_id, min(r) AS cluster_id FROM reach GROUP BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d14_neardup_clusters" -> (d14NeardupClusters _),
     "d12_repetition" -> (d12Repetition _),
     "d13_corpus_stats" -> (d13CorpusStats _),
     "d11_curated_corpus" -> (d11CuratedCorpus _),
@@ -563,6 +647,7 @@ object LlmText {
     "d08_fingerprint" -> (d08Fingerprint _))
 
   val oracleSql: Map[String, String] = Map(
+    "d14_neardup_clusters" -> d14Sql,
     "d12_repetition" -> d12Sql,
     "d13_corpus_stats" -> d13Sql,
     "d11_curated_corpus" -> d11Sql,

@@ -30,6 +30,25 @@ class LlmTextSpec extends GraftSuite {
     rows.foreach(r => assert(r.getDouble(3) >= LlmText.JaccardThreshold))
   }
 
+  test("d14: cluster assignment is a valid connected-component labeling") {
+    val rows = LlmText.d14NeardupClusters(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    assert(rows.nonEmpty, "fixture's planted near-dups should form clusters")
+    val byCluster = rows.groupBy(_._2)
+    byCluster.foreach { case (cid, members) =>
+      // the label is the minimum member and is itself a member
+      assert(members.map(_._1).min === cid, s"cluster $cid labels: $members")
+    }
+    // transitivity: every edge endpoint pair shares a cluster
+    val label = rows.toMap
+    LlmText.d03LshNeardup(spark, sf)
+      .where(col("jaccard") >= LlmText.NeardupThreshold)
+      .collect().foreach { r =>
+        val (a, b) = (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))
+        assert(label(a) === label(b), s"edge ($a,$b) split across clusters")
+      }
+  }
+
   test("d05: simhash fits the configured bit width and is deterministic") {
     val a = LlmText.d05Simhash(spark, sf).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     val b = LlmText.d05Simhash(spark, sf).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
