@@ -230,7 +230,44 @@ object Misc {
       |  AND o_orderdate < TIMESTAMP '1995-09-01'
       |  AND o_orderstatus = 'O'""".stripMargin
 
+  // ---------------------------------------------------------------- m09
+  /** Fact⋈fact join through the BUCKETED-table layout
+    * ([[graft.etl.Sinks.writeBucketed]]): both sides are hash-bucketed
+    * and sorted by the join key at write time, so the join itself needs
+    * no Exchange and no Sort at read time — pay the partitioning once at
+    * ingest, never per query. This is the 100 TB answer for a daily
+    * orders⋈customer run where NEITHER side broadcasts; the only
+    * shuffle left in the plan is the final group-by on c_mktsegment
+    * (PlanAuditSpec pins no Exchange on o_custkey; SinksSpec pins the
+    * fully exchange-free join shape). The oracle reads the same rows
+    * from the plain parquet — bucketing is a physical layout, not a
+    * semantic change. */
+  def m09BucketedJoin(s: SparkSession, dir: String): DataFrame = {
+    graft.etl.Sinks.writeBucketed(
+      Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey"), col("o_totalprice")),
+      "graft_m09_orders", "o_custkey", 8)
+    graft.etl.Sinks.writeBucketed(
+      Tables.customer(s, dir)
+        .select(col("c_custkey").as("o_custkey"), col("c_mktsegment")),
+      "graft_m09_customer", "o_custkey", 8)
+    s.table("graft_m09_orders")
+      .join(s.table("graft_m09_customer"), Seq("o_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        countDistinct(col("o_custkey")).as("n_customers"),
+        round(sum(col("o_totalprice").cast("decimal(18,2)")), 2).cast("double").as("revenue"))
+  }
+
+  val m09Sql: String =
+    """SELECT c_mktsegment, count(*) AS n_orders,
+      |  count(DISTINCT o_custkey) AS n_customers,
+      |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS revenue
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |GROUP BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m09_bucketed_join" -> (m09BucketedJoin _),
     "m08_catalog_scan" -> (m08CatalogScan _),
     "m07_date_range_strings" -> (m07DateRangeStrings _),
     "m01_sql_entry" -> (m01SqlEntry _),
@@ -241,6 +278,7 @@ object Misc {
     "m06_salted_agg" -> (m06SaltedAgg _))
 
   val oracleSql: Map[String, String] = Map(
+    "m09_bucketed_join" -> m09Sql,
     "m08_catalog_scan" -> m08Sql,
     "m07_date_range_strings" -> m07Sql,
     "m01_sql_entry" -> m01Sql,

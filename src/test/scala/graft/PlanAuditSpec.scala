@@ -69,6 +69,19 @@ class PlanAuditSpec extends GraftSuite {
     assert(p.contains("BroadcastHashJoin"), s"dim join not broadcast:\n$p")
   }
 
+  test("bucketed fact join plans no exchange on the join key") {
+    // force the fact⋈fact scenario: at fixture scale Catalyst would
+    // broadcast the customer side, hiding the bucketed-join shape
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val p = plan(graft.operators.Misc.m09BucketedJoin(spark, sf))
+      assert(!"Exchange hashpartitioning\\(o_custkey".r.findFirstIn(p).isDefined,
+        s"bucketed join still shuffles on the join key:\n$p")
+      assert(p.contains("Bucketed: true"), s"bucketed read not used:\n$p")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+  }
+
   test("exact dedup is a single hash-aggregate exchange on the content hash") {
     val p = plan(LlmText.d01ExactDedup(spark, sf))
     // repartition round-robin + the aggregate exchange; no joins, no sorts
