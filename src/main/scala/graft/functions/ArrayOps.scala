@@ -90,22 +90,33 @@ object ArrayOps {
 
   /** Rolling window hashes of a string column (see [[RollingHash]]).
     * Without the extension, falls back to the semantically-identical
-    * per-window fold — O(n·W) interpreted instead of O(n) codegen'd. */
-  def rollingHash(s: SparkSession, str: Column, window: Int): Column =
+    * per-window fold — O(n·W) interpreted instead of O(n) codegen'd.
+    *
+    * The input is projected to printable ASCII first (everything
+    * outside 0x20–0x7E stripped): the native expression slides over
+    * UTF-8 BYTES while the fallback and the DuckDB oracle index CODE
+    * POINTS, and the projection makes byte == code point by
+    * construction — the three agree for ANY input, not just ASCII
+    * fixtures. An encoding-stable definition is also what a byte-level
+    * fingerprint wants: the same text in NFC vs NFD must not
+    * fingerprint differently. */
+  def rollingHash(s: SparkSession, str: Column, window: Int): Column = {
+    val a = regexp_replace(str, "[^ -~]", "")
     if (s.catalog.functionExists(RollingHash.Name))
-      call_function(RollingHash.Name, str, lit(window))
+      call_function(RollingHash.Name, a, lit(window))
     else {
       val W = window
       val P = RollingHash.P
       val B = RollingHash.B
-      when(length(str) < W, array().cast("array<long>"))
+      when(length(a) < W, array().cast("array<long>"))
         .otherwise(transform(
-          sequence(lit(0), length(str) - W),
+          sequence(lit(0), length(a) - W),
           i => aggregate(
             sequence(i + 1, i + W),
             lit(0L),
-            (acc, j) => (acc * B + ascii(substring_with(str, j))) % P)))
+            (acc, j) => (acc * B + ascii(substring_with(a, j))) % P)))
     }
+  }
 
   /** `substring(str, pos, 1)` with a Column position (the built-in
     * `substring` only takes Int positions). */

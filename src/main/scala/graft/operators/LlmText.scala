@@ -400,16 +400,18 @@ object LlmText {
   val d10Sql: String = {
     val P = graft.functions.RollingHash.P
     val B = graft.functions.RollingHash.B
-    s"""$baseSql, wins AS (
+    s"""$baseSql, ap AS (
+       |  SELECT doc_id, regexp_replace(norm, '[^ -~]', '', 'g') AS a FROM base
+       |), wins AS (
        |  SELECT doc_id,
-       |    CASE WHEN length(norm) < $RhWindow THEN CAST([] AS BIGINT[])
-       |         ELSE list_transform(generate_series(0, length(norm) - $RhWindow), i ->
+       |    CASE WHEN length(a) < $RhWindow THEN CAST([] AS BIGINT[])
+       |         ELSE list_transform(generate_series(0, length(a) - $RhWindow), i ->
        |           list_reduce(
        |             list_transform(generate_series(i + 1, i + $RhWindow),
-       |                            j -> CAST(ascii(substring(norm, CAST(j AS INT), 1)) AS BIGINT)),
+       |                            j -> CAST(ascii(substring(a, CAST(j AS INT), 1)) AS BIGINT)),
        |             (a, b) -> (a * $B + b) % $P))
        |    END AS hs
-       |  FROM base
+       |  FROM ap
        |)
        |SELECT doc_id, len(hs) AS n_windows,
        |  coalesce(list_min(hs), -1) AS fp_min,

@@ -69,7 +69,11 @@ object Multimodal {
   def mm02FrameSample(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
       .select(col("doc_id").as("media_id"), col("text"), col("n_chars"))
-      .withColumn("frame_idx", explode(sequence(lit(0), expr(s"(n_chars - 1) div $FrameStride"))))
+      // greatest(...,0): for n_chars=0 Spark's `div` truncates (-1 div 64
+      // = 0) while DuckDB's `//` floors (= -1, emitting nothing) — the
+      // floor makes empty media emit ONE empty frame on both engines
+      .withColumn("frame_idx",
+        explode(sequence(lit(0), expr(s"greatest((n_chars - 1) div $FrameStride, 0)"))))
       .select(
         col("media_id"), col("frame_idx"),
         // substring with a column start position needs the SQL form
@@ -78,7 +82,7 @@ object Multimodal {
 
   val mm02Sql: String =
     s"""WITH fr AS (
-       |  SELECT doc_id, text, unnest(generate_series(0, (n_chars - 1) // $FrameStride)) AS i
+       |  SELECT doc_id, text, unnest(generate_series(0, greatest((n_chars - 1) // $FrameStride, 0))) AS i
        |  FROM documents
        |)
        |SELECT doc_id AS media_id, i AS frame_idx,

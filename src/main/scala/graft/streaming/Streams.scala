@@ -38,11 +38,19 @@ object Streams {
     * batch read of the same file — file streams require explicit schema).
     * The file-stream source only accepts directories; the fixture is a
     * single parquet FILE, so it is exposed through a symlink in a temp
-    * directory (no data copied). */
+    * directory (no data copied). The symlink dir is cached per
+    * (dir, name) — Bench runs every streaming query twice per
+    * invocation, and un-cached this leaked a temp dir per call. */
+  private val streamDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, java.nio.file.Path]()
+
   def tableStream(s: SparkSession, dir: String, name: String): DataFrame = {
     val src = java.nio.file.Paths.get(s"$dir/$name.parquet")
-    val d = Files.createTempDirectory(s"graft-stream-$name-")
-    Files.createSymbolicLink(d.resolve(s"$name.parquet"), src)
+    val d = streamDirs.computeIfAbsent(s"$dir/$name", _ => {
+      val t = Files.createTempDirectory(s"graft-stream-$name-")
+      Files.createSymbolicLink(t.resolve(s"$name.parquet"), src)
+      t
+    })
     val schema = s.read.parquet(src.toString).schema
     s.readStream.schema(schema).parquet(d.toString)
   }
@@ -50,22 +58,40 @@ object Streams {
   private def ckpt(): String =
     Files.createTempDirectory("graft-ckpt-").toString
 
+  /** Best-effort recursive delete of a finished query's checkpoint —
+    * session-lifetime accumulation otherwise (one dir per run). */
+  private def dropDir(path: String): Unit = {
+    val root = java.nio.file.Paths.get(path)
+    if (Files.exists(root)) {
+      val it = Files.walk(root).sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+      try it.forEach(p => { Files.deleteIfExists(p); () })
+      finally it.close()
+    }
+  }
+
   private def freshName(): String =
     "graft_mem_" + UUID.randomUUID().toString.replace("-", "")
 
   /** Run an AvailableNow streaming aggregation to completion into a
     * complete-mode in-memory sink (ST1 trigger + ST2 checkpoint) and
-    * return the final table. */
+    * return the final table. The result is localCheckpoint-ed (final
+    * states are small aggregates) so the memory-sink temp view and the
+    * checkpoint dir can be dropped immediately instead of accumulating
+    * for the session lifetime. */
   def runComplete(s: SparkSession, df: DataFrame): DataFrame = {
     val qn = freshName()
+    val cp = ckpt()
     val q = df.writeStream
       .format("memory").queryName(qn)
       .outputMode("complete")
       .trigger(Trigger.AvailableNow())
-      .option("checkpointLocation", ckpt())
+      .option("checkpointLocation", cp)
       .start()
     q.awaitTermination()
-    s.table(qn)
+    val result = s.table(qn).localCheckpoint(eager = true)
+    s.catalog.dropTempView(qn)
+    dropDir(cp)
+    result
   }
 
   /** Run an AvailableNow stream through `foreachBatch`, folding each
@@ -81,6 +107,7 @@ object Streams {
       initialStore: DataFrame)(
       merge: (DataFrame, DataFrame) => DataFrame): DataFrame = {
     var store = initialStore
+    val cp = ckpt()
     val q = df.writeStream
       .outputMode(outputMode)
       .foreachBatch { (batch: DataFrame, _: Long) =>
@@ -91,9 +118,10 @@ object Streams {
         ()
       }
       .trigger(Trigger.AvailableNow())
-      .option("checkpointLocation", ckpt())
+      .option("checkpointLocation", cp)
       .start()
     q.awaitTermination()
+    dropDir(cp)
     store
   }
 }

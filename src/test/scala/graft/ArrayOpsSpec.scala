@@ -23,7 +23,12 @@ class ArrayOpsSpec extends GraftSuite {
 
   test("rolling_hash: native expression matches the per-window fold fallback") {
     import spark.implicits._
-    val df = Seq("the quick brown fox jumps", "abcdefghijklmnop", "short", "").toDF("s")
+    // the non-ASCII inputs pin the ASCII projection: the native path
+    // hashes UTF-8 bytes, so without the projection "héllo…" would
+    // silently diverge from the code-point fallback and oracle
+    val df = Seq("the quick brown fox jumps", "abcdefghijklmnop", "short", "",
+        "héllo wörld — the quick brown fox", "日本語テキスト plus ascii tail text")
+      .toDF("s")
       .withColumn("s", lower(col("s")))
     val native = df.select(ArrayOps.rollingHash(spark, col("s"), 16).as("h"))
       .collect().map(_.getSeq[Long](0).toVector)
@@ -31,12 +36,14 @@ class ArrayOpsSpec extends GraftSuite {
     // recompute with the interpreted per-window fold directly
     val P = graft.functions.RollingHash.P
     val B = graft.functions.RollingHash.B
-    val expected = df.collect().map(_.getString(0)).map { s =>
-      if (s.length < 16) Vector.empty[Long]
-      else (0 to s.length - 16).map { i =>
-        s.substring(i, i + 16).foldLeft(0L)((a, c) => (a * B + c.toLong) % P)
-      }.toVector
-    }
+    val expected = df.collect().map(_.getString(0))
+      .map(_.filter(c => c >= ' ' && c <= '~')) // the wrapper's ASCII projection
+      .map { s =>
+        if (s.length < 16) Vector.empty[Long]
+        else (0 to s.length - 16).map { i =>
+          s.substring(i, i + 16).foldLeft(0L)((a, c) => (a * B + c.toLong) % P)
+        }.toVector
+      }
     assert(native.toSeq === expected.toSeq)
     // window longer than string and empty string → empty arrays, no throw
     assert(native(2).isEmpty && native(3).isEmpty)

@@ -17,13 +17,23 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 
 
 def canon(v):
-    """Canonicalize a cell for hashing: floats to 9 sig digits, bytes hex."""
+    """Canonicalize a cell for hashing: floats BIT-EXACT, bytes hex.
+
+    repr() is the shortest round-tripping decimal — distinct doubles
+    canonicalize distinctly, so this compares floats bit-for-bit. The
+    engine's determinism rules (graft.functions.Portable) promise
+    exactly that: every emitted double is either exact integer/decimal
+    arithmetic or a fixed sequence of correctly-rounded IEEE ops, so
+    the gate can and should demand bit identity (earlier sig-digit
+    roundings here were masking nothing, and a looser local gate than
+    the driver's would let divergence through to round scoring).
+    """
     if v is None:
         return "NULL"
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        return f"{v:.9g}"
+        return repr(v)
     if isinstance(v, bytes):
         return v.hex()
     if isinstance(v, list):
