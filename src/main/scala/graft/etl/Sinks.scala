@@ -23,9 +23,25 @@ object Sinks {
                  props: Properties = new Properties()): Unit =
     df.write.mode(SaveMode.Append).jdbc(url, table, props)
 
+  /** Drop `name` AND its managed-table location. Overwrite-mode
+    * saveAsTable replaces a TABLE but refuses an orphaned LOCATION
+    * (LOCATION_ALREADY_EXISTS) — with the in-memory catalog, a previous
+    * JVM's warehouse directory survives while its catalog entry doesn't,
+    * so a fresh session must clear both before re-creating. */
+  private def dropTableAndLocation(df: DataFrame, name: String): Unit = {
+    val s = df.sparkSession
+    s.sql(s"DROP TABLE IF EXISTS $name")
+    val loc = new org.apache.hadoop.fs.Path(
+      s.conf.get("spark.sql.warehouse.dir"), name.toLowerCase)
+    val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
+  }
+
   /** Overwrite a managed catalog table (S9: DROP + saveAsTable). */
-  def saveTable(df: DataFrame, name: String): Unit =
+  def saveTable(df: DataFrame, name: String): Unit = {
+    dropTableAndLocation(df, name)
     df.write.mode(SaveMode.Overwrite).format("parquet").saveAsTable(name)
+  }
 
   /** Streaming parquet file sink (S6 producer analog): append-mode
     * exactly-once file output with checkpointed offsets. */
@@ -51,12 +67,14 @@ object Sinks {
     * read time — the 100 TB answer for a fact⋈fact join that runs every
     * day: pay the partitioning once at ingest, never per query
     * (SinksSpec pins the exchange-free join plan). */
-  def writeBucketed(df: DataFrame, name: String, bucketCol: String, buckets: Int): Unit =
+  def writeBucketed(df: DataFrame, name: String, bucketCol: String, buckets: Int): Unit = {
+    dropTableAndLocation(df, name)
     df.write.mode(SaveMode.Overwrite)
       .bucketBy(buckets, bucketCol)
       .sortBy(bucketCol)
       .format("parquet")
       .saveAsTable(name)
+  }
 
   /** Console sink (S11 — dev only, like the reference's foreachRDD
     * println at AdverStat.scala:88). */

@@ -580,6 +580,14 @@ object LlmText {
       .persist()
     var labels = edges.select(col("doc_a").as("doc_id")).distinct()
       .withColumn("comp", col("doc_id")).persist()
+    // labels only ever DECREASE under min-propagation, so the label-sum
+    // is strictly monotone until the fixpoint: sum unchanged ⟺ no label
+    // changed. That makes the per-round convergence check one tiny
+    // aggregate instead of a next⋈previous join. DECIMAL(38,0) so the
+    // invariant survives id ranges where a BIGINT sum would overflow.
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("comp").cast("decimal(38,0)"))).collect()(0).getDecimal(0)
+    var prevSum = labelSum(labels)
     var rounds = 0
     var converged = false
     while (!converged && rounds < MaxClusterRounds) {
@@ -589,10 +597,9 @@ object LlmText {
       val next = labels.unionByName(fromNeighbors)
         .groupBy(col("doc_id")).agg(min(col("comp")).as("comp"))
         .persist()
-      converged = next.as("n")
-        .join(labels.as("o"), Seq("doc_id"))
-        .where(col("n.comp") =!= col("o.comp"))
-        .isEmpty
+      val nextSum = labelSum(next)
+      converged = nextSum.compareTo(prevSum) == 0
+      prevSum = nextSum
       labels.unpersist()
       labels = next
       rounds += 1
