@@ -102,29 +102,38 @@ object LlmText {
        |FROM shd""".stripMargin
 
   // ---------------------------------------------------------------- d03
-  /** Banded-LSH near-dup detection: 8 bands of r=1 — one equi-join per
-    * band on the band key, union, distinct — then exact shingle-Jaccard
-    * verification of the candidates only. The all-pairs product never
-    * appears in the plan at any scale; candidate volume is governed by
-    * the band/row trade-off, not by n². */
+  /** Banded-LSH near-dup detection: 8 bands of r=1 — ONE self-join on
+    * the composite (band, band_key) after a posexplode of the signature
+    * row into its 8 band keys, distinct — then exact shingle-Jaccard
+    * verification of the candidates only. The single composite-key join
+    * replaces the naive one-join-per-band union (8 joins, 8 shuffles at
+    * scale) with one join and one shuffle while producing the identical
+    * candidate set: a pair collides in SOME band ⟺ it matches on SOME
+    * (band, band_key), and the distinct collapses multi-band collisions
+    * either way (the oracle keeps the per-band-union formulation as an
+    * independent derivation). The all-pairs product never appears in the
+    * plan at any scale; candidate volume is governed by the band/row
+    * trade-off, not by n². */
   def d03LshNeardup(s: SparkSession, dir: String): DataFrame = {
-    // persist: the signature table feeds BOTH sides of all 8 band joins
-    // (16 re-evaluations of the whole shingle+hash pipeline otherwise —
+    // persist: the signature table feeds both sides of the band join
+    // (re-evaluations of the whole shingle+hash pipeline otherwise —
     // SURVEY M3, the shared-intermediate persist) and the shingle sets
     // feed the two verification joins
     val shd = withShingleSet(s, base(s, dir)).select(col("doc_id"), col("sh")).persist()
     val sig = d02MinhashSig(s, dir).persist()
-    val bands = (0 until NumHashes).map { i =>
-      val a = sig.select(col("doc_id").as("doc_a"), col(s"mh$i").as("band_key"))
-      val b = sig.select(col("doc_id").as("doc_b"), col(s"mh$i").as("band_key"))
-      // strategy-gated ([[SelfJoin]]): broadcast locally (band buckets
-      // are tiny, keeps each band join shuffle-free); shuffle on
-      // band_key at 100 TB — the standard banded-LSH bucket join, AQE
-      // splitting any hot bucket
-      SelfJoin.on(a, b, Seq("band_key")).where(col("doc_a") < col("doc_b"))
-        .select(col("doc_a"), col("doc_b"))
-    }
-    val cand = bands.reduce(_ unionByName _).distinct()
+    val bandKeys = sig.select(col("doc_id"),
+      posexplode(array((0 until NumHashes).map(i => col(s"mh$i")): _*))
+        .as(Seq("band", "band_key")))
+    val a = bandKeys.select(col("band"), col("band_key"), col("doc_id").as("doc_a"))
+    val b = bandKeys.select(col("band"), col("band_key"), col("doc_id").as("doc_b"))
+    // strategy-gated ([[SelfJoin]]): broadcast locally (band buckets are
+    // tiny, keeps the band join shuffle-free); shuffle on (band, key) at
+    // 100 TB — the standard banded-LSH bucket join, AQE splitting any
+    // hot bucket
+    val cand = SelfJoin.on(a, b, Seq("band", "band_key"))
+      .where(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"))
+      .distinct()
     val verA = SelfJoin.on(
       cand, shd.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
     SelfJoin.on(
