@@ -648,7 +648,49 @@ object LlmText {
        |)
        |SELECT doc_id, min(r) AS cluster_id FROM reach GROUP BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- d15
+  /** Corpus-level boilerplate n-gram detection — the RefinedWeb/CCNet
+    *-style pass that finds shingles shared by MANY documents (headers,
+    * footers, templates) so a downstream filter can strip or down-weight
+    * them. Document frequency, not term frequency: each doc contributes
+    * its DISTINCT shingle set (the fused native expression), so one
+    * spammy doc can't promote its own repetition to "boilerplate".
+    * Shape at any scale: map-side explode → ONE count shuffle keyed by
+    * shingle (partial aggregation absorbs the head of the Zipf curve
+    * map-side) → threshold filter → share against the 1-row broadcast
+    * total. Output feeds an anti-join/except against per-doc shingles —
+    * the same doomed-set pattern as d09. */
+  /** Production corpora use a large absolute cutoff; the fixture's max
+    * doc-frequency is 7 (random small-vocab text), so 5 keeps the
+    * operator exercised with a non-trivial result. */
+  val BoilerplateMinDocs = 5L
+
+  def d15Boilerplate(s: SparkSession, dir: String): DataFrame = {
+    val docs = base(s, dir)
+    val total = docs.agg(count(lit(1)).as("n_docs"))
+    withShingleSet(s, docs)
+      .select(explode(col("sh")).as("shingle"))
+      .groupBy(col("shingle")).agg(count(lit(1)).as("doc_freq"))
+      .where(col("doc_freq") >= BoilerplateMinDocs)
+      .crossJoin(broadcast(total))
+      // exact-int division → IEEE-identical share in both engines
+      .select(col("shingle"), col("doc_freq"),
+        (col("doc_freq").cast("double") / col("n_docs").cast("double")).as("doc_share"))
+  }
+
+  val d15Sql: String =
+    s"""$baseSql$shSqlCte, freq AS (
+       |  SELECT shingle, count(*) AS doc_freq
+       |  FROM (SELECT doc_id, unnest(sh) AS shingle FROM shd)
+       |  GROUP BY 1
+       |), tot AS (SELECT count(*) AS n_docs FROM base)
+       |SELECT shingle, doc_freq,
+       |  CAST(doc_freq AS DOUBLE) / CAST(n_docs AS DOUBLE) AS doc_share
+       |FROM freq, tot
+       |WHERE doc_freq >= $BoilerplateMinDocs""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d15_boilerplate" -> (d15Boilerplate _),
     "d14_neardup_clusters" -> (d14NeardupClusters _),
     "d12_repetition" -> (d12Repetition _),
     "d13_corpus_stats" -> (d13CorpusStats _),
@@ -665,6 +707,7 @@ object LlmText {
     "d08_fingerprint" -> (d08Fingerprint _))
 
   val oracleSql: Map[String, String] = Map(
+    "d15_boilerplate" -> d15Sql,
     "d14_neardup_clusters" -> d14Sql,
     "d12_repetition" -> d12Sql,
     "d13_corpus_stats" -> d13Sql,

@@ -271,7 +271,60 @@ object Sessions {
        |SELECT session_id, event_type, count(*) AS n
        |FROM sess GROUP BY 1, 2""".stripMargin
 
+  // ---------------------------------------------------------------- s07
+  /** AS-OF join — the time-series operator Spark has no native join type
+    * for: each purchase matched to the user's most recent click at or
+    * before it (NULL when none). Implemented as the scale-correct
+    * composition: union-tag both sides, then a last-non-null
+    * carry-forward window over (ts, side) per user — ONE shuffle on
+    * user_id total. The naive alternative (inequality join + per-pair
+    * max) shuffles twice and inflates to every (purchase, earlier-click)
+    * pair before re-filtering; the carry-forward never materializes a
+    * pair. Clicks are pre-reduced per (user, ts) so tie semantics are
+    * explicit: a click AT the purchase timestamp matches (<=, clicks
+    * sort before purchases via the side tag), and equal-time clicks
+    * collapse to max(value). The oracle is DuckDB's NATIVE ASOF LEFT
+    * JOIN — an independent implementation of the same semantics. */
+  def s07AsofJoin(s: SparkSession, dir: String): DataFrame = {
+    // µs granularity: the oracle engine reads the parquet timestamps at
+    // microsecond precision, so the comparable key is ts div 1000
+    val ev = Tables.events(s, dir).withColumn("us", expr("ts div 1000"))
+    val clicks = ev.where(col("event_type") === "click")
+      .groupBy(col("user_id"), col("us"))
+      .agg(max(col("value")).as("cv"))
+      .select(col("user_id"), col("us"), lit(0L).as("side"),
+        lit(null).cast("long").as("event_id"), lit(null).cast("double").as("value"),
+        col("us").as("ct0"), col("cv").as("cv0"))
+    val purchases = ev.where(col("event_type") === "purchase")
+      .select(col("user_id"), col("us"), lit(1L).as("side"),
+        col("event_id"), col("value"),
+        lit(null).cast("long").as("ct0"), lit(null).cast("double").as("cv0"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("us").asc, col("side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    clicks.unionByName(purchases)
+      .withColumn("click_ts", last(col("ct0"), ignoreNulls = true).over(w))
+      .withColumn("click_val", last(col("cv0"), ignoreNulls = true).over(w))
+      .where(col("side") === 1)
+      .select(col("user_id"), col("event_id"), col("us"), col("value"),
+        col("click_ts"), col("click_val"))
+  }
+
+  val s07Sql: String =
+    """WITH clicks AS (
+      |  SELECT user_id, epoch_ns(ts) // 1000 AS cts, max(value) AS click_val
+      |  FROM events WHERE event_type = 'click' GROUP BY 1, 2
+      |), purchases AS (
+      |  SELECT user_id, event_id, epoch_ns(ts) // 1000 AS us, value
+      |  FROM events WHERE event_type = 'purchase'
+      |)
+      |SELECT p.user_id, p.event_id, p.us, p.value,
+      |  c.cts AS click_ts, c.click_val
+      |FROM purchases p ASOF LEFT JOIN clicks c
+      |  ON p.user_id = c.user_id AND p.us >= c.cts""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s07_asof_join" -> (s07AsofJoin _),
     "s01_sessionize" -> (s01Sessionize _),
     "s02_session_agg" -> (s02SessionAgg _),
     "s03_bucket_stats" -> (s03BucketStats _),
@@ -280,6 +333,7 @@ object Sessions {
     "s06_session_type_counts" -> (s06SessionTypeCounts _))
 
   val oracleSql: Map[String, String] = Map(
+    "s07_asof_join" -> s07Sql,
     "s01_sessionize" -> s01Sql,
     "s02_session_agg" -> s02Sql,
     "s03_bucket_stats" -> s03Sql,
