@@ -689,7 +689,54 @@ object LlmText {
        |FROM freq, tot
        |WHERE doc_freq >= $BoilerplateMinDocs""".stripMargin
 
+  // ---------------------------------------------------------------- d16
+  /** Per-document top-3 keywords by tf-idf — the keyword-extraction /
+    * corpus-characterization pass. The idf is the RATIONAL surrogate
+    * n_docs/df instead of log(n_docs/df): rank order per document is
+    * identical (log is monotone) and the score stays a division of two
+    * exact integers — IEEE-identical across engines, where a libm `log`
+    * could differ in the last ulp and flip a ranking at a tie boundary.
+    * Shape: one (doc,term) count shuffle, one term-keyed df aggregate +
+    * join (the Zipf head is handled map-side by partial aggregation and
+    * at scale by AQE skew split), one doc-keyed ranking window. */
+  val TfidfTopK = 3
+
+  def d16TfidfTop(s: SparkSession, dir: String): DataFrame = {
+    val docs = base(s, dir)
+    val total = docs.agg(count(lit(1)).as("n_docs"))
+    val tf = docs.select(col("doc_id"), explode(col("toks")).as("term"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("term").asc)
+    tf.join(dfreq, Seq("term"))
+      .crossJoin(broadcast(total))
+      .withColumn("score",
+        (col("tf") * col("n_docs")).cast("double") / col("df").cast("double"))
+      .withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= TfidfTopK)
+      .select(col("doc_id"), col("term"), col("tf"), col("score"), col("rnk"))
+  }
+
+  val d16Sql: String =
+    s"""$baseSql, tf AS (
+       |  SELECT doc_id, term, count(*) AS tf
+       |  FROM (SELECT doc_id, unnest(toks) AS term FROM base) GROUP BY 1, 2
+       |), dfreq AS (
+       |  SELECT term, count(*) AS df FROM tf GROUP BY 1
+       |), tot AS (SELECT count(*) AS n_docs FROM base),
+       |scored AS (
+       |  SELECT doc_id, term, tf,
+       |    CAST(tf * n_docs AS DOUBLE) / CAST(df AS DOUBLE) AS score
+       |  FROM tf JOIN dfreq USING (term), tot
+       |)
+       |SELECT doc_id, term, tf, score, rnk FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term ASC) AS rnk
+       |  FROM scored) t
+       |WHERE rnk <= $TfidfTopK""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d16_tfidf_top" -> (d16TfidfTop _),
     "d15_boilerplate" -> (d15Boilerplate _),
     "d14_neardup_clusters" -> (d14NeardupClusters _),
     "d12_repetition" -> (d12Repetition _),
@@ -707,6 +754,7 @@ object LlmText {
     "d08_fingerprint" -> (d08Fingerprint _))
 
   val oracleSql: Map[String, String] = Map(
+    "d16_tfidf_top" -> d16Sql,
     "d15_boilerplate" -> d15Sql,
     "d14_neardup_clusters" -> d14Sql,
     "d12_repetition" -> d12Sql,
