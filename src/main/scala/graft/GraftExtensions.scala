@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
-import graft.functions.{ArrayOps, LongDot, MinHashSigExpr, RollingHash, WordShinglesExpr}
+import graft.functions.{ArrayOps, LongDot, MinHashSigExpr, RollingHash, SimHashExpr, WordShinglesExpr}
 
 /** Session extension registering the graft-native Catalyst expressions —
   * activate with `spark.sql.extensions=graft.GraftExtensions` at session
@@ -34,5 +34,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[WordShinglesExpr].getName, WordShinglesExpr.Name),
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         WordShinglesExpr(children(0), children(1))))
+    ext.injectFunction((
+      new FunctionIdentifier(SimHashExpr.Name),
+      new ExpressionInfo(classOf[SimHashExpr].getName, SimHashExpr.Name),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        SimHashExpr(children(0))))
   }
 }

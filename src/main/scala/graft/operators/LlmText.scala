@@ -205,11 +205,26 @@ object LlmText {
   // ---------------------------------------------------------------- d05
   /** SimHash (60-bit): term-frequency-weighted bit votes over the
     * portable token hash; bit b of the signature is the sign of the
-    * weighted vote sum. Two hash aggregates, both keyed by doc — the
-    * 64× bit fan-out is a map-side explode, not a shuffle multiplier. */
-  val SimhashBits = 60
+    * weighted vote sum. The computation is doc-LOCAL (tf is the count
+    * within one document's tokens), so the primary path is the fused
+    * native [[graft.functions.SimHashExpr]] — a MAP-ONLY projection.
+    * The aggregate pipeline below remains as the value-identical
+    * extension-less fallback (and the DuckDB oracle keeps the aggregate
+    * formulation as an independent derivation); LlmTextSpec pins
+    * native == fallback row-for-row. */
+  val SimhashBits: Int = graft.functions.SimHashExpr.Bits
 
   def d05Simhash(s: SparkSession, dir: String): DataFrame =
+    if (s.catalog.functionExists(graft.functions.SimHashExpr.Name))
+      base(s, dir).select(col("doc_id"),
+        call_function(graft.functions.SimHashExpr.Name, col("norm")).as("simhash"))
+    else d05SimhashAgg(s, dir)
+
+  /** The shuffle formulation: (doc, token) tf aggregate → 60× bit
+    * explode → (doc, bit) vote aggregate → per-doc bit pack. Two
+    * corpus-wide shuffles of inflated rows — correct, but strictly
+    * dominated by the fused expression at every scale. */
+  private[graft] def d05SimhashAgg(s: SparkSession, dir: String): DataFrame =
     base(s, dir)
       .select(col("doc_id"), explode(col("toks")).as("token"))
       .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("w"))

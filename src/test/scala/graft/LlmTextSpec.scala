@@ -56,6 +56,15 @@ class LlmTextSpec extends GraftSuite {
     a.values.foreach(v => assert(v >= 0L && v < (1L << LlmText.SimhashBits)))
   }
 
+  test("d05: fused native simhash equals the aggregate-pipeline fallback") {
+    assert(spark.catalog.functionExists(graft.functions.SimHashExpr.Name))
+    val native = LlmText.d05Simhash(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val agg = LlmText.d05SimhashAgg(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(native === agg)
+  }
+
   test("d06: stats are internally consistent") {
     LlmText.d06TextStats(spark, sf).collect().foreach { r =>
       val nTokens = r.getInt(r.fieldIndex("n_tokens"))
