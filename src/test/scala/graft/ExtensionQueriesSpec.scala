@@ -64,6 +64,54 @@ class ExtensionQueriesSpec extends GraftSuite {
     assert(df.count() === 11) // inclusive day range
   }
 
+  test("s07: as-of match is the most recent click at or before each purchase") {
+    val ev = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_type"), expr("ts div 1000").as("us"), col("value"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    val clicksByUser = ev.filter(_._2 == "click").groupBy(_._1)
+    graft.operators.Sessions.s07AsofJoin(spark, sf).collect().foreach { r =>
+      val (uid, pUs) = (r.getLong(0), r.getLong(2))
+      val expected = clicksByUser.getOrElse(uid, Array.empty).filter(_._3 <= pUs)
+      if (expected.isEmpty) {
+        assert(r.isNullAt(r.fieldIndex("click_ts")), s"phantom match for user $uid")
+      } else {
+        val bestTs = expected.map(_._3).max
+        assert(r.getLong(r.fieldIndex("click_ts")) === bestTs,
+          s"wrong as-of timestamp for user $uid")
+        val bestVal = expected.filter(_._3 == bestTs).map(_._4).max
+        assert(r.getDouble(r.fieldIndex("click_val")) === bestVal)
+      }
+    }
+  }
+
+  test("d15: boilerplate doc-frequency never exceeds the corpus size") {
+    val n = Tables.documents(spark, sf).count()
+    val rows = LlmText.d15Boilerplate(spark, sf).collect()
+    rows.foreach { r =>
+      val dfreq = r.getLong(r.fieldIndex("doc_freq"))
+      assert(dfreq >= LlmText.BoilerplateMinDocs && dfreq <= n)
+      assert(r.getDouble(r.fieldIndex("doc_share")) === dfreq.toDouble / n)
+    }
+  }
+
+  test("d16: exactly top-k ranked terms per doc, scores non-increasing") {
+    val byDoc = LlmText.d16TfidfTop(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(r.fieldIndex("rnk")),
+        r.getDouble(r.fieldIndex("score"))))
+      .groupBy(_._1)
+    assert(byDoc.nonEmpty)
+    byDoc.foreach { case (doc, rows) =>
+      val sorted = rows.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq === (1 to sorted.length),
+        s"ranks not contiguous for doc $doc")
+      assert(sorted.length <= LlmText.TfidfTopK)
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(a._3 >= b._3, s"score order broken for doc $doc")
+        case _ =>
+      }
+    }
+  }
+
   test("st07 streaming dedup equals the batch distinct counts") {
     val dedup = AdAnalytics.st07StreamDedup(spark, sf).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
