@@ -253,7 +253,51 @@ object AdAnalytics {
       |SELECT user_id, min(us) // 1000000 AS ws_sec, count(*) AS n_events
       |FROM sess GROUP BY user_id, sid""".stripMargin
 
+  // ---------------------------------------------------------------- st09
+  /** STREAM-STREAM event-time interval join — the attribution join
+    * (purchase within 10 minutes of a click by the same user) as two
+    * live streams, not stream⋈static like st03. Both sides carry
+    * watermarks and the join condition bounds event-time distance, which
+    * is what lets the state store EVICT: a buffered click can be dropped
+    * once the purchase-side watermark passes click_time + 10min — state
+    * is proportional to the interval, not the stream history. Output
+    * mode must be append (stream-stream inner joins emit exactly-once
+    * per matched pair). The oracle is the identical interval join in
+    * batch SQL: with AvailableNow over a static input, the final append
+    * result equals the batch join. */
+  val AttributionWindowMin = 10
+
+  def st09StreamStreamJoin(s: SparkSession, dir: String): DataFrame = {
+    val clicks = Streams.tableStream(s, dir, "events")
+      .where(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"),
+        expr("ts div 1000").as("c_us"), expr("timestamp_micros(ts div 1000)").as("ct"))
+      .withWatermark("ct", "1 hour")
+    val purchases = Streams.tableStream(s, dir, "events")
+      .where(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+        expr("ts div 1000").as("p_us"), expr("timestamp_micros(ts div 1000)").as("pt"))
+      .withWatermark("pt", "1 hour")
+    val joined = clicks.join(purchases,
+      col("user_id") === col("p_user") &&
+        col("pt") >= col("ct") &&
+        col("pt") <= col("ct") + expr(s"INTERVAL $AttributionWindowMin MINUTES"))
+      .select(col("user_id"), col("click_id"), col("purchase_id"),
+        (col("p_us") - col("c_us")).as("delta_us"))
+    Streams.runAppend(s, joined)
+  }
+
+  val st09Sql: String =
+    s"""SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
+       |  epoch_ns(p.ts) // 1000 - epoch_ns(c.ts) // 1000 AS delta_us
+       |FROM events c JOIN events p
+       |  ON c.user_id = p.user_id
+       |  AND c.event_type = 'click' AND p.event_type = 'purchase'
+       |  AND p.ts >= c.ts
+       |  AND p.ts <= c.ts + INTERVAL $AttributionWindowMin MINUTE""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "st09_stream_stream_join" -> (st09StreamStreamJoin _),
     "st08_session_window" -> (st08SessionWindow _),
     "st07_stream_dedup" -> (st07StreamDedup _),
     "st01_parse_count" -> (st01ParseCount _),
@@ -264,6 +308,7 @@ object AdAnalytics {
     "st06_daily_top3" -> (st06DailyTop3 _))
 
   val oracleSql: Map[String, String] = Map(
+    "st09_stream_stream_join" -> st09Sql,
     "st08_session_window" -> st08Sql,
     "st07_stream_dedup" -> st07Sql,
     "st01_parse_count" -> st01Sql,

@@ -94,6 +94,25 @@ object Streams {
     result
   }
 
+  /** Append-mode twin of [[runComplete]] — for operators that only
+    * support append output (stream-stream joins, watermark-finalized
+    * aggregations). Same materialize-then-drop resource story. */
+  def runAppend(s: SparkSession, df: DataFrame): DataFrame = {
+    val qn = freshName()
+    val cp = ckpt()
+    val q = df.writeStream
+      .format("memory").queryName(qn)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", cp)
+      .start()
+    q.awaitTermination()
+    val result = s.table(qn).localCheckpoint(eager = true)
+    s.catalog.dropTempView(qn)
+    dropDir(cp)
+    result
+  }
+
   /** Run an AvailableNow stream through `foreachBatch`, folding each
     * micro-batch into a running store DataFrame via `merge` (one of the
     * [[graft.etl.Upsert]] semantics). The merged store is materialized
