@@ -114,6 +114,17 @@ object LlmText {
     * independent derivation). The all-pairs product never appears in the
     * plan at any scale; candidate volume is governed by the band/row
     * trade-off, not by n². */
+  /** Hot-bucket cap for the LSH band join (`spark.graft.lsh.maxBucket`,
+    * 0 = off, the default — results then match the oracle exactly). At
+    * 100 TB a boilerplate shingle can put thousands of docs in one band
+    * bucket, making that bucket's pair count quadratic; production
+    * banded-LSH SKIPS oversized buckets (their members are boilerplate
+    * near-dups of each other that exact dedup or d15 already catches,
+    * not information-bearing candidates). The cap is a window count
+    * over the same (band, band_key) the join shuffles on — the exchange
+    * is reused, so the cap costs no extra shuffle. */
+  val MaxBucketConf = "spark.graft.lsh.maxBucket"
+
   def d03LshNeardup(s: SparkSession, dir: String): DataFrame = {
     // persist: the signature table feeds both sides of the band join
     // (re-evaluations of the whole shingle+hash pipeline otherwise —
@@ -121,9 +132,17 @@ object LlmText {
     // feed the two verification joins
     val shd = withShingleSet(s, base(s, dir)).select(col("doc_id"), col("sh")).persist()
     val sig = d02MinhashSig(s, dir).persist()
-    val bandKeys = sig.select(col("doc_id"),
+    val maxBucket = s.conf.get(MaxBucketConf, "0").toLong
+    val allBandKeys = sig.select(col("doc_id"),
       posexplode(array((0 until NumHashes).map(i => col(s"mh$i")): _*))
         .as(Seq("band", "band_key")))
+    val bandKeys =
+      if (maxBucket <= 0) allBandKeys
+      else allBandKeys
+        .withColumn("bucket_n", count(lit(1)).over(
+          Window.partitionBy(col("band"), col("band_key"))))
+        .where(col("bucket_n") <= maxBucket)
+        .drop("bucket_n")
     val a = bandKeys.select(col("band"), col("band_key"), col("doc_id").as("doc_a"))
     val b = bandKeys.select(col("band"), col("band_key"), col("doc_id").as("doc_b"))
     // strategy-gated ([[SelfJoin]]): broadcast locally (band buckets are

@@ -127,6 +127,38 @@ object AdAnalytics {
   val st04Sql: String =
     "SELECT user_id, count(*) AS total FROM events GROUP BY 1"
 
+  /** Event-time-TTL variant of st04's cumulative state — the 100 TB
+    * form: a key whose last event fell more than `ttl` behind the
+    * watermark has its state REMOVED (the unbounded form keeps every
+    * key forever — the reference's updateStateByKey semantics, and its
+    * scale-killer). Consequence, pinned in StreamingSpec: a key
+    * re-appearing after expiry counts from zero. Input rows are
+    * (key, event-time); the caller owns the watermark on column 2. */
+  def cumulativeCountsWithTtl(
+      events: org.apache.spark.sql.Dataset[(Long, java.sql.Timestamp)],
+      ttlMillis: Long): DataFrame = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, it: Iterator[(Long, java.sql.Timestamp)], state: GroupState[Long]) =>
+          if (state.hasTimedOut) {
+            state.remove() // key expired: forget, emit nothing
+            Iterator.empty
+          } else {
+            val rows = it.toSeq // bounded: one key's rows within one batch
+            val total = state.getOption.getOrElse(0L) + rows.size
+            state.update(total)
+            // idle-TTL: expire once the watermark passes the key's
+            // LATEST activity + ttl (not the current watermark + ttl,
+            // which would expire still-active keys)
+            state.setTimeoutTimestamp(rows.map(_._2.getTime).max + ttlMillis)
+            Iterator((uid, total))
+          }
+      }
+      .toDF("user_id", "total")
+  }
+
   // ---------------------------------------------------------------- st05
   /** Per-batch keyed counts + accumulate-upsert + threshold promotion
     * (ST4+ST5+S8-accumulate, 需求7): each batch's delta counts fold into

@@ -49,6 +49,24 @@ class LlmTextSpec extends GraftSuite {
       }
   }
 
+  test("d03: hot-bucket cap drops oversized band buckets, off by default") {
+    val uncapped = LlmText.d03LshNeardup(spark, sf).collect()
+      .map(_.toString).sorted.toSeq
+    // cap of 1: no bucket can hold a pair → zero candidates
+    spark.conf.set(LlmText.MaxBucketConf, "1")
+    try {
+      assert(LlmText.d03LshNeardup(spark, sf).isEmpty,
+        "cap=1 must eliminate every candidate pair")
+    } finally spark.conf.unset(LlmText.MaxBucketConf)
+    // a cap far above any fixture bucket size: identical to uncapped
+    spark.conf.set(LlmText.MaxBucketConf, "1000000")
+    try {
+      val capped = LlmText.d03LshNeardup(spark, sf).collect()
+        .map(_.toString).sorted.toSeq
+      assert(capped === uncapped)
+    } finally spark.conf.unset(LlmText.MaxBucketConf)
+  }
+
   test("d05: simhash fits the configured bit width and is deterministic") {
     val a = LlmText.d05Simhash(spark, sf).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     val b = LlmText.d05Simhash(spark, sf).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap

@@ -134,6 +134,40 @@ class StreamingSpec extends GraftSuite {
     spark.catalog.dropTempView(qn)
   }
 
+  test("cumulative state with event-time TTL expires idle keys and restarts their counts") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[(Long, Long)] // (user_id, event time as epoch seconds)
+    val in = ms.toDF().toDF("user_id", "sec")
+      .withColumn("t", expr("timestamp_seconds(sec)"))
+      .withWatermark("t", "0 seconds")
+      .select(col("user_id"), col("t")) // unchanged column keeps the watermark tag
+      .as[(Long, java.sql.Timestamp)]
+    val updates = AdAnalytics.cumulativeCountsWithTtl(in, ttlMillis = 10000L)
+    val qn = "graft_ttl_state_test"
+    val q = updates.writeStream.format("memory").queryName(qn)
+      .outputMode("update")
+      .option("checkpointLocation", ckpt()).start()
+    ms.addData((1L, 100L), (1L, 102L), (2L, 101L)) // u1 count 2, u2 count 1
+    q.processAllAvailable()
+    ms.addData((2L, 1000L))  // u2 accumulates; watermark → 1000s after this batch
+    q.processAllAvailable()
+    ms.addData((3L, 2000L))  // timeout pass: u1 (last seen 102s) is idle > ttl → expires
+    q.processAllAvailable()
+    ms.addData((1L, 2001L))  // u1 returns AFTER expiry
+    q.processAllAvailable()
+    q.stop()
+    val updatesSeen = spark.table(qn).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toSeq
+    // u1 reached 2, expired, then RESTARTED at 1 — never 3
+    assert(updatesSeen.contains(1L -> 2L) && updatesSeen.contains(1L -> 1L),
+      s"expected u1 to restart after TTL expiry: $updatesSeen")
+    assert(!updatesSeen.contains(1L -> 3L), s"u1 state must not survive the TTL: $updatesSeen")
+    // u2 stayed active across its two batches → cumulative 2
+    assert(updatesSeen.contains(2L -> 2L), s"active key must accumulate: $updatesSeen")
+    spark.catalog.dropTempView(qn)
+  }
+
   test("sliding window: each event lands in exactly 4 window instances") {
     val total = Tables.events(spark, sf).count()
     val windowed = AdAnalytics.st02SlidingWindow(spark, sf)
