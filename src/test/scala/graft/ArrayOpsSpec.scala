@@ -49,6 +49,33 @@ class ArrayOpsSpec extends GraftSuite {
     assert(native(2).isEmpty && native(3).isEmpty)
   }
 
+  test("sim_hash: native expression matches an independent reference on random inputs") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.call_function
+    val rnd = new scala.util.Random(12345)
+    val alphabet = "abc def GH éé世 .,!"
+    val strs = Seq.fill(200)(
+      (0 until rnd.nextInt(40)).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+    ) ++ Seq("", " ", "a", "same same same")
+    val got = strs.toDF("s")
+      .select(call_function(graft.functions.SimHashExpr.Name, col("s")))
+      .collect().map(_.getLong(0))
+    def ref(s: String): Long = {
+      val bits = graft.functions.SimHashExpr.Bits
+      val votes = new Array[Long](bits)
+      for ((t, grp) <- s.split(" ", -1).groupBy(identity)) {
+        val w = grp.length.toLong
+        val md = java.security.MessageDigest.getInstance("MD5").digest(t.getBytes("UTF-8"))
+        var v = 0L
+        for (b <- 0 until 8) v = (v << 8) | (md(b) & 0xffL)
+        val th = v >>> 4
+        for (b <- 0 until bits) votes(b) += (if (((th >> b) & 1L) == 1L) w else -w)
+      }
+      (0 until bits).foldLeft(0L)((acc, b) => if (votes(b) > 0) acc | (1L << b) else acc)
+    }
+    assert(got.toSeq === strs.map(ref))
+  }
+
   test("min_hash_sig: fused native expression matches the composable chain") {
     import org.apache.spark.sql.functions.{col, lower, trim, regexp_replace}
     import spark.implicits._
