@@ -125,6 +125,16 @@ object LlmText {
     * is reused, so the cap costs no extra shuffle. */
   val MaxBucketConf = "spark.graft.lsh.maxBucket"
 
+  /** Rows-per-band for the banded-LSH scheme (`spark.graft.lsh.bandRows`,
+    * default 1 — the oracle's formulation). r>1 is the standard
+    * precision knob: a band key is then the hash of r consecutive
+    * minhashes, so a bucket collision requires ALL r to match —
+    * candidate volume drops sharply (the r=2 candidate set is provably
+    * a subset of r=1's, pinned in LlmTextSpec) at the cost of recall
+    * near the threshold. At 100 TB this is the first lever against hot
+    * bands, before the bucket cap. Must divide NumHashes. */
+  val BandRowsConf = "spark.graft.lsh.bandRows"
+
   def d03LshNeardup(s: SparkSession, dir: String): DataFrame = {
     // persist: the signature table feeds both sides of the band join
     // (re-evaluations of the whole shingle+hash pipeline otherwise —
@@ -133,9 +143,15 @@ object LlmText {
     val shd = withShingleSet(s, base(s, dir)).select(col("doc_id"), col("sh")).persist()
     val sig = d02MinhashSig(s, dir).persist()
     val maxBucket = s.conf.get(MaxBucketConf, "0").toLong
+    val bandRows = s.conf.get(BandRowsConf, "1").toInt
+    require(bandRows >= 1 && NumHashes % bandRows == 0,
+      s"$BandRowsConf must divide NumHashes=$NumHashes, got $bandRows")
+    val bandKeyCols = (0 until NumHashes / bandRows).map { b =>
+      val parts = (0 until bandRows).map(r => col(s"mh${b * bandRows + r}"))
+      if (bandRows == 1) parts.head else xxhash64(parts: _*)
+    }
     val allBandKeys = sig.select(col("doc_id"),
-      posexplode(array((0 until NumHashes).map(i => col(s"mh$i")): _*))
-        .as(Seq("band", "band_key")))
+      posexplode(array(bandKeyCols: _*)).as(Seq("band", "band_key")))
     val bandKeys =
       if (maxBucket <= 0) allBandKeys
       else allBandKeys

@@ -67,6 +67,19 @@ class LlmTextSpec extends GraftSuite {
     } finally spark.conf.unset(LlmText.MaxBucketConf)
   }
 
+  test("d03: r=2 banding yields a subset of the r=1 candidate pairs") {
+    def pairs(): Set[(Long, Long)] = LlmText.d03LshNeardup(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    val r1 = pairs()
+    spark.conf.set(LlmText.BandRowsConf, "2")
+    try {
+      val r2 = pairs()
+      assert(r2.nonEmpty, "fixture's planted near-dups should survive r=2 banding")
+      assert(r2.subsetOf(r1), s"r=2 produced pairs absent at r=1: ${r2 -- r1}")
+      assert(r2.size < r1.size, "r=2 should prune some lower-similarity candidates")
+    } finally spark.conf.unset(LlmText.BandRowsConf)
+  }
+
   test("d05: simhash fits the configured bit width and is deterministic") {
     val a = LlmText.d05Simhash(spark, sf).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     val b = LlmText.d05Simhash(spark, sf).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
