@@ -227,12 +227,22 @@ object Embeddings {
   // ---------------------------------------------------------------- e05
   /** IVF-style ANN: vectors assign to their nearest coarse centroid
     * (argmax cosine against per-label centroid-sum directions — e03's
-    * table turned into an index), then top-3 probes run WITHIN the
-    * assigned cell only (nprobe=1). The label starts the centroids (as a
-    * trained IVF would use k-means cells); assignment is by geometry,
-    * not by the label column. All arithmetic exact-integer / fixed-
-    * sequence doubles; ties break on cell id then neighbor id. */
+    * table turned into an index), then top-3 probes run within the
+    * query's `nprobe` nearest cells (`spark.graft.ivf.nprobe`, default
+    * 1 — the oracle's formulation). nprobe is THE standard IVF recall
+    * lever: the index side stays in its one primary cell, the query
+    * side fans out to its top-n cells, so each (query, neighbor) pair
+    * still appears at most once (no dedup) and candidate volume grows
+    * linearly in nprobe, never quadratically. LlmTextSpec pins that
+    * raising nprobe never worsens any query's best match. The label
+    * starts the centroids (as a trained IVF would use k-means cells);
+    * assignment is by geometry, not by the label column. All arithmetic
+    * exact-integer / fixed-sequence doubles; ties break on cell id then
+    * neighbor id. */
+  val NprobeConf = "spark.graft.ivf.nprobe"
+
   def e05IvfAnn(s: SparkSession, dir: String): DataFrame = {
+    val nprobe = s.conf.get(NprobeConf, "1").toInt
     val dot = dotQ(s) _
     val v = quantized(s, dir)
     // centroid-sum vector per label, dim-ordered (collect_list carries
@@ -246,17 +256,18 @@ object Embeddings {
         array_sort(collect_list(struct(col("i"), col("csum")))),
         p => p.getField("csum")).as("cvec"))
       .select(col("label").as("cell"), col("cvec"))
-    val assigned = v.crossJoin(broadcast(cents))
+    val ranked = v.crossJoin(broadcast(cents))
       .withColumn("cos_c",
         dot(col("q"), col("cvec")).cast("double") /
           (sqrt(dot(col("q"), col("q")).cast("double")) *
             sqrt(dot(col("cvec"), col("cvec")).cast("double"))))
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("vec_id")).orderBy(col("cos_c").desc, col("cell").asc)))
-      .where(col("rn") === 1)
-      .select(col("cell"), col("vec_id"), col("q"))
-    val a = assigned.select(col("cell"), col("vec_id").as("query_id"), col("q").as("qa"))
-    val b = assigned.select(col("cell"), col("vec_id").as("neighbor_id"), col("q").as("qb"))
+    // index side: primary cell only; query side: nprobe nearest cells
+    val a = ranked.where(col("rn") <= nprobe)
+      .select(col("cell"), col("vec_id").as("query_id"), col("q").as("qa"))
+    val b = ranked.where(col("rn") === 1)
+      .select(col("cell"), col("vec_id").as("neighbor_id"), col("q").as("qb"))
     SelfJoin.on(a, b, Seq("cell")).where(col("query_id") =!= col("neighbor_id"))
       .withColumn("cos",
         dot(col("qa"), col("qb")).cast("double") /

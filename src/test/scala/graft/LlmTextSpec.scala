@@ -80,6 +80,24 @@ class LlmTextSpec extends GraftSuite {
     } finally spark.conf.unset(LlmText.BandRowsConf)
   }
 
+  test("e05: raising nprobe never worsens a query's best match") {
+    def best(): Map[Long, Double] = Embeddings.e05IvfAnn(spark, sf).collect()
+      .filter(_.getAs[Int]("rank") == 1)
+      .map(r => r.getAs[Long]("query_id") -> r.getAs[Double]("cos")).toMap
+    val np1 = best()
+    spark.conf.set(Embeddings.NprobeConf, "3")
+    try {
+      val np3 = best()
+      assert(np3.keySet.size >= np1.keySet.size,
+        "probing more cells must not lose queries")
+      np1.foreach { case (q, cos1) =>
+        assert(np3(q) >= cos1, s"query $q best match degraded: ${np3(q)} < $cos1")
+      }
+      assert(np1.exists { case (q, cos1) => np3(q) > cos1 },
+        "nprobe=3 should improve at least one best match on this fixture")
+    } finally spark.conf.unset(Embeddings.NprobeConf)
+  }
+
   test("d05: simhash fits the configured bit width and is deterministic") {
     val a = LlmText.d05Simhash(spark, sf).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     val b = LlmText.d05Simhash(spark, sf).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
