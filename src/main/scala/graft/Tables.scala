@@ -58,6 +58,19 @@ object Tables {
     s.table(tbl)
   }
 
+  /** Round-robin repartition ONLY when the input yields fewer partitions
+    * than the session parallelism. The per-row pipelines (LlmText hash
+    * work, Embeddings pairwise stages) read single-file fixtures locally
+    * — one input split would serialize every map stage — but at 100 TB
+    * the scan already has thousands of splits and an unconditional
+    * round-robin would be a full extra shuffle of the table for nothing.
+    * The partition count comes from the planned RDD (metadata only; no
+    * job runs). */
+  def spreadIfNarrow(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= target) df else df.repartition(target)
+  }
+
   /** events + derived time columns shared by the session / ad suites.
     * All derivations are integer arithmetic on epoch nanos so they are
     * bit-identical to the oracle's `epoch_ns`-based expressions.

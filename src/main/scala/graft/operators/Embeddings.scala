@@ -29,12 +29,13 @@ object Embeddings {
 
   private val Quant = 10000
 
-  /** vec_id, label, q = integer-quantized embedding. Repartitioned to the
-    * session's parallelism — the single-file fixture otherwise yields one
-    * input split and serializes every pairwise stage. */
+  /** vec_id, label, q = integer-quantized embedding. Spread to the
+    * session's parallelism ONLY when the scan is narrower than it (the
+    * single-file fixture otherwise yields one input split and serializes
+    * every pairwise stage; a wide scan skips the shuffle —
+    * [[graft.Tables.spreadIfNarrow]]). */
   private def quantized(s: SparkSession, dir: String): DataFrame =
-    Tables.embeddings(s, dir)
-      .repartition(s.sparkContext.defaultParallelism)
+    Tables.spreadIfNarrow(Tables.embeddings(s, dir))
       .select(
         col("vec_id"), col("label"),
         transform(col("embedding"), x => round(x.cast("double") * Quant).cast("long")).as("q"))

@@ -35,15 +35,13 @@ object LlmText {
   // single source of truth shared with the fused native expression
   import graft.functions.MinHashParams.{A, B, NumHashes, P, ShingleN}
 
-  /** doc_id + normalized text + token array. Repartitioned to the
-    * session's parallelism: the fixture is one small parquet file → one
-    * input split, which would run every per-row hash single-threaded; at
-    * 100 TB the scan has thousands of splits and this repartition is a
-    * cheap round-robin of pointers (still worth keeping after a
-    * selective filter collapses the split count). */
+  /** doc_id + normalized text + token array. Spread to the session's
+    * parallelism ONLY when the scan is narrower than it (the single-file
+    * fixture yields one input split, which would run every per-row hash
+    * single-threaded; a 100 TB scan already has thousands of splits and
+    * skips the shuffle — [[graft.Tables.spreadIfNarrow]]). */
   private def base(s: SparkSession, dir: String): DataFrame =
-    Tables.documents(s, dir)
-      .repartition(s.sparkContext.defaultParallelism)
+    Tables.spreadIfNarrow(Tables.documents(s, dir))
       .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
         normText(col("text")).as("norm"))
       .withColumn("toks", split(col("norm"), " "))
@@ -251,7 +249,11 @@ object LlmText {
 
   def d05Simhash(s: SparkSession, dir: String): DataFrame =
     if (s.catalog.functionExists(graft.functions.SimHashExpr.Name))
-      base(s, dir).select(col("doc_id"),
+      // norm IS NOT NULL: the aggregate fallback (and the oracle's
+      // unnest) yields no row for a NULL document, while the native
+      // projection would emit a NULL signature — filter so both
+      // formulations agree row-for-row on arbitrary input.
+      base(s, dir).where(col("norm").isNotNull).select(col("doc_id"),
         call_function(graft.functions.SimHashExpr.Name, col("norm")).as("simhash"))
     else d05SimhashAgg(s, dir)
 
@@ -634,6 +636,15 @@ object LlmText {
     val pairs = d03LshNeardup(s, dir)
       .where(col("jaccard") >= NeardupThreshold)
       .select(col("doc_a"), col("doc_b"))
+    minLabelComponents(pairs, MaxClusterRounds)
+  }
+
+  /** Min-label propagation over an undirected edge list `(doc_a, doc_b)`
+    * → `(doc_id, cluster_id = component min)`. Throws if the cap is hit
+    * before the fixpoint — returning mid-propagation labels silently
+    * would diverge from the exact-closure oracle; components deeper than
+    * the cap should use [[starComponents]] (O(log n) rounds) instead. */
+  private[graft] def minLabelComponents(pairs: DataFrame, maxRounds: Int): DataFrame = {
     val edges = pairs
       .unionByName(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
       .persist()
@@ -644,12 +655,10 @@ object LlmText {
     // changed. That makes the per-round convergence check one tiny
     // aggregate instead of a next⋈previous join. DECIMAL(38,0) so the
     // invariant survives id ranges where a BIGINT sum would overflow.
-    def labelSum(df: DataFrame): java.math.BigDecimal =
-      df.agg(sum(col("comp").cast("decimal(38,0)"))).collect()(0).getDecimal(0)
     var prevSum = labelSum(labels)
     var rounds = 0
     var converged = false
-    while (!converged && rounds < MaxClusterRounds) {
+    while (!converged && rounds < maxRounds) {
       val fromNeighbors = edges
         .join(labels.withColumnRenamed("doc_id", "doc_b"), Seq("doc_b"))
         .select(col("doc_a").as("doc_id"), col("comp"))
@@ -664,8 +673,17 @@ object LlmText {
       rounds += 1
     }
     edges.unpersist()
+    if (!converged) {
+      labels.unpersist()
+      throw new IllegalStateException(
+        s"min-label propagation did not converge in $maxRounds rounds " +
+          "(component diameter exceeds the cap); use starComponents for deep graphs")
+    }
     labels.select(col("doc_id"), col("comp").as("cluster_id"))
   }
+
+  private def labelSum(df: DataFrame): java.math.BigDecimal =
+    df.agg(sum(col("comp").cast("decimal(38,0)"))).collect()(0).getDecimal(0)
 
   /** Shared CTE spine (base → shingles → signatures → band candidates)
     * for the near-dup family oracles, with [[d14Sql]] prefixing
@@ -697,6 +715,93 @@ object LlmText {
        |  FROM edges e JOIN reach ON reach.doc_id = e.doc_b
        |)
        |SELECT doc_id, min(r) AS cluster_id FROM reach GROUP BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- d17
+  /** Connected components via the LARGE-STAR / SMALL-STAR alternation
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    * SoCC 2014) — the O(log n)-round algorithm that replaces d14's
+    * min-label propagation when component diameters are adversarial
+    * (propagation needs diameter rounds; a chain of 10k incremental
+    * near-dup versions would need 10k shuffles). Each round is two
+    * (min-aggregate + equi-join) stages over the edge list — the same
+    * per-round shuffle shape as propagation, just O(log n) of them.
+    *
+    * large-star(u): hook every neighbor v > u onto m = min(Γ(u) ∪ {u}).
+    * small-star(u): hook every neighbor v < u (and u) onto min(Γ⁻(u)).
+    * Fixpoint: each component is a star centered at its minimum id.
+    *
+    * Convergence check is one tiny aggregate, no driver graph state:
+    * both operators preserve the pre-dedup edge count and never increase
+    * any edge's endpoint sum (large-star maps (u,v) → (m(u),v) with
+    * m(u) ≤ u; a small-star group with k smaller neighbors changes its
+    * sum by (k−1)(m−u) ≤ 0), and dedup only removes positive-sum edges —
+    * so (count, Σ(u+v)) unchanged across a full round ⟺ both phases were
+    * the identity ⟺ star fixpoint. Requires non-negative ids (the
+    * strictness argument needs u+v > 0). */
+  val MaxStarRounds = 40
+
+  def starComponents(pairs: DataFrame, maxRounds: Int = MaxStarRounds): DataFrame =
+    starComponentsWithRounds(pairs, maxRounds)._1
+
+  private[graft] def starComponentsWithRounds(
+      pairs: DataFrame, maxRounds: Int): (DataFrame, Int) = {
+    def canon(df: DataFrame): DataFrame = df
+      .select(least(col("u"), col("v")).as("u"), greatest(col("u"), col("v")).as("v"))
+      .where(col("u") =!= col("v")).distinct()
+    def potential(df: DataFrame): (Long, java.math.BigDecimal) = {
+      val r = df.agg(count(lit(1)),
+        sum((col("u") + col("v")).cast("decimal(38,0)"))).collect()(0)
+      (r.getLong(0), r.getDecimal(1))
+    }
+    // each round references the previous round's edges several times
+    // (union + two joins), so lineage grows EXPONENTIALLY in rounds —
+    // localCheckpoint truncates the plan and materializes the round
+    // (clusterwide the same call sites would use reliable checkpoint)
+    var edges = canon(
+      pairs.select(col("doc_a").as("u"), col("doc_b").as("v"))).localCheckpoint()
+    var prev = potential(edges)
+    var rounds = 0
+    var converged = prev._1 == 0L
+    while (!converged && rounds < maxRounds) {
+      // large-star over the symmetric adjacency: m = min(u, min Γ(u))
+      val sym = edges.unionByName(edges.select(col("v").as("u"), col("u").as("v")))
+      val mins = sym.groupBy(col("u"))
+        .agg(least(col("u"), min(col("v"))).as("m"))
+      val large = canon(sym.join(mins, Seq("u"))
+        .where(col("v") > col("u"))
+        .select(col("m").as("u"), col("v")))
+      // small-star keyed by the larger endpoint of the canonical edges
+      val smins = large.groupBy(col("v")).agg(min(col("u")).as("m"))
+      val withM = large.join(smins, Seq("v"))
+      val small = canon(
+        withM.select(col("m").as("u"), col("u").as("v"))
+          .unionByName(smins.select(col("m").as("u"), col("v")))).localCheckpoint()
+      val cur = potential(small)
+      converged = cur == prev
+      prev = cur
+      edges.unpersist()
+      edges = small
+      rounds += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"large-star/small-star did not converge in $maxRounds rounds")
+    // star fixpoint: leaves point at their center (= component min) via
+    // the canonical edge; centers label themselves
+    val labels = edges.select(col("v").as("doc_id"), col("u").as("comp"))
+      .unionByName(edges.select(col("u").as("doc_id"), col("u").as("comp")))
+      .groupBy(col("doc_id")).agg(min(col("comp")).as("cluster_id"))
+    (labels, rounds)
+  }
+
+  /** d14's clustering computed by [[starComponents]] — identical output
+    * (same recursive-CTE oracle), O(log n) rounds instead of O(diameter). */
+  def d17StarClusters(s: SparkSession, dir: String): DataFrame = {
+    val pairs = d03LshNeardup(s, dir)
+      .where(col("jaccard") >= NeardupThreshold)
+      .select(col("doc_a"), col("doc_b"))
+    starComponents(pairs)
+  }
 
   // ---------------------------------------------------------------- d15
   /** Corpus-level boilerplate n-gram detection — the RefinedWeb/CCNet
@@ -786,6 +891,7 @@ object LlmText {
        |WHERE rnk <= $TfidfTopK""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d17_star_clusters" -> (d17StarClusters _),
     "d16_tfidf_top" -> (d16TfidfTop _),
     "d15_boilerplate" -> (d15Boilerplate _),
     "d14_neardup_clusters" -> (d14NeardupClusters _),
@@ -804,6 +910,7 @@ object LlmText {
     "d08_fingerprint" -> (d08Fingerprint _))
 
   val oracleSql: Map[String, String] = Map(
+    "d17_star_clusters" -> d14Sql,
     "d16_tfidf_top" -> d16Sql,
     "d15_boilerplate" -> d15Sql,
     "d14_neardup_clusters" -> d14Sql,

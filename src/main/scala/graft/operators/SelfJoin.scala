@@ -33,8 +33,11 @@ object SelfJoin {
 
   def on(left: DataFrame, right: DataFrame, keys: Seq[String]): DataFrame =
     left.sparkSession.conf.get(StrategyConf, "broadcast") match {
-      case "shuffle" => left.join(right.hint("merge"), keys)
-      case "auto"    => left.join(right, keys)
-      case _         => left.join(broadcast(right), keys)
+      case "shuffle"   => left.join(right.hint("merge"), keys)
+      case "auto"      => left.join(right, keys)
+      case "broadcast" => left.join(broadcast(right), keys)
+      case other => // a typo'd at-scale config must not silently take the driver-OOM path
+        throw new IllegalArgumentException(
+          s"$StrategyConf must be broadcast|shuffle|auto, got '$other'")
     }
 }

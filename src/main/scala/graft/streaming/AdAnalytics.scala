@@ -151,8 +151,15 @@ object AdAnalytics {
             state.update(total)
             // idle-TTL: expire once the watermark passes the key's
             // LATEST activity + ttl (not the current watermark + ttl,
-            // which would expire still-active keys)
-            state.setTimeoutTimestamp(rows.map(_._2.getTime).max + ttlMillis)
+            // which would expire still-active keys). Clamped above the
+            // current watermark: flatMapGroupsWithState does NOT drop
+            // late rows, so a group whose newest event already trails
+            // the watermark by more than ttl would otherwise make
+            // setTimeoutTimestamp throw (timeout must be > watermark)
+            // and kill the query — such a group expires next batch.
+            state.setTimeoutTimestamp(math.max(
+              rows.map(_._2.getTime).max + ttlMillis,
+              state.getCurrentWatermarkMs() + 1))
             Iterator((uid, total))
           }
       }

@@ -30,11 +30,19 @@ class CatalogSpec extends GraftSuite {
   }
 
   test("m08 rows match the direct path read") {
+    import org.apache.spark.sql.functions._
     val viaCatalog = Misc.m08CatalogScan(spark, sf).collect().map(_.toString).sorted
+    // identical predicate + projection over the direct path read: the
+    // catalog hop must change NOTHING about the rows
     val direct = Tables.orders(spark, sf)
-      .where(org.apache.spark.sql.functions.col("o_orderdate") >=
-        org.apache.spark.sql.functions.lit("1995-06-01").cast("timestamp"))
-      .count()
-    assert(viaCatalog.nonEmpty && viaCatalog.length <= direct)
+      .where(col("o_orderdate") >= lit("1995-06-01").cast("timestamp")
+        && col("o_orderdate") < lit("1995-09-01").cast("timestamp")
+        && col("o_orderstatus") === "O")
+      .select(col("o_orderkey"), col("o_custkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_date"),
+        col("o_totalprice"))
+      .collect().map(_.toString).sorted
+    assert(viaCatalog.nonEmpty)
+    assert(viaCatalog.toSeq === direct.toSeq)
   }
 }

@@ -155,4 +155,51 @@ class LlmTextSpec extends GraftSuite {
     assert(df.agg(sum("n_vecs")).collect()(0).getLong(0) === total)
     df.collect().foreach(r => assert(r.getLong(2) >= 0L))
   }
+
+  test("d05: native path agrees with the fallback when text is NULL (both drop the doc)") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-nulldoc-").toString
+    Seq(
+      (1L, "the quick brown fox jumps over the lazy dog", "en", "web", 43L),
+      (2L, null.asInstanceOf[String], "en", "web", 0L),
+      (3L, "pack my box with five dozen liquor jugs", "en", "web", 40L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val native = LlmText.d05Simhash(spark, tmp).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val agg = LlmText.d05SimhashAgg(spark, tmp).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(native === agg)
+    assert(native.keySet === Set(1L, 3L), s"NULL doc must yield no row: $native")
+  }
+
+  private def chainPairs(n: Long) = {
+    import spark.implicits._
+    (0L until n).sliding(2).map(w => (w(0), w(1))).toSeq.toDF("doc_a", "doc_b")
+  }
+
+  test("d14 guard: min-label propagation throws when the round cap is hit") {
+    intercept[IllegalStateException] {
+      LlmText.minLabelComponents(chainPairs(30), maxRounds = 3)
+    }
+  }
+
+  test("d17: star alternation converges in O(log n) rounds on a chain min-label can't finish") {
+    val n = 64L
+    val (labels, rounds) =
+      LlmText.starComponentsWithRounds(chainPairs(n), LlmText.MaxStarRounds)
+    // diameter 63: min-label propagation needs 63 rounds; the star
+    // alternation must land in O(log n)
+    assert(rounds <= 12, s"expected O(log n) rounds on a 64-chain, got $rounds")
+    val got = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === (0L until n).map(_ -> 0L).toMap)
+  }
+
+  test("d17 equals d14 on the fixture corpus") {
+    val star = LlmText.d17StarClusters(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val prop = LlmText.d14NeardupClusters(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(star === prop)
+  }
 }

@@ -88,4 +88,16 @@ class PlanAuditSpec extends GraftSuite {
     assert(!p.contains("Join"), s"dedup must not join:\n$p")
     assert(p.contains("HashAggregate"), s"dedup should hash-aggregate:\n$p")
   }
+
+  test("spreadIfNarrow adds no round-robin exchange to an already-wide input") {
+    val par = spark.sparkContext.defaultParallelism
+    val wide = spark.range(0, 1000, 1, par).toDF("id")
+    // returned unchanged — zero plan impact on a 100 TB-style wide scan
+    assert(Tables.spreadIfNarrow(wide) eq wide)
+    val narrow = spark.range(0, 1000, 1, 1).toDF("id")
+    val spread = Tables.spreadIfNarrow(narrow)
+    assert(spread.rdd.getNumPartitions === par)
+    assert(spread.queryExecution.executedPlan.toString.contains("RoundRobin"),
+      "narrow input must be spread")
+  }
 }

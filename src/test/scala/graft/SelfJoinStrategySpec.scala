@@ -35,6 +35,15 @@ class SelfJoinStrategySpec extends GraftSuite {
       assert(b === sh)
     }
 
+  test("unknown strategy value throws instead of silently broadcasting") {
+    val df = spark.range(5).toDF("k")
+    // a typo'd at-scale config ('shufle') must not take the driver-OOM
+    // broadcast path by default
+    withStrategy("shufle") {
+      intercept[IllegalArgumentException](SelfJoin.on(df, df, Seq("k")))
+    }
+  }
+
   test("auto strategy delegates to Catalyst (runs and matches broadcast rows)") {
     val b = withStrategy("broadcast")(rows(LlmText.d04JaccardNeardup(spark, sf)))
     val a = withStrategy("auto")(rows(LlmText.d04JaccardNeardup(spark, sf)))

@@ -168,6 +168,40 @@ class StreamingSpec extends GraftSuite {
     spark.catalog.dropTempView(qn)
   }
 
+  test("TTL state: a group arriving entirely behind the watermark does not kill the query") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[(Long, Long)] // (user_id, event time as epoch seconds)
+    val in = ms.toDF().toDF("user_id", "sec")
+      .withColumn("t", expr("timestamp_seconds(sec)"))
+      .withWatermark("t", "0 seconds")
+      .select(col("user_id"), col("t"))
+      .as[(Long, java.sql.Timestamp)]
+    val updates = AdAnalytics.cumulativeCountsWithTtl(in, ttlMillis = 10000L)
+    val qn = "graft_ttl_late_group_test"
+    val q = updates.writeStream.format("memory").queryName(qn)
+      .outputMode("update")
+      .option("checkpointLocation", ckpt()).start()
+    ms.addData((1L, 2000L)) // watermark → 2000s
+    q.processAllAvailable()
+    // u9's only event is 1900s behind the watermark, so its natural
+    // timeout (100s + ttl) would sit below the watermark —
+    // setTimeoutTimestamp rejects that, which unclamped would kill the
+    // query. Spark 4 drops the fully-late row before the state function
+    // (observed; the clamp stays as defense-in-depth for the
+    // mixed-batch case), so the pinned contract is: the query SURVIVES
+    // and the late group simply produces no output.
+    ms.addData((9L, 100L))
+    q.processAllAvailable() // throws if the state function died
+    ms.addData((1L, 2001L)) // query still live and accumulating
+    q.processAllAvailable()
+    q.stop()
+    val seen = spark.table(qn).collect().map(r => r.getLong(0) -> r.getLong(1)).toSeq
+    assert(!seen.exists(_._1 == 9L), s"fully-late group must be dropped: $seen")
+    assert(seen.contains(1L -> 2L), s"query must survive the late batch: $seen")
+    spark.catalog.dropTempView(qn)
+  }
+
   test("sliding window: each event lands in exactly 4 window instances") {
     val total = Tables.events(spark, sf).count()
     val windowed = AdAnalytics.st02SlidingWindow(spark, sf)
