@@ -2,29 +2,35 @@ package graft
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions.{col, shiftright, sum, xxhash64}
 
-/** Benchmark main. Prints one JSON line the driver records as BENCH_r{N}.
+/** Benchmark main. Prints one JSON line the driver records as BENCH_r{N},
+  * and writes the same (full-precision, per-sweep) record to
+  * `BENCH_SELF.json` so a truncated stdout capture loses nothing.
   *
-  * Measurement rules (per round-1 verdict):
+  * Measurement rules (round-1 + round-3 verdicts):
   *  - Full evaluation is forced with a `noop`-format write, so every
   *    projection/window actually executes — a bare `count()` would let
   *    Catalyst prune all unused columns and benchmark a parquet row count.
-  *  - Each query runs twice and the SECOND time is reported: the first run
-  *    absorbs JVM/codegen/broadcast warm-up, which otherwise lands on
-  *    whichever query happens to iterate first.
+  *  - One whole warm-up sweep (discarded) absorbs JVM/codegen/broadcast
+  *    warm-up, then N measured sweeps (default 3, `SPARK_GRAFT_BENCH_SWEEPS`)
+  *    run and each query reports its MIN across sweeps. Sweeps are
+  *    interleaved whole-sweep — a transient external load spike lands on
+  *    one sweep and is discarded by the min, instead of poisoning every
+  *    run of whichever query was executing.
   *
-  * Calibration (per round-2 verdict): the machine the driver benches on is
+  * Calibration (round-2 verdict): the machine the driver benches on is
   * shared, and a concurrent compile has inflated whole runs 2-8× before.
-  * `calibration` / `calibration_end` time the SAME fixed, data-independent
-  * in-memory aggregate (200M-row xxhash64 sum, zero I/O) before and after
-  * the query sweep. Any consumer can normalize against a known-idle
-  * calibration value or reject the run when the two disagree — query
-  * numbers from a run whose calibration is k× the idle anchor are
-  * machine-load artifacts, not code regressions (see BASELINE.md).
+  * The probe times the SAME fixed, data-independent in-memory aggregate
+  * (200M-row xxhash64 sum, zero I/O) before the first measured sweep,
+  * after each sweep, and at the end. Any consumer can normalize against a
+  * known-idle calibration value (0.08-0.25 s anchor, BASELINE.md) or
+  * reject a sweep whose surrounding probes disagree — query numbers from
+  * a loaded run are machine artifacts, not code regressions.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val sweeps = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_SWEEPS", "3").toInt)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -58,23 +64,54 @@ object Bench {
       Seq.fill(3)(one()).min
     }
 
-    calibrate()                              // warm-up, discarded
-    val calStart = calibrate()
-
     val names = SparkEntry.queries.keys.toSeq.sorted
-    val results = names.map { name =>
-      val fn = SparkEntry.queries(name)
-      once(name, fn)                         // warm-up, discarded
-      val sec = once(name, fn)               // measured
-      // incremental stderr record: a truncated stdout JSON loses nothing
-      System.err.println(s"[bench] $name=$sec")
-      name -> sec
+
+    def sweep(tag: String): Map[String, Double] =
+      names.map { name =>
+        val sec = once(name, SparkEntry.queries(name))
+        System.err.println(s"[bench] $tag $name=$sec")
+        name -> sec
+      }.toMap
+
+    calibrate() // probe warm-up, discarded
+    sweep("warmup") // JVM/codegen/broadcast warm-up, discarded
+    val calStart = calibrate()
+    val measured = (1 to sweeps).map { i =>
+      val m = sweep(s"sweep$i")
+      val cal = calibrate()
+      System.err.println(s"[bench] sweep$i done, calibration=$cal")
+      (m, cal)
     }
-    val calEnd = calibrate()
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","calibration":$calStart,"calibration_end":$calEnd,"queries":$qs,"sf":"$sfDir"}""")
+    val calEnd = measured.last._2
+
+    // Per-query min across sweeps; a query that failed in one sweep but
+    // succeeded in another reports its successful floor.
+    def minOf(name: String): Double = {
+      val ok = measured.map(_._1(name)).filter(_ >= 0)
+      if (ok.isEmpty) -1.0 else ok.min
+    }
+    val best = names.map(n => n -> minOf(n))
+    val total = best.map(_._2).filter(_ >= 0).sum
+
+    def fmt(v: Double): String = if (v < 0) "-1" else f"$v%.3f"
+    def qjson(kv: Seq[(String, Double)], f: Double => String) =
+      kv.map { case (k, v) => "\"" + k + "\":" + f(v) }.mkString("{", ",", "}")
+
+    // Full-precision record — survives any stdout truncation.
+    val sweepJson = measured.zipWithIndex.map { case ((m, cal), i) =>
+      s"""{"sweep":${i + 1},"calibration_after":$cal,"queries":${qjson(names.map(n => n -> m(n)), _.toString)}}"""
+    }.mkString("[", ",", "]")
+    val full =
+      s"""{"metric":"total","value":$total,"unit":"sec","sweeps":$sweeps,"agg":"min","calibration":$calStart,"calibration_end":$calEnd,"queries":${qjson(best, _.toString)},"sweep_detail":$sweepJson,"sf":"$sfDir"}"""
+    try {
+      java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_SELF.json"),
+        full.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      System.err.println(s"[bench] wrote ${java.nio.file.Paths.get("BENCH_SELF.json").toAbsolutePath}")
+    } catch { case e: Throwable => System.err.println(s"[bench] BENCH_SELF.json write failed: ${e.getMessage}") }
+
+    // Compact single line LAST on stdout (3-decimal values, no sweep
+    // detail) so a bounded stdout tail still contains one parseable JSON.
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sweeps":$sweeps,"agg":"min","calibration":${fmt(calStart)},"calibration_end":${fmt(calEnd)},"queries":${qjson(best, fmt)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }
