@@ -72,6 +72,28 @@ object Streams {
   private def freshName(): String =
     "graft_mem_" + UUID.randomUUID().toString.replace("-", "")
 
+  /** Stateful-partition lever shared by every streaming runner. A
+    * stateful operator materializes one state store PER shuffle
+    * partition per operator (a stream-stream join keeps four: two per
+    * side), and each store pays a per-micro-batch delta-file commit
+    * regardless of how many rows it holds. At local[32] with 32 shuffle
+    * partitions that fixed toll dominates: st09 measured 8.0 s at 32
+    * partitions vs 3.0 s at 4 on sf0.1 (floor ~2.9 s = scan + micro-batch
+    * cost; 1 partition is NOT faster — the join work re-serializes).
+    * Default 4 fits the single-node harness; on a real cluster set
+    * `spark.graft.streaming.statePartitions` to a small multiple of the
+    * executor count so state shards spread while stores stay coarse.
+    * Results are partition-count independent (deterministic aggregates /
+    * joins) — only the store count changes. The conf is read at query
+    * START (the checkpoint pins it thereafter), so the override scopes
+    * around start()+awaitTermination() and restores the session value. */
+  private def withStatePartitions[T](s: SparkSession)(f: => T): T = {
+    val parts = s.conf.getOption("spark.graft.streaming.statePartitions").getOrElse("4")
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", parts)
+    try f finally s.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   /** Run an AvailableNow streaming aggregation to completion into a
     * complete-mode in-memory sink (ST1 trigger + ST2 checkpoint) and
     * return the final table. The result is localCheckpoint-ed (final
@@ -81,13 +103,15 @@ object Streams {
   def runComplete(s: SparkSession, df: DataFrame): DataFrame = {
     val qn = freshName()
     val cp = ckpt()
-    val q = df.writeStream
-      .format("memory").queryName(qn)
-      .outputMode("complete")
-      .trigger(Trigger.AvailableNow())
-      .option("checkpointLocation", cp)
-      .start()
-    q.awaitTermination()
+    withStatePartitions(s) {
+      val q = df.writeStream
+        .format("memory").queryName(qn)
+        .outputMode("complete")
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", cp)
+        .start()
+      q.awaitTermination()
+    }
     val result = s.table(qn).localCheckpoint(eager = true)
     s.catalog.dropTempView(qn)
     dropDir(cp)
@@ -100,13 +124,15 @@ object Streams {
   def runAppend(s: SparkSession, df: DataFrame): DataFrame = {
     val qn = freshName()
     val cp = ckpt()
-    val q = df.writeStream
-      .format("memory").queryName(qn)
-      .outputMode("append")
-      .trigger(Trigger.AvailableNow())
-      .option("checkpointLocation", cp)
-      .start()
-    q.awaitTermination()
+    withStatePartitions(s) {
+      val q = df.writeStream
+        .format("memory").queryName(qn)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", cp)
+        .start()
+      q.awaitTermination()
+    }
     val result = s.table(qn).localCheckpoint(eager = true)
     s.catalog.dropTempView(qn)
     dropDir(cp)
@@ -127,19 +153,21 @@ object Streams {
       merge: (DataFrame, DataFrame) => DataFrame): DataFrame = {
     var store = initialStore
     val cp = ckpt()
-    val q = df.writeStream
-      .outputMode(outputMode)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        val merged = merge(store, batch).persist()
-        merged.count() // materialize now; the batch DF dies with this call
-        if (store ne initialStore) store.unpersist()
-        store = merged
-        ()
-      }
-      .trigger(Trigger.AvailableNow())
-      .option("checkpointLocation", cp)
-      .start()
-    q.awaitTermination()
+    withStatePartitions(s) {
+      val q = df.writeStream
+        .outputMode(outputMode)
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          val merged = merge(store, batch).persist()
+          merged.count() // materialize now; the batch DF dies with this call
+          if (store ne initialStore) store.unpersist()
+          store = merged
+          ()
+        }
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", cp)
+        .start()
+      q.awaitTermination()
+    }
     dropDir(cp)
     store
   }

@@ -207,4 +207,17 @@ class StreamingSpec extends GraftSuite {
     val windowed = AdAnalytics.st02SlidingWindow(spark, sf)
     assert(windowed.agg(sum("n")).collect()(0).getLong(0) === total * 4)
   }
+
+  test("statePartitions lever: identical results at 4 and 32, session conf restored") {
+    val before = spark.conf.get("spark.sql.shuffle.partitions")
+    def rows() = AdAnalytics.st09StreamStreamJoin(spark, sf)
+      .collect().map(_.toString).sorted.toSeq
+    val atDefault = rows() // default lever = 4
+    assert(spark.conf.get("spark.sql.shuffle.partitions") === before,
+      "runner must restore the session shuffle-partition conf")
+    spark.conf.set("spark.graft.streaming.statePartitions", "32")
+    try assert(rows() === atDefault,
+      "stream-stream join rows must not depend on the state-partition count")
+    finally spark.conf.unset("spark.graft.streaming.statePartitions")
+  }
 }
