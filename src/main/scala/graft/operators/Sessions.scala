@@ -323,7 +323,79 @@ object Sessions {
       |FROM purchases p ASOF LEFT JOIN clicks c
       |  ON p.user_id = c.user_id AND p.us >= c.cts""".stripMargin
 
+  // ---------------------------------------------------------------- s08
+  /** Deterministic stratified EXTRACTION (SURVEY M2, second half: the
+    * reference doesn't stop at per-stratum counts — it emits the sampled
+    * sessions themselves into `session_random_extract`,
+    * SessionStat.scala:352-454). s05 verifies the quota arithmetic; this
+    * query emits the actual sampled session rows. The reference (and
+    * s05) order candidates by a PRNG, whose row identity is
+    * engine-private; here the sample key is the portable 60-bit hash of
+    * the session id — a seeded-PRNG-quality spread that BOTH engines can
+    * compute, so the oracle reproduces the exact sample, row for row.
+    * At scale this is also the better design: h64(session_id) is stable
+    * under re-runs and partition counts (rand(seed) is neither, its
+    * value depends on row-to-partition assignment), so the extract is
+    * idempotent across retries — what a 100 TB pipeline actually wants
+    * from "random" sampling. One shuffle for the session rollup, one for
+    * the per-stratum rank; quota side is broadcast. */
+  def s08DeterministicExtract(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Portable
+    val sess = sessionized(s, dir)
+      .groupBy(col("session_id"))
+      .agg(max(col("user_id")).as("user_id"), // constant within a session
+        min(col("ts")).as("ts0"),
+        count(lit(1)).as("n_events"))
+      .withColumn("t0", expr("timestamp_micros(ts0 div 1000)"))
+      .withColumn("date", date_format(col("t0"), "yyyy-MM-dd"))
+      .withColumn("hour", hour(col("t0")))
+      .withColumn("start_us", expr("ts0 div 1000"))
+      .persist() // reused: stratum counts + the sample scan (SURVEY M3)
+    val counts = sess.groupBy(col("date"), col("hour")).agg(count(lit(1)).as("cnt"))
+    val total = counts.agg(sum(col("cnt")).as("total"))
+    val quota = counts.crossJoin(broadcast(total))
+      .withColumn("quota", greatest(lit(1L), expr(s"cnt * $SampleTarget div total")))
+      .select(col("date"), col("hour"), col("quota"))
+    val w = Window.partitionBy(col("date"), col("hour"))
+      .orderBy(col("h"), col("session_id"))
+    sess.join(broadcast(quota), Seq("date", "hour"))
+      .withColumn("h", Portable.h64(col("session_id")))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= col("quota"))
+      .select(col("date"), col("hour"), col("session_id"), col("user_id"),
+        col("start_us"), col("n_events"))
+  }
+
+  val s08Sql: String = {
+    val h = graft.functions.Portable.h64Sql("session_id")
+    s"""$sessSql, sessions AS (
+       |  SELECT session_id, max(user_id) AS user_id, min(ns) AS ns0, count(*) AS n_events
+       |  FROM sess GROUP BY session_id
+       |), rolled AS (
+       |  SELECT session_id, user_id,
+       |    ns0 // 1000 AS start_us,
+       |    strftime(make_timestamp(ns0 // 1000), '%Y-%m-%d') AS date,
+       |    hour(make_timestamp(ns0 // 1000)) AS hour,
+       |    CAST(n_events AS BIGINT) AS n_events,
+       |    $h AS h
+       |  FROM sessions
+       |), counts AS (
+       |  SELECT date, hour, count(*) AS cnt FROM rolled GROUP BY 1, 2
+       |), tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM counts
+       |), quota AS (
+       |  SELECT date, hour, greatest(1, cnt * $SampleTarget // total) AS quota
+       |  FROM counts, tot
+       |), ranked AS (
+       |  SELECT r.*, q.quota,
+       |    row_number() OVER (PARTITION BY r.date, r.hour ORDER BY r.h, r.session_id) AS rn
+       |  FROM rolled r JOIN quota q USING (date, hour)
+       |)
+       |SELECT date, hour, session_id, user_id, start_us, n_events
+       |FROM ranked WHERE rn <= quota""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s08_deterministic_extract" -> (s08DeterministicExtract _),
     "s07_asof_join" -> (s07AsofJoin _),
     "s01_sessionize" -> (s01Sessionize _),
     "s02_session_agg" -> (s02SessionAgg _),
@@ -333,6 +405,7 @@ object Sessions {
     "s06_session_type_counts" -> (s06SessionTypeCounts _))
 
   val oracleSql: Map[String, String] = Map(
+    "s08_deterministic_extract" -> s08Sql,
     "s07_asof_join" -> s07Sql,
     "s01_sessionize" -> s01Sql,
     "s02_session_agg" -> s02Sql,

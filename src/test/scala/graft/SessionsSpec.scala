@@ -80,4 +80,25 @@ class SessionsSpec extends GraftSuite {
       .map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2)).toMap
     assert(got === expected)
   }
+
+  test("s08: extraction is deterministic, quota-sized, and re-run-stable") {
+    val rows = Sessions.s08DeterministicExtract(spark, sf).collect()
+    // per-stratum sizes obey the same quota formula s05 pins
+    val sess = Sessions.sessionized(spark, sf)
+      .groupBy("session_id").agg(org.apache.spark.sql.functions.min("ts").as("ts0"))
+      .selectExpr("date_format(timestamp_micros(ts0 div 1000), 'yyyy-MM-dd') AS date",
+        "hour(timestamp_micros(ts0 div 1000)) AS hour")
+    val total = sess.count()
+    val expected = sess.groupBy("date", "hour").count().collect()
+      .map(r => (r.getString(0), r.getInt(1)) ->
+        math.min(math.max(1L, r.getLong(2) * Sessions.SampleTarget / total), r.getLong(2)))
+      .toMap
+    val gotSizes = rows.groupBy(r => (r.getString(0), r.getInt(1)))
+      .view.mapValues(_.length.toLong).toMap
+    assert(gotSizes === expected)
+    // identical row set on a re-run — the h64 key is partition- and
+    // retry-stable, unlike rand(seed)
+    val again = Sessions.s08DeterministicExtract(spark, sf).collect()
+    assert(rows.map(_.toString).sorted.toSeq === again.map(_.toString).sorted.toSeq)
+  }
 }
