@@ -48,8 +48,13 @@ object Categories {
   /** The click/order/pay count spine on events: distinct key spine from
     * three event classes, per-class counts, 3× left join + coalesce(0).
     * Keys are the props.k JSON field (P6). */
-  def spine(s: SparkSession, dir: String): DataFrame = {
-    val ev = Sessions.enriched(s, dir).where(col("k").isNotNull)
+  def spine(s: SparkSession, dir: String): DataFrame =
+    spineFrom(Sessions.enriched(s, dir))
+
+  /** [[spine]] over an arbitrary enriched frame (the job composition
+    * point — the frame may already carry the task-param filter). */
+  def spineFrom(ev0: DataFrame): DataFrame = {
+    val ev = ev0.where(col("k").isNotNull)
     def leg(tpe: String, as: String): DataFrame =
       ev.where(col("event_type") === tpe)
         .groupBy(col("k")).agg(count(lit(1)).as(as))
@@ -94,7 +99,10 @@ object Categories {
     * (click desc, view desc, purchase desc) + unique tie-break — planned
     * as TakeOrderedAndProject, not a global sort. */
   def c03Top10(s: SparkSession, dir: String): DataFrame =
-    spine(s, dir)
+    top10From(Sessions.enriched(s, dir))
+
+  def top10From(ev: DataFrame): DataFrame =
+    spineFrom(ev)
       .orderBy(col("click_count").desc, col("view_count").desc,
         col("purchase_count").desc, col("k").asc)
       .limit(10)
@@ -165,9 +173,12 @@ object Categories {
     * top-10 categories (SessionStat.scala:95-161 — two groupByKey
     * shuffles and an in-memory sortWith there; a semi-join + one window
     * here). */
-  def c06Top10Sessions(s: SparkSession, dir: String): DataFrame = {
-    val top10 = c03Top10(s, dir).select(col("k"))
-    val perSession = Sessions.sessionized(s, dir)
+  def c06Top10Sessions(s: SparkSession, dir: String): DataFrame =
+    top10SessionsFrom(Sessions.enriched(s, dir), Sessions.sessionized(s, dir))
+
+  def top10SessionsFrom(ev: DataFrame, sess: DataFrame): DataFrame = {
+    val top10 = top10From(ev).select(col("k"))
+    val perSession = sess
       .where(col("event_type") === "click" && col("k").isNotNull)
       .join(broadcast(top10), Seq("k"), "left_semi")
       .groupBy(col("k"), col("session_id"))
@@ -210,10 +221,13 @@ object Categories {
     (6L, "city_6", "West"), (7L, "city_7", "West"), (8L, "city_8", "Central"),
     (9L, "city_9", "Central"))
 
-  def c07AreaTop3(s: SparkSession, dir: String): DataFrame = {
+  def c07AreaTop3(s: SparkSession, dir: String): DataFrame =
+    areaTop3From(s, Sessions.enriched(s, dir))
+
+  def areaTop3From(s: SparkSession, ev: DataFrame): DataFrame = {
     import s.implicits._
     val dim = cityDim.toDF("city_id", "city_name", "area")
-    val clicks = Sessions.enriched(s, dir)
+    val clicks = ev
       .where(col("event_type") === "click" && col("k").isNotNull)
       .withColumn("city_id", col("user_id") % 10)
     val counted = clicks

@@ -40,9 +40,14 @@ object Sessions {
 
   /** Gap-based sessionization: lag + new-session flag + running sum of
     * flags within the user's timeline. Exactly one shuffle (on user_id). */
-  def sessionized(s: SparkSession, dir: String): DataFrame = {
+  def sessionized(s: SparkSession, dir: String): DataFrame =
+    sessionizedFrom(enriched(s, dir))
+
+  /** [[sessionized]] over an arbitrary (possibly param-filtered) enriched
+    * event frame — the composition point the job mains use. */
+  def sessionizedFrom(ev: DataFrame): DataFrame = {
     val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts").asc, col("event_id").asc)
-    enriched(s, dir)
+    ev
       .withColumn("prev_sec", lag(col("sec"), 1).over(byUser))
       .withColumn("new_sess",
         when(col("prev_sec").isNull || col("sec") - col("prev_sec") > GapSeconds, 1L).otherwise(0L))
@@ -89,7 +94,10 @@ object Sessions {
     * hand loop at SessionStat.scala:618-673 building a packed string;
     * here real columns out of one hash aggregate. */
   def s02SessionAgg(s: SparkSession, dir: String): DataFrame =
-    sessionized(s, dir)
+    sessionAggFrom(sessionized(s, dir))
+
+  def sessionAggFrom(sess: DataFrame): DataFrame =
+    sess
       .groupBy(col("user_id"), col("session_id"))
       .agg(
         min(col("sec")).as("start_sec"),
@@ -116,8 +124,10 @@ object Sessions {
     * note visit_length 0 falls in NO bucket there, preserved here).
     * Ratios use round(n*100/total)/100 — identical HALF-away-from-zero
     * rounding in Spark and DuckDB for positive values. */
-  def s03BucketStats(s: SparkSession, dir: String): DataFrame = {
-    val sess = s02SessionAgg(s, dir)
+  def s03BucketStats(s: SparkSession, dir: String): DataFrame =
+    bucketStatsFrom(s02SessionAgg(s, dir))
+
+  def bucketStatsFrom(sess: DataFrame): DataFrame = {
     def bucket(c: Column): Column = sum(when(c, 1L).otherwise(0L))
     val v = col("visit_length")
     val p = col("step_length")
@@ -187,13 +197,22 @@ object Sessions {
     "minK" -> "10",
     "keyword" -> "")) // empty ⇒ no constraint ⇒ folded out of the plan
 
-  def s04FilteredStats(s: SparkSession, dir: String): DataFrame = {
-    val p = s04Params
-    val filtered = enriched(s, dir).where(Predicates.all(
+  def s04FilteredStats(s: SparkSession, dir: String): DataFrame =
+    counterStats(filteredEvents(s, dir, s04Params))
+
+  /** The F9 filter stage on its own: enriched events gated by whatever
+    * constraints the task params carry (absent ⇒ folded out). The job
+    * mains feed THIS through the whole downstream suite, mirroring the
+    * reference lifecycle where one filter governs every 需求 output. */
+  def filteredEvents(s: SparkSession, dir: String, p: TaskParams): DataFrame =
+    enriched(s, dir).where(Predicates.all(
       Predicates.in(col("event_type"), p.getSeq("eventTypes")),
       Predicates.betweenD(col("value"), p.getDouble("minValue"), p.getDouble("maxValue")),
-      Predicates.between(col("k"), p.getLong("minK"), None),
+      Predicates.between(col("k"), p.getLong("minK"), p.getLong("maxK")),
       Predicates.equalTo(col("event_type"), p.get("keyword"))))
+
+  /** Same-pass counters over a filtered frame (P3). */
+  def counterStats(filtered: DataFrame): DataFrame =
     filtered.agg(
       count(lit(1)).as("n_events"),
       sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("n_click"),
@@ -201,7 +220,6 @@ object Sessions {
       sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("n_view"),
       round(sum(col("value").cast("decimal(18,2)")), 2).cast("double").as("sum_value"),
       countDistinct(col("user_id")).as("n_users"))
-  }
 
   val s04Sql: String =
     """SELECT count(*) AS n_events,
@@ -339,9 +357,12 @@ object Sessions {
     * idempotent across retries — what a 100 TB pipeline actually wants
     * from "random" sampling. One shuffle for the session rollup, one for
     * the per-stratum rank; quota side is broadcast. */
-  def s08DeterministicExtract(s: SparkSession, dir: String): DataFrame = {
+  def s08DeterministicExtract(s: SparkSession, dir: String): DataFrame =
+    extractFrom(sessionized(s, dir))
+
+  def extractFrom(sessionizedEv: DataFrame): DataFrame = {
     import graft.functions.Portable
-    val sess = sessionized(s, dir)
+    val sess = sessionizedEv
       .groupBy(col("session_id"))
       .agg(max(col("user_id")).as("user_id"), // constant within a session
         min(col("ts")).as("ts0"),

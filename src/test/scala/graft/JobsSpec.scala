@@ -1,0 +1,72 @@
+package graft
+
+import java.util.Properties
+
+import org.apache.spark.sql.functions._
+import graft.functions.TaskParams
+import graft.jobs.{AreaTop3Job, SessionJob}
+import graft.operators.Categories
+
+/** End-to-end job lifecycles against embedded Derby: params JSON →
+  * filtered frame → every output appended under one task UUID — the
+  * reference's unit of use (SessionStat.scala:23-92,
+  * AreaTop3Stat.scala:15-58). Operator RESULTS are oracle-pinned
+  * elsewhere; what this spec pins is the wiring: all tables written,
+  * keyed correctly, appends accrete across runs, and the job output
+  * equals the library query it wires.
+  */
+class JobsSpec extends GraftSuite {
+
+  private val url = "jdbc:derby:memory:graftjobsdb;create=true"
+  private val props = new Properties()
+
+  private def table(name: String) = spark.read.jdbc(url, name, props)
+
+  test("SessionJob writes all five outputs keyed by the task UUID") {
+    val p = TaskParams.fromJson(SessionJob.DefaultParamsJson)
+    SessionJob.run(spark, sf, url, props, p, "task-one")
+    val tables = Seq(SessionJob.StatsTable, SessionJob.RatioTable,
+      SessionJob.ExtractTable, SessionJob.Top10CategoryTable,
+      SessionJob.Top10SessionTable)
+    for (t <- tables) {
+      val rows = table(t).where(col("task_id") === "task-one")
+      assert(rows.count() > 0, s"$t must contain rows for the task")
+    }
+    assert(table(SessionJob.StatsTable).where(col("task_id") === "task-one").count() === 1)
+    assert(table(SessionJob.RatioTable).where(col("task_id") === "task-one").count() === 1)
+    assert(table(SessionJob.Top10CategoryTable)
+      .where(col("task_id") === "task-one").count() <= 10)
+  }
+
+  test("SessionJob appends accrete: a second run keys its own rows") {
+    val p = TaskParams.fromJson(SessionJob.DefaultParamsJson)
+    SessionJob.run(spark, sf, url, props, p, "task-two")
+    val ids = table(SessionJob.RatioTable)
+      .select("task_id").distinct().collect().map(_.getString(0)).toSet
+    assert(ids.contains("task-one") && ids.contains("task-two"))
+    // identical params ⇒ identical (deterministic) extract rows per task
+    val one = table(SessionJob.ExtractTable).where(col("task_id") === "task-one")
+      .drop("task_id").collect().map(_.toString).sorted.toSeq
+    val two = table(SessionJob.ExtractTable).where(col("task_id") === "task-two")
+      .drop("task_id").collect().map(_.toString).sorted.toSeq
+    assert(one === two)
+  }
+
+  test("AreaTop3Job output equals the c07 library query row-for-row") {
+    AreaTop3Job.run(spark, sf, url, props, TaskParams.empty, "task-area")
+    val got = table(AreaTop3Job.Table).where(col("task_id") === "task-area")
+      .drop("task_id").collect().map(_.toString).sorted.toSeq
+    // empty params = no filter ⇒ the job wires exactly c07
+    val expect = Categories.c07AreaTop3(spark, sf)
+      .collect().map(_.toString).sorted.toSeq
+    assert(got === expect)
+  }
+
+  test("job mains run end-to-end with an existing session") {
+    SessionJob.main(Array(sf, url))
+    AreaTop3Job.main(Array(sf, url))
+    // each main generated a fresh UUID and appended under it
+    assert(table(SessionJob.RatioTable).select("task_id").distinct().count() >= 3)
+    assert(table(AreaTop3Job.Table).select("task_id").distinct().count() >= 2)
+  }
+}
