@@ -149,6 +149,38 @@ object Multimodal {
        |FROM meta""".stripMargin
   }
 
+  // ---------------------------------------------------------------- mm05
+  /** REAL-file media ingestion via the `binaryFile` source: every file
+    * of the dataset directory arrives as one row of (path, length,
+    * binary content) — the ingestion path a media corpus takes before
+    * any of the mm01–mm04 processing, exercised here on the fixture's
+    * own parquet files (the only real files guaranteed present). The
+    * oracle reads the same files with DuckDB's `read_blob`; blob
+    * hashing differs across engines, so the oracle-compared projection
+    * is (file_name, n_bytes) and the content bytes are pinned by
+    * MultimodalSpec (PAR1 magic + length == content size).
+    *
+    * Scale notes: binary files are non-splittable — one row per file,
+    * partition packing governed by `spark.sql.files.maxPartitionBytes`;
+    * the blob stays opaque through the scan, and a `pathGlobFilter` /
+    * partition-dir layout prunes at the listing, not after read.
+    *
+    * The oracle path is pinned to the driver's verify SF (sf0.01, per
+    * the TESTDATA contract) because oracle SQL is static while the
+    * query runs on whatever dir it is handed. */
+  def mm05BinaryIngest(s: SparkSession, dir: String): DataFrame =
+    s.read.format("binaryFile")
+      .option("pathGlobFilter", "*.parquet")
+      .load(dir)
+      .select(
+        regexp_extract(col("path"), "([^/]+)$", 1).as("file_name"),
+        col("length").as("n_bytes"))
+
+  val mm05Sql: String =
+    """SELECT regexp_extract(filename, '([^/]+)$', 1) AS file_name,
+      |  CAST(size AS BIGINT) AS n_bytes
+      |FROM read_blob('/root/testdata/sf0.01/*.parquet')""".stripMargin
+
   // ------------------------------------------------------- decode stub
   final case class MediaFrame(media_id: Long, frame_idx: Int, payload: Array[Byte])
   final case class DecodedFrame(media_id: Long, frame_idx: Int, feature: Double)
@@ -178,11 +210,13 @@ object Multimodal {
     "mm01_media_meta" -> (mm01MediaMeta _),
     "mm02_frame_sample" -> (mm02FrameSample _),
     "mm03_feature_stub" -> (mm03FeatureStub _),
-    "mm04_resize_stub" -> (mm04ResizeStub _))
+    "mm04_resize_stub" -> (mm04ResizeStub _),
+    "mm05_binary_ingest" -> (mm05BinaryIngest _))
 
   val oracleSql: Map[String, String] = Map(
     "mm01_media_meta" -> mm01Sql,
     "mm02_frame_sample" -> mm02Sql,
     "mm03_feature_stub" -> mm03Sql,
-    "mm04_resize_stub" -> mm04Sql)
+    "mm04_resize_stub" -> mm04Sql,
+    "mm05_binary_ingest" -> mm05Sql)
 }

@@ -47,6 +47,24 @@ class MultimodalSpec extends GraftSuite {
     assert(again.map(_.feature).toSeq === decoded.map(_.feature).toSeq)
   }
 
+  test("mm05: binaryFile ingestion reads real files with correct sizes and magic") {
+    val rows = Multimodal.mm05BinaryIngest(spark, sf).collect()
+    assert(rows.length === 10) // the ten fixture tables
+    val sizes = rows.map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(sizes.keySet.contains("lineitem.parquet"))
+    for ((name, n) <- sizes)
+      assert(n === new java.io.File(s"$sf/$name").length(), s"size mismatch for $name")
+    // content really is the file bytes: parquet magic + full length
+    val withContent = spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.parquet").load(sf)
+      .select(col("path"), col("length"), col("content")).collect()
+    for (r <- withContent) {
+      val content = r.getAs[Array[Byte]]("content")
+      assert(content.length.toLong === r.getLong(1))
+      assert(new String(content.take(4), "US-ASCII") === "PAR1", s"magic for ${r.getString(0)}")
+    }
+  }
+
   test("m-suite: sql entry + local collection agree with direct plans") {
     val viaSql = graft.operators.Misc.m01SqlEntry(spark, sf)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
