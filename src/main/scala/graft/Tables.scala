@@ -64,11 +64,30 @@ object Tables {
     * — one input split would serialize every map stage — but at 100 TB
     * the scan already has thousands of splits and an unconditional
     * round-robin would be a full extra shuffle of the table for nothing.
-    * The partition count comes from the planned RDD (metadata only; no
-    * job runs). */
-  def spreadIfNarrow(df: DataFrame): DataFrame = {
+    *
+    * The partition count comes from the planned RDD (metadata only, no
+    * job runs) — but building that plan costs ~0.2-0.5 s per call, a
+    * measurable tax when every query in a suite re-reads the same
+    * table. The keyed overload memoizes the narrow/wide DECISION per
+    * (source, parallelism): sound because the fixture files are
+    * immutable within a JVM; a mutated source would need the cache
+    * cleared. */
+  private val narrowCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+
+  def spreadIfNarrow(df: DataFrame): DataFrame = spread(df, None)
+
+  def spreadIfNarrow(df: DataFrame, cacheKey: String): DataFrame =
+    spread(df, Some(cacheKey))
+
+  private def spread(df: DataFrame, key: Option[String]): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions >= target) df else df.repartition(target)
+    def probe: java.lang.Boolean = df.queryExecution.toRdd.getNumPartitions < target
+    val narrow = key match {
+      case Some(k) => narrowCache.computeIfAbsent(s"$k@$target", _ => probe)
+      case None    => probe
+    }
+    if (narrow) df.repartition(target) else df
   }
 
   /** events + derived time columns shared by the session / ad suites.

@@ -35,7 +35,7 @@ object Embeddings {
     * every pairwise stage; a wide scan skips the shuffle —
     * [[graft.Tables.spreadIfNarrow]]). */
   private def quantized(s: SparkSession, dir: String): DataFrame =
-    Tables.spreadIfNarrow(Tables.embeddings(s, dir))
+    Tables.spreadIfNarrow(Tables.embeddings(s, dir), s"$dir/embeddings")
       .select(
         col("vec_id"), col("label"),
         transform(col("embedding"), x => round(x.cast("double") * Quant).cast("long")).as("q"))

@@ -41,7 +41,7 @@ object LlmText {
     * single-threaded; a 100 TB scan already has thousands of splits and
     * skips the shuffle — [[graft.Tables.spreadIfNarrow]]). */
   private def base(s: SparkSession, dir: String): DataFrame =
-    Tables.spreadIfNarrow(Tables.documents(s, dir))
+    Tables.spreadIfNarrow(Tables.documents(s, dir), s"$dir/documents")
       .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
         normText(col("text")).as("norm"))
       .withColumn("toks", split(col("norm"), " "))

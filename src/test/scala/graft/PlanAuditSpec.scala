@@ -100,4 +100,14 @@ class PlanAuditSpec extends GraftSuite {
     assert(spread.queryExecution.executedPlan.toString.contains("RoundRobin"),
       "narrow input must be spread")
   }
+
+  test("keyed spreadIfNarrow memoizes the decision and keeps plan behavior") {
+    val par = spark.sparkContext.defaultParallelism
+    val wide = spark.range(0, 1000, 1, par).toDF("id")
+    assert(Tables.spreadIfNarrow(wide, "audit-wide") eq wide)
+    assert(Tables.spreadIfNarrow(wide, "audit-wide") eq wide) // cached path
+    val narrow = spark.range(0, 1000, 1, 1).toDF("id")
+    assert(Tables.spreadIfNarrow(narrow, "audit-narrow").rdd.getNumPartitions === par)
+    assert(Tables.spreadIfNarrow(narrow, "audit-narrow").rdd.getNumPartitions === par)
+  }
 }
