@@ -362,10 +362,13 @@ object Sessions {
 
   def extractFrom(sessionizedEv: DataFrame): DataFrame = {
     import graft.functions.Portable
+    // user_id in the GROUP KEY (it's session_id's prefix, so no grain
+    // change): the sessionize window already hash-partitioned on
+    // user_id, and a grouping whose keys are a superset of the incoming
+    // partitioning reuses it — NO second full-table exchange.
     val sess = sessionizedEv
-      .groupBy(col("session_id"))
-      .agg(max(col("user_id")).as("user_id"), // constant within a session
-        min(col("ts")).as("ts0"),
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(min(col("ts")).as("ts0"),
         count(lit(1)).as("n_events"))
       .withColumn("t0", expr("timestamp_micros(ts0 div 1000)"))
       .withColumn("date", date_format(col("t0"), "yyyy-MM-dd"))
@@ -390,8 +393,8 @@ object Sessions {
   val s08Sql: String = {
     val h = graft.functions.Portable.h64Sql("session_id")
     s"""$sessSql, sessions AS (
-       |  SELECT session_id, max(user_id) AS user_id, min(ns) AS ns0, count(*) AS n_events
-       |  FROM sess GROUP BY session_id
+       |  SELECT session_id, user_id, min(ns) AS ns0, count(*) AS n_events
+       |  FROM sess GROUP BY session_id, user_id
        |), rolled AS (
        |  SELECT session_id, user_id,
        |    ns0 // 1000 AS start_us,
