@@ -203,13 +203,28 @@ object Sessions {
   /** The F9 filter stage on its own: enriched events gated by whatever
     * constraints the task params carry (absent ⇒ folded out). The job
     * mains feed THIS through the whole downstream suite, mirroring the
-    * reference lifecycle where one filter governs every 需求 output. */
-  def filteredEvents(s: SparkSession, dir: String, p: TaskParams): DataFrame =
+    * reference lifecycle where one filter governs every 需求 output.
+    *
+    * The date range (startDate/endDate, the reference's primary task
+    * params — ParamUtils.getParam(START_DATE/END_DATE)) is translated to
+    * a RAW `ts` bound, not a predicate on the derived date string: `ts`
+    * is a parquet column, so the range reaches the scan as PushedFilters
+    * and prunes row groups by min/max stats — at 100 TB the difference
+    * between scanning a day and scanning the corpus. Both bounds are
+    * whole-day inclusive (end date covers through 23:59:59.999999999). */
+  def filteredEvents(s: SparkSession, dir: String, p: TaskParams): DataFrame = {
+    def dayStartNs(d: String): Long =
+      java.time.LocalDate.parse(d).atStartOfDay(java.time.ZoneOffset.UTC)
+        .toInstant.getEpochSecond * 1000000000L
+    val tsLo = p.get("startDate").map(dayStartNs)
+    val tsHi = p.get("endDate").map(d => dayStartNs(d) + 86400L * 1000000000L - 1L)
     enriched(s, dir).where(Predicates.all(
+      Predicates.between(col("ts"), tsLo, tsHi),
       Predicates.in(col("event_type"), p.getSeq("eventTypes")),
       Predicates.betweenD(col("value"), p.getDouble("minValue"), p.getDouble("maxValue")),
       Predicates.between(col("k"), p.getLong("minK"), p.getLong("maxK")),
       Predicates.equalTo(col("event_type"), p.get("keyword"))))
+  }
 
   /** Same-pass counters over a filtered frame (P3). */
   def counterStats(filtered: DataFrame): DataFrame =

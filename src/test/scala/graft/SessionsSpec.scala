@@ -81,6 +81,25 @@ class SessionsSpec extends GraftSuite {
     assert(got === expected)
   }
 
+  test("date-range params filter whole days, push to the scan, and fold when absent") {
+    val ev = Sessions.enriched(spark, sf)
+    val dates = ev.select("date").distinct().collect().map(_.getString(0)).sorted
+    assert(dates.length >= 3, s"fixture should span days: ${dates.toSeq}")
+    val (lo, hi) = (dates(1), dates(1)) // a single middle day
+    val p = TaskParams(Map("startDate" -> lo, "endDate" -> hi))
+    val got = Sessions.filteredEvents(spark, sf, p).count()
+    val expected = ev.where(col("date") >= lo && col("date") <= hi).count()
+    assert(got === expected && got > 0)
+    // the bound reaches the parquet scan as a pushed filter on raw ts
+    val plan = Sessions.filteredEvents(spark, sf, p)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("GreaterThanOrEqual(ts"),
+      s"ts range must push down:\n$plan")
+    // absent params leave no filter at all
+    val open = Sessions.filteredEvents(spark, sf, TaskParams.empty)
+    assert(open.count() === ev.count())
+  }
+
   test("s08: extraction is deterministic, quota-sized, and re-run-stable") {
     val rows = Sessions.s08DeterministicExtract(spark, sf).collect()
     // per-stratum sizes obey the same quota formula s05 pins
