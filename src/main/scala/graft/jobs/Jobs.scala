@@ -115,6 +115,43 @@ object SessionJob {
   }
 }
 
+/** 需求7–10 as one lifecycle — the reference's third main
+  * (adversStat/src/main/scala/AdverStat.scala): the ad-event stream
+  * drives four outputs, each appended under one task UUID. The
+  * reference fans one DStream into four DStream chains writing MySQL
+  * tables (ad_blacklist, ad_stat, ad_province_top3, ad_click_trend);
+  * here each output is a Structured Streaming query run to completion
+  * (AvailableNow over the same source — swap the source for Kafka and
+  * the queries run continuously, writing through the same sinks per
+  * micro-batch). */
+object AdverStatJob {
+  val TrendTable = "ad_click_trend"     // 需求10: sliding-window counts
+  val StatTable = "ad_stat"             // 需求8: cumulative per-day/user counts
+  val Top3Table = "ad_daily_top3"       // 需求9: per-day top-3 off the running agg
+  val BlacklistTable = "ad_blacklist"   // 需求7: threshold-promoted users
+
+  def run(s: SparkSession, dir: String, url: String, props: Properties,
+          taskUUID: String): Unit = {
+    import graft.streaming.AdAnalytics
+    def write(df: DataFrame, table: String): Unit =
+      Jobs.appendKeyed(taskUUID, df, url, table, props)
+    write(AdAnalytics.st02SlidingWindow(s, dir), TrendTable)
+    write(AdAnalytics.st04CumulativeState(s, dir), StatTable)
+    write(AdAnalytics.st06DailyTop3(s, dir), Top3Table)
+    write(AdAnalytics.st05ThresholdPromote(s, dir), BlacklistTable)
+  }
+
+  /** args: [sfDir] [jdbcUrl]. */
+  def main(args: Array[String]): Unit = {
+    val dir = args.lift(0).getOrElse("/root/testdata/sf0.001")
+    val url = args.lift(1).getOrElse("jdbc:derby:memory:graftjobs;create=true")
+    val s = Jobs.buildSession("graft-adver-stat-job")
+    val taskUUID = UUID.randomUUID().toString
+    run(s, dir, url, new Properties(), taskUUID)
+    println(s"[job] adver stat job $taskUUID done")
+  }
+}
+
 /** 需求6 as one lifecycle: filter → area top-3 products → one JDBC
   * append keyed by the task UUID. */
 object AreaTop3Job {

@@ -62,6 +62,21 @@ class JobsSpec extends GraftSuite {
     assert(got === expect)
   }
 
+  test("AdverStatJob writes the four streaming outputs keyed by the task UUID") {
+    graft.jobs.AdverStatJob.run(spark, sf, url, props, "task-adver")
+    import graft.jobs.AdverStatJob._
+    for (t <- Seq(TrendTable, StatTable, Top3Table, BlacklistTable)) {
+      val n = table(t).where(col("task_id") === "task-adver").count()
+      assert(n > 0, s"$t must contain rows for the task")
+    }
+    // blacklist rows are exactly the threshold-promoted users
+    val direct = graft.streaming.AdAnalytics.st05ThresholdPromote(spark, sf)
+      .collect().map(_.toString).sorted.toSeq
+    val viaJob = table(BlacklistTable).where(col("task_id") === "task-adver")
+      .drop("task_id").collect().map(_.toString).sorted.toSeq
+    assert(viaJob === direct)
+  }
+
   test("job mains run end-to-end with an existing session") {
     SessionJob.main(Array(sf, url))
     AreaTop3Job.main(Array(sf, url))
