@@ -803,6 +803,61 @@ object LlmText {
     starComponents(pairs)
   }
 
+  // ---------------------------------------------------------------- d18
+  /** Benchmark DECONTAMINATION — the n-gram-overlap check a training
+    * pipeline runs before shipping a corpus (GPT-3 appendix C / The Pile:
+    * flag training docs sharing rare n-grams with an eval set, then drop
+    * or audit them). The benchmark here is the deterministic fixture
+    * slice `doc_id % ContaminationMod == 0`; in production it is a
+    * separate (small, bounded) benchmark table and NOTHING else changes.
+    *
+    * Shape at any scale: explode distinct shingles on both sides and
+    * equi-join on the shingle — the shingle IS the block key, so
+    * candidate volume is (train docs sharing an n-gram with the
+    * benchmark), never all-pairs. The benchmark side is BROADCAST:
+    * eval suites are bounded by construction (thousands of docs, not
+    * billions); were it ever large, the same join shuffles on the
+    * shingle key. The hot-shingle cap drops shingles common across many
+    * benchmark docs (license headers, prompts boilerplate) — the same
+    * Zipf-head guard as d15, applied before the join so a boilerplate
+    * n-gram can't fan out. */
+  val ContaminationMod = 17L
+  val ContaminationMinShared = 2L
+  val BenchHotShingleCap = 50L
+
+  def d18Contamination(s: SparkSession, dir: String): DataFrame = {
+    val ex = withShingleSet(s, base(s, dir))
+      .select(col("doc_id"), explode(col("sh")).as("shingle"))
+    val bench = ex.where(col("doc_id") % ContaminationMod === 0)
+      .select(col("doc_id").as("bench_id"), col("shingle"))
+    val rareBenchShingles = bench.groupBy(col("shingle"))
+      .agg(countDistinct(col("bench_id")).as("df"))
+      .where(col("df") <= BenchHotShingleCap)
+      .select(col("shingle"))
+    val benchOk = bench.join(broadcast(rareBenchShingles), Seq("shingle"), "left_semi")
+    ex.where(col("doc_id") % ContaminationMod =!= 0)
+      .join(broadcast(benchOk), Seq("shingle"))
+      .groupBy(col("doc_id"), col("bench_id"))
+      .agg(countDistinct(col("shingle")).as("n_shared"))
+      .where(col("n_shared") >= ContaminationMinShared)
+  }
+
+  val d18Sql: String =
+    s"""$baseSql$shSqlCte,
+       |ex AS (SELECT doc_id, unnest(sh) AS shingle FROM shd),
+       |bench AS (
+       |  SELECT doc_id AS bench_id, shingle FROM ex WHERE doc_id % $ContaminationMod = 0
+       |), rare AS (
+       |  SELECT shingle FROM bench GROUP BY shingle
+       |  HAVING count(DISTINCT bench_id) <= $BenchHotShingleCap
+       |)
+       |SELECT doc_id, bench_id, count(DISTINCT shingle) AS n_shared
+       |FROM (SELECT doc_id, shingle FROM ex WHERE doc_id % $ContaminationMod <> 0) t
+       |JOIN bench USING (shingle)
+       |JOIN rare USING (shingle)
+       |GROUP BY 1, 2
+       |HAVING count(DISTINCT shingle) >= $ContaminationMinShared""".stripMargin
+
   // ---------------------------------------------------------------- d15
   /** Corpus-level boilerplate n-gram detection — the RefinedWeb/CCNet
     *-style pass that finds shingles shared by MANY documents (headers,
@@ -891,6 +946,7 @@ object LlmText {
        |WHERE rnk <= $TfidfTopK""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d18_contamination" -> (d18Contamination _),
     "d17_star_clusters" -> (d17StarClusters _),
     "d16_tfidf_top" -> (d16TfidfTop _),
     "d15_boilerplate" -> (d15Boilerplate _),
@@ -910,6 +966,7 @@ object LlmText {
     "d08_fingerprint" -> (d08Fingerprint _))
 
   val oracleSql: Map[String, String] = Map(
+    "d18_contamination" -> d18Sql,
     "d17_star_clusters" -> d14Sql,
     "d16_tfidf_top" -> d16Sql,
     "d15_boilerplate" -> d15Sql,

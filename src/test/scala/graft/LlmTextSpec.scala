@@ -202,4 +202,20 @@ class LlmTextSpec extends GraftSuite {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(star === prop)
   }
+
+  test("d18: contamination pairs split train/bench correctly, thresholded, no cartesian") {
+    val df = LlmText.d18Contamination(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), s"shingle join must be an equi-join:\n$plan")
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      assert(r.getLong(0) % LlmText.ContaminationMod !== 0L, "train side must exclude benchmark docs")
+      assert(r.getLong(1) % LlmText.ContaminationMod === 0L, "bench side must be benchmark docs")
+      assert(r.getLong(2) >= LlmText.ContaminationMinShared)
+    }
+    // deterministic across runs
+    val again = LlmText.d18Contamination(spark, sf).collect()
+    assert(rows.map(_.toString).sorted.toSeq === again.map(_.toString).sorted.toSeq)
+  }
 }
