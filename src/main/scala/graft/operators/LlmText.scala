@@ -858,6 +858,54 @@ object LlmText {
        |GROUP BY 1, 2
        |HAVING count(DISTINCT shingle) >= $ContaminationMinShared""".stripMargin
 
+  // ---------------------------------------------------------------- d19
+  /** LINE-level duplication profile — the CCNet/RefinedWeb pass that
+    * measures, per document, what fraction of its lines also appear in
+    * OTHER documents (navigation chrome, cookie banners, templated
+    * spans); downstream filters drop docs above a share threshold or
+    * strip the duplicated lines. The fixture text has no newlines, so a
+    * "line" is a fixed [[LineTokens]]-token segment — the segmentation
+    * is the stand-in; the counting shape is the real operator.
+    *
+    * Shape at any scale: segment map-side (generator, no shuffle) →
+    * ONE count exchange keyed by the line (partial agg absorbs the Zipf
+    * head) → join segments back on the line key (re-uses the line
+    * partitioning) → per-doc aggregate. The dup share is a division of
+    * two exact integers — bit-identical across engines. */
+  val LineTokens = 8
+  val LineDupMinDocs = 2L
+
+  def d19LineDedup(s: SparkSession, dir: String): DataFrame = {
+    val seg = base(s, dir).select(col("doc_id"),
+      explode(transform(
+        sequence(lit(0), expr(s"(size(toks) - 1) div $LineTokens")),
+        i => array_join(slice(col("toks"), i * LineTokens + 1, lit(LineTokens)), " ")))
+        .as("line"))
+    val lineDf = seg.groupBy(col("line"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+    seg.join(lineDf, Seq("line"))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_lines"),
+        sum(when(col("df") >= LineDupMinDocs, 1L).otherwise(0L)).as("n_dup_lines"))
+      .withColumn("dup_share",
+        col("n_dup_lines").cast("double") / col("n_lines").cast("double"))
+  }
+
+  val d19Sql: String =
+    s"""$baseSql, seg AS (
+       |  SELECT doc_id, unnest(list_transform(generate_series(0, (len(toks)-1)//$LineTokens),
+       |    i -> array_to_string(toks[i*$LineTokens+1 : i*$LineTokens+$LineTokens], ' '))) AS line
+       |  FROM base
+       |), linedf AS (
+       |  SELECT line, count(DISTINCT doc_id) AS df FROM seg GROUP BY 1
+       |)
+       |SELECT s.doc_id, count(*) AS n_lines,
+       |  CAST(sum(CASE WHEN d.df >= $LineDupMinDocs THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_lines,
+       |  CAST(sum(CASE WHEN d.df >= $LineDupMinDocs THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS dup_share
+       |FROM seg s JOIN linedf d USING (line)
+       |GROUP BY 1""".stripMargin
+
   // ---------------------------------------------------------------- d15
   /** Corpus-level boilerplate n-gram detection — the RefinedWeb/CCNet
     *-style pass that finds shingles shared by MANY documents (headers,
@@ -946,6 +994,7 @@ object LlmText {
        |WHERE rnk <= $TfidfTopK""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d19_line_dedup" -> (d19LineDedup _),
     "d18_contamination" -> (d18Contamination _),
     "d17_star_clusters" -> (d17StarClusters _),
     "d16_tfidf_top" -> (d16TfidfTop _),
@@ -966,6 +1015,7 @@ object LlmText {
     "d08_fingerprint" -> (d08Fingerprint _))
 
   val oracleSql: Map[String, String] = Map(
+    "d19_line_dedup" -> d19Sql,
     "d18_contamination" -> d18Sql,
     "d17_star_clusters" -> d14Sql,
     "d16_tfidf_top" -> d16Sql,

@@ -218,4 +218,16 @@ class LlmTextSpec extends GraftSuite {
     val again = LlmText.d18Contamination(spark, sf).collect()
     assert(rows.map(_.toString).sorted.toSeq === again.map(_.toString).sorted.toSeq)
   }
+
+  test("d19: every doc profiled, shares bounded, clones detected") {
+    val rows = LlmText.d19LineDedup(spark, sf).collect()
+    assert(rows.length === Tables.documents(spark, sf).count())
+    for (r <- rows) {
+      val (n, dup, share) = (r.getLong(1), r.getLong(2), r.getDouble(3))
+      assert(n > 0 && dup >= 0 && dup <= n)
+      assert(share >= 0.0 && share <= 1.0 && share === dup.toDouble / n)
+    }
+    // the fixture's near-dup clones share whole segments
+    assert(rows.exists(_.getDouble(3) > 0.5), "clone-heavy docs must surface")
+  }
 }
