@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import graft.Tables
 
 /** Remaining small operator families from SURVEY §2: the SQL-string entry
@@ -266,7 +267,71 @@ object Misc {
       |FROM orders JOIN customer ON o_custkey = c_custkey
       |GROUP BY 1""".stripMargin
 
+  // ---------------------------------------------------------------- m10
+  /** KMV (k-minimum-values) APPROXIMATE DISTINCT — a distributed
+    * cardinality sketch whose estimate is nonetheless bit-exact
+    * reproducible, because the "randomness" is the portable 60-bit
+    * hash both engines compute identically: per group, keep the k
+    * smallest distinct hash values; the k-th smallest m_k estimates
+    * distinct ≈ (k−1)·2^60 / m_k (the classic KMV estimator — uniform
+    * hashes of n distinct keys have their k-th min near k/n of the
+    * range). Exact count emitted alongside for error inspection.
+    *
+    * Why a sketch when countDistinct exists: KMV is MERGEABLE — the
+    * union of two sketches is the k smallest of their values — so at
+    * 100 TB per-partition sketches combine map-side into a k-row state
+    * per group, never shuffling the key universe; this query pins the
+    * estimator arithmetic, and the window form it uses IS the
+    * per-group k-min merge (TakeOrdered-per-key). (k−1)·2^60 is exact
+    * in a double (63·2^60 has a 6-bit significand), and m_k < 2^60
+    * casts exactly, so the final division is one correctly-rounded op
+    * — identical in both engines. Groups with fewer than k distinct
+    * keys report their exact count (the sketch isn't full). */
+  val KmvK = 64
+
+  def m10KmvDistinct(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Portable
+    val du = Tables.events(s, dir)
+      .select(col("event_type"), col("user_id")).distinct()
+      .withColumn("h", Portable.h64(col("user_id")))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("h"), col("user_id"))
+    val sketch = du.withColumn("rn", row_number().over(w))
+      .where(col("rn") <= KmvK)
+      .groupBy(col("event_type"))
+      .agg(max(col("h")).as("kth"), count(lit(1)).as("m"))
+    val exact = du.groupBy(col("event_type")).agg(count(lit(1)).as("n_exact"))
+    exact.join(sketch, Seq("event_type"))
+      .select(col("event_type"), col("n_exact"),
+        when(col("m") < KmvK, col("m").cast("double"))
+          .otherwise(lit((KmvK - 1).toDouble) * lit(1152921504606846976.0) /
+            col("kth").cast("double"))
+          .as("est_distinct"))
+  }
+
+  val m10Sql: String = {
+    val h = graft.functions.Portable.h64Sql("user_id")
+    s"""WITH du AS (
+       |  SELECT DISTINCT event_type, user_id FROM events
+       |), hashed AS (
+       |  SELECT event_type, user_id, $h AS h FROM du
+       |), ranked AS (
+       |  SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY h, user_id) AS rn
+       |  FROM hashed
+       |), sk AS (
+       |  SELECT event_type, max(h) AS kth, count(*) AS m
+       |  FROM ranked WHERE rn <= $KmvK GROUP BY 1
+       |), ex AS (
+       |  SELECT event_type, count(*) AS n_exact FROM du GROUP BY 1
+       |)
+       |SELECT ex.event_type, n_exact,
+       |  CASE WHEN m < $KmvK THEN CAST(m AS DOUBLE)
+       |       ELSE ${(KmvK - 1).toDouble} * 1152921504606846976.0 / CAST(kth AS DOUBLE)
+       |  END AS est_distinct
+       |FROM ex JOIN sk ON ex.event_type = sk.event_type""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m10_kmv_distinct" -> (m10KmvDistinct _),
     "m09_bucketed_join" -> (m09BucketedJoin _),
     "m08_catalog_scan" -> (m08CatalogScan _),
     "m07_date_range_strings" -> (m07DateRangeStrings _),
@@ -278,6 +343,7 @@ object Misc {
     "m06_salted_agg" -> (m06SaltedAgg _))
 
   val oracleSql: Map[String, String] = Map(
+    "m10_kmv_distinct" -> m10Sql,
     "m09_bucketed_join" -> m09Sql,
     "m08_catalog_scan" -> m08Sql,
     "m07_date_range_strings" -> m07Sql,

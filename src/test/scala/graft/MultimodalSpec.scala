@@ -65,6 +65,23 @@ class MultimodalSpec extends GraftSuite {
     }
   }
 
+  test("m10: KMV estimate lands near the exact distinct count and is deterministic") {
+    val rows = graft.operators.Misc.m10KmvDistinct(spark, sf).collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      val (exact, est) = (r.getLong(1), r.getDouble(2))
+      if (exact < graft.operators.Misc.KmvK)
+        assert(est === exact.toDouble, s"${r.getString(0)}: under-full sketch must be exact")
+      else {
+        // k=64 ⇒ stderr ≈ 1/sqrt(k-2) ≈ 12.7%; 3σ bound
+        val err = math.abs(est - exact) / exact
+        assert(err < 0.4, s"${r.getString(0)}: est $est vs exact $exact (err $err)")
+      }
+    }
+    val again = graft.operators.Misc.m10KmvDistinct(spark, sf).collect()
+    assert(rows.map(_.toString).sorted.toSeq === again.map(_.toString).sorted.toSeq)
+  }
+
   test("m-suite: sql entry + local collection agree with direct plans") {
     val viaSql = graft.operators.Misc.m01SqlEntry(spark, sf)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
