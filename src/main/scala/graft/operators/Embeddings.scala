@@ -242,8 +242,12 @@ object Embeddings {
     * neighbor id. */
   val NprobeConf = "spark.graft.ivf.nprobe"
 
-  def e05IvfAnn(s: SparkSession, dir: String): DataFrame = {
-    val nprobe = s.conf.get(NprobeConf, "1").toInt
+  /** Vectors ranked by centroid-cosine against every cell: the shared
+    * IVF assignment stage (rn = 1 is the primary cell; rn <= nprobe is
+    * the query-side fan-out). Centroid directions are the per-label
+    * component sums — a trained index would swap k-means centroids in
+    * at the same shape. */
+  private def cellRanked(s: SparkSession, dir: String): DataFrame = {
     val dot = dotQ(s) _
     val v = quantized(s, dir)
     // centroid-sum vector per label, dim-ordered (collect_list carries
@@ -257,13 +261,19 @@ object Embeddings {
         array_sort(collect_list(struct(col("i"), col("csum")))),
         p => p.getField("csum")).as("cvec"))
       .select(col("label").as("cell"), col("cvec"))
-    val ranked = v.crossJoin(broadcast(cents))
+    v.crossJoin(broadcast(cents))
       .withColumn("cos_c",
         dot(col("q"), col("cvec")).cast("double") /
           (sqrt(dot(col("q"), col("q")).cast("double")) *
             sqrt(dot(col("cvec"), col("cvec")).cast("double"))))
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("vec_id")).orderBy(col("cos_c").desc, col("cell").asc)))
+  }
+
+  def e05IvfAnn(s: SparkSession, dir: String): DataFrame = {
+    val nprobe = s.conf.get(NprobeConf, "1").toInt
+    val dot = dotQ(s) _
+    val ranked = cellRanked(s, dir)
     // index side: primary cell only; query side: nprobe nearest cells
     val a = ranked.where(col("rn") <= nprobe)
       .select(col("cell"), col("vec_id").as("query_id"), col("q").as("qa"))
@@ -310,7 +320,69 @@ object Embeddings {
        |  FROM scored) t
        |WHERE rank <= 3""".stripMargin
 
+  // ---------------------------------------------------------------- e06
+  /** SemDeDup-style SEMANTIC deduplication (Abbas et al. 2023): assign
+    * every vector to its nearest coarse cell, compare pairs only WITHIN
+    * a cell, and keep the earliest (lowest-id) member of each near-dup
+    * neighborhood — the embedding-space analogue of d09's keep-first
+    * survivor rule. The cell scoping is what makes it a 100 TB
+    * operator: the quadratic stage is bounded per cell (cells are the
+    * k-means partition an IVF index already maintains), never corpus-
+    * wide; the pair join is the same strategy-gated cell equi-join as
+    * e05. Output is every vector with its cell and kept/dropped flag —
+    * the table a curation pipeline anti-joins the corpus against.
+    * Threshold note: as in e04, the fixture's gaussian embeddings cap
+    * pairwise cosine near 0.51, so the production ~0.95 threshold is
+    * exercised at 0.4. */
+  def e06SemDedup(s: SparkSession, dir: String): DataFrame = {
+    val dot = dotQ(s) _
+    val asg = cellRanked(s, dir).where(col("rn") === 1)
+      .select(col("cell"), col("vec_id"), col("q"))
+    val a = asg.select(col("cell"), col("vec_id").as("vec_a"), col("q").as("qa"))
+    val b = asg.select(col("cell"), col("vec_id").as("vec_b"), col("q").as("qb"))
+    val dropped = SelfJoin.on(a, b, Seq("cell"))
+      .where(col("vec_a") < col("vec_b"))
+      .withColumn("cos",
+        dot(col("qa"), col("qb")).cast("double") /
+          (sqrt(dot(col("qa"), col("qa")).cast("double")) *
+            sqrt(dot(col("qb"), col("qb")).cast("double"))))
+      .where(col("cos") >= CosineThreshold)
+      .select(col("vec_b").as("vec_id")).distinct()
+      .withColumn("hit", lit(true))
+    asg.join(dropped, Seq("vec_id"), "left")
+      .select(col("cell"), col("vec_id"), col("hit").isNull.as("kept"))
+  }
+
+  val e06Sql: String =
+    s"""$quantSql, comps AS (
+       |  SELECT label, i, q[i] AS comp FROM qv, generate_series(1, $Dim) g(i)
+       |), csums AS (
+       |  SELECT label, i, sum(comp) AS csum FROM comps GROUP BY 1, 2
+       |), cents AS (
+       |  SELECT label AS cell, list(CAST(csum AS BIGINT) ORDER BY i) AS cvec
+       |  FROM csums GROUP BY label
+       |), assigned AS (
+       |  SELECT cell, vec_id, q FROM (
+       |    SELECT cents.cell, qv.vec_id, qv.q,
+       |      row_number() OVER (PARTITION BY qv.vec_id ORDER BY
+       |        CAST(list_dot_product(qv.q, cents.cvec) AS DOUBLE) /
+       |          (sqrt(CAST(list_dot_product(qv.q, qv.q) AS DOUBLE)) *
+       |           sqrt(CAST(list_dot_product(cents.cvec, cents.cvec) AS DOUBLE))) DESC,
+       |        cents.cell ASC) AS rn
+       |    FROM qv, cents) t
+       |  WHERE rn = 1
+       |), dups AS (
+       |  SELECT DISTINCT b.vec_id FROM assigned a JOIN assigned b
+       |  ON a.cell = b.cell AND a.vec_id < b.vec_id
+       |  WHERE CAST(list_dot_product(a.q, b.q) AS DOUBLE) /
+       |      (sqrt(CAST(list_dot_product(a.q, a.q) AS DOUBLE)) *
+       |       sqrt(CAST(list_dot_product(b.q, b.q) AS DOUBLE))) >= $CosineThreshold
+       |)
+       |SELECT cell, vec_id, vec_id NOT IN (SELECT vec_id FROM dups) AS kept
+       |FROM assigned""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e06_sem_dedup" -> (e06SemDedup _),
     "e05_ivf_ann" -> (e05IvfAnn _),
     "e01_knn_brute" -> (e01KnnBrute _),
     "e02_ann_bucketed" -> (e02AnnBucketed _),
@@ -318,6 +390,7 @@ object Embeddings {
     "e04_cosine_neardup" -> (e04CosineNeardup _))
 
   val oracleSql: Map[String, String] = Map(
+    "e06_sem_dedup" -> e06Sql,
     "e05_ivf_ann" -> e05Sql,
     "e01_knn_brute" -> e01Sql,
     "e02_ann_bucketed" -> e02Sql,

@@ -230,4 +230,16 @@ class LlmTextSpec extends GraftSuite {
     // the fixture's near-dup clones share whole segments
     assert(rows.exists(_.getDouble(3) > 0.5), "clone-heavy docs must surface")
   }
+
+  test("e06: every vector flagged once; dropped ⊆ cell-mates of an earlier near-dup") {
+    import graft.operators.Embeddings
+    val rows = Embeddings.e06SemDedup(spark, sf).collect()
+    assert(rows.length === Tables.embeddings(spark, sf).count())
+    assert(rows.map(_.getLong(1)).distinct.length === rows.length, "one row per vector")
+    val dropped = rows.filter(!_.getBoolean(2))
+    // keep-first: the LOWEST id in any cell can never be dropped
+    val minByCell = rows.groupBy(_.getInt(0)).view.mapValues(_.map(_.getLong(1)).min).toMap
+    for (r <- dropped)
+      assert(r.getLong(1) > minByCell(r.getInt(0)), "cell minimum must survive")
+  }
 }
