@@ -39,5 +39,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[SimHashExpr].getName, SimHashExpr.Name),
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         SimHashExpr(children(0))))
+    // analysis-time guardrail (opt-in via spark.graft.strictPlans)
+    ext.injectCheckRule(session => graft.plans.StrictPlanCheck(session))
   }
 }

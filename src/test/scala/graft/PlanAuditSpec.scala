@@ -101,6 +101,25 @@ class PlanAuditSpec extends GraftSuite {
       "narrow input must be spread")
   }
 
+  test("strict-plan guardrail rejects bare cartesians, allows declared broadcasts") {
+    import org.apache.spark.sql.functions.broadcast
+    val a = spark.range(0, 10).toDF("x")
+    val b = spark.range(0, 10).toDF("y")
+    // permissive by default — existing behavior untouched
+    assert(a.crossJoin(b).count() === 100)
+    spark.conf.set(graft.plans.StrictPlanCheck.Conf, "true")
+    try {
+      val e = intercept[Exception] { a.crossJoin(b).count() }
+      assert(e.getMessage.contains("strictPlans"), s"got: ${e.getMessage}")
+      // declared-bounded side passes
+      assert(a.crossJoin(broadcast(b)).count() === 100)
+      // equi joins unaffected
+      assert(a.join(b, a("x") === b("y")).count() === 10)
+      // the engine's own quota cross joins are declared ⇒ still analyze
+      assert(operators.Sessions.s05StratifiedSample(spark, sf).count() > 0)
+    } finally spark.conf.unset(graft.plans.StrictPlanCheck.Conf)
+  }
+
   test("keyed spreadIfNarrow memoizes the decision and keeps plan behavior") {
     val par = spark.sparkContext.defaultParallelism
     val wide = spark.range(0, 1000, 1, par).toDF("id")
