@@ -88,9 +88,25 @@ object SessionJob {
   val DefaultParamsJson: String =
     """{"eventTypes":"click,purchase,view","minValue":"0.0","maxValue":"1000.0"}"""
 
+  /** `stagingDir` is the 100 TB mode: instead of pinning the filtered
+    * frame in executor memory, write it ONCE as date-partitioned
+    * parquet and let every downstream output re-read a pruned columnar
+    * copy — staging cost is one extra write, and any date-scoped
+    * downstream read prunes whole partition directories. `None` (the
+    * default) keeps the in-memory persist, right for interactive runs.
+    * The `date` partition column is cast back to string on re-read
+    * (partition-column type inference would otherwise surface it as
+    * DATE and change downstream grouping keys). */
   def run(s: SparkSession, dir: String, url: String, props: Properties,
-          p: TaskParams, taskUUID: String): Unit = {
-    val ev = Sessions.filteredEvents(s, dir, p).persist()
+          p: TaskParams, taskUUID: String,
+          stagingDir: Option[String] = None): Unit = {
+    val filtered = Sessions.filteredEvents(s, dir, p)
+    val ev = stagingDir match {
+      case Some(path) =>
+        Sinks.writePartitioned(filtered, path, Seq("date"))
+        s.read.parquet(path).withColumn("date", col("date").cast("string"))
+      case None => filtered.persist()
+    }
     try {
       val sess = Sessions.sessionizedFrom(ev)
       def write(df: DataFrame, table: String): Unit =
@@ -100,7 +116,7 @@ object SessionJob {
       write(Sessions.extractFrom(sess), ExtractTable)
       write(Categories.top10From(ev), Top10CategoryTable)
       write(Categories.top10SessionsFrom(ev, sess), Top10SessionTable)
-    } finally { ev.unpersist(); () }
+    } finally { if (stagingDir.isEmpty) { ev.unpersist(); () } }
   }
 
   /** args: [sfDir] [jdbcUrl] [paramsJson]. */

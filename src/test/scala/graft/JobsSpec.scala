@@ -62,6 +62,27 @@ class JobsSpec extends GraftSuite {
     assert(got === expect)
   }
 
+  test("SessionJob staging mode: identical outputs, date-pruned staging reads") {
+    val p = TaskParams.fromJson(SessionJob.DefaultParamsJson)
+    val staging = java.nio.file.Files.createTempDirectory("graft-staging-").toString
+    SessionJob.run(spark, sf, url, props, p, "task-staged", Some(staging))
+    // byte-identical outputs vs the in-memory path ("task-one")
+    for (t <- Seq(SessionJob.RatioTable, SessionJob.ExtractTable)) {
+      val direct = table(t).where(col("task_id") === "task-one")
+        .drop("task_id").collect().map(_.toString).sorted.toSeq
+      val staged = table(t).where(col("task_id") === "task-staged")
+        .drop("task_id").collect().map(_.toString).sorted.toSeq
+      assert(staged === direct, s"$t must not depend on the staging mode")
+    }
+    // a date-scoped read of the staging copy prunes partition dirs
+    val day = spark.read.parquet(staging).select("date").distinct()
+      .collect().map(_.get(0).toString).sorted.head
+    val pruned = spark.read.parquet(staging).where(col("date") === day)
+    val scan = pruned.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters") && scan.contains("isnotnull(date"),
+      s"date filter must prune partitions:\n$scan")
+  }
+
   test("AdverStatJob writes the four streaming outputs keyed by the task UUID") {
     graft.jobs.AdverStatJob.run(spark, sf, url, props, "task-adver")
     import graft.jobs.AdverStatJob._

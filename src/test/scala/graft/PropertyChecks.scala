@@ -51,6 +51,16 @@ object PropertyChecks extends Properties("graft") {
       Predicates.between(c, None, Some(hi)).toString != lit(true).toString
     }
 
+  // the mergeability law m10's scale story rests on: combining per-
+  // partition k-min sketches loses nothing vs sketching the whole input
+  private def kmv(xs: Seq[Long], k: Int): Vector[Long] =
+    xs.distinct.sorted.take(k).toVector
+
+  property("kmv sketch: merge of partition sketches equals the global sketch") =
+    forAll(Gen.listOf(Gen.long), Gen.listOf(Gen.long), Gen.chooseNum(1, 64)) {
+      (a, b, k) => kmv(kmv(a, k) ++ kmv(b, k), k) == kmv(a ++ b, k)
+    }
+
   property("decode stub: deterministic, bounded, total") =
     forAll(Gen.listOf(Gen.chooseNum(Byte.MinValue, Byte.MaxValue))) { bytes =>
       val payload = bytes.toArray
