@@ -326,6 +326,73 @@ object AdAnalytics {
     Streams.runAppend(s, joined)
   }
 
+  // ---------------------------------------------------------------- st10
+  /** Stream-stream LEFT OUTER interval join — st09's attribution join
+    * with the semantics the inner form can't show: an unmatched click
+    * emits a NULL-extended row only once the watermark PROVES no
+    * purchase can still arrive (watermark past click_time + interval).
+    * This is the operator whose output depends on watermark eviction,
+    * not just on matching: clicks younger than (final watermark −
+    * interval) stay buffered at end-of-input and are NOT emitted. The
+    * oracle reproduces exactly that boundary — including that the
+    * global watermark is the MIN across the two sources' (max event
+    * time − delay), pinned empirically: using max over all events
+    * over-emits by the clicks sitting between the two sides' maxima.
+    * State story identical to st09 (evictable, bounded by interval ×
+    * rate). */
+  val OuterWatermark = "1 hour"
+
+  def st10StreamStreamLeftJoin(s: SparkSession, dir: String): DataFrame = {
+    val clicks = Streams.tableStream(s, dir, "events")
+      .where(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"),
+        expr("ts div 1000").as("c_us"), expr("timestamp_micros(ts div 1000)").as("ct"))
+      .withWatermark("ct", OuterWatermark)
+    val purchases = Streams.tableStream(s, dir, "events")
+      .where(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+        expr("ts div 1000").as("p_us"), expr("timestamp_micros(ts div 1000)").as("pt"))
+      .withWatermark("pt", OuterWatermark)
+    val joined = clicks.join(purchases,
+      col("user_id") === col("p_user") &&
+        col("pt") >= col("ct") &&
+        col("pt") <= col("ct") + expr(s"INTERVAL $AttributionWindowMin MINUTES"),
+      "left_outer")
+      .select(col("user_id"), col("click_id"), col("purchase_id"),
+        (col("p_us") - col("c_us")).as("delta_us"))
+    Streams.runAppend(s, joined)
+  }
+
+  val st10Sql: String =
+    s"""WITH wm AS (
+       |  -- the GLOBAL watermark is the MIN across the two stream
+       |  -- sources (each side's max event time − delay), not the max
+       |  -- over all events: the slower side holds the whole join back
+       |  SELECT least(
+       |    (SELECT max(epoch_ns(ts)) FROM events WHERE event_type = 'click'),
+       |    (SELECT max(epoch_ns(ts)) FROM events WHERE event_type = 'purchase')
+       |  ) // 1000 - 3600000000 AS w_us
+       |), clicks AS (
+       |  SELECT user_id, event_id AS click_id, epoch_ns(ts) // 1000 AS c_us
+       |  FROM events WHERE event_type = 'click'
+       |), purchases AS (
+       |  SELECT user_id AS p_user, event_id AS purchase_id, epoch_ns(ts) // 1000 AS p_us
+       |  FROM events WHERE event_type = 'purchase'
+       |), matched AS (
+       |  SELECT c.user_id, c.click_id, p.purchase_id, p.p_us - c.c_us AS delta_us
+       |  FROM clicks c JOIN purchases p
+       |    ON c.user_id = p.p_user
+       |    AND p.p_us >= c.c_us
+       |    AND p.p_us <= c.c_us + ${AttributionWindowMin} * 60 * 1000000
+       |)
+       |SELECT user_id, click_id, purchase_id, delta_us FROM matched
+       |UNION ALL
+       |SELECT c.user_id, c.click_id, CAST(NULL AS BIGINT) AS purchase_id,
+       |  CAST(NULL AS BIGINT) AS delta_us
+       |FROM clicks c, wm
+       |WHERE c.c_us + ${AttributionWindowMin} * 60 * 1000000 < wm.w_us
+       |  AND NOT EXISTS (SELECT 1 FROM matched m WHERE m.click_id = c.click_id)""".stripMargin
+
   val st09Sql: String =
     s"""SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
        |  epoch_ns(p.ts) // 1000 - epoch_ns(c.ts) // 1000 AS delta_us
@@ -336,6 +403,7 @@ object AdAnalytics {
        |  AND p.ts <= c.ts + INTERVAL $AttributionWindowMin MINUTE""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "st10_stream_left_join" -> (st10StreamStreamLeftJoin _),
     "st09_stream_stream_join" -> (st09StreamStreamJoin _),
     "st08_session_window" -> (st08SessionWindow _),
     "st07_stream_dedup" -> (st07StreamDedup _),
@@ -347,6 +415,7 @@ object AdAnalytics {
     "st06_daily_top3" -> (st06DailyTop3 _))
 
   val oracleSql: Map[String, String] = Map(
+    "st10_stream_left_join" -> st10Sql,
     "st09_stream_stream_join" -> st09Sql,
     "st08_session_window" -> st08Sql,
     "st07_stream_dedup" -> st07Sql,
