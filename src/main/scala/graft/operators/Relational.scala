@@ -419,7 +419,39 @@ object Relational {
       |FROM orders
       |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))""".stripMargin
 
+  // ---------------------------------------------------------------- q23
+  /** Relative-rank window family (percent_rank / cume_dist / ntile) —
+    * the remaining analytic-window kit beyond ranking (q04), running
+    * (q14), lead/lag (q16) and RANGE frames (q20). All three are
+    * cross-engine exact: percent_rank = (rank−1)/(n−1) and cume_dist =
+    * rows_preceding_or_peer/n are divisions of exact integers (one
+    * correctly-rounded IEEE op), and ntile's bucket arithmetic is pure
+    * integer math — PROVIDED the ordering is total, so the order key
+    * carries the unique (l_orderkey, l_linenumber) tie-break. One
+    * shuffle on the partition key, like every window here. */
+  val NtileBuckets = 4
+
+  def q23RelativeRank(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("l_returnflag"))
+      .orderBy(col("l_extendedprice").asc, col("l_orderkey").asc, col("l_linenumber").asc)
+    Tables.lineitem(s, dir).select(
+      col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
+      percent_rank().over(w).as("pct_rank"),
+      cume_dist().over(w).as("cume"),
+      ntile(NtileBuckets).over(w).as("quartile"))
+  }
+
+  val q23Sql: String =
+    s"""SELECT l_returnflag, l_orderkey, l_linenumber,
+       |  percent_rank() OVER w AS pct_rank,
+       |  cume_dist() OVER w AS cume,
+       |  ntile($NtileBuckets) OVER w AS quartile
+       |FROM lineitem
+       |WINDOW w AS (PARTITION BY l_returnflag
+       |             ORDER BY l_extendedprice ASC, l_orderkey ASC, l_linenumber ASC)""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q23_relative_rank" -> (q23RelativeRank _),
     "q22_grouping_sets" -> (q22GroupingSets _),
     "q21_set_ops" -> (q21SetOps _),
     "q20_range_frame" -> (q20RangeFrame _),
@@ -444,6 +476,7 @@ object Relational {
     "q16_lead_lag" -> (q16LeadLag _))
 
   val oracleSql: Map[String, String] = Map(
+    "q23_relative_rank" -> q23Sql,
     "q22_grouping_sets" -> q22Sql,
     "q21_set_ops" -> q21Sql,
     "q20_range_frame" -> q20Sql,

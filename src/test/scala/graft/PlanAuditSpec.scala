@@ -101,6 +101,16 @@ class PlanAuditSpec extends GraftSuite {
       "narrow input must be spread")
   }
 
+  test("s08 session rollup reuses the sessionize partitioning (no extra exchange)") {
+    val p = plan(operators.Sessions.s08DeterministicExtract(spark, sf))
+    // exchanges: sessionize window (user_id), stratum-rank window
+    // (date,hour), plus the tiny quota-side aggregates — the rollup
+    // groupBy(user_id, session_id) must NOT add a full-table exchange,
+    // which would show as an Exchange hashpartitioning(session_id...)
+    assert(!p.contains("hashpartitioning(session_id"),
+      s"rollup must reuse the user_id partitioning:\n$p")
+  }
+
   test("strict-plan guardrail rejects bare cartesians, allows declared broadcasts") {
     import org.apache.spark.sql.functions.broadcast
     val a = spark.range(0, 10).toDF("x")
