@@ -433,7 +433,79 @@ object Sessions {
        |FROM ranked WHERE rn <= quota""".stripMargin
   }
 
+  // ---------------------------------------------------------------- s09
+  /** ORDERED, TIME-BOUNDED funnel analysis — the step-conversion
+    * operator behind every product-analytics dashboard: users whose
+    * first view is followed by a click within the attribution window,
+    * then a purchase within the window of that click. Ordering AND
+    * recency both matter (a purchase preceding the click, or a click a
+    * week later, does not convert) — c04's adjacent-pair rates can't
+    * express either. First-occurrence anchors make the definition
+    * deterministic; the window is [[FunnelWindowHours]] (the fixture's
+    * inter-event cadence is hours, so a day-scale window exercises
+    * partial conversion at every step).
+    *
+    * Shape: three user-keyed aggregates chained by joins on the same
+    * key — the exchanges after the first reuse the partitioning (the
+    * subset rule s08 leans on); output is one row of step counts plus
+    * conversion rates (exact-integer divisions). */
+  val FunnelWindowHours = 24L
+
+  def s09Funnel(s: SparkSession, dir: String): DataFrame = {
+    val winNs = FunnelWindowHours * 3600L * 1000000000L
+    val ev = Tables.events(s, dir).select(col("user_id"), col("event_type"), col("ts"))
+    val t1 = ev.where(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+    val t2 = ev.join(t1, Seq("user_id"))
+      .where(col("event_type") === "click" &&
+        col("ts") >= col("t1") && col("ts") <= col("t1") + lit(winNs))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t2"))
+    val t3 = ev.join(t2, Seq("user_id"))
+      .where(col("event_type") === "purchase" &&
+        col("ts") >= col("t2") && col("ts") <= col("t2") + lit(winNs))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t3"))
+    ev.agg(countDistinct(col("user_id")).as("n_users"))
+      .crossJoin(broadcast(t1.agg(count(lit(1)).as("n_view"))))
+      .crossJoin(broadcast(t2.agg(count(lit(1)).as("n_view_click"))))
+      .crossJoin(broadcast(t3.agg(count(lit(1)).as("n_full_funnel"))))
+      .select(
+        col("n_users"),
+        col("n_view"), col("n_view_click"), col("n_full_funnel"),
+        (col("n_view_click").cast("double") / col("n_view").cast("double")).as("rate_click"),
+        (col("n_full_funnel").cast("double") / col("n_view_click").cast("double")).as("rate_purchase"))
+  }
+
+  val s09Sql: String = {
+    val w = FunnelWindowHours * 3600L * 1000000000L
+    s"""WITH t1 AS (
+       |  SELECT user_id, min(epoch_ns(ts)) AS t1 FROM events
+       |  WHERE event_type = 'view' GROUP BY 1
+       |), t2 AS (
+       |  SELECT e.user_id, min(epoch_ns(e.ts)) AS t2
+       |  FROM events e JOIN t1 USING (user_id)
+       |  WHERE e.event_type = 'click'
+       |    AND epoch_ns(e.ts) >= t1.t1 AND epoch_ns(e.ts) <= t1.t1 + $w
+       |  GROUP BY 1
+       |), t3 AS (
+       |  SELECT e.user_id, min(epoch_ns(e.ts)) AS t3
+       |  FROM events e JOIN t2 USING (user_id)
+       |  WHERE e.event_type = 'purchase'
+       |    AND epoch_ns(e.ts) >= t2.t2 AND epoch_ns(e.ts) <= t2.t2 + $w
+       |  GROUP BY 1
+       |)
+       |SELECT
+       |  (SELECT count(DISTINCT user_id) FROM events) AS n_users,
+       |  (SELECT count(*) FROM t1) AS n_view,
+       |  (SELECT count(*) FROM t2) AS n_view_click,
+       |  (SELECT count(*) FROM t3) AS n_full_funnel,
+       |  CAST((SELECT count(*) FROM t2) AS DOUBLE) /
+       |    CAST((SELECT count(*) FROM t1) AS DOUBLE) AS rate_click,
+       |  CAST((SELECT count(*) FROM t3) AS DOUBLE) /
+       |    CAST((SELECT count(*) FROM t2) AS DOUBLE) AS rate_purchase""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s09_funnel" -> (s09Funnel _),
     "s08_deterministic_extract" -> (s08DeterministicExtract _),
     "s07_asof_join" -> (s07AsofJoin _),
     "s01_sessionize" -> (s01Sessionize _),
@@ -444,6 +516,7 @@ object Sessions {
     "s06_session_type_counts" -> (s06SessionTypeCounts _))
 
   val oracleSql: Map[String, String] = Map(
+    "s09_funnel" -> s09Sql,
     "s08_deterministic_extract" -> s08Sql,
     "s07_asof_join" -> s07Sql,
     "s01_sessionize" -> s01Sql,

@@ -100,6 +100,28 @@ class SessionsSpec extends GraftSuite {
     assert(open.count() === ev.count())
   }
 
+  test("s09: funnel narrows strictly, rates exact, window binds") {
+    val r = Sessions.s09Funnel(spark, sf).collect()(0)
+    val (n, v, vc, full) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    assert(n >= v && v > vc && vc > full, s"funnel must narrow strictly: $n $v $vc $full")
+    assert(full > 0, "fixture should have full conversions at the day window")
+    assert(r.getDouble(4) === vc.toDouble / v && r.getDouble(5) === full.toDouble / vc)
+    // the time bound binds: without it, every user with the three types
+    // in order converts — the windowed count must be strictly smaller
+    val unbounded = {
+      val ev = Tables.events(spark, sf).select(col("user_id"), col("event_type"), col("ts"))
+      val t1 = ev.where(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(org.apache.spark.sql.functions.min("ts").as("t1"))
+      val t2 = ev.join(t1, Seq("user_id"))
+        .where(col("event_type") === "click" && col("ts") >= col("t1"))
+        .groupBy(col("user_id")).agg(org.apache.spark.sql.functions.min("ts").as("t2"))
+      ev.join(t2, Seq("user_id"))
+        .where(col("event_type") === "purchase" && col("ts") >= col("t2"))
+        .select("user_id").distinct().count()
+    }
+    assert(full < unbounded, s"window must bind: $full vs unbounded $unbounded")
+  }
+
   test("s08: extraction is deterministic, quota-sized, and re-run-stable") {
     val rows = Sessions.s08DeterministicExtract(spark, sf).collect()
     // per-stratum sizes obey the same quota formula s05 pins
