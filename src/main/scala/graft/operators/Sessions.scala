@@ -504,7 +504,42 @@ object Sessions {
        |    CAST((SELECT count(*) FROM t2) AS DOUBLE) AS rate_purchase""".stripMargin
   }
 
+  // ---------------------------------------------------------------- s10
+  /** COHORT RETENTION — the other half of the product-analytics pair
+    * with s09: bucket users by their first-seen day (the cohort), then
+    * for each (cohort, day-offset) count how many of that cohort were
+    * active again offset days later. Day arithmetic runs on integer
+    * epoch-days (sec div 86400) so both engines agree exactly and the
+    * matrix keys are plain ints.
+    *
+    * Shape: one aggregate for cohorts (user-keyed), one distinct over
+    * (user, day) — both reuse the user partitioning for the join
+    * between them — then ONE count-distinct exchange keyed by the
+    * (cohort_day, offset) matrix cell. Output is the full retention
+    * triangle; offset 0 is each cohort's size. */
+  def s10CohortRetention(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"), expr("ts div 1000000000 div 86400").as("day"))
+    val cohorts = ev.groupBy(col("user_id")).agg(min(col("day")).as("cohort_day"))
+    val active = ev.distinct()
+    active.join(cohorts, Seq("user_id"))
+      .groupBy(col("cohort_day"), (col("day") - col("cohort_day")).as("day_offset"))
+      .agg(countDistinct(col("user_id")).as("n_active"))
+  }
+
+  val s10Sql: String =
+    """WITH ev AS (
+      |  SELECT DISTINCT user_id, epoch_ns(ts) // 1000000000 // 86400 AS day FROM events
+      |), cohorts AS (
+      |  SELECT user_id, min(day) AS cohort_day FROM ev GROUP BY 1
+      |)
+      |SELECT c.cohort_day, e.day - c.cohort_day AS day_offset,
+      |  count(DISTINCT e.user_id) AS n_active
+      |FROM ev e JOIN cohorts c USING (user_id)
+      |GROUP BY 1, 2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s10_cohort_retention" -> (s10CohortRetention _),
     "s09_funnel" -> (s09Funnel _),
     "s08_deterministic_extract" -> (s08DeterministicExtract _),
     "s07_asof_join" -> (s07AsofJoin _),
@@ -516,6 +551,7 @@ object Sessions {
     "s06_session_type_counts" -> (s06SessionTypeCounts _))
 
   val oracleSql: Map[String, String] = Map(
+    "s10_cohort_retention" -> s10Sql,
     "s09_funnel" -> s09Sql,
     "s08_deterministic_extract" -> s08Sql,
     "s07_asof_join" -> s07Sql,

@@ -122,6 +122,21 @@ class SessionsSpec extends GraftSuite {
     assert(full < unbounded, s"window must bind: $full vs unbounded $unbounded")
   }
 
+  test("s10: retention triangle is consistent (offset-0 = cohort size, actives bounded)") {
+    val rows = Sessions.s10CohortRetention(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(rows.nonEmpty)
+    assert(rows.keys.forall(_._2 >= 0), "offsets are non-negative by construction")
+    val cohortSize = rows.collect { case ((c, 0L), n) => c -> n }
+    assert(cohortSize.nonEmpty, "every cohort is active on its own first day")
+    for (((c, off), n) <- rows if off > 0)
+      cohortSize.get(c).foreach(size =>
+        assert(n <= size, s"cohort $c offset $off: $n actives > size $size"))
+    // total users = sum of cohort sizes
+    val users = Tables.events(spark, sf).select("user_id").distinct().count()
+    assert(cohortSize.values.sum === users)
+  }
+
   test("s08: extraction is deterministic, quota-sized, and re-run-stable") {
     val rows = Sessions.s08DeterministicExtract(spark, sf).collect()
     // per-stratum sizes obey the same quota formula s05 pins
