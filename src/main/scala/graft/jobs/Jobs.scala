@@ -26,11 +26,11 @@ import graft.operators.{Categories, Sessions}
   *    reference hardcodes MySQL; tests use embedded Derby — same code).
   *
   * Scale notes: nothing here collects to the driver — every output goes
-  * executor→JDBC partition-parallel, and the persisted filtered frame is
-  * the only shared state. At 100 TB you'd swap the persist for a
-  * date-partitioned parquet staging write ([[Sinks.writePartitioned]])
-  * so downstream outputs re-read a pruned columnar copy instead of
-  * pinning executor memory.
+  * executor→JDBC partition-parallel, and the shared filtered frame is
+  * the only shared state. At 100 TB pass SessionJob a `stagingDir`: the
+  * filtered frame is then written once as date-partitioned parquet and
+  * every output re-reads a pruned columnar copy instead of pinning
+  * executor memory (byte-identical outputs, pinned in JobsSpec).
   */
 object Jobs {
   /** Runtime confs every graft entry point needs (the events fixture
