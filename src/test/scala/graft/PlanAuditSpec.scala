@@ -130,6 +130,21 @@ class PlanAuditSpec extends GraftSuite {
     } finally spark.conf.unset(graft.plans.StrictPlanCheck.Conf)
   }
 
+  test("no query in the whole registry plans a CartesianProduct") {
+    // building a plan is free for declarative queries; excluded are the
+    // entries whose CONSTRUCTION executes work (streaming runs to
+    // completion, the iterative CC loops, m09's table writes) — their
+    // shapes are pinned individually elsewhere
+    val excluded = Set("d14_neardup_clusters", "d17_star_clusters", "m09_bucketed_join")
+    val names = SparkEntry.queries.keys.toSeq.sorted
+      .filterNot(n => n.startsWith("st") || excluded(n))
+    for (name <- names) {
+      val p = SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+      assert(!p.contains("CartesianProduct"),
+        s"$name must not plan a cartesian product:\n$p")
+    }
+  }
+
   test("keyed spreadIfNarrow memoizes the decision and keeps plan behavior") {
     val par = spark.sparkContext.defaultParallelism
     val wide = spark.range(0, 1000, 1, par).toDF("id")
