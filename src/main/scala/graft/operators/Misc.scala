@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.Tables
@@ -330,7 +330,67 @@ object Misc {
        |FROM ex JOIN sk ON ex.event_type = sk.event_type""".stripMargin
   }
 
+  // ---------------------------------------------------------------- m11
+  /** COUNT-MIN heavy hitters — the counter sketch beside m10's
+    * cardinality sketch: a d×w grid of counters, each row keyed by an
+    * independent portable hash; a key's estimate is the MIN of its d
+    * cells and can only OVER-estimate (collisions add, never subtract —
+    * pinned in the spec). Seeding the rows with h64(key || '|' || row)
+    * instead of engine PRNG state makes the estimates bit-exact
+    * reproducible, so the oracle hash-compares them.
+    *
+    * Why a sketch when groupBy-count exists: the grid is d·w integers
+    * REGARDLESS of key cardinality, and counter addition is the merge —
+    * partial aggregation reduces every partition to the fixed-size grid
+    * before the exchange, where an exact per-key count shuffles the key
+    * universe. The query builds cells from per-key subtotals (sum is
+    * associative, so the arithmetic is identical to per-occurrence
+    * increments) and reports the true top-10 keys' exact vs estimated
+    * counts — the error readout a production deployment monitors. */
+  val CmsRows = 3
+  val CmsWidth = 256L
+  val CmsTopK = 10
+
+  def m11CmsHeavyHitters(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Portable
+    def bucket(user: Column, j: Column): Column =
+      Portable.h64(concat(user.cast("string"), lit("|"), j.cast("string"))) % CmsWidth
+    val exact = Tables.events(s, dir)
+      .groupBy(col("user_id")).agg(count(lit(1)).as("exact_n"))
+    val rows = exact.withColumn("j", explode(array((0 until CmsRows).map(lit): _*)))
+      .withColumn("bucket", bucket(col("user_id"), col("j")))
+    val cells = rows.groupBy(col("j"), col("bucket"))
+      .agg(sum(col("exact_n")).as("cell_n"))
+    val top = exact
+      .orderBy(col("exact_n").desc, col("user_id").asc).limit(CmsTopK)
+      .withColumn("j", explode(array((0 until CmsRows).map(lit): _*)))
+      .withColumn("bucket", bucket(col("user_id"), col("j")))
+    top.join(cells, Seq("j", "bucket"))
+      .groupBy(col("user_id"), col("exact_n"))
+      .agg(min(col("cell_n")).as("est_n"))
+  }
+
+  val m11Sql: String = {
+    def h(jRef: String) = graft.functions.Portable.h64Sql(
+      s"CAST(user_id AS VARCHAR) || '|' || CAST($jRef AS VARCHAR)")
+    s"""WITH exact AS (
+       |  SELECT user_id, count(*) AS exact_n FROM events GROUP BY 1
+       |), cells AS (
+       |  SELECT j, ${h("j")} % $CmsWidth AS bucket,
+       |    CAST(sum(exact_n) AS BIGINT) AS cell_n
+       |  FROM exact, generate_series(0, ${CmsRows - 1}) g(j)
+       |  GROUP BY 1, 2
+       |), top AS (
+       |  SELECT * FROM exact ORDER BY exact_n DESC, user_id ASC LIMIT $CmsTopK
+       |)
+       |SELECT t.user_id, t.exact_n, min(c.cell_n) AS est_n
+       |FROM top t, generate_series(0, ${CmsRows - 1}) g(j)
+       |JOIN cells c ON c.j = g.j AND c.bucket = ${h("g.j")} % $CmsWidth
+       |GROUP BY 1, 2""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m11_cms_heavy_hitters" -> (m11CmsHeavyHitters _),
     "m10_kmv_distinct" -> (m10KmvDistinct _),
     "m09_bucketed_join" -> (m09BucketedJoin _),
     "m08_catalog_scan" -> (m08CatalogScan _),
@@ -343,6 +403,7 @@ object Misc {
     "m06_salted_agg" -> (m06SaltedAgg _))
 
   val oracleSql: Map[String, String] = Map(
+    "m11_cms_heavy_hitters" -> m11Sql,
     "m10_kmv_distinct" -> m10Sql,
     "m09_bucketed_join" -> m09Sql,
     "m08_catalog_scan" -> m08Sql,

@@ -82,6 +82,17 @@ class MultimodalSpec extends GraftSuite {
     assert(rows.map(_.toString).sorted.toSeq === again.map(_.toString).sorted.toSeq)
   }
 
+  test("m11: count-min never underestimates and finds the true heavy hitters") {
+    val rows = graft.operators.Misc.m11CmsHeavyHitters(spark, sf).collect()
+    assert(rows.length === graft.operators.Misc.CmsTopK)
+    for (r <- rows)
+      assert(r.getLong(2) >= r.getLong(1),
+        s"CMS must overestimate: user ${r.getLong(0)} est ${r.getLong(2)} < exact ${r.getLong(1)}")
+    // with 150 users in 3x256 cells, collisions are rare: most top-10
+    // estimates should be exact
+    assert(rows.count(r => r.getLong(2) === r.getLong(1)) >= rows.length / 2)
+  }
+
   test("m-suite: sql entry + local collection agree with direct plans") {
     val viaSql = graft.operators.Misc.m01SqlEntry(spark, sf)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
