@@ -450,7 +450,39 @@ object Relational {
        |WINDOW w AS (PARTITION BY l_returnflag
        |             ORDER BY l_extendedprice ASC, l_orderkey ASC, l_linenumber ASC)""".stripMargin
 
+  // ---------------------------------------------------------------- q24
+  /** FILTER-clause aggregates — the standard-SQL form of conditional
+    * aggregation (`agg(x) FILTER (WHERE p)`), the declarative twin of
+    * the `sum(when(...))` idiom used throughout (s03/s04): each
+    * aggregate carries its own predicate in ONE pass over the data, and
+    * Catalyst plans it as the same single hash aggregate. Money columns
+    * route through DECIMAL so the filtered sums hash-match. */
+  def q24FilterAgg(s: SparkSession, dir: String): DataFrame = {
+    Tables.orders(s, dir).createOrReplaceTempView("orders_q24")
+    s.sql("""
+      SELECT o_orderpriority,
+             count(*) AS n_orders,
+             count(*) FILTER (WHERE o_orderstatus = 'F') AS n_finished,
+             count(*) FILTER (WHERE o_orderstatus = 'O') AS n_open,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                  FILTER (WHERE o_orderstatus = 'F') AS DOUBLE) AS finished_revenue
+      FROM orders_q24
+      GROUP BY o_orderpriority
+    """)
+  }
+
+  val q24Sql: String =
+    """SELECT o_orderpriority,
+      |  count(*) AS n_orders,
+      |  count(*) FILTER (WHERE o_orderstatus = 'F') AS n_finished,
+      |  count(*) FILTER (WHERE o_orderstatus = 'O') AS n_open,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+      |       FILTER (WHERE o_orderstatus = 'F') AS DOUBLE) AS finished_revenue
+      |FROM orders
+      |GROUP BY o_orderpriority""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q24_filter_agg" -> (q24FilterAgg _),
     "q23_relative_rank" -> (q23RelativeRank _),
     "q22_grouping_sets" -> (q22GroupingSets _),
     "q21_set_ops" -> (q21SetOps _),
@@ -476,6 +508,7 @@ object Relational {
     "q16_lead_lag" -> (q16LeadLag _))
 
   val oracleSql: Map[String, String] = Map(
+    "q24_filter_agg" -> q24Sql,
     "q23_relative_rank" -> q23Sql,
     "q22_grouping_sets" -> q22Sql,
     "q21_set_ops" -> q21Sql,
