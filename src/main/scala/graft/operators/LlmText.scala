@@ -134,6 +134,24 @@ object LlmText {
   val BandRowsConf = "spark.graft.lsh.bandRows"
 
   def d03LshNeardup(s: SparkSession, dir: String): DataFrame = {
+    val (verified, caches) = d03Lazy(s, dir)
+    // materialize the verified pairs (candidate pairs ≪ corpus — the
+    // whole point of LSH) and release the shingle/signature caches: a
+    // terminal persist without unpersist leaks one CacheManager entry
+    // per invocation for the JVM lifetime — with d09/d11/d14/d17 each
+    // embedding d03, a bench sweep leaked the full shingle table several
+    // times over. Bonus: compositions that read the pair list twice
+    // (d09's survivor anti-join, d14/d17's edge rounds) now reuse this
+    // materialization instead of re-running the band join.
+    val out = verified.localCheckpoint(eager = true)
+    caches.foreach(_.unpersist())
+    out
+  }
+
+  /** The un-materialized d03 plan + the caches it persists — the form
+    * PlanAuditSpec inspects (the public entry checkpoints the result, so
+    * its executed plan is just the RDD scan). Callers own the unpersist. */
+  private[graft] def d03Lazy(s: SparkSession, dir: String): (DataFrame, Seq[DataFrame]) = {
     // persist: the signature table feeds both sides of the band join
     // (re-evaluations of the whole shingle+hash pipeline otherwise —
     // SURVEY M3, the shared-intermediate persist) and the shingle sets
@@ -169,11 +187,12 @@ object LlmText {
       .distinct()
     val verA = SelfJoin.on(
       cand, shd.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
-    SelfJoin.on(
+    val verified = SelfJoin.on(
       verA, shd.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
       .select(col("doc_a"), col("doc_b"),
         (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
           size(array_union(col("sh_a"), col("sh_b"))).cast("double")).as("jaccard"))
+    (verified, Seq(shd, sig))
   }
 
   val d03Sql: String = {
@@ -679,7 +698,12 @@ object LlmText {
         s"min-label propagation did not converge in $maxRounds rounds " +
           "(component diameter exceeds the cap); use starComponents for deep graphs")
     }
-    labels.select(col("doc_id"), col("comp").as("cluster_id"))
+    // materialize the (small) label table, then release the final
+    // round's cache — the loop unpersisted every round but the last
+    val out = labels.select(col("doc_id"), col("comp").as("cluster_id"))
+      .localCheckpoint(eager = true)
+    labels.unpersist()
+    out
   }
 
   private def labelSum(df: DataFrame): java.math.BigDecimal =

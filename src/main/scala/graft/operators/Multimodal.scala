@@ -165,9 +165,11 @@ object Multimodal {
     * the blob stays opaque through the scan, and a `pathGlobFilter` /
     * partition-dir layout prunes at the listing, not after read.
     *
-    * The oracle path is pinned to the driver's verify SF (sf0.01, per
-    * the TESTDATA contract) because oracle SQL is static while the
-    * query runs on whatever dir it is handed. */
+    * The oracle must read the SAME directory the query is handed, but
+    * oracle SQL is a static string — so the path is a `__SF_DIR__`
+    * placeholder that [[graft.Verify]] templates with its sfDir argument
+    * at dump time (a hardcoded fixture path would silently compare
+    * against the wrong files at any other scale factor). */
   def mm05BinaryIngest(s: SparkSession, dir: String): DataFrame =
     s.read.format("binaryFile")
       .option("pathGlobFilter", "*.parquet")
@@ -179,7 +181,7 @@ object Multimodal {
   val mm05Sql: String =
     """SELECT regexp_extract(filename, '([^/]+)$', 1) AS file_name,
       |  CAST(size AS BIGINT) AS n_bytes
-      |FROM read_blob('/root/testdata/sf0.01/*.parquet')""".stripMargin
+      |FROM read_blob('__SF_DIR__/*.parquet')""".stripMargin
 
   // ------------------------------------------------------- decode stub
   final case class MediaFrame(media_id: Long, frame_idx: Int, payload: Array[Byte])

@@ -270,12 +270,21 @@ object Sessions {
     // rand must be materialized in a Project before it can order a window
     val w = Window.partitionBy(col("date"), col("hour"))
       .orderBy(col("rnd"), col("event_id"))
-    ev.join(broadcast(quota), Seq("date", "hour"))
+    val result = ev.join(broadcast(quota), Seq("date", "hour"))
       .withColumn("rnd", rand(42))
       .withColumn("rn", row_number().over(w))
       .where(col("rn") <= col("quota"))
       .groupBy(col("date"), col("hour"))
       .agg(count(lit(1)).as("n_sampled"))
+    // materialize the (one-row-per-stratum) result eagerly so the shared
+    // counts cache can be released here — a terminal persist without
+    // unpersist leaks one CacheManager entry per invocation for the
+    // session lifetime (bench sweeps and repeated job runs share a JVM).
+    // localCheckpoint blocks are RDD-level: freed by the ContextCleaner
+    // once the result is unreferenced, unlike the SQL cache.
+    val out = result.localCheckpoint(eager = true)
+    counts.unpersist()
+    out
   }
 
   val s05Sql: String =
@@ -376,6 +385,22 @@ object Sessions {
     extractFrom(sessionized(s, dir))
 
   def extractFrom(sessionizedEv: DataFrame): DataFrame = {
+    val (extract, sess) = extractLazy(sessionizedEv)
+    // the extract is bounded by construction (Σ quotas ≈ SampleTarget +
+    // #strata rows): materialize it eagerly, then release the session
+    // rollup's cache instead of leaking one MEMORY_AND_DISK entry per
+    // invocation (s05 has the same lifecycle; SessionJob owns its own
+    // frame's persist/unpersist in try/finally)
+    val out = extract.localCheckpoint(eager = true)
+    sess.unpersist()
+    out
+  }
+
+  /** The un-materialized extract plan + the session-rollup cache it
+    * rides on — the form PlanAuditSpec inspects (the public entry
+    * checkpoints the result, so its executed plan is just the RDD
+    * scan). Callers own the unpersist. */
+  private[graft] def extractLazy(sessionizedEv: DataFrame): (DataFrame, DataFrame) = {
     import graft.functions.Portable
     // user_id in the GROUP KEY (it's session_id's prefix, so no grain
     // change): the sessionize window already hash-partitioned on
@@ -397,12 +422,13 @@ object Sessions {
       .select(col("date"), col("hour"), col("quota"))
     val w = Window.partitionBy(col("date"), col("hour"))
       .orderBy(col("h"), col("session_id"))
-    sess.join(broadcast(quota), Seq("date", "hour"))
+    val extract = sess.join(broadcast(quota), Seq("date", "hour"))
       .withColumn("h", Portable.h64(col("session_id")))
       .withColumn("rn", row_number().over(w))
       .where(col("rn") <= col("quota"))
       .select(col("date"), col("hour"), col("session_id"), col("user_id"),
         col("start_us"), col("n_events"))
+    (extract, sess)
   }
 
   val s08Sql: String = {

@@ -2,7 +2,7 @@ package graft.plans
 
 import org.apache.spark.SparkException
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.plans.logical.{Join, LogicalPlan, ResolvedHint}
+import org.apache.spark.sql.catalyst.plans.logical.{BROADCAST, Join, LogicalPlan, ResolvedHint, UnaryNode}
 
 /** Opt-in analysis-time PLAN GUARDRAIL (`spark.graft.strictPlans=true`),
   * registered through `SparkSessionExtensions.injectCheckRule` — the
@@ -32,8 +32,15 @@ import org.apache.spark.sql.catalyst.plans.logical.{Join, LogicalPlan, ResolvedH
 object StrictPlanCheck {
   val Conf = "spark.graft.strictPlans"
 
+  /** The hint is matched against the BROADCAST strategy OBJECT (not a
+    * toString substring — brittle against renames), and searched through
+    * unary nodes below the join side: `broadcast(df).select(...)` leaves
+    * the ResolvedHint under a Project, and the declaration it expresses
+    * is no less explicit for it. The descent stops at binary nodes — a
+    * hint beyond a nested join belongs to that join, not this one. */
   private def broadcastDeclared(p: LogicalPlan): Boolean = p match {
-    case h: ResolvedHint => h.hints.strategy.exists(_.toString.contains("broadcast"))
+    case h: ResolvedHint if h.hints.strategy.contains(BROADCAST) => true
+    case u: UnaryNode => broadcastDeclared(u.child)
     case _ => false
   }
 

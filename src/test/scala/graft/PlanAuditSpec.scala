@@ -28,9 +28,14 @@ class PlanAuditSpec extends GraftSuite {
   }
 
   test("LSH candidate generation never plans a cartesian product") {
-    val p = plan(LlmText.d03LshNeardup(spark, sf))
-    assert(!p.contains("CartesianProduct"), s"cartesian in LSH plan:\n$p")
-    assert(p.contains("BroadcastHashJoin"), s"band joins should broadcast:\n$p")
+    // the lazy form: the public d03 checkpoints its result, so its
+    // executed plan is just the RDD scan — the join shape lives here
+    val (d03, caches) = LlmText.d03Lazy(spark, sf)
+    try {
+      val p = plan(d03)
+      assert(!p.contains("CartesianProduct"), s"cartesian in LSH plan:\n$p")
+      assert(p.contains("BroadcastHashJoin"), s"band joins should broadcast:\n$p")
+    } finally caches.foreach(_.unpersist())
   }
 
   test("bucketed ANN joins on the bucket key via broadcast hash join") {
@@ -42,7 +47,8 @@ class PlanAuditSpec extends GraftSuite {
   test("shuffle strategy plans sort-merge joins with an exchange on the bucket key") {
     spark.conf.set(graft.operators.SelfJoin.StrategyConf, "shuffle")
     try {
-      val pLsh = plan(LlmText.d03LshNeardup(spark, sf))
+      val (d03, caches) = LlmText.d03Lazy(spark, sf)
+      val pLsh = try plan(d03) finally caches.foreach(_.unpersist())
       assert(!pLsh.contains("CartesianProduct"), s"cartesian in shuffle LSH plan:\n$pLsh")
       assert(pLsh.contains("SortMergeJoin"), s"band joins should sort-merge:\n$pLsh")
       assert(!pLsh.contains("BroadcastHashJoin"),
@@ -102,13 +108,18 @@ class PlanAuditSpec extends GraftSuite {
   }
 
   test("s08 session rollup reuses the sessionize partitioning (no extra exchange)") {
-    val p = plan(operators.Sessions.s08DeterministicExtract(spark, sf))
-    // exchanges: sessionize window (user_id), stratum-rank window
-    // (date,hour), plus the tiny quota-side aggregates — the rollup
-    // groupBy(user_id, session_id) must NOT add a full-table exchange,
-    // which would show as an Exchange hashpartitioning(session_id...)
-    assert(!p.contains("hashpartitioning(session_id"),
-      s"rollup must reuse the user_id partitioning:\n$p")
+    // the lazy form — the public extract checkpoints its result
+    val (extract, sess) =
+      operators.Sessions.extractLazy(operators.Sessions.sessionized(spark, sf))
+    try {
+      val p = plan(extract)
+      // exchanges: sessionize window (user_id), stratum-rank window
+      // (date,hour), plus the tiny quota-side aggregates — the rollup
+      // groupBy(user_id, session_id) must NOT add a full-table exchange,
+      // which would show as an Exchange hashpartitioning(session_id...)
+      assert(!p.contains("hashpartitioning(session_id"),
+        s"rollup must reuse the user_id partitioning:\n$p")
+    } finally sess.unpersist()
   }
 
   test("strict-plan guardrail rejects bare cartesians, allows declared broadcasts") {
