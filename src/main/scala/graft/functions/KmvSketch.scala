@@ -1,0 +1,93 @@
+package graft.functions
+
+import org.apache.spark.sql.{Encoder, Encoders}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.expressions.{Aggregator, UserDefinedFunction}
+import org.apache.spark.sql.functions
+
+/** KMV (k-minimum-values) distinct-count sketch as a MERGEABLE typed
+  * `Aggregator` — the form that actually scales (round-4 verdict): the
+  * buffer is the k smallest DISTINCT hash values, bounded at k elements,
+  * so map-side partial aggregation reduces every partition to ≤ k values
+  * per group BEFORE the exchange. The window-form derivation
+  * (row_number ≤ k, [[graft.operators.Misc.m10KmvWindowForm]]) computes
+  * the same sketch but shuffles the whole distinct key universe into one
+  * sort per group — at 100 TB that is a single-reducer sort per group,
+  * the exact thing a mergeable sketch exists to avoid. The two forms are
+  * pinned row-identical in KmvAggregatorSpec; the window form stays as
+  * the DuckDB oracle derivation.
+  *
+  * The merge is the textbook KMV union (Bar-Yossef et al. 2002; see also
+  * the theta-sketch family): k smallest of the distinct union of two
+  * sorted k-min sets — associative, commutative, idempotent, which is
+  * what lets Spark combine partials in any tree shape.
+  */
+object KmvSketch {
+
+  /** Sketch readout: `m` = number of retained values (< k means the
+    * group's whole distinct set fit — the estimate is exact), `kth` =
+    * the largest retained value (the k-th minimum when full). */
+  final case class Kmv(m: Long, kth: Long)
+
+  private[graft] final class KmvAgg(k: Int) extends Aggregator[Long, Array[Long], Kmv] {
+    require(k >= 1, s"kmv sketch size must be >= 1, got $k")
+
+    override def zero: Array[Long] = Array.emptyLongArray
+
+    /** Sorted-insert keeping the array ascending, distinct, ≤ k long. */
+    override def reduce(b: Array[Long], h: Long): Array[Long] = {
+      val pos = java.util.Arrays.binarySearch(b, h)
+      if (pos >= 0) b // already present — distinct semantics
+      else {
+        val ins = -pos - 1
+        if (b.length < k) {
+          val out = new Array[Long](b.length + 1)
+          System.arraycopy(b, 0, out, 0, ins)
+          out(ins) = h
+          System.arraycopy(b, ins, out, ins + 1, b.length - ins)
+          out
+        } else if (ins < k) { // displaces the current max
+          val out = new Array[Long](k)
+          System.arraycopy(b, 0, out, 0, ins)
+          out(ins) = h
+          System.arraycopy(b, ins, out, ins + 1, k - ins - 1)
+          out
+        } else b // larger than the k-th min of a full sketch
+      }
+    }
+
+    /** k smallest of the distinct union of two sorted distinct arrays. */
+    override def merge(b1: Array[Long], b2: Array[Long]): Array[Long] = {
+      val bound = math.min(k, b1.length + b2.length)
+      val out = new Array[Long](bound)
+      var i = 0
+      var j = 0
+      var n = 0
+      while (n < bound && (i < b1.length || j < b2.length)) {
+        val v =
+          if (j >= b2.length) { i += 1; b1(i - 1) }
+          else if (i >= b1.length) { j += 1; b2(j - 1) }
+          else if (b1(i) < b2(j)) { i += 1; b1(i - 1) }
+          else if (b1(i) > b2(j)) { j += 1; b2(j - 1) }
+          else { i += 1; j += 1; b1(i - 1) } // equal: consume both once
+        out(n) = v
+        n += 1
+      }
+      if (n == bound) out else java.util.Arrays.copyOf(out, n)
+    }
+
+    override def finish(b: Array[Long]): Kmv =
+      Kmv(b.length.toLong, if (b.isEmpty) 0L else b(b.length - 1))
+
+    override def bufferEncoder: Encoder[Array[Long]] = ExpressionEncoder[Array[Long]]()
+    override def outputEncoder: Encoder[Kmv] = Encoders.product[Kmv]
+  }
+
+  /** Column-API handle: `df.agg(KmvSketch.kmv(64)(col("h")))` → struct
+    * (m, kth). Input must already be the portable hash (the caller owns
+    * the hash so the DuckDB oracle can reproduce it). */
+  def kmv(k: Int): UserDefinedFunction = functions.udaf(new KmvAgg(k))
+
+  /** Test handle for the law checks (reduce/merge as pure functions). */
+  private[graft] def agg(k: Int): KmvAgg = new KmvAgg(k)
+}

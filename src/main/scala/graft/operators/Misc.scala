@@ -280,16 +280,45 @@ object Misc {
     * Why a sketch when countDistinct exists: KMV is MERGEABLE — the
     * union of two sketches is the k smallest of their values — so at
     * 100 TB per-partition sketches combine map-side into a k-row state
-    * per group, never shuffling the key universe; this query pins the
-    * estimator arithmetic, and the window form it uses IS the
-    * per-group k-min merge (TakeOrdered-per-key). (k−1)·2^60 is exact
-    * in a double (63·2^60 has a 6-bit significand), and m_k < 2^60
-    * casts exactly, so the final division is one correctly-rounded op
-    * — identical in both engines. Groups with fewer than k distinct
-    * keys report their exact count (the sketch isn't full). */
+    * per group, never shuffling the key universe. The query computes
+    * the sketch with the typed [[graft.functions.KmvSketch]] Aggregator
+    * (bounded k-element buffer; the plan shows a PARTIAL
+    * ObjectHashAggregate — each partition reduces to ≤ k values per
+    * group before the exchange). (k−1)·2^60 is exact in a double
+    * (63·2^60 has a 6-bit significand), and m_k < 2^60 casts exactly,
+    * so the final division is one correctly-rounded op — identical in
+    * both engines. Groups with fewer than k distinct keys report their
+    * exact count (the sketch isn't full). The exact count rides along
+    * for error inspection — it is the readout a deployment monitors,
+    * not part of the sketch's cost story. */
   val KmvK = 64
 
   def m10KmvDistinct(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.{KmvSketch, Portable}
+    val kmv = KmvSketch.kmv(KmvK)
+    Tables.events(s, dir)
+      .select(col("event_type"), col("user_id"), Portable.h64(col("user_id")).as("h"))
+      .groupBy(col("event_type"))
+      .agg(
+        countDistinct(col("user_id")).as("n_exact"),
+        kmv(col("h")).as("sk"))
+      .select(col("event_type"), col("n_exact"),
+        when(col("sk.m") < KmvK, col("sk.m").cast("double"))
+          .otherwise(lit((KmvK - 1).toDouble) * lit(1152921504606846976.0) /
+            col("sk.kth").cast("double"))
+          .as("est_distinct"))
+  }
+
+  /** The window-form derivation of the SAME sketch — kept as the oracle
+    * twin (it is literally [[m10Sql]]'s plan) and the comparison target
+    * KmvAggregatorSpec pins row-for-row against the Aggregator form.
+    * NOT the scale path: row_number over (event_type) shuffles the
+    * entire distinct (event_type, user) universe and sorts each group's
+    * full key set on one task. The one observable divergence would be a
+    * 60-bit hash collision between distinct users (the window form
+    * counts both rows, the sketch keeps distinct VALUES) — probability
+    * ~2^-60 per pair, absent from any fixture. */
+  private[graft] def m10KmvWindowForm(s: SparkSession, dir: String): DataFrame = {
     import graft.functions.Portable
     val du = Tables.events(s, dir)
       .select(col("event_type"), col("user_id")).distinct()
