@@ -41,15 +41,16 @@ object AdAnalytics {
   // ---------------------------------------------------------------- st01
   /** Raw line parse (P5) → typed columns → keyed count, complete mode:
     * the 需求7 per-key count shape, minus sentinels. */
-  def st01ParseCount(s: SparkSession, dir: String): DataFrame = {
-    val parsed = lines(s, dir)
-      .withColumn("f", split(col("value"), " "))
-      .select(
-        col("f").getItem(0).cast("long").as("ts"),
-        col("f").getItem(1).cast("long").as("user_id"),
-        col("f").getItem(2).as("event_type"))
-    Streams.runComplete(s, parsed.groupBy(col("event_type")).agg(count(lit(1)).as("n")))
-  }
+  def st01ParseCount(s: SparkSession, dir: String): DataFrame =
+    Streams.runComplete(s) { ss =>
+      lines(ss, dir)
+        .withColumn("f", split(col("value"), " "))
+        .select(
+          col("f").getItem(0).cast("long").as("ts"),
+          col("f").getItem(1).cast("long").as("user_id"),
+          col("f").getItem(2).as("event_type"))
+        .groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+    }
 
   val st01Sql: String =
     "SELECT event_type, count(*) AS n FROM events GROUP BY 1"
@@ -59,16 +60,15 @@ object AdAnalytics {
     * watermark (ST8+ST9: AdverStat.scala:93-109 reduceByKeyAndWindow —
     * which trusted wall-clock and never expired state; the watermark is
     * the documented divergence). Window starts surface as epoch seconds. */
-  def st02SlidingWindow(s: SparkSession, dir: String): DataFrame = {
-    val ev = Streams.tableStream(s, dir, "events")
-      .withColumn("t", expr("timestamp_micros(ts div 1000)"))
-      .withWatermark("t", "10 minutes")
-    val agg = ev
-      .groupBy(window(col("t"), "1 hour", "15 minutes"), col("event_type"))
-      .agg(count(lit(1)).as("n"))
-      .select(col("window.start").cast("long").as("ws_sec"), col("event_type"), col("n"))
-    Streams.runComplete(s, agg)
-  }
+  def st02SlidingWindow(s: SparkSession, dir: String): DataFrame =
+    Streams.runComplete(s) { ss =>
+      Streams.tableStream(ss, dir, "events")
+        .withColumn("t", expr("timestamp_micros(ts div 1000)"))
+        .withWatermark("t", "10 minutes")
+        .groupBy(window(col("t"), "1 hour", "15 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("window.start").cast("long").as("ws_sec"), col("event_type"), col("n"))
+    }
 
   val st02Sql: String =
     """WITH ev AS (
@@ -85,16 +85,20 @@ object AdAnalytics {
     * Blacklist = users with > 18 'error' events. */
   val ErrorThreshold = 18L
 
-  def st03BlacklistAnti(s: SparkSession, dir: String): DataFrame = {
-    val blacklist = graft.Tables.events(s, dir)
-      .where(col("event_type") === "error")
-      .groupBy(col("user_id")).agg(count(lit(1)).as("n_err"))
-      .where(col("n_err") > ErrorThreshold)
-      .select(col("user_id"))
-    val clean = Streams.tableStream(s, dir, "events")
-      .join(blacklist, Seq("user_id"), "left_anti")
-    Streams.runComplete(s, clean.groupBy(col("user_id")).agg(count(lit(1)).as("n")))
-  }
+  def st03BlacklistAnti(s: SparkSession, dir: String): DataFrame =
+    Streams.runComplete(s) { ss =>
+      // the static side is built on the SAME child session as the
+      // stream — it is re-resolved each micro-batch under that
+      // session's conf
+      val blacklist = graft.Tables.events(ss, dir)
+        .where(col("event_type") === "error")
+        .groupBy(col("user_id")).agg(count(lit(1)).as("n_err"))
+        .where(col("n_err") > ErrorThreshold)
+        .select(col("user_id"))
+      Streams.tableStream(ss, dir, "events")
+        .join(blacklist, Seq("user_id"), "left_anti")
+        .groupBy(col("user_id")).agg(count(lit(1)).as("n"))
+    }
 
   val st03Sql: String =
     s"""SELECT user_id, count(*) AS n FROM events
@@ -109,19 +113,21 @@ object AdAnalytics {
     * folded through an overwrite-upsert store (update-mode emissions are
     * cumulative snapshots, so same-key rows replace). */
   def st04CumulativeState(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val updates = Streams.tableStream(s, dir, "events").as[EventRow]
-      .groupByKey(_.user_id)
-      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
-        (uid: Long, it: Iterator[EventRow], state: GroupState[Long]) =>
-          val total = state.getOption.getOrElse(0L) + it.size
-          state.update(total)
-          Iterator((uid, total))
-      }
-      .toDF("user_id", "total")
-    val empty = Seq.empty[(Long, Long)].toDF("user_id", "total")
-    Streams.runForeachBatch(s, updates, "update", empty)(
-      (store, batch) => Upsert.overwrite(store, batch, Seq("user_id")))
+    // scoped block: the parent and child sessions' implicits must not
+    // coexist in one scope (ambiguous encoders)
+    val empty = { import s.implicits._; Seq.empty[(Long, Long)].toDF("user_id", "total") }
+    Streams.runForeachBatch(s, "update", empty) { ss =>
+      import ss.implicits._
+      Streams.tableStream(ss, dir, "events").as[EventRow]
+        .groupByKey(_.user_id)
+        .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
+          (uid: Long, it: Iterator[EventRow], state: GroupState[Long]) =>
+            val total = state.getOption.getOrElse(0L) + it.size
+            state.update(total)
+            Iterator((uid, total))
+        }
+        .toDF("user_id", "total")
+    }((store, batch) => Upsert.overwrite(store, batch, Seq("user_id")))
   }
 
   val st04Sql: String =
@@ -174,10 +180,9 @@ object AdAnalytics {
   val PromoteThreshold = 70L
 
   def st05ThresholdPromote(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val empty = Seq.empty[(Long, Long)].toDF("user_id", "n")
-    val store = Streams.runForeachBatch(
-      s, Streams.tableStream(s, dir, "events"), "append", empty) { (store, batch) =>
+    val empty = { import s.implicits._; Seq.empty[(Long, Long)].toDF("user_id", "n") }
+    val store = Streams.runForeachBatch(s, "append", empty)(
+      ss => Streams.tableStream(ss, dir, "events")) { (store, batch) =>
       val delta = batch.groupBy(col("user_id")).agg(count(lit(1)).as("n"))
       Upsert.accumulate(store, delta, Seq("user_id"), "n")
     }
@@ -194,11 +199,14 @@ object AdAnalytics {
     * AdverStat.scala:134-169): per-batch delta counts accumulate; the
     * rank-and-replace (delete+insert per date) runs on the final store. */
   def st06DailyTop3(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val ev = Streams.tableStream(s, dir, "events")
-      .withColumn("date", date_format(expr("timestamp_micros(ts div 1000)"), "yyyy-MM-dd"))
-    val empty = Seq.empty[(String, String, Long)].toDF("date", "event_type", "n")
-    val store = Streams.runForeachBatch(s, ev, "append", empty) { (store, batch) =>
+    val empty = {
+      import s.implicits._
+      Seq.empty[(String, String, Long)].toDF("date", "event_type", "n")
+    }
+    val store = Streams.runForeachBatch(s, "append", empty) { ss =>
+      Streams.tableStream(ss, dir, "events")
+        .withColumn("date", date_format(expr("timestamp_micros(ts div 1000)"), "yyyy-MM-dd"))
+    } { (store, batch) =>
       val delta = batch.groupBy(col("date"), col("event_type")).agg(count(lit(1)).as("n"))
       Upsert.accumulate(store, delta, Seq("date", "event_type"), "n")
     }
@@ -227,14 +235,14 @@ object AdAnalytics {
     * actually fired. The unbounded form mirrors the reference's
     * forever-state semantics; the scale path is [[boundedDedup]], whose
     * key-expiry behavior StreamingSpec pins with a MemoryStream. */
-  def st07StreamDedup(s: SparkSession, dir: String): DataFrame = {
-    val once = Streams.tableStream(s, dir, "events")
-    val twice = once.unionByName(Streams.tableStream(s, dir, "events"))
-    val deduped = twice
-      .select(col("event_id"), col("event_type"))
-      .dropDuplicates("event_id")
-    Streams.runComplete(s, deduped.groupBy(col("event_type")).agg(count(lit(1)).as("n")))
-  }
+  def st07StreamDedup(s: SparkSession, dir: String): DataFrame =
+    Streams.runComplete(s) { ss =>
+      Streams.tableStream(ss, dir, "events")
+        .unionByName(Streams.tableStream(ss, dir, "events"))
+        .select(col("event_id"), col("event_type"))
+        .dropDuplicates("event_id")
+        .groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+    }
 
   val st07Sql: String =
     "SELECT event_type, count(*) AS n FROM events GROUP BY 1"
@@ -262,19 +270,18 @@ object AdAnalytics {
     * (the batch sessionizer deliberately keeps the reference-style
     * whole-second `>` rule; the two agree everywhere except exact-boundary
     * events, absent from the fixture but pinned separately anyway). */
-  def st08SessionWindow(s: SparkSession, dir: String): DataFrame = {
-    val ev = Streams.tableStream(s, dir, "events")
-      .withColumn("t", expr("timestamp_micros(ts div 1000)"))
-      .withWatermark("t", "1 hour")
-    val agg = ev
-      .groupBy(session_window(col("t"), "30 minutes"), col("user_id"))
-      .agg(count(lit(1)).as("n_events"))
-      .select(
-        col("user_id"),
-        col("session_window.start").cast("long").as("ws_sec"),
-        col("n_events"))
-    Streams.runComplete(s, agg)
-  }
+  def st08SessionWindow(s: SparkSession, dir: String): DataFrame =
+    Streams.runComplete(s) { ss =>
+      Streams.tableStream(ss, dir, "events")
+        .withColumn("t", expr("timestamp_micros(ts div 1000)"))
+        .withWatermark("t", "1 hour")
+        .groupBy(session_window(col("t"), "30 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(
+          col("user_id"),
+          col("session_window.start").cast("long").as("ws_sec"),
+          col("n_events"))
+    }
 
   val st08Sql: String =
     """WITH ev AS (
@@ -306,25 +313,25 @@ object AdAnalytics {
     * result equals the batch join. */
   val AttributionWindowMin = 10
 
-  def st09StreamStreamJoin(s: SparkSession, dir: String): DataFrame = {
-    val clicks = Streams.tableStream(s, dir, "events")
-      .where(col("event_type") === "click")
-      .select(col("user_id"), col("event_id").as("click_id"),
-        expr("ts div 1000").as("c_us"), expr("timestamp_micros(ts div 1000)").as("ct"))
-      .withWatermark("ct", "1 hour")
-    val purchases = Streams.tableStream(s, dir, "events")
-      .where(col("event_type") === "purchase")
-      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
-        expr("ts div 1000").as("p_us"), expr("timestamp_micros(ts div 1000)").as("pt"))
-      .withWatermark("pt", "1 hour")
-    val joined = clicks.join(purchases,
-      col("user_id") === col("p_user") &&
-        col("pt") >= col("ct") &&
-        col("pt") <= col("ct") + expr(s"INTERVAL $AttributionWindowMin MINUTES"))
-      .select(col("user_id"), col("click_id"), col("purchase_id"),
-        (col("p_us") - col("c_us")).as("delta_us"))
-    Streams.runAppend(s, joined)
-  }
+  def st09StreamStreamJoin(s: SparkSession, dir: String): DataFrame =
+    Streams.runAppend(s) { ss =>
+      val clicks = Streams.tableStream(ss, dir, "events")
+        .where(col("event_type") === "click")
+        .select(col("user_id"), col("event_id").as("click_id"),
+          expr("ts div 1000").as("c_us"), expr("timestamp_micros(ts div 1000)").as("ct"))
+        .withWatermark("ct", "1 hour")
+      val purchases = Streams.tableStream(ss, dir, "events")
+        .where(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+          expr("ts div 1000").as("p_us"), expr("timestamp_micros(ts div 1000)").as("pt"))
+        .withWatermark("pt", "1 hour")
+      clicks.join(purchases,
+        col("user_id") === col("p_user") &&
+          col("pt") >= col("ct") &&
+          col("pt") <= col("ct") + expr(s"INTERVAL $AttributionWindowMin MINUTES"))
+        .select(col("user_id"), col("click_id"), col("purchase_id"),
+          (col("p_us") - col("c_us")).as("delta_us"))
+    }
 
   // ---------------------------------------------------------------- st10
   /** Stream-stream LEFT OUTER interval join — st09's attribution join
@@ -342,26 +349,26 @@ object AdAnalytics {
     * rate). */
   val OuterWatermark = "1 hour"
 
-  def st10StreamStreamLeftJoin(s: SparkSession, dir: String): DataFrame = {
-    val clicks = Streams.tableStream(s, dir, "events")
-      .where(col("event_type") === "click")
-      .select(col("user_id"), col("event_id").as("click_id"),
-        expr("ts div 1000").as("c_us"), expr("timestamp_micros(ts div 1000)").as("ct"))
-      .withWatermark("ct", OuterWatermark)
-    val purchases = Streams.tableStream(s, dir, "events")
-      .where(col("event_type") === "purchase")
-      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
-        expr("ts div 1000").as("p_us"), expr("timestamp_micros(ts div 1000)").as("pt"))
-      .withWatermark("pt", OuterWatermark)
-    val joined = clicks.join(purchases,
-      col("user_id") === col("p_user") &&
-        col("pt") >= col("ct") &&
-        col("pt") <= col("ct") + expr(s"INTERVAL $AttributionWindowMin MINUTES"),
-      "left_outer")
-      .select(col("user_id"), col("click_id"), col("purchase_id"),
-        (col("p_us") - col("c_us")).as("delta_us"))
-    Streams.runAppend(s, joined)
-  }
+  def st10StreamStreamLeftJoin(s: SparkSession, dir: String): DataFrame =
+    Streams.runAppend(s) { ss =>
+      val clicks = Streams.tableStream(ss, dir, "events")
+        .where(col("event_type") === "click")
+        .select(col("user_id"), col("event_id").as("click_id"),
+          expr("ts div 1000").as("c_us"), expr("timestamp_micros(ts div 1000)").as("ct"))
+        .withWatermark("ct", OuterWatermark)
+      val purchases = Streams.tableStream(ss, dir, "events")
+        .where(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+          expr("ts div 1000").as("p_us"), expr("timestamp_micros(ts div 1000)").as("pt"))
+        .withWatermark("pt", OuterWatermark)
+      clicks.join(purchases,
+        col("user_id") === col("p_user") &&
+          col("pt") >= col("ct") &&
+          col("pt") <= col("ct") + expr(s"INTERVAL $AttributionWindowMin MINUTES"),
+        "left_outer")
+        .select(col("user_id"), col("click_id"), col("purchase_id"),
+          (col("p_us") - col("c_us")).as("delta_us"))
+    }
 
   val st10Sql: String =
     s"""WITH wm AS (

@@ -84,91 +84,124 @@ object Streams {
     * `spark.graft.streaming.statePartitions` to a small multiple of the
     * executor count so state shards spread while stores stay coarse.
     * Results are partition-count independent (deterministic aggregates /
-    * joins) — only the store count changes. The conf is read at query
-    * START (the checkpoint pins it thereafter), so the override scopes
-    * around start()+awaitTermination() and restores the session value. */
-  private def withStatePartitions[T](s: SparkSession)(f: => T): T = {
-    val parts = s.conf.getOption("spark.graft.streaming.statePartitions").getOrElse("4")
-    val prev = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", parts)
-    try f finally s.conf.set("spark.sql.shuffle.partitions", prev)
+    * joins) — only the store count changes.
+    *
+    * The override is scoped to a PER-QUERY CHILD SESSION (`newSession`:
+    * same SparkContext and shared state, isolated SQL conf + catalog)
+    * instead of a set/restore window on the caller's session conf — a
+    * concurrent batch query or second streaming runner on the shared
+    * session raced on that window and could plan with (or restore to)
+    * the wrong partition count. Runners therefore BUILD the streaming
+    * frame against the child session (the builder-lambda signature):
+    * the conf a streaming query reads at start is the one of the
+    * session its frame was resolved on, so handing over an already-
+    * built frame would re-smuggle the parent conf in. */
+  private def streamSession(s: SparkSession): SparkSession = {
+    val child = s.newSession()
+    // newSession inherits builder-time options but NOT runtime-set conf
+    // (tests and jobs set graft levers at runtime) — copy those over.
+    // Static confs throw on set and are already shared via the context.
+    s.conf.getAll.foreach { case (k, v) =>
+      try child.conf.set(k, v) catch { case _: Exception => () }
+    }
+    child.conf.set("spark.sql.shuffle.partitions",
+      s.conf.getOption("spark.graft.streaming.statePartitions").getOrElse("4"))
+    child
   }
 
   /** Run an AvailableNow streaming aggregation to completion into a
     * complete-mode in-memory sink (ST1 trigger + ST2 checkpoint) and
-    * return the final table. The result is localCheckpoint-ed (final
-    * states are small aggregates) so the memory-sink temp view and the
-    * checkpoint dir can be dropped immediately instead of accumulating
-    * for the session lifetime. */
-  def runComplete(s: SparkSession, df: DataFrame): DataFrame = {
-    val qn = freshName()
-    val cp = ckpt()
-    withStatePartitions(s) {
-      val q = df.writeStream
-        .format("memory").queryName(qn)
-        .outputMode("complete")
-        .trigger(Trigger.AvailableNow())
-        .option("checkpointLocation", cp)
-        .start()
-      q.awaitTermination()
-    }
-    val result = s.table(qn).localCheckpoint(eager = true)
-    s.catalog.dropTempView(qn)
-    dropDir(cp)
-    result
-  }
+    * return the final table. `build` receives the per-query child
+    * session (see [[streamSession]]) and must construct the WHOLE
+    * streaming frame — sources and any static join sides — against it.
+    * The result is localCheckpoint-ed (final states are small
+    * aggregates) so the memory-sink temp view and the checkpoint dir
+    * can be dropped immediately instead of accumulating for the
+    * session lifetime. */
+  def runComplete(s: SparkSession)(build: SparkSession => DataFrame): DataFrame =
+    runToMemorySink(s, "complete")(build)
 
   /** Append-mode twin of [[runComplete]] — for operators that only
     * support append output (stream-stream joins, watermark-finalized
     * aggregations). Same materialize-then-drop resource story. */
-  def runAppend(s: SparkSession, df: DataFrame): DataFrame = {
+  def runAppend(s: SparkSession)(build: SparkSession => DataFrame): DataFrame =
+    runToMemorySink(s, "append")(build)
+
+  private def runToMemorySink(
+      s: SparkSession, outputMode: String)(
+      build: SparkSession => DataFrame): DataFrame = {
     val qn = freshName()
     val cp = ckpt()
-    withStatePartitions(s) {
-      val q = df.writeStream
-        .format("memory").queryName(qn)
-        .outputMode("append")
-        .trigger(Trigger.AvailableNow())
-        .option("checkpointLocation", cp)
-        .start()
-      q.awaitTermination()
-    }
-    val result = s.table(qn).localCheckpoint(eager = true)
-    s.catalog.dropTempView(qn)
+    val child = streamSession(s)
+    val q = build(child).writeStream
+      .format("memory").queryName(qn)
+      .outputMode(outputMode)
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", cp)
+      .start()
+    q.awaitTermination()
+    // the memory sink registers its table on the session that started
+    // the query — the child — so read it back from there
+    val result = child.table(qn).localCheckpoint(eager = true)
+    child.catalog.dropTempView(qn)
     dropDir(cp)
     result
   }
 
+  /** Fold micro-batches into a running store with BOUNDED lineage.
+    * Each batch's merge is materialized before the callback returns (a
+    * batch frame must not escape its `foreachBatch` invocation
+    * unmaterialized); every [[LineageCheckpointEvery]]-th batch swaps
+    * the persist for a `localCheckpoint`, truncating the union/
+    * anti-join chain the merges build up — persist alone does NOT cut
+    * lineage, so a 24/7 deployment would otherwise pay analysis and
+    * planning cost linear in the total batch count (the same fix
+    * `starComponentsWithRounds` applies to its per-round edge frames;
+    * a cluster deployment would use reliable checkpoints). Bounded-
+    * plan-depth behavior is pinned in StreamingSpec over ~50 batches. */
+  val LineageCheckpointEvery = 10
+
+  private[graft] final class StoreFold(
+      initialStore: DataFrame,
+      merge: (DataFrame, DataFrame) => DataFrame,
+      checkpointEvery: Int = LineageCheckpointEvery) {
+    private var batches = 0
+    @volatile private[graft] var store: DataFrame = initialStore
+
+    def apply(batch: DataFrame): Unit = synchronized {
+      batches += 1
+      val mergedRaw = merge(store, batch)
+      val merged =
+        if (batches % checkpointEvery == 0) mergedRaw.localCheckpoint(eager = true)
+        else { val m = mergedRaw.persist(); m.count(); m }
+      // safe to release the previous store: the new one is fully
+      // materialized above, so nothing recomputes through the old chain
+      if (store ne initialStore) store.unpersist()
+      store = merged
+    }
+  }
+
   /** Run an AvailableNow stream through `foreachBatch`, folding each
     * micro-batch into a running store DataFrame via `merge` (one of the
-    * [[graft.etl.Upsert]] semantics). The merged store is materialized
-    * (persist + count) INSIDE the batch callback — a batch DataFrame must
-    * not escape its `foreachBatch` invocation unmaterialized. Returns the
-    * final store. */
+    * [[graft.etl.Upsert]] semantics) with [[StoreFold]]'s bounded-
+    * lineage materialization. Returns the final store. */
   def runForeachBatch(
       s: SparkSession,
-      df: DataFrame,
       outputMode: String,
       initialStore: DataFrame)(
+      build: SparkSession => DataFrame)(
       merge: (DataFrame, DataFrame) => DataFrame): DataFrame = {
-    var store = initialStore
+    val fold = new StoreFold(initialStore, merge)
     val cp = ckpt()
-    withStatePartitions(s) {
-      val q = df.writeStream
-        .outputMode(outputMode)
-        .foreachBatch { (batch: DataFrame, _: Long) =>
-          val merged = merge(store, batch).persist()
-          merged.count() // materialize now; the batch DF dies with this call
-          if (store ne initialStore) store.unpersist()
-          store = merged
-          ()
-        }
-        .trigger(Trigger.AvailableNow())
-        .option("checkpointLocation", cp)
-        .start()
-      q.awaitTermination()
-    }
+    val child = streamSession(s)
+    val q = build(child).writeStream
+      .outputMode(outputMode)
+      .foreachBatch { (batch: DataFrame, _: Long) => fold(batch) }
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", cp)
+      .start()
+    q.awaitTermination()
     dropDir(cp)
-    store
+    fold.store
   }
 }

@@ -208,6 +208,80 @@ class StreamingSpec extends GraftSuite {
     assert(windowed.agg(sum("n")).collect()(0).getLong(0) === total * 4)
   }
 
+  test("ST2 depth: a NEW query resumes cumulative state from the same checkpoint") {
+    // the reference's operational story is a restartable checkpointed
+    // job (AdverStat.scala:71-73): stop the query, start a fresh one on
+    // the SAME checkpoint, and keyed state must RESUME, not restart
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[Long]
+    val cp = ckpt()
+    val latest = scala.collection.concurrent.TrieMap.empty[Long, Long]
+    def cumulative = ms.toDS()
+      .groupByKey(identity)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (uid: Long, it: Iterator[Long], state: GroupState[Long]) =>
+          val total = state.getOption.getOrElse(0L) + it.size
+          state.update(total)
+          Iterator((uid, total))
+      }.toDF("user_id", "total")
+    // sink keeps the LATEST total per key — update-mode emissions are
+    // cumulative snapshots, so a post-restart batch replay (offsets not
+    // yet committed when the first query stopped) lands on the same value
+    def start() = cumulative.writeStream.outputMode("update")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        batch.collect().foreach(r => latest(r.getLong(0)) = r.getLong(1))
+        ()
+      }
+      .option("checkpointLocation", cp).start()
+    val q1 = start()
+    ms.addData(1L, 1L, 2L)
+    q1.processAllAvailable()
+    ms.addData(1L)
+    q1.processAllAvailable()
+    q1.stop()
+    val q2 = start() // NEW query object, same checkpoint
+    ms.addData(1L, 2L)
+    q2.processAllAvailable()
+    ms.addData(3L)
+    q2.processAllAvailable()
+    q2.stop()
+    // u1: 3 before the restart + 1 after = 4 — only if state resumed
+    assert(latest.toMap === Map(1L -> 4L, 2L -> 2L, 3L -> 1L))
+  }
+
+  test("foreachBatch store lineage stays bounded across ~50 micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[Long]
+    val empty = Seq.empty[(Long, Long)].toDF("user_id", "n")
+    val fold = new Streams.StoreFold(empty, (store, batch) => {
+      val delta = batch.groupBy(col("value")).agg(count(lit(1)).as("n"))
+        .toDF("user_id", "n")
+      Upsert.accumulate(store, delta, Seq("user_id"), "n")
+    })
+    val q = ms.toDF().writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) => fold(batch) }
+      .option("checkpointLocation", ckpt()).start()
+    val nodeCounts = (1 to 50).map { i =>
+      ms.addData(i.toLong % 7)
+      q.processAllAvailable()
+      fold.store.queryExecution.analyzed.collect { case n => n }.size
+    }
+    q.stop()
+    // each merge stacks nodes on the previous store's plan (persist does
+    // not truncate lineage); the periodic localCheckpoint resets it to a
+    // leaf scan, so the count must CYCLE, not grow: the late window may
+    // never exceed the first full cycle's peak
+    val firstCyclePeak = nodeCounts.take(Streams.LineageCheckpointEvery * 2).max
+    assert(nodeCounts.drop(30).max <= firstCyclePeak,
+      s"store lineage grows without bound: $nodeCounts")
+    // and the fold still computes the right totals
+    val got = fold.store.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = (1 to 50).map(_.toLong % 7).groupBy(identity).view.mapValues(_.size.toLong).toMap
+    assert(got === want)
+  }
+
   test("statePartitions lever: identical results at 4 and 32, session conf restored") {
     val before = spark.conf.get("spark.sql.shuffle.partitions")
     def rows() = AdAnalytics.st09StreamStreamJoin(spark, sf)
