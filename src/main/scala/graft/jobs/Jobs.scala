@@ -82,6 +82,7 @@ object SessionJob {
   val ExtractTable = "session_random_extract"
   val Top10CategoryTable = "top10_category"
   val Top10SessionTable = "top10_session"
+  val FlowTable = "page_flow_convert"
 
   /** Default params mirror the reference's task.params.json shape; every
     * key is optional (absent ⇒ unconstrained, folded out of the plan). */
@@ -116,6 +117,12 @@ object SessionJob {
       write(Sessions.extractFrom(sess), ExtractTable)
       write(Categories.top10From(ev), Top10CategoryTable)
       write(Categories.top10SessionsFrom(ev, sess), Top10SessionTable)
+      // 需求5's parameterized route: only produced when the task params
+      // carry a targetPageFlow (the reference ships it as its own 需求;
+      // here it is one more output of the same filtered lifecycle)
+      p.get(Categories.FlowParam).foreach { _ =>
+        write(Categories.flowConvertFrom(s, sess, p), FlowTable)
+      }
     } finally { if (stagingDir.isEmpty) { ev.unpersist(); () } }
   }
 

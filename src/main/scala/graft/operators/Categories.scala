@@ -169,6 +169,99 @@ object Categories {
 
   private def sessPrefix: String = Sessions.sessSql
 
+  /** 需求5's PARAMETERIZED page-flow route — the reference's actual
+    * parameterization (PageOneStepConvertRate.scala:85-94: the task
+    * param `targetPageFlow` is an ORDERED page sequence "1,2,3,4,5,6,7",
+    * converted pairwise along the configured route). c04/c05 cover
+    * adjacent-pair rates over ALL type pairs and s09 a fixed 3-step
+    * funnel; this operator converts along whatever route the task params
+    * carry: rate_i = count(step_i pair) / count(step_{i-1} pair), with
+    * the route head's raw event count as the step-0 denominator (the
+    * reference's startPagePv).
+    *
+    * Shape at scale: one session-keyed window for the adjacent pairing
+    * (shared with c04), then a broadcast join against the ROUTE-length
+    * step dim — a route step is counted independently even when the
+    * same (from, to) pair repeats at two positions, exactly as the
+    * reference counts it. The rate chaining runs on a route-length
+    * frame (a global-order window over ≤ #steps rows — driver-scale by
+    * construction, not a data-scale sort). */
+  val FlowParam = "targetPageFlow"
+  val DefaultFlow = "view,click,view,purchase"
+
+  def c08FlowConvert(s: SparkSession, dir: String): DataFrame =
+    flowConvertFrom(s, Sessions.sessionized(s, dir),
+      graft.functions.TaskParams(Map(FlowParam -> DefaultFlow)))
+
+  def flowConvertFrom(s: SparkSession, sess: DataFrame,
+                      p: graft.functions.TaskParams): DataFrame = {
+    import s.implicits._
+    val route = p.getSeq(FlowParam).getOrElse(DefaultFlow.split(",").toSeq)
+    require(route.size >= 2, s"$FlowParam must list at least two steps, got $route")
+    val steps = route.init.zip(route.tail).zipWithIndex
+      .map { case ((from, to), i) => (i + 1, from, to) }
+    val stepDim = steps.toDF("step", "from_type", "to_type")
+    val w = Window.partitionBy(col("session_id")).orderBy(col("ts").asc, col("event_id").asc)
+    val paired = sess.withColumn("next_type", lead(col("event_type"), 1).over(w))
+    val stepCounts = paired.where(col("next_type").isNotNull)
+      .join(broadcast(stepDim),
+        col("event_type") === col("from_type") && col("next_type") === col("to_type"))
+      .groupBy(col("step"), col("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n_pairs"))
+    // spine from the route dim: a step no session ever walked reads 0
+    val spine = broadcast(stepDim).join(stepCounts, Seq("step", "from_type", "to_type"), "left")
+      .select(col("step"), col("from_type"), col("to_type"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"))
+    // step 0 = the route head's raw visit count (the startPagePv
+    // denominator), unioned in so one lag() chains every rate
+    val start = sess.where(col("event_type") === route.head)
+      .agg(count(lit(1)).as("n_pairs"))
+      .select(lit(0).as("step"), lit("_start").as("from_type"),
+        lit(route.head).as("to_type"), col("n_pairs"))
+    val wo = Window.orderBy(col("step")) // ≤ route-length rows: driver-scale
+    spine.unionByName(start)
+      .withColumn("n_prev", lag(col("n_pairs"), 1).over(wo))
+      .where(col("step") >= 1)
+      .select(col("step"),
+        concat(col("from_type"), lit("->"), col("to_type")).as("pair"),
+        col("n_pairs"), col("n_prev"),
+        when(col("n_prev") > 0,
+          col("n_pairs").cast("double") / col("n_prev").cast("double"))
+          .otherwise(lit(0.0)).as("rate"))
+  }
+
+  val c08Sql: String = {
+    val route = DefaultFlow.split(",").toSeq
+    val stepValues = route.init.zip(route.tail).zipWithIndex
+      .map { case ((from, to), i) => s"(${i + 1}, '$from', '$to')" }.mkString(", ")
+    s"""$sessPrefix, paired AS (
+       |  SELECT event_type,
+       |    lead(event_type, 1) OVER (PARTITION BY session_id ORDER BY ns, event_id) AS next_type
+       |  FROM sess
+       |), steps(step, from_type, to_type) AS (VALUES $stepValues),
+       |counts AS (
+       |  SELECT step, from_type, to_type, count(*) AS c
+       |  FROM paired JOIN steps ON event_type = from_type AND next_type = to_type
+       |  GROUP BY 1, 2, 3
+       |), spine AS (
+       |  SELECT s.step, s.from_type, s.to_type, coalesce(c.c, 0) AS n_pairs
+       |  FROM steps s LEFT JOIN counts c
+       |    ON s.step = c.step AND s.from_type = c.from_type AND s.to_type = c.to_type
+       |  UNION ALL
+       |  SELECT 0 AS step, '_start' AS from_type, '${route.head}' AS to_type, count(*) AS n_pairs
+       |  FROM sess WHERE event_type = '${route.head}'
+       |), chained AS (
+       |  SELECT step, from_type || '->' || to_type AS pair,
+       |    CAST(n_pairs AS BIGINT) AS n_pairs,
+       |    CAST(lag(n_pairs, 1) OVER (ORDER BY step) AS BIGINT) AS n_prev
+       |  FROM spine
+       |)
+       |SELECT step, pair, n_pairs, n_prev,
+       |  CASE WHEN n_prev > 0 THEN CAST(n_pairs AS DOUBLE) / CAST(n_prev AS DOUBLE)
+       |       ELSE 0.0 END AS rate
+       |FROM chained WHERE step >= 1""".stripMargin
+  }
+
   /** 需求4 composite: top-10 sessions (by click count) within each of the
     * top-10 categories (SessionStat.scala:95-161 — two groupByKey
     * shuffles and an in-memory sortWith there; a semi-join + one window
@@ -286,7 +379,8 @@ object Categories {
     "c04_page_convert" -> (c04PageConvert _),
     "c05_convert_packed" -> (c05ConvertPacked _),
     "c06_top10_sessions" -> (c06Top10Sessions _),
-    "c07_area_top3" -> (c07AreaTop3 _))
+    "c07_area_top3" -> (c07AreaTop3 _),
+    "c08_flow_convert" -> (c08FlowConvert _))
 
   val oracleSql: Map[String, String] = Map(
     "c01_explode_csv" -> c01Sql,
@@ -295,5 +389,6 @@ object Categories {
     "c04_page_convert" -> c04Sql,
     "c05_convert_packed" -> c05Sql,
     "c06_top10_sessions" -> c06Sql,
-    "c07_area_top3" -> c07Sql)
+    "c07_area_top3" -> c07Sql,
+    "c08_flow_convert" -> c08Sql)
 }

@@ -52,6 +52,37 @@ class JobsSpec extends GraftSuite {
     assert(one === two)
   }
 
+  test("SessionJob: a targetPageFlow param adds the flow-convert output") {
+    // no flow param ⇒ no flow rows were written by task-one/task-two
+    val flowBefore = scala.util.Try(table(SessionJob.FlowTable).count()).getOrElse(0L)
+    assert(flowBefore === 0L, "flow table must stay empty without the param")
+    val p = TaskParams.fromJson(
+      """{"targetPageFlow":"view,click,purchase"}""")
+    SessionJob.run(spark, sf, url, props, p, "task-flow")
+    val rows = table(SessionJob.FlowTable).where(col("task_id") === "task-flow")
+      .collect().map(r => (r.getAs[Int]("step"), r.getAs[String]("pair"))).sorted.toSeq
+    // one row per configured route step, in route order
+    assert(rows === Seq(1 -> "view->click", 2 -> "click->purchase"))
+  }
+
+  test("flow-convert chains denominators along an arbitrary configured route") {
+    import graft.functions.TaskParams
+    val p = TaskParams(Map(Categories.FlowParam -> "view,click,view,purchase"))
+    val sess = graft.operators.Sessions.sessionized(spark, sf)
+    val rows = Categories.flowConvertFrom(spark, sess, p).collect()
+      .map(r => r.getInt(0) -> (r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    assert(rows.keySet === Set(1, 2, 3))
+    // step 1's denominator is the route head's raw visit count
+    val startPv = sess.where(col("event_type") === "view").count()
+    assert(rows(1)._2 === startPv)
+    // each later step's denominator is the previous step's pair count
+    assert(rows(2)._2 === rows(1)._1)
+    assert(rows(3)._2 === rows(2)._1)
+    // rates are the exact integer ratios
+    for ((_, (n, prev, rate)) <- rows if prev > 0)
+      assert(rate === n.toDouble / prev.toDouble)
+  }
+
   test("AreaTop3Job output equals the c07 library query row-for-row") {
     AreaTop3Job.run(spark, sf, url, props, TaskParams.empty, "task-area")
     val got = table(AreaTop3Job.Table).where(col("task_id") === "task-area")
