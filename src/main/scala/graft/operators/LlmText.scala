@@ -629,6 +629,31 @@ object LlmText {
        |  max(CASE WHEN rn = (9 * cnt + 9) // 10 THEN n_tokens END) AS p90_tokens
        |FROM ranked GROUP BY lang""".stripMargin
 
+  /** SCALE variant of d13 — the documented-variant treatment d05 got.
+    * The exact form's row_number over (lang) sorts each language's FULL
+    * doc set on one task (with ~5 languages at 100 TB, billions of rows
+    * per sort task); exactness is the point there — it is the
+    * cross-engine oracle. This variant swaps the rank for
+    * `approx_percentile` (the Greenwald-Khanna sketch: MERGEABLE, so
+    * partial aggregation reduces each partition to a bounded sketch per
+    * group before one ordinary exchange — the same shape shift as m10's
+    * KMV). Same output schema; min/max/sum/count stay exact. Not
+    * oracle-registered: sketch internals are engine-specific (DuckDB has
+    * no GK twin with matching semantics) — LlmTextSpec instead pins each
+    * approx percentile to a value of the group whose RANK is within the
+    * sketch's guaranteed ε·n of the target rank. */
+  def d13CorpusStatsApprox(s: SparkSession, dir: String,
+                           accuracy: Int = 10000): DataFrame =
+    base(s, dir).select(col("lang"), size(col("toks")).as("n_tokens"))
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        min(col("n_tokens")).as("min_tokens"),
+        max(col("n_tokens")).as("max_tokens"),
+        sum(col("n_tokens")).as("sum_tokens"),
+        percentile_approx(col("n_tokens"), lit(0.5), lit(accuracy)).as("p50_tokens"),
+        percentile_approx(col("n_tokens"), lit(0.9), lit(accuracy)).as("p90_tokens"))
+
   // ---------------------------------------------------------------- d14
   /** Connected near-dup CLUSTERS: every doc that appears in a verified
     * near-dup pair gets cluster_id = min doc_id of its connected

@@ -231,6 +231,41 @@ class LlmTextSpec extends GraftSuite {
     assert(rows.exists(_.getDouble(3) > 0.5), "clone-heavy docs must surface")
   }
 
+  test("d13 approx variant: sketch percentiles land within rank tolerance of exact") {
+    import graft.operators.LlmText
+    val accuracy = 10000
+    val exact = LlmText.d13CorpusStats(spark, sf).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val approx = LlmText.d13CorpusStatsApprox(spark, sf, accuracy).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(approx.keySet === exact.keySet)
+    // exact columns must be EQUAL (only the percentiles are sketched)
+    for (lang <- exact.keySet) {
+      assert(approx(lang).getLong(1) === exact(lang).getLong(1), s"$lang n_docs")
+      assert(approx(lang).getInt(2) === exact(lang).getInt(2), s"$lang min")
+      assert(approx(lang).getInt(3) === exact(lang).getInt(3), s"$lang max")
+      assert(approx(lang).getLong(4) === exact(lang).getLong(4), s"$lang sum")
+    }
+    // percentile guarantee: the returned value's RANK is within ε·n of
+    // the target rank (GK bound, ε = 1/accuracy) — checked against the
+    // group's actual sorted lengths (via d06's per-doc stats)
+    val byLang = LlmText.d06TextStats(spark, sf)
+      .select("lang", "n_tokens").collect()
+      .map(r => r.getString(0) -> r.getInt(1)).groupBy(_._1)
+      .view.mapValues(_.map(_._2).sorted.toIndexedSeq).toMap
+    for ((lang, lens) <- byLang; (p, idx) <- Seq(0.5 -> 5, 0.9 -> 6)) {
+      val got = approx(lang).getInt(idx)
+      val n = lens.length
+      val lo = lens.indexOf(got) // first rank of the value (0-based)
+      val hi = lens.lastIndexOf(got) // last rank
+      assert(lo >= 0, s"$lang p$p=$got must be an actual group value")
+      val target = p * n
+      val tol = 1.0 + n.toDouble / accuracy
+      assert(lo - tol <= target && target <= hi + 1 + tol,
+        s"$lang p$p=$got rank [$lo,$hi] too far from target $target of $n")
+    }
+  }
+
   test("e06: every vector flagged once; dropped ⊆ cell-mates of an earlier near-dup") {
     import graft.operators.Embeddings
     val rows = Embeddings.e06SemDedup(spark, sf).collect()
