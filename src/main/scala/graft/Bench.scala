@@ -64,20 +64,38 @@ object Bench {
       Seq.fill(3)(one()).min
     }
 
-    val names = SparkEntry.queries.keys.toSeq.sorted
+    // optional isolation filter (exact names or prefixes, comma-sep):
+    // lets a forensics run bench ONE suite or query in its own JVM
+    val filter = sys.env.get("SPARK_GRAFT_BENCH_QUERIES")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+    val all = SparkEntry.queries.keys.toSeq.sorted
+    val names = filter match {
+      case Some(fs) => all.filter(n => fs.exists(f => n == f || n.startsWith(f)))
+      case None => all
+    }
+    if (names.isEmpty) { System.err.println("[bench] filter matched no queries"); return }
 
-    def sweep(tag: String): Map[String, Double] =
-      names.map { name =>
+    def sweep(tag: String, order: Seq[String]): Map[String, Double] =
+      order.map { name =>
         val sec = once(name, SparkEntry.queries(name))
         System.err.println(s"[bench] $tag $name=$sec")
         name -> sec
       }.toMap
 
+    // Each measured sweep runs in a DIFFERENT deterministic order
+    // (seeded shuffle): with a fixed alphabetical order, any slow
+    // suite's side effects (GC pressure, page-cache state) land on the
+    // SAME successor queries every sweep and survive the per-query min
+    // — randomizing the order turns that adjacency bias into per-sweep
+    // noise the min discards.
+    def shuffled(seed: Int): Seq[String] =
+      new scala.util.Random(seed).shuffle(names)
+
     calibrate() // probe warm-up, discarded
-    sweep("warmup") // JVM/codegen/broadcast warm-up, discarded
+    sweep("warmup", names) // JVM/codegen/broadcast warm-up, discarded
     val calStart = calibrate()
     val measured = (1 to sweeps).map { i =>
-      val m = sweep(s"sweep$i")
+      val m = sweep(s"sweep$i", shuffled(i))
       val cal = calibrate()
       System.err.println(s"[bench] sweep$i done, calibration=$cal")
       (m, cal)
