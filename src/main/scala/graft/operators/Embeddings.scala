@@ -29,16 +29,26 @@ object Embeddings {
 
   private val Quant = 10000
 
-  /** vec_id, label, q = integer-quantized embedding. Spread to the
-    * session's parallelism ONLY when the scan is narrower than it (the
-    * single-file fixture otherwise yields one input split and serializes
-    * every pairwise stage; a wide scan skips the shuffle —
-    * [[graft.Tables.spreadIfNarrow]]). */
-  private def quantized(s: SparkSession, dir: String): DataFrame =
-    Tables.spreadIfNarrow(Tables.embeddings(s, dir), s"$dir/embeddings")
+  /** vec_id, label, q = integer-quantized embedding, nq = its squared
+    * norm. Spread to the session's parallelism ONLY when the scan is
+    * narrower than it (the single-file fixture otherwise yields one
+    * input split and serializes every pairwise stage; a wide scan skips
+    * the shuffle — [[graft.Tables.spreadIfNarrow]]).
+    *
+    * nq is computed ONCE PER VECTOR here, not per candidate pair: every
+    * cosine downstream is dot(a,b)/(√na·√nb), and evaluating the self-
+    * norms inside the pair stage repeats two 64-element dot products
+    * per pair — at Σ bucket² pairs that is the dominant redundant work
+    * of the whole e-suite. Factoring it out changes no value (the same
+    * exact-integer dot, just evaluated earlier), so oracle hashes are
+    * untouched; Catalyst prunes the column where unused (e03). */
+  private def quantized(s: SparkSession, dir: String): DataFrame = {
+    val q = Tables.spreadIfNarrow(Tables.embeddings(s, dir), s"$dir/embeddings")
       .select(
         col("vec_id"), col("label"),
         transform(col("embedding"), x => round(x.cast("double") * Quant).cast("long")).as("q"))
+    q.withColumn("nq", graft.functions.ArrayOps.longDot(s, col("q"), col("q")))
+  }
 
   private val quantSql: String =
     s"""WITH qv AS (
@@ -63,8 +73,8 @@ object Embeddings {
   def e01KnnBrute(s: SparkSession, dir: String): DataFrame = {
     val v = quantized(s, dir)
     val queries = v.where(col("vec_id") % 5 === 0)
-      .select(col("vec_id").as("query_id"), col("q").as("qa"))
-    val cands = v.select(col("vec_id").as("neighbor_id"), col("q").as("qb"))
+      .select(col("vec_id").as("query_id"), col("q").as("qa"), col("nq").as("na"))
+    val cands = v.select(col("vec_id").as("neighbor_id"), col("q").as("qb"), col("nq").as("nb"))
     val dot = dotQ(s) _
     // broadcast the candidate side: brute force IS a nested loop; with the
     // broadcast it parallelizes over query partitions instead of pinning
@@ -72,8 +82,8 @@ object Embeddings {
     val scored = queries.join(broadcast(cands), col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         (dot(col("qa"), col("qb")).cast("double") /
-          (sqrt(dot(col("qa"), col("qa")).cast("double")) *
-            sqrt(dot(col("qb"), col("qb")).cast("double")))).as("cos"))
+          (sqrt(col("na").cast("double")) *
+            sqrt(col("nb").cast("double")))).as("cos"))
     val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w)).where(col("rank") <= TopK)
   }
@@ -116,16 +126,18 @@ object Embeddings {
   def e02AnnBucketed(s: SparkSession, dir: String): DataFrame = {
     val dot = dotQ(s) _
     val v = quantized(s, dir).withColumn("bucket", bucketCol(s, col("q")))
-    val a = v.select(col("bucket"), col("vec_id").as("query_id"), col("q").as("qa"))
-    val b = v.select(col("bucket"), col("vec_id").as("neighbor_id"), col("q").as("qb"))
+    val a = v.select(col("bucket"), col("vec_id").as("query_id"),
+      col("q").as("qa"), col("nq").as("na"))
+    val b = v.select(col("bucket"), col("vec_id").as("neighbor_id"),
+      col("q").as("qb"), col("nq").as("nb"))
     // strategy-gated ([[SelfJoin]]): broadcast locally (bucket keys are
     // few — 2^planes — so broadcasting keeps parallelism on the left
     // side's partitioning); shuffle on bucket + AQE skew-split at 100 TB
     val scored = SelfJoin.on(a, b, Seq("bucket")).where(col("query_id") =!= col("neighbor_id"))
       .select(col("bucket"), col("query_id"), col("neighbor_id"),
         (dot(col("qa"), col("qb")).cast("double") /
-          (sqrt(dot(col("qa"), col("qa")).cast("double")) *
-            sqrt(dot(col("qb"), col("qb")).cast("double")))).as("cos"))
+          (sqrt(col("na").cast("double")) *
+            sqrt(col("nb").cast("double")))).as("cos"))
     val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w)).where(col("rank") <= 3)
   }
@@ -196,13 +208,15 @@ object Embeddings {
   def e04CosineNeardup(s: SparkSession, dir: String): DataFrame = {
     val dot = dotQ(s) _
     val v = quantized(s, dir).withColumn("bucket", bucketCol(s, col("q")))
-    val a = v.select(col("bucket"), col("vec_id").as("vec_a"), col("q").as("qa"))
-    val b = v.select(col("bucket"), col("vec_id").as("vec_b"), col("q").as("qb"))
+    val a = v.select(col("bucket"), col("vec_id").as("vec_a"),
+      col("q").as("qa"), col("nq").as("na"))
+    val b = v.select(col("bucket"), col("vec_id").as("vec_b"),
+      col("q").as("qb"), col("nq").as("nb"))
     SelfJoin.on(a, b, Seq("bucket")).where(col("vec_a") < col("vec_b"))
       .withColumn("cos",
         dot(col("qa"), col("qb")).cast("double") /
-          (sqrt(dot(col("qa"), col("qa")).cast("double")) *
-            sqrt(dot(col("qb"), col("qb")).cast("double"))))
+          (sqrt(col("na").cast("double")) *
+            sqrt(col("nb").cast("double"))))
       .where(col("cos") >= CosineThreshold)
       .select(col("vec_a"), col("vec_b"), col("cos"))
   }
@@ -260,12 +274,14 @@ object Embeddings {
       .agg(transform(
         array_sort(collect_list(struct(col("i"), col("csum")))),
         p => p.getField("csum")).as("cvec"))
-      .select(col("label").as("cell"), col("cvec"))
+      // centroid self-norm once per CELL, not per (vector, cell) pair
+      .select(col("label").as("cell"), col("cvec"),
+        dot(col("cvec"), col("cvec")).as("ncv"))
     v.crossJoin(broadcast(cents))
       .withColumn("cos_c",
         dot(col("q"), col("cvec")).cast("double") /
-          (sqrt(dot(col("q"), col("q")).cast("double")) *
-            sqrt(dot(col("cvec"), col("cvec")).cast("double"))))
+          (sqrt(col("nq").cast("double")) *
+            sqrt(col("ncv").cast("double"))))
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("vec_id")).orderBy(col("cos_c").desc, col("cell").asc)))
   }
@@ -276,14 +292,16 @@ object Embeddings {
     val ranked = cellRanked(s, dir)
     // index side: primary cell only; query side: nprobe nearest cells
     val a = ranked.where(col("rn") <= nprobe)
-      .select(col("cell"), col("vec_id").as("query_id"), col("q").as("qa"))
+      .select(col("cell"), col("vec_id").as("query_id"),
+        col("q").as("qa"), col("nq").as("na"))
     val b = ranked.where(col("rn") === 1)
-      .select(col("cell"), col("vec_id").as("neighbor_id"), col("q").as("qb"))
+      .select(col("cell"), col("vec_id").as("neighbor_id"),
+        col("q").as("qb"), col("nq").as("nb"))
     SelfJoin.on(a, b, Seq("cell")).where(col("query_id") =!= col("neighbor_id"))
       .withColumn("cos",
         dot(col("qa"), col("qb")).cast("double") /
-          (sqrt(dot(col("qa"), col("qa")).cast("double")) *
-            sqrt(dot(col("qb"), col("qb")).cast("double"))))
+          (sqrt(col("na").cast("double")) *
+            sqrt(col("nb").cast("double"))))
       .withColumn("rank", row_number().over(
         Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id").asc)))
       .where(col("rank") <= 3)
@@ -337,15 +355,17 @@ object Embeddings {
   def e06SemDedup(s: SparkSession, dir: String): DataFrame = {
     val dot = dotQ(s) _
     val asg = cellRanked(s, dir).where(col("rn") === 1)
-      .select(col("cell"), col("vec_id"), col("q"))
-    val a = asg.select(col("cell"), col("vec_id").as("vec_a"), col("q").as("qa"))
-    val b = asg.select(col("cell"), col("vec_id").as("vec_b"), col("q").as("qb"))
+      .select(col("cell"), col("vec_id"), col("q"), col("nq"))
+    val a = asg.select(col("cell"), col("vec_id").as("vec_a"),
+      col("q").as("qa"), col("nq").as("na"))
+    val b = asg.select(col("cell"), col("vec_id").as("vec_b"),
+      col("q").as("qb"), col("nq").as("nb"))
     val dropped = SelfJoin.on(a, b, Seq("cell"))
       .where(col("vec_a") < col("vec_b"))
       .withColumn("cos",
         dot(col("qa"), col("qb")).cast("double") /
-          (sqrt(dot(col("qa"), col("qa")).cast("double")) *
-            sqrt(dot(col("qb"), col("qb")).cast("double"))))
+          (sqrt(col("na").cast("double")) *
+            sqrt(col("nb").cast("double"))))
       .where(col("cos") >= CosineThreshold)
       .select(col("vec_b").as("vec_id")).distinct()
       .withColumn("hit", lit(true))
