@@ -401,7 +401,109 @@ object Embeddings {
        |SELECT cell, vec_id, vec_id NOT IN (SELECT vec_id FROM dups) AS kept
        |FROM assigned""".stripMargin
 
+  // ---------------------------------------------------------------- e07
+  /** Recall audit: recall@k of both ANN paths (e02 hyperplane-LSH, e05
+    * IVF at its oracle formulation nprobe = 1) against the e01
+    * brute-force ground truth, over the deterministic query subsample.
+    * This is the evaluation loop every production ANN deployment runs
+    * before trusting an index — the number that tells you whether to add
+    * hyperplanes or raise nprobe. One row per method:
+    * (method, n_truth, n_hits, recall); recall is one division of two
+    * exact integer counts, so it is bit-identical cross-engine.
+    *
+    * Cost note: this intentionally embeds ALL THREE search paths (it IS
+    * the comparison), so it prices as their sum — an audit query, not a
+    * serving path. At 100 TB the truth side runs on a fixed small query
+    * sample (here vec_id % 5, the e01 contract) — brute force over the
+    * sample stays bounded while the ANN sides use their index joins. */
+  val RecallK = 3
+
+  def e07RecallAudit(s: SparkSession, dir: String): DataFrame = {
+    val truth = e01KnnBrute(s, dir).where(col("rank") <= RecallK)
+      .select(col("query_id"), col("neighbor_id"))
+    val lsh = e02AnnBucketed(s, dir).where(col("query_id") % 5 === 0)
+      .select(lit("lsh_bucketed").as("method"), col("query_id"), col("neighbor_id"))
+    val ivf = e05IvfAnn(s, dir).where(col("query_id") % 5 === 0)
+      .select(lit("ivf_nprobe").as("method"), col("query_id"), col("neighbor_id"))
+    val hits = lsh.unionByName(ivf)
+      .join(truth, Seq("query_id", "neighbor_id"))
+      .groupBy(col("method")).agg(count(lit(1)).as("n_hits"))
+    // |truth| = K·|queries| exactly (every query has ≥ K candidates by
+    // construction — the corpus is larger than K+1), so the denominator
+    // is a cheap count over the query subsample, not a second
+    // brute-force traversal; the oracle counts the truth CTE directly
+    // and the spec pins the two forms equal.
+    val total = quantized(s, dir).where(col("vec_id") % 5 === 0)
+      .agg((count(lit(1)) * RecallK).as("n_truth"))
+    hits.crossJoin(broadcast(total))
+      .select(col("method"), col("n_truth"), col("n_hits"),
+        (col("n_hits").cast("double") / col("n_truth").cast("double")).as("recall"))
+  }
+
+  val e07Sql: String = {
+    def cos(a: String, b: String): String =
+      s"""CAST(list_dot_product($a.q, $b.q) AS DOUBLE) /
+         |      (sqrt(CAST(list_dot_product($a.q, $a.q) AS DOUBLE)) *
+         |       sqrt(CAST(list_dot_product($b.q, $b.q) AS DOUBLE)))""".stripMargin
+    val planeLits = (0 until NumPlanes).map(p => s"[${planes(p).mkString(", ")}]")
+    val bucketExpr = (0 until NumPlanes).map { p =>
+      s"CASE WHEN list_dot_product(q, ${planeLits(p)}) > 0 THEN ${1L << p} ELSE 0 END"
+    }.mkString(" + ")
+    s"""$quantSql, truth AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+       |      row_number() OVER (PARTITION BY a.vec_id
+       |        ORDER BY ${cos("a", "b")} DESC, b.vec_id ASC) AS rank
+       |    FROM qv a JOIN qv b ON a.vec_id % 5 = 0 AND a.vec_id <> b.vec_id) t
+       |  WHERE rank <= $RecallK
+       |), bv AS (
+       |  SELECT vec_id, q, $bucketExpr AS bucket FROM qv
+       |), lsh AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+       |      row_number() OVER (PARTITION BY a.vec_id
+       |        ORDER BY ${cos("a", "b")} DESC, b.vec_id ASC) AS rank
+       |    FROM bv a JOIN bv b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id) t
+       |  WHERE rank <= $RecallK AND query_id % 5 = 0
+       |), comps AS (
+       |  SELECT label, i, q[i] AS comp FROM qv, generate_series(1, $Dim) g(i)
+       |), csums AS (
+       |  SELECT label, i, sum(comp) AS csum FROM comps GROUP BY 1, 2
+       |), cents AS (
+       |  SELECT label AS cell, list(CAST(csum AS BIGINT) ORDER BY i) AS cvec
+       |  FROM csums GROUP BY label
+       |), assigned AS (
+       |  SELECT cell, vec_id, q FROM (
+       |    SELECT cents.cell, qv.vec_id, qv.q,
+       |      row_number() OVER (PARTITION BY qv.vec_id ORDER BY
+       |        CAST(list_dot_product(qv.q, cents.cvec) AS DOUBLE) /
+       |          (sqrt(CAST(list_dot_product(qv.q, qv.q) AS DOUBLE)) *
+       |           sqrt(CAST(list_dot_product(cents.cvec, cents.cvec) AS DOUBLE))) DESC,
+       |        cents.cell ASC) AS rn
+       |    FROM qv, cents) t
+       |  WHERE rn = 1
+       |), ivf AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+       |      row_number() OVER (PARTITION BY a.vec_id
+       |        ORDER BY ${cos("a", "b")} DESC, b.vec_id ASC) AS rank
+       |    FROM assigned a JOIN assigned b ON a.cell = b.cell AND a.vec_id <> b.vec_id) t
+       |  WHERE rank <= $RecallK AND query_id % 5 = 0
+       |), ann AS (
+       |  SELECT 'lsh_bucketed' AS method, query_id, neighbor_id FROM lsh
+       |  UNION ALL
+       |  SELECT 'ivf_nprobe' AS method, query_id, neighbor_id FROM ivf
+       |), hits AS (
+       |  SELECT method, count(*) AS n_hits
+       |  FROM ann JOIN truth USING (query_id, neighbor_id) GROUP BY 1
+       |), tot AS (SELECT CAST(count(*) AS BIGINT) AS n_truth FROM truth)
+       |SELECT method, n_truth, n_hits,
+       |  CAST(n_hits AS DOUBLE) / CAST(n_truth AS DOUBLE) AS recall
+       |FROM hits, tot""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e07_recall_audit" -> (e07RecallAudit _),
     "e06_sem_dedup" -> (e06SemDedup _),
     "e05_ivf_ann" -> (e05IvfAnn _),
     "e01_knn_brute" -> (e01KnnBrute _),
@@ -410,6 +512,7 @@ object Embeddings {
     "e04_cosine_neardup" -> (e04CosineNeardup _))
 
   val oracleSql: Map[String, String] = Map(
+    "e07_recall_audit" -> e07Sql,
     "e06_sem_dedup" -> e06Sql,
     "e05_ivf_ann" -> e05Sql,
     "e01_knn_brute" -> e01Sql,

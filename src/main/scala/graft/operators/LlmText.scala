@@ -1042,7 +1042,86 @@ object LlmText {
        |  FROM scored) t
        |WHERE rnk <= $TfidfTopK""".stripMargin
 
+  // ---------------------------------------------------------------- d20
+  /** Corpus-unigram document score — the exact-arithmetic surrogate for
+    * LM-perplexity quality filtering (the CCNet recipe trains a 5-gram
+    * KenLM and drops the high-perplexity tail; the unigram version keeps
+    * the same plan shape and ranking signal without a language model).
+    * Score = mean corpus probability of the doc's tokens
+    * = Σ_t cf(t) / (n_tokens · total_tokens): the numerator and both
+    * denominator factors are exact integers, so the one double division
+    * is a single correctly-rounded IEEE op — bit-identical cross-engine.
+    *
+    * Scale shape (same as d16 tf-idf): explode → corpus-frequency count
+    * (shuffle on term) → join tokens⋈cf (shuffle on term, zipfian skew
+    * handled by AQE skew-split at scale) → per-doc sum (shuffle on
+    * doc_id). The 1-row total joins in via broadcast. */
+  def d20UnigramScore(s: SparkSession, dir: String): DataFrame = {
+    val toks = base(s, dir).select(col("doc_id"), explode(col("toks")).as("term"))
+    val cf = toks.groupBy(col("term")).agg(count(lit(1)).as("cf"))
+    val total = cf.agg(sum(col("cf")).as("n_total"))
+    toks.join(cf, Seq("term"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("cf")).as("cf_sum"))
+      .crossJoin(broadcast(total))
+      .select(col("doc_id"), col("n_tokens"),
+        (col("cf_sum").cast("double") /
+          (col("n_tokens") * col("n_total")).cast("double")).as("mean_prob"))
+  }
+
+  val d20Sql: String =
+    s"""$baseSql, tk AS (
+       |  SELECT doc_id, unnest(toks) AS term FROM base
+       |), cf AS (
+       |  SELECT term, count(*) AS cf FROM tk GROUP BY 1
+       |), tot AS (SELECT CAST(sum(cf) AS BIGINT) AS n_total FROM cf)
+       |SELECT doc_id, n_tokens,
+       |  CAST(cf_sum AS DOUBLE) / CAST(n_tokens * n_total AS DOUBLE) AS mean_prob
+       |FROM (SELECT doc_id, count(*) AS n_tokens, CAST(sum(cf) AS BIGINT) AS cf_sum
+       |      FROM tk JOIN cf USING (term) GROUP BY 1) d, tot""".stripMargin
+
+  // ---------------------------------------------------------------- d21
+  /** Temperature-weighted multilingual sampling (the mT5/XLM-R mix
+    * recipe at α = 0.5): languages under the per-language budget C keep
+    * everything; a language with n docs keeps a √(C/n) fraction —
+    * p^α-proportional flattening of the language distribution without a
+    * cross-language normalizer (a Σ n_l^α term would be an
+    * order-dependent float sum, a cross-engine trap; the per-language
+    * form is division → sqrt → multiply, all correctly-rounded IEEE ops).
+    * Membership is decided by the portable content hash against the
+    * rate — deterministic and engine-independent, the s08 rule applied
+    * to corpus mixing.
+    *
+    * Scale shape: one count per language (tiny), broadcast back, then a
+    * map-only filter — no shuffle of the corpus itself. */
+  val TempBudget = 40
+
+  def d21TemperatureSample(s: SparkSession, dir: String): DataFrame = {
+    val docs = base(s, dir).select(col("doc_id"), col("lang"))
+    val rates = docs.groupBy(col("lang")).agg(count(lit(1)).as("n_lang"))
+      .withColumn("keep_rate",
+        least(lit(1.0), sqrt(lit(TempBudget).cast("double") / col("n_lang").cast("double"))))
+    docs.join(broadcast(rates), Seq("lang"))
+      .where(pmod(h64(concat(lit("smp:"), col("doc_id").cast("string"))), lit(1000000L))
+        .cast("double") < col("keep_rate") * lit(1000000).cast("double"))
+      .select(col("doc_id"), col("lang"), col("n_lang"), col("keep_rate"))
+  }
+
+  val d21Sql: String =
+    s"""$baseSql, rates AS (
+       |  SELECT lang, count(*) AS n_lang,
+       |    least(CAST(1 AS DOUBLE),
+       |          sqrt(CAST($TempBudget AS DOUBLE) / CAST(count(*) AS DOUBLE))) AS keep_rate
+       |  FROM base GROUP BY 1
+       |)
+       |SELECT doc_id, base.lang AS lang, n_lang, keep_rate
+       |FROM base JOIN rates ON base.lang = rates.lang
+       |WHERE CAST(${h64Sql("concat('smp:', CAST(doc_id AS VARCHAR))")} % 1000000 AS DOUBLE)
+       |      < keep_rate * CAST(1000000 AS DOUBLE)""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d21_temperature_sample" -> (d21TemperatureSample _),
+    "d20_unigram_score" -> (d20UnigramScore _),
     "d19_line_dedup" -> (d19LineDedup _),
     "d18_contamination" -> (d18Contamination _),
     "d17_star_clusters" -> (d17StarClusters _),
@@ -1064,6 +1143,8 @@ object LlmText {
     "d08_fingerprint" -> (d08Fingerprint _))
 
   val oracleSql: Map[String, String] = Map(
+    "d21_temperature_sample" -> d21Sql,
+    "d20_unigram_score" -> d20Sql,
     "d19_line_dedup" -> d19Sql,
     "d18_contamination" -> d18Sql,
     "d17_star_clusters" -> d14Sql,

@@ -266,6 +266,71 @@ class LlmTextSpec extends GraftSuite {
     }
   }
 
+  test("d20: unigram scores are probabilities, cover the corpus, and rank common-token docs higher") {
+    val rows = LlmText.d20UnigramScore(spark, sf).collect()
+    assert(rows.length === Tables.documents(spark, sf).count(), "every doc scored")
+    rows.foreach { r =>
+      val p = r.getDouble(2)
+      assert(p > 0.0 && p <= 1.0, s"mean_prob out of range: $p")
+    }
+    // the signal must separate the fixture: common-vocabulary docs score
+    // strictly above the corpus's rare-vocabulary tail
+    val scores = rows.map(_.getDouble(2)).sorted
+    assert(scores.head < scores.last, "degenerate constant score")
+  }
+
+  test("d21: temperature sampling keeps the hash-selected subset at the √(C/n) rate") {
+    val docs = Tables.documents(spark, sf)
+    val perLang = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val rows = LlmText.d21TemperatureSample(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val byLang = rows.groupBy(_.getString(1))
+    for ((lang, kept) <- byLang) {
+      val n = perLang(lang)
+      val expectRate = math.min(1.0, math.sqrt(LlmText.TempBudget.toDouble / n))
+      // every row carries the lang's true count and rate
+      kept.foreach { r =>
+        assert(r.getLong(2) === n)
+        assert(r.getDouble(3) === expectRate, s"$lang keep_rate")
+      }
+      // kept fraction within a loose binomial bound of the rate (the
+      // hash is uniform; 3σ over n trials)
+      val frac = kept.length.toDouble / n
+      val sigma = math.sqrt(expectRate * (1 - expectRate) / n)
+      assert(math.abs(frac - expectRate) <= math.max(3 * sigma, 0.05),
+        s"$lang kept $frac of $n vs rate $expectRate")
+    }
+    // the flattening property: the dominant language is sampled hardest
+    val enRate = math.sqrt(LlmText.TempBudget.toDouble / perLang("en"))
+    assert(perLang.keys.forall(l => l == "en" ||
+      math.min(1.0, math.sqrt(LlmText.TempBudget.toDouble / perLang(l))) >= enRate),
+      "largest language must have the lowest keep rate")
+    // determinism: a second run selects the identical subset
+    val again = LlmText.d21TemperatureSample(spark, sf).collect()
+      .map(_.getLong(0)).sorted.toSeq
+    assert(again === rows.map(_.getLong(0)).sorted.toSeq)
+  }
+
+  test("e07: recall audit counts are consistent and both ANN paths find truth pairs") {
+    import graft.operators.Embeddings
+    val rows = Embeddings.e07RecallAudit(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= 2)
+    val truthPairs = Embeddings.e01KnnBrute(spark, sf)
+      .where(col("rank") <= Embeddings.RecallK).count()
+    rows.foreach { r =>
+      assert(r.getLong(1) === truthPairs, "n_truth must be the brute-force pair count")
+      assert(r.getLong(2) >= 0 && r.getLong(2) <= r.getLong(1))
+      val recall = r.getDouble(3)
+      assert(recall >= 0.0 && recall <= 1.0)
+      assert(recall === r.getLong(2).toDouble / r.getLong(1).toDouble)
+    }
+    // on the fixture both index paths must surface SOME of the truth set
+    // (e02's bucketed top-quality ⊆ brute-force test already implies
+    // overlap; this pins it end-to-end through the audit join)
+    assert(rows.map(_.getLong(2)).sum > 0, "no ANN path found any truth pair")
+  }
+
   test("e06: every vector flagged once; dropped ⊆ cell-mates of an earlier near-dup") {
     import graft.operators.Embeddings
     val rows = Embeddings.e06SemDedup(spark, sf).collect()
