@@ -121,11 +121,14 @@ object Bench {
     }.mkString("[", ",", "]")
     val full =
       s"""{"metric":"total","value":$total,"unit":"sec","sweeps":$sweeps,"agg":"min","calibration":$calStart,"calibration_end":$calEnd,"queries":${qjson(best, _.toString)},"sweep_detail":$sweepJson,"sf":"$sfDir"}"""
+    // a filtered (isolation-probe) run records to a sibling file so it
+    // can never clobber the canonical full-run record
+    val selfFile = if (filter.isDefined) "BENCH_SELF_FILTERED.json" else "BENCH_SELF.json"
     try {
-      java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_SELF.json"),
+      java.nio.file.Files.write(java.nio.file.Paths.get(selfFile),
         full.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      System.err.println(s"[bench] wrote ${java.nio.file.Paths.get("BENCH_SELF.json").toAbsolutePath}")
-    } catch { case e: Throwable => System.err.println(s"[bench] BENCH_SELF.json write failed: ${e.getMessage}") }
+      System.err.println(s"[bench] wrote ${java.nio.file.Paths.get(selfFile).toAbsolutePath}")
+    } catch { case e: Throwable => System.err.println(s"[bench] $selfFile write failed: ${e.getMessage}") }
 
     // Compact single line LAST on stdout (3-decimal values, no sweep
     // detail) so a bounded stdout tail still contains one parseable JSON.
