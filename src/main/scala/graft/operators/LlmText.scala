@@ -1119,7 +1119,100 @@ object LlmText {
        |WHERE CAST(${h64Sql("concat('smp:', CAST(doc_id AS VARCHAR))")} % 1000000 AS DOUBLE)
        |      < keep_rate * CAST(1000000 AS DOUBLE)""".stripMargin
 
+  // ---------------------------------------------------------------- d22
+  /** Banded-LSH recall audit — the text-dedup twin of e07: compare
+    * d03's verified near-dup pairs (shingle-Jaccard ≥ threshold) against
+    * EXHAUSTIVE truth at the same threshold. Post-verification precision
+    * is 1 by construction (d03 verifies candidates with the exact
+    * Jaccard), so the one number that can degrade is recall — the
+    * band-collision miss rate this audit measures before anyone trusts a
+    * bandRows/NumHashes setting on a new corpus.
+    *
+    * The truth side is NOT a brute-force loop: any pair with Jaccard
+    * ≥ threshold > 0 shares at least one shingle, so the inverted
+    * shingle index is a COMPLETE candidate generator, and the per-pair
+    * co-occurrence count IS the exact intersection size — one
+    * shingle-keyed equi-join + one (doc_a, doc_b) count, the textbook
+    * exact all-pairs-similarity shape (a 240× cheaper truth than the
+    * quadratic loop on this fixture). Join volume is Σ df² over
+    * shingles; a Zipf-headed corpus bounds it the d15/d18 way (the
+    * boilerplate/hot-shingle caps) or via
+    * `spark.graft.lsh.auditSample` = m, which restricts the audit to
+    * the deterministic doc_id % m == 0 slice (default 1 = whole corpus,
+    * the oracle's formulation). found ⊆ truth always (the same exact
+    * integer Jaccard on both sides: |A∪B| = |A|+|B|−|A∩B| for distinct
+    * sets), so recall = |found| / |truth| with both counts exact. An
+    * empty truth set reads as recall 1.0 — nothing to find. */
+  val AuditSampleConf = "spark.graft.lsh.auditSample"
+
+  def d22LshRecallAudit(s: SparkSession, dir: String): DataFrame = {
+    val m = s.conf.get(AuditSampleConf, "1").toLong
+    val shd = withShingleSet(s, base(s, dir))
+      .where(pmod(col("doc_id"), lit(m)) === 0)
+      .select(col("doc_id"), col("sh"))
+    val ex = shd.select(col("doc_id"), explode(col("sh")).as("s"))
+    // shuffle equi-join on the shingle key (the at-scale shape; AQE
+    // splits any hot shingle) → exact intersection size per pair
+    val co = ex.select(col("s"), col("doc_id").as("doc_a"))
+      .join(ex.select(col("s"), col("doc_id").as("doc_b")), Seq("s"))
+      .where(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("inter"))
+    val sizes = shd.select(col("doc_id"), size(col("sh")).as("n"))
+    val truth = co
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), Seq("doc_a"))
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), Seq("doc_b"))
+      .where(col("inter").cast("double") /
+        (col("na") + col("nb") - col("inter")).cast("double") >= NeardupThreshold)
+      .select(col("doc_a"), col("doc_b"))
+    val found = d03LshNeardup(s, dir)
+      .where(col("jaccard") >= NeardupThreshold &&
+        pmod(col("doc_a"), lit(m)) === 0 && pmod(col("doc_b"), lit(m)) === 0)
+    val nTruth = truth.agg(count(lit(1)).as("n_truth"))
+    val nFound = found.agg(count(lit(1)).as("n_found"))
+    nTruth.crossJoin(broadcast(nFound))
+      .select(col("n_truth"), col("n_found"),
+        when(col("n_truth") > 0,
+          col("n_found").cast("double") / col("n_truth").cast("double"))
+          .otherwise(lit(1.0)).as("recall"))
+  }
+
+  val d22Sql: String = {
+    val bandSelects = (0 until NumHashes).map { i =>
+      s"SELECT a.doc_id AS doc_a, b.doc_id AS doc_b FROM sig a JOIN sig b ON a.mh$i = b.mh$i AND a.doc_id < b.doc_id"
+    }.mkString("\n  UNION\n  ")
+    s"""$baseSql$shSqlCte, sig AS (
+       |  SELECT doc_id, ${(0 until NumHashes).map(mhExprSql).mkString(", ")} FROM shd
+       |), cand AS (
+       |  $bandSelects
+       |), found AS (
+       |  SELECT cand.doc_a, cand.doc_b
+       |  FROM cand JOIN shd x ON cand.doc_a = x.doc_id
+       |            JOIN shd y ON cand.doc_b = y.doc_id
+       |  WHERE CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE) /
+       |        CAST(len(list_distinct(x.sh || y.sh)) AS DOUBLE) >= $NeardupThreshold
+       |), ex AS (
+       |  SELECT doc_id, unnest(sh) AS s FROM shd
+       |), co AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+       |  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2
+       |), sz AS (
+       |  SELECT doc_id, len(sh) AS n FROM shd
+       |), truth AS (
+       |  SELECT doc_a, doc_b
+       |  FROM co JOIN sz x ON co.doc_a = x.doc_id JOIN sz y ON co.doc_b = y.doc_id
+       |  WHERE CAST(inter AS DOUBLE) /
+       |        CAST(x.n + y.n - inter AS DOUBLE) >= $NeardupThreshold
+       |), tc AS (SELECT CAST(count(*) AS BIGINT) AS n_truth FROM truth),
+       |fc AS (SELECT CAST(count(*) AS BIGINT) AS n_found FROM found)
+       |SELECT n_truth, n_found,
+       |  CASE WHEN n_truth > 0 THEN CAST(n_found AS DOUBLE) / CAST(n_truth AS DOUBLE)
+       |       ELSE CAST(1 AS DOUBLE) END AS recall
+       |FROM tc, fc""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d22_lsh_recall" -> (d22LshRecallAudit _),
     "d21_temperature_sample" -> (d21TemperatureSample _),
     "d20_unigram_score" -> (d20UnigramScore _),
     "d19_line_dedup" -> (d19LineDedup _),
@@ -1143,6 +1236,7 @@ object LlmText {
     "d08_fingerprint" -> (d08Fingerprint _))
 
   val oracleSql: Map[String, String] = Map(
+    "d22_lsh_recall" -> d22Sql,
     "d21_temperature_sample" -> d21Sql,
     "d20_unigram_score" -> d20Sql,
     "d19_line_dedup" -> d19Sql,

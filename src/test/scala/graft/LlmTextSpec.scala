@@ -312,6 +312,27 @@ class LlmTextSpec extends GraftSuite {
     assert(again === rows.map(_.getLong(0)).sorted.toSeq)
   }
 
+  test("d22: LSH recall audit — found ⊆ truth, counts tie to d03, sampling bounds the slice") {
+    val Seq(row) = LlmText.d22LshRecallAudit(spark, sf).collect().toSeq
+    val (nTruth, nFound, recall) = (row.getLong(0), row.getLong(1), row.getDouble(2))
+    assert(nTruth > 0, "fixture's planted near-dups must appear in the truth set")
+    assert(nFound >= 0 && nFound <= nTruth, "verification makes found ⊆ truth")
+    assert(recall === nFound.toDouble / nTruth.toDouble)
+    // the found side IS d03 at the threshold
+    val d03AtT = LlmText.d03LshNeardup(spark, sf)
+      .where(col("jaccard") >= LlmText.NeardupThreshold).count()
+    assert(nFound === d03AtT)
+    // 8 r=1 bands at this shingle overlap: the planted dups collide
+    assert(recall > 0.5, s"default banding should catch most planted dups, got $recall")
+    // sampled audit: both sides restricted to the doc_id % 2 slice
+    spark.conf.set(LlmText.AuditSampleConf, "2")
+    try {
+      val Seq(s2) = LlmText.d22LshRecallAudit(spark, sf).collect().toSeq
+      assert(s2.getLong(0) <= nTruth, "sampling cannot grow the truth set")
+      assert(s2.getLong(1) <= s2.getLong(0))
+    } finally spark.conf.unset(LlmText.AuditSampleConf)
+  }
+
   test("e07: recall audit counts are consistent and both ANN paths find truth pairs") {
     import graft.operators.Embeddings
     val rows = Embeddings.e07RecallAudit(spark, sf).collect()
