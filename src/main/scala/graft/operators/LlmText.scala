@@ -1211,7 +1211,118 @@ object LlmText {
        |FROM tc, fc""".stripMargin
   }
 
+  // ---------------------------------------------------------------- d23
+  /** Training-sequence packing — the sample-packing step that turns a
+    * curated corpus into fixed-token-budget training sequences (docs
+    * are laid head-to-tail in a deterministic order; a document starts
+    * at its cumulative offset and may straddle a sequence boundary, the
+    * standard packed-pretraining layout). Deterministic at any
+    * partitioning: docs shard by portable hash, order within a shard by
+    * a second independent hash (doc_id tie-break), and every assignment
+    * is integer arithmetic off the windowed running token count.
+    *
+    * Scale shape: ONE window sort per shard — shard count scales with
+    * the corpus (a real run sizes [[PackShards]] to executors × k), so
+    * no single-task corpus-wide sort; everything else is map-only. */
+  val PackBudget = 2048
+  val PackShards = 16
+
+  def d23SequencePack(s: SparkSession, dir: String): DataFrame = {
+    val docs = base(s, dir).select(col("doc_id"), size(col("toks")).as("n_tokens"))
+      .withColumn("shard",
+        pmod(h64(concat(lit("pack:"), col("doc_id").cast("string"))), lit(PackShards.toLong)))
+      .withColumn("ord", h64(concat(lit("ord:"), col("doc_id").cast("string"))))
+    val w = Window.partitionBy(col("shard")).orderBy(col("ord").asc, col("doc_id").asc)
+    docs.withColumn("cum", sum(col("n_tokens")).over(w))
+      .select(col("doc_id"), col("shard"), col("n_tokens"),
+        expr(s"(cum - n_tokens) div $PackBudget").as("seq"),
+        expr(s"(cum - n_tokens) % $PackBudget").as("offset"))
+  }
+
+  val d23Sql: String =
+    s"""$baseSql, sized AS (
+       |  SELECT doc_id, len(toks) AS n_tokens,
+       |    ${h64Sql("concat('pack:', CAST(doc_id AS VARCHAR))")} % $PackShards AS shard,
+       |    ${h64Sql("concat('ord:', CAST(doc_id AS VARCHAR))")} AS ord
+       |  FROM base
+       |), run AS (
+       |  SELECT doc_id, shard, n_tokens,
+       |    CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY ord, doc_id) AS BIGINT) AS cum
+       |  FROM sized
+       |)
+       |SELECT doc_id, shard, n_tokens,
+       |  (cum - n_tokens) // $PackBudget AS seq,
+       |  (cum - n_tokens) % $PackBudget AS offset
+       |FROM run""".stripMargin
+
+  // ---------------------------------------------------------------- d24
+  /** Source-level curation — the RefinedWeb/C4 move from per-document
+    * to per-origin decisions: aggregate each source's document count,
+    * exact mean token count, quality share (d06's flag), and exact-dup
+    * share (fraction of its docs whose normalized content appears more
+    * than once CORPUS-wide), then keep/drop the whole source. Ratios
+    * are one exact-integer division each; the keep rule compares them
+    * against binary-exact literals, so the decision is bit-identical
+    * cross-engine.
+    *
+    * Scale shape: the dup flag is d01's hash-keyed count (one shuffle),
+    * the rollup is one aggregate keyed by source — no pairwise work. */
+  def d24SourceCuration(s: SparkSession, dir: String): DataFrame = {
+    val b = base(s, dir)
+    val dupHashes = b.groupBy(sha2(col("norm"), 256).as("h"))
+      .agg(count(lit(1)).as("n")).where(col("n") > 1).select(col("h"))
+    val flagged = b
+      .withColumn("is_q",
+        size(col("toks")) >= 20 &&
+          (size(array_distinct(col("toks"))).cast("double") /
+            size(col("toks")).cast("double")) >= 0.1 &&
+          ((length(col("norm")) - size(col("toks")) + 1).cast("double") /
+            size(col("toks")).cast("double")) < 15)
+      .join(dupHashes.withColumn("is_dup", lit(true)),
+        sha2(col("norm"), 256) === col("h"), "left")
+    flagged.groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(size(col("toks"))).as("sum_tokens"),
+        sum(when(col("is_q"), 1L).otherwise(0L)).as("n_quality"),
+        sum(when(col("is_dup"), 1L).otherwise(0L)).as("n_dup"))
+      .select(
+        col("source"), col("n_docs"), col("sum_tokens"),
+        (col("sum_tokens").cast("double") / col("n_docs").cast("double")).as("mean_tokens"),
+        (col("n_quality").cast("double") / col("n_docs").cast("double")).as("quality_share"),
+        (col("n_dup").cast("double") / col("n_docs").cast("double")).as("dup_share"))
+      .withColumn("keep",
+        col("quality_share") >= 0.5 && col("dup_share") <= 0.25)
+  }
+
+  val d24Sql: String =
+    s"""$baseSql, duph AS (
+       |  SELECT sha256(norm) AS h FROM base GROUP BY 1 HAVING count(*) > 1
+       |), flagged AS (
+       |  SELECT source, len(toks) AS n_tokens,
+       |    len(toks) >= 20
+       |      AND CAST(len(list_distinct(toks)) AS DOUBLE) / CAST(len(toks) AS DOUBLE) >= 0.1
+       |      AND CAST(length(norm) - len(toks) + 1 AS DOUBLE) / CAST(len(toks) AS DOUBLE) < 15 AS is_q,
+       |    sha256(norm) IN (SELECT h FROM duph) AS is_dup
+       |  FROM base
+       |), agg AS (
+       |  SELECT source, count(*) AS n_docs,
+       |    CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+       |    CAST(sum(CASE WHEN is_q THEN 1 ELSE 0 END) AS BIGINT) AS n_quality,
+       |    CAST(sum(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT) AS n_dup
+       |  FROM flagged GROUP BY 1
+       |)
+       |SELECT source, n_docs, sum_tokens,
+       |  CAST(sum_tokens AS DOUBLE) / CAST(n_docs AS DOUBLE) AS mean_tokens,
+       |  CAST(n_quality AS DOUBLE) / CAST(n_docs AS DOUBLE) AS quality_share,
+       |  CAST(n_dup AS DOUBLE) / CAST(n_docs AS DOUBLE) AS dup_share,
+       |  CAST(n_quality AS DOUBLE) / CAST(n_docs AS DOUBLE) >= 0.5
+       |    AND CAST(n_dup AS DOUBLE) / CAST(n_docs AS DOUBLE) <= 0.25 AS keep
+       |FROM agg""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d24_source_curation" -> (d24SourceCuration _),
+    "d23_sequence_pack" -> (d23SequencePack _),
     "d22_lsh_recall" -> (d22LshRecallAudit _),
     "d21_temperature_sample" -> (d21TemperatureSample _),
     "d20_unigram_score" -> (d20UnigramScore _),
@@ -1236,6 +1347,8 @@ object LlmText {
     "d08_fingerprint" -> (d08Fingerprint _))
 
   val oracleSql: Map[String, String] = Map(
+    "d24_source_curation" -> d24Sql,
+    "d23_sequence_pack" -> d23Sql,
     "d22_lsh_recall" -> d22Sql,
     "d21_temperature_sample" -> d21Sql,
     "d20_unigram_score" -> d20Sql,

@@ -333,6 +333,54 @@ class LlmTextSpec extends GraftSuite {
     } finally spark.conf.unset(LlmText.AuditSampleConf)
   }
 
+  test("d23: packing is a gapless head-to-tail layout within every shard") {
+    val rows = LlmText.d23SequencePack(spark, sf).collect()
+    assert(rows.length === Tables.documents(spark, sf).count(), "every doc packed")
+    val byShard = rows.groupBy(_.getLong(1))
+    assert(byShard.size > 1, "hash sharding should spread the fixture")
+    for ((shard, docs) <- byShard) {
+      // reconstruct the layout: start offsets are cumulative token
+      // counts, so sorted by (seq, offset) the docs must tile the
+      // shard's token stream without gaps or overlaps
+      val laid = docs.map(r => (r.getLong(3), r.getLong(4), r.getInt(2))) // seq, offset, n
+        .sortBy(t => (t._1, t._2))
+      var pos = 0L
+      for ((seq, off, n) <- laid) {
+        assert(seq === pos / LlmText.PackBudget, s"shard $shard: seq breaks at pos $pos")
+        assert(off === pos % LlmText.PackBudget, s"shard $shard: offset breaks at pos $pos")
+        pos += n
+      }
+    }
+    // determinism across invocations (hash order, not rand/PRNG)
+    val again = LlmText.d23SequencePack(spark, sf).collect()
+      .map(_.toString).sorted.toSeq
+    assert(again === rows.map(_.toString).sorted.toSeq)
+  }
+
+  test("d24: source rollup ties to d06 quality flags and d01 dup groups") {
+    val rows = LlmText.d24SourceCuration(spark, sf).collect()
+    val srcOf = Tables.documents(spark, sf).select("doc_id", "source").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rows.map(_.getString(0)).toSet === srcOf.values.toSet, "every source rolled up")
+    // quality count per source must equal d06's flag aggregated by source
+    val qBySrc = LlmText.d06TextStats(spark, sf).select("doc_id", "is_quality").collect()
+      .map(r => srcOf(r.getLong(0)) -> (if (r.getBoolean(1)) 1L else 0L))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    // dup docs = members of d01 groups with n_dups > 1
+    val nDupTotal = LlmText.d01ExactDedup(spark, sf)
+      .where(col("n_dups") > 1)
+      .agg(coalesce(sum("n_dups"), lit(0L))).collect()(0).getLong(0)
+    var dupSum = 0L
+    rows.foreach { r =>
+      val (src, nDocs, nQ) = (r.getString(0), r.getLong(1), r.getDouble(4) * r.getLong(1))
+      assert(math.round(nQ) === qBySrc(src), s"$src quality share")
+      assert(r.getDouble(5) >= 0.0 && r.getDouble(5) <= 1.0)
+      dupSum += math.round(r.getDouble(5) * nDocs)
+      assert(r.getBoolean(6) === (r.getDouble(4) >= 0.5 && r.getDouble(5) <= 0.25))
+    }
+    assert(dupSum === nDupTotal, "per-source dup counts must partition d01's dup members")
+  }
+
   test("e07: recall audit counts are consistent and both ANN paths find truth pairs") {
     import graft.operators.Embeddings
     val rows = Embeddings.e07RecallAudit(spark, sf).collect()
