@@ -409,7 +409,45 @@ object AdAnalytics {
        |  AND p.ts >= c.ts
        |  AND p.ts <= c.ts + INTERVAL $AttributionWindowMin MINUTE""".stripMargin
 
+  // ---------------------------------------------------------------- st11
+  /** Streaming COUNT-MIN sketch maintenance — m11's d×w counter grid
+    * kept as a RUNNING streaming aggregation: each event increments its
+    * d cells (explode over the rows, bucket by the portable seeded
+    * hash), and the stateful agg holds the running cell totals. This is
+    * the production deployment shape of a counter sketch: the state
+    * store is bounded at d·w keys REGARDLESS of the user-id cardinality
+    * (contrast st04, whose state grows with the keyspace) — the whole
+    * reason to stream a sketch instead of exact per-key counts. Counter
+    * addition is the merge, so the AvailableNow final grid is
+    * bit-identical to the batch grid built from per-key subtotals
+    * (m11's formulation, the oracle below); the heavy-hitter readout
+    * (min over a key's d cells) is a batch lookup against this grid. */
+  def st11CmsCells(s: SparkSession, dir: String): DataFrame =
+    Streams.runComplete(s) { ss =>
+      import graft.operators.Misc.{CmsRows, CmsWidth}
+      Streams.tableStream(ss, dir, "events")
+        .withColumn("j", explode(array((0 until CmsRows).map(i => lit(i.toLong)): _*)))
+        .withColumn("bucket",
+          graft.functions.Portable.h64(
+            concat(col("user_id").cast("string"), lit("|"), col("j").cast("string")))
+            % CmsWidth)
+        .groupBy(col("j"), col("bucket")).agg(count(lit(1)).as("cell_n"))
+    }
+
+  val st11Sql: String = {
+    import graft.operators.Misc.{CmsRows, CmsWidth}
+    val h = graft.functions.Portable.h64Sql(
+      "CAST(user_id AS VARCHAR) || '|' || CAST(j AS VARCHAR)")
+    s"""WITH exact AS (
+       |  SELECT user_id, count(*) AS exact_n FROM events GROUP BY 1
+       |)
+       |SELECT j, $h % $CmsWidth AS bucket, CAST(sum(exact_n) AS BIGINT) AS cell_n
+       |FROM exact, generate_series(0, ${CmsRows - 1}) g(j)
+       |GROUP BY 1, 2""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "st11_cms_cells" -> (st11CmsCells _),
     "st10_stream_left_join" -> (st10StreamStreamLeftJoin _),
     "st09_stream_stream_join" -> (st09StreamStreamJoin _),
     "st08_session_window" -> (st08SessionWindow _),
@@ -422,6 +460,7 @@ object AdAnalytics {
     "st06_daily_top3" -> (st06DailyTop3 _))
 
   val oracleSql: Map[String, String] = Map(
+    "st11_cms_cells" -> st11Sql,
     "st10_stream_left_join" -> st10Sql,
     "st09_stream_stream_join" -> st09Sql,
     "st08_session_window" -> st08Sql,

@@ -79,6 +79,19 @@ class StreamingSpec extends GraftSuite {
     assert(st04.agg(sum("total")).collect()(0).getLong(0) === total)
   }
 
+  test("st11: streaming CMS grid is bounded and conserves every increment") {
+    import graft.operators.Misc.{CmsRows, CmsWidth}
+    val cells = AdAnalytics.st11CmsCells(spark, sf).collect()
+    // state bound: at most d·w cells no matter how many distinct users
+    assert(cells.length <= CmsRows * CmsWidth)
+    assert(cells.map(r => (r.getLong(0), r.getLong(1))).distinct.length === cells.length)
+    // conservation: every event increments exactly one cell in each row
+    val total = Tables.events(spark, sf).count()
+    val perRow = cells.groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(2)).sum).toMap
+    assert(perRow.keySet === (0L until CmsRows).toSet)
+    perRow.foreach { case (j, s) => assert(s === total, s"row $j loses increments") }
+  }
+
   test("ST9: watermark drops late data in append-mode windows") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
