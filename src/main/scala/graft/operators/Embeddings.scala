@@ -123,13 +123,48 @@ object Embeddings {
       when(dotQ(s)(q, plane) > 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
 
+  /** Multi-probe lever (Lv et al., VLDB'07): besides its own bucket,
+    * the QUERY side probes the buckets reached by flipping its t
+    * smallest-|margin| hyperplanes — the planes the vector sits closest
+    * to, i.e. the flips most likely to recover a lost near neighbor.
+    * Candidate volume grows linearly in (1 + t) while the index side
+    * stays put — LSH's answer to IVF's nprobe, with the same
+    * monotone-recall contract (spec-pinned via the e07 audit). Default
+    * 0 probes = the oracle's formulation. */
+  val MultiProbeConf = "spark.graft.lsh.multiProbe"
+
+  /** The query's probe-bucket list: own bucket first, then t one-bit
+    * flips in ascending |dot(q, plane)| order (ties break on plane
+    * index via the struct sort). Probe buckets are pairwise distinct,
+    * and a neighbor lives in exactly one bucket, so no (query,
+    * neighbor) pair can arise twice — no dedup stage needed. */
+  private def probeBuckets(s: SparkSession, q: Column, probes: Int): Column = {
+    val dot = dotQ(s) _
+    val base = bucketCol(s, q)
+    if (probes <= 0) array(base)
+    else {
+      val ranked = array_sort(array((0 until NumPlanes).map { p =>
+        val plane = array(planes(p).map(v => lit(v.toLong)): _*)
+        struct(abs(dot(q, plane)).as("m"), lit(p).as("p"))
+      }: _*))
+      val masks = array((0 until NumPlanes).map(p => lit(1L << p)): _*)
+      concat(
+        array(base),
+        transform(slice(ranked, 1, math.min(probes, NumPlanes)),
+          x => base.bitwiseXOR(element_at(masks, x.getField("p") + 1))))
+    }
+  }
+
   def e02AnnBucketed(s: SparkSession, dir: String): DataFrame = {
     val dot = dotQ(s) _
-    val v = quantized(s, dir).withColumn("bucket", bucketCol(s, col("q")))
-    val a = v.select(col("bucket"), col("vec_id").as("query_id"),
-      col("q").as("qa"), col("nq").as("na"))
-    val b = v.select(col("bucket"), col("vec_id").as("neighbor_id"),
-      col("q").as("qb"), col("nq").as("nb"))
+    val probes = s.conf.get(MultiProbeConf, "0").toInt
+    val v = quantized(s, dir)
+    val a = v.withColumn("bucket", explode(probeBuckets(s, col("q"), probes)))
+      .select(col("bucket"), col("vec_id").as("query_id"),
+        col("q").as("qa"), col("nq").as("na"))
+    val b = v.withColumn("bucket", bucketCol(s, col("q")))
+      .select(col("bucket"), col("vec_id").as("neighbor_id"),
+        col("q").as("qb"), col("nq").as("nb"))
     // strategy-gated ([[SelfJoin]]): broadcast locally (bucket keys are
     // few — 2^planes — so broadcasting keeps parallelism on the left
     // side's partitioning); shuffle on bucket + AQE skew-split at 100 TB

@@ -381,6 +381,30 @@ class LlmTextSpec extends GraftSuite {
     assert(dupSum === nDupTotal, "per-source dup counts must partition d01's dup members")
   }
 
+  test("e02: multi-probe widens the candidate set, never worsens a best match, and raises audited recall") {
+    import graft.operators.Embeddings
+    def best(rows: Array[org.apache.spark.sql.Row]): Map[Long, Double] =
+      rows.filter(_.getInt(4) == 1).map(r => r.getLong(1) -> r.getDouble(3)).toMap
+    val base = Embeddings.e02AnnBucketed(spark, sf).collect()
+    val baseHits = Embeddings.e07RecallAudit(spark, sf).collect()
+      .find(_.getString(0) == "lsh_bucketed").get.getLong(2)
+    spark.conf.set(Embeddings.MultiProbeConf, "2")
+    try {
+      val probed = Embeddings.e02AnnBucketed(spark, sf).collect()
+      // probe buckets are extra distinct buckets → candidate growth
+      assert(probed.length >= base.length)
+      // per-query candidates are a superset → the best match only improves
+      val (b0, b2) = (best(base), best(probed))
+      b0.foreach { case (q, cos) => assert(b2(q) >= cos, s"query $q best match worsened") }
+      // and the e07 audit must SEE the lever: strictly more truth hits
+      // (2 extra probed buckets on a 16-bucket/500-vector fixture)
+      val probedHits = Embeddings.e07RecallAudit(spark, sf).collect()
+        .find(_.getString(0) == "lsh_bucketed").get.getLong(2)
+      assert(probedHits > baseHits,
+        s"multi-probe did not raise audited recall: $baseHits -> $probedHits")
+    } finally spark.conf.unset(Embeddings.MultiProbeConf)
+  }
+
   test("e07: recall audit counts are consistent and both ANN paths find truth pairs") {
     import graft.operators.Embeddings
     val rows = Embeddings.e07RecallAudit(spark, sf).collect()
