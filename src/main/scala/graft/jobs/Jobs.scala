@@ -175,6 +175,43 @@ object AdverStatJob {
   }
 }
 
+/** The LLM-data extension as one lifecycle — the training-data
+  * counterpart of the reference-shaped jobs: one run writes the
+  * per-source curation decisions (d24), the training-ready packed
+  * manifest (d25 — the composed keep-source ∩ near-dup-survivor ∩
+  * temperature-sample pipeline), and the two recall audits a curation
+  * deployment monitors (d22 banded-LSH vs exhaustive truth, e07 ANN vs
+  * brute force), all JDBC-appended under one task UUID. A production
+  * run would swap the audit cadence down and the manifest write to a
+  * partitioned table; the lifecycle is the same. */
+object CurationJob {
+  val SourceTable = "curation_source_decisions"
+  val ManifestTable = "curation_manifest"
+  val LshAuditTable = "curation_lsh_audit"
+  val AnnAuditTable = "curation_ann_audit"
+
+  def run(s: SparkSession, dir: String, url: String, props: Properties,
+          taskUUID: String): Unit = {
+    import graft.operators.{Embeddings, LlmText}
+    def write(df: DataFrame, table: String): Unit =
+      Jobs.appendKeyed(taskUUID, df, url, table, props)
+    write(LlmText.d24SourceCuration(s, dir), SourceTable)
+    write(LlmText.d25CurationManifest(s, dir), ManifestTable)
+    write(LlmText.d22LshRecallAudit(s, dir), LshAuditTable)
+    write(Embeddings.e07RecallAudit(s, dir), AnnAuditTable)
+  }
+
+  /** args: [sfDir] [jdbcUrl]. */
+  def main(args: Array[String]): Unit = {
+    val dir = args.lift(0).getOrElse("/root/testdata/sf0.001")
+    val url = args.lift(1).getOrElse("jdbc:derby:memory:graftjobs;create=true")
+    val s = Jobs.buildSession("graft-curation-job")
+    val taskUUID = UUID.randomUUID().toString
+    run(s, dir, url, new Properties(), taskUUID)
+    println(s"[job] curation job $taskUUID done")
+  }
+}
+
 /** 需求6 as one lifecycle: filter → area top-3 products → one JDBC
   * append keyed by the task UUID. */
 object AreaTop3Job {

@@ -1227,17 +1227,22 @@ object LlmText {
   val PackBudget = 2048
   val PackShards = 16
 
-  def d23SequencePack(s: SparkSession, dir: String): DataFrame = {
-    val docs = base(s, dir).select(col("doc_id"), size(col("toks")).as("n_tokens"))
-      .withColumn("shard",
+  /** The packing kernel shared by d23 (whole corpus) and d25 (curated
+    * subset): expects `doc_id` + `n_tokens` (+ passthrough columns),
+    * adds shard / seq / offset. */
+  private def packed(df: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("shard")).orderBy(col("ord").asc, col("doc_id").asc)
+    df.withColumn("shard",
         pmod(h64(concat(lit("pack:"), col("doc_id").cast("string"))), lit(PackShards.toLong)))
       .withColumn("ord", h64(concat(lit("ord:"), col("doc_id").cast("string"))))
-    val w = Window.partitionBy(col("shard")).orderBy(col("ord").asc, col("doc_id").asc)
-    docs.withColumn("cum", sum(col("n_tokens")).over(w))
-      .select(col("doc_id"), col("shard"), col("n_tokens"),
-        expr(s"(cum - n_tokens) div $PackBudget").as("seq"),
-        expr(s"(cum - n_tokens) % $PackBudget").as("offset"))
+      .withColumn("cum", sum(col("n_tokens")).over(w))
+      .withColumn("seq", expr(s"(cum - n_tokens) div $PackBudget"))
+      .withColumn("offset", expr(s"(cum - n_tokens) % $PackBudget"))
   }
+
+  def d23SequencePack(s: SparkSession, dir: String): DataFrame =
+    packed(base(s, dir).select(col("doc_id"), size(col("toks")).as("n_tokens")))
+      .select(col("doc_id"), col("shard"), col("n_tokens"), col("seq"), col("offset"))
 
   val d23Sql: String =
     s"""$baseSql, sized AS (
@@ -1320,7 +1325,94 @@ object LlmText {
        |    AND CAST(n_dup AS DOUBLE) / CAST(n_docs AS DOUBLE) <= 0.25 AS keep
        |FROM agg""".stripMargin
 
+  // ---------------------------------------------------------------- d25
+  /** The training-ready corpus manifest — the whole curation pipeline
+    * composed into ONE declarative plan: a document survives iff its
+    * source passes d24's per-origin gate AND it survives d09's
+    * keep-first near-dup rule AND d21's temperature sampler selects it;
+    * the survivors then pack into fixed-budget training sequences with
+    * d23's kernel. This is the table a training run actually consumes
+    * (doc → shard/sequence/offset), and the composition Catalyst gets
+    * to optimize as a whole — shared scans, semi/anti joins keyed on
+    * doc_id, the one LSH band join, and a per-shard window; nothing
+    * pairwise, nothing driver-side. d11 reports corpus STATS; this is
+    * the corpus ITSELF. */
+  def d25CurationManifest(s: SparkSession, dir: String): DataFrame = {
+    val b = base(s, dir).select(
+      col("doc_id"), col("lang"), col("source"), size(col("toks")).as("n_tokens"))
+    val keptSrc = d24SourceCuration(s, dir).where(col("keep")).select(col("source"))
+    val survivors = d09NeardupSurvivors(s, dir).select(col("doc_id"))
+    val sampled = d21TemperatureSample(s, dir).select(col("doc_id"))
+    val kept = b
+      .join(broadcast(keptSrc), Seq("source"), "left_semi")
+      .join(survivors, Seq("doc_id"), "left_semi")
+      .join(sampled, Seq("doc_id"), "left_semi")
+    packed(kept).select(col("doc_id"), col("lang"), col("source"),
+      col("n_tokens"), col("shard"), col("seq"), col("offset"))
+  }
+
+  val d25Sql: String = {
+    val bandSelects = (0 until NumHashes).map { i =>
+      s"SELECT a.doc_id AS doc_a, b.doc_id AS doc_b FROM sig a JOIN sig b ON a.mh$i = b.mh$i AND a.doc_id < b.doc_id"
+    }.mkString("\n  UNION\n  ")
+    s"""$baseSql$shSqlCte, sig AS (
+       |  SELECT doc_id, ${(0 until NumHashes).map(mhExprSql).mkString(", ")} FROM shd
+       |), cand AS (
+       |  $bandSelects
+       |), doomed AS (
+       |  SELECT DISTINCT cand.doc_b AS doc_id
+       |  FROM cand JOIN shd x ON cand.doc_a = x.doc_id
+       |            JOIN shd y ON cand.doc_b = y.doc_id
+       |  WHERE CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE) /
+       |        CAST(len(list_distinct(x.sh || y.sh)) AS DOUBLE) >= $NeardupThreshold
+       |), rates AS (
+       |  SELECT lang, count(*) AS n_lang,
+       |    least(CAST(1 AS DOUBLE),
+       |          sqrt(CAST($TempBudget AS DOUBLE) / CAST(count(*) AS DOUBLE))) AS keep_rate
+       |  FROM base GROUP BY 1
+       |), duph AS (
+       |  SELECT sha256(norm) AS h FROM base GROUP BY 1 HAVING count(*) > 1
+       |), flagged AS (
+       |  SELECT source,
+       |    len(toks) >= 20
+       |      AND CAST(len(list_distinct(toks)) AS DOUBLE) / CAST(len(toks) AS DOUBLE) >= 0.1
+       |      AND CAST(length(norm) - len(toks) + 1 AS DOUBLE) / CAST(len(toks) AS DOUBLE) < 15 AS is_q,
+       |    sha256(norm) IN (SELECT h FROM duph) AS is_dup
+       |  FROM base
+       |), srcagg AS (
+       |  SELECT source, count(*) AS n_docs,
+       |    CAST(sum(CASE WHEN is_q THEN 1 ELSE 0 END) AS BIGINT) AS n_quality,
+       |    CAST(sum(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT) AS n_dup
+       |  FROM flagged GROUP BY 1
+       |), keptsrc AS (
+       |  SELECT source FROM srcagg
+       |  WHERE CAST(n_quality AS DOUBLE) / CAST(n_docs AS DOUBLE) >= 0.5
+       |    AND CAST(n_dup AS DOUBLE) / CAST(n_docs AS DOUBLE) <= 0.25
+       |), kept AS (
+       |  SELECT b.doc_id, b.lang, b.source, len(b.toks) AS n_tokens
+       |  FROM base b JOIN rates r ON b.lang = r.lang
+       |  WHERE b.source IN (SELECT source FROM keptsrc)
+       |    AND b.doc_id NOT IN (SELECT doc_id FROM doomed)
+       |    AND CAST(${h64Sql("concat('smp:', CAST(b.doc_id AS VARCHAR))")} % 1000000 AS DOUBLE)
+       |        < r.keep_rate * CAST(1000000 AS DOUBLE)
+       |), sized AS (
+       |  SELECT doc_id, lang, source, n_tokens,
+       |    ${h64Sql("concat('pack:', CAST(doc_id AS VARCHAR))")} % $PackShards AS shard,
+       |    ${h64Sql("concat('ord:', CAST(doc_id AS VARCHAR))")} AS ord
+       |  FROM kept
+       |), run AS (
+       |  SELECT doc_id, lang, source, n_tokens, shard,
+       |    CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY ord, doc_id) AS BIGINT) AS cum
+       |  FROM sized
+       |)
+       |SELECT doc_id, lang, source, n_tokens, shard,
+       |  (cum - n_tokens) // $PackBudget AS seq,
+       |  (cum - n_tokens) % $PackBudget AS offset
+       |FROM run""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d25_curation_manifest" -> (d25CurationManifest _),
     "d24_source_curation" -> (d24SourceCuration _),
     "d23_sequence_pack" -> (d23SequencePack _),
     "d22_lsh_recall" -> (d22LshRecallAudit _),
@@ -1347,6 +1439,7 @@ object LlmText {
     "d08_fingerprint" -> (d08Fingerprint _))
 
   val oracleSql: Map[String, String] = Map(
+    "d25_curation_manifest" -> d25Sql,
     "d24_source_curation" -> d24Sql,
     "d23_sequence_pack" -> d23Sql,
     "d22_lsh_recall" -> d22Sql,

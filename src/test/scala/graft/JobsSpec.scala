@@ -129,6 +129,27 @@ class JobsSpec extends GraftSuite {
     assert(viaJob === direct)
   }
 
+  test("CurationJob writes decisions, manifest, and both audits under one task UUID") {
+    graft.jobs.CurationJob.run(spark, sf, url, props, "task-curation")
+    import graft.jobs.CurationJob._
+    for (t <- Seq(SourceTable, ManifestTable, LshAuditTable, AnnAuditTable)) {
+      val n = table(t).where(col("task_id") === "task-curation").count()
+      assert(n > 0, s"$t must contain rows for the task")
+    }
+    // the stored manifest is exactly the d25 library query
+    val direct = graft.operators.LlmText.d25CurationManifest(spark, sf)
+      .collect().map(_.toString).sorted.toSeq
+    val viaJob = table(ManifestTable).where(col("task_id") === "task-curation")
+      .drop("task_id").collect().map(_.toString).sorted.toSeq
+    assert(viaJob === direct)
+    // every manifest doc comes from a source the decision table kept
+    val keptSrc = table(SourceTable).where(col("task_id") === "task-curation")
+      .where(col("keep")).select("source").collect().map(_.getString(0)).toSet
+    val manSrc = table(ManifestTable).where(col("task_id") === "task-curation")
+      .select("source").distinct().collect().map(_.getString(0)).toSet
+    assert(manSrc.subsetOf(keptSrc))
+  }
+
   test("job mains run end-to-end with an existing session") {
     SessionJob.main(Array(sf, url))
     AreaTop3Job.main(Array(sf, url))

@@ -381,6 +381,32 @@ class LlmTextSpec extends GraftSuite {
     assert(dupSum === nDupTotal, "per-source dup counts must partition d01's dup members")
   }
 
+  test("d25: manifest is exactly kept-source ∩ survivor ∩ sampled, packed gaplessly") {
+    val man = LlmText.d25CurationManifest(spark, sf).collect()
+    val keptSrc = LlmText.d24SourceCuration(spark, sf).collect()
+      .filter(_.getBoolean(6)).map(_.getString(0)).toSet
+    val surv = LlmText.d09NeardupSurvivors(spark, sf).collect().map(_.getLong(0)).toSet
+    val samp = LlmText.d21TemperatureSample(spark, sf).collect().map(_.getLong(0)).toSet
+    val expected = Tables.documents(spark, sf).select("doc_id", "source").collect()
+      .filter(r => keptSrc(r.getString(1)) && surv(r.getLong(0)) && samp(r.getLong(0)))
+      .map(_.getLong(0)).toSet
+    assert(man.map(_.getLong(0)).toSet === expected, "manifest membership")
+    assert(man.nonEmpty && man.length < Tables.documents(spark, sf).count(),
+      "the pipeline must actually curate")
+    // the packing kernel tiles the SUBSET gaplessly (same contract d23
+    // pins corpus-wide — the window runs over survivors only)
+    for ((shard, docs) <- man.groupBy(_.getLong(4))) {
+      val laid = docs.map(r => (r.getLong(5), r.getLong(6), r.getInt(3)))
+        .sortBy(t => (t._1, t._2))
+      var pos = 0L
+      for ((seq, off, n) <- laid) {
+        assert(seq === pos / LlmText.PackBudget && off === pos % LlmText.PackBudget,
+          s"shard $shard not gapless at pos $pos")
+        pos += n
+      }
+    }
+  }
+
   test("e02: multi-probe widens the candidate set, never worsens a best match, and raises audited recall") {
     import graft.operators.Embeddings
     def best(rows: Array[org.apache.spark.sql.Row]): Map[Long, Double] =
