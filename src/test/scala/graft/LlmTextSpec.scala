@@ -431,6 +431,29 @@ class LlmTextSpec extends GraftSuite {
     } finally spark.conf.unset(Embeddings.MultiProbeConf)
   }
 
+  test("d21/d23/d25: hash-deterministic ops are shuffle-partitioning invariant") {
+    // the determinism claim is that membership/order come from the
+    // portable content hash, never from physical layout — so the same
+    // corpus must produce BYTE-identical results at any partitioning
+    def snap(): Seq[Seq[String]] = Seq(
+      LlmText.d21TemperatureSample(spark, sf),
+      LlmText.d23SequencePack(spark, sf),
+      LlmText.d25CurationManifest(spark, sf)
+    ).map(_.collect().map(_.toString).sorted.toSeq)
+    val key = "spark.sql.shuffle.partitions"
+    val saved = spark.conf.get(key)
+    val Seq(base21, base23, base25) = snap()
+    try {
+      for (parts <- Seq("2", "13")) {
+        spark.conf.set(key, parts)
+        val Seq(p21, p23, p25) = snap()
+        assert(p21 === base21, s"d21 diverges at $parts partitions")
+        assert(p23 === base23, s"d23 diverges at $parts partitions")
+        assert(p25 === base25, s"d25 diverges at $parts partitions")
+      }
+    } finally spark.conf.set(key, saved)
+  }
+
   test("e07: recall audit counts are consistent and both ANN paths find truth pairs") {
     import graft.operators.Embeddings
     val rows = Embeddings.e07RecallAudit(spark, sf).collect()
