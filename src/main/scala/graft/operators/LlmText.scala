@@ -185,10 +185,28 @@ object LlmText {
       .where(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"))
       .distinct()
+    // semi-join reduction before verification — the AT-SCALE path only:
+    // in shuffle mode the verification joins exchange the corpus's
+    // HEAVY shingle sets, and only docs appearing in some candidate
+    // pair need theirs moved (candidate ≪ corpus is the premise of LSH
+    // itself), so the reduction cuts the exchanged volume to the
+    // candidates'. In local broadcast mode the full-table broadcast is
+    // already the floor — an A/B at sf0.1 priced the extra
+    // distinct+semi pass at ~0.5 s across the LSH family for zero
+    // local benefit — so the broadcast path skips it. Both shapes stay
+    // pinned in PlanAuditSpec; results are identical either way
+    // (SelfJoinStrategySpec).
+    val shVer = s.conf.get(SelfJoin.StrategyConf, "broadcast") match {
+      case "broadcast" => shd
+      case _ =>
+        val docsInPairs = cand.select(col("doc_a").as("doc_id"))
+          .union(cand.select(col("doc_b").as("doc_id"))).distinct()
+        SelfJoin.semi(shd, docsInPairs, Seq("doc_id"))
+    }
     val verA = SelfJoin.on(
-      cand, shd.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
+      cand, shVer.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
     val verified = SelfJoin.on(
-      verA, shd.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
+      verA, shVer.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
       .select(col("doc_a"), col("doc_b"),
         (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
           size(array_union(col("sh_a"), col("sh_b"))).cast("double")).as("jaccard"))

@@ -32,10 +32,23 @@ object SelfJoin {
   val StrategyConf = "spark.graft.selfJoin.strategy"
 
   def on(left: DataFrame, right: DataFrame, keys: Seq[String]): DataFrame =
+    joined(left, right, keys, "inner")
+
+  /** Strategy-gated LEFT SEMI — the reduction join shape (restrict a
+    * heavy table to keys present in a derived list, e.g. d03's
+    * candidate-doc shingle reduction). Same gate, same reasoning: the
+    * key list is small locally (broadcast), but at 100 TB a candidate
+    * list is itself unbounded — shuffle mode sort-merges it like every
+    * other self-join side. */
+  def semi(left: DataFrame, right: DataFrame, keys: Seq[String]): DataFrame =
+    joined(left, right, keys, "left_semi")
+
+  private def joined(left: DataFrame, right: DataFrame,
+                     keys: Seq[String], how: String): DataFrame =
     left.sparkSession.conf.get(StrategyConf, "broadcast") match {
-      case "shuffle"   => left.join(right.hint("merge"), keys)
-      case "auto"      => left.join(right, keys)
-      case "broadcast" => left.join(broadcast(right), keys)
+      case "shuffle"   => left.join(right.hint("merge"), keys, how)
+      case "auto"      => left.join(right, keys, how)
+      case "broadcast" => left.join(broadcast(right), keys, how)
       case other => // a typo'd at-scale config must not silently take the driver-OOM path
         throw new IllegalArgumentException(
           s"$StrategyConf must be broadcast|shuffle|auto, got '$other'")
