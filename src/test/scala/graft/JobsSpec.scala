@@ -153,8 +153,11 @@ class JobsSpec extends GraftSuite {
   test("job mains run end-to-end with an existing session") {
     SessionJob.main(Array(sf, url))
     AreaTop3Job.main(Array(sf, url))
+    graft.jobs.CurationJob.main(Array(sf, url))
     // each main generated a fresh UUID and appended under it
     assert(table(SessionJob.RatioTable).select("task_id").distinct().count() >= 3)
     assert(table(AreaTop3Job.Table).select("task_id").distinct().count() >= 2)
+    assert(table(graft.jobs.CurationJob.ManifestTable)
+      .select("task_id").distinct().count() >= 2)
   }
 }
