@@ -1240,18 +1240,23 @@ object LlmText {
     * is integer arithmetic off the windowed running token count.
     *
     * Scale shape: ONE window sort per shard — shard count scales with
-    * the corpus (a real run sizes [[PackShards]] to executors × k), so
-    * no single-task corpus-wide sort; everything else is map-only. */
+    * the corpus (size `spark.graft.pack.shards` to executors × k; the
+    * default [[PackShards]] is the oracle's formulation), so no
+    * single-task corpus-wide sort; everything else is map-only. Tiling
+    * at a non-default shard count is spec-pinned. */
   val PackBudget = 2048
+  val PackShardsConf = "spark.graft.pack.shards"
   val PackShards = 16
 
   /** The packing kernel shared by d23 (whole corpus) and d25 (curated
     * subset): expects `doc_id` + `n_tokens` (+ passthrough columns),
     * adds shard / seq / offset. */
   private def packed(df: DataFrame): DataFrame = {
+    val shards = df.sparkSession.conf.get(PackShardsConf, PackShards.toString).toLong
+    require(shards >= 1, s"$PackShardsConf must be >= 1, got $shards")
     val w = Window.partitionBy(col("shard")).orderBy(col("ord").asc, col("doc_id").asc)
     df.withColumn("shard",
-        pmod(h64(concat(lit("pack:"), col("doc_id").cast("string"))), lit(PackShards.toLong)))
+        pmod(h64(concat(lit("pack:"), col("doc_id").cast("string"))), lit(shards)))
       .withColumn("ord", h64(concat(lit("ord:"), col("doc_id").cast("string"))))
       .withColumn("cum", sum(col("n_tokens")).over(w))
       .withColumn("seq", expr(s"(cum - n_tokens) div $PackBudget"))

@@ -355,6 +355,25 @@ class LlmTextSpec extends GraftSuite {
     val again = LlmText.d23SequencePack(spark, sf).collect()
       .map(_.toString).sorted.toSeq
     assert(again === rows.map(_.toString).sorted.toSeq)
+    // the shard-count lever: same corpus, 4 shards — every doc still
+    // packed and the tiling contract holds per shard
+    spark.conf.set(LlmText.PackShardsConf, "4")
+    try {
+      val at4 = LlmText.d23SequencePack(spark, sf).collect()
+      assert(at4.length === rows.length)
+      val shards4 = at4.map(_.getLong(1)).distinct.sorted.toSeq
+      assert(shards4.forall(s => s >= 0 && s < 4) && shards4.length <= 4)
+      for ((shard, docs) <- at4.groupBy(_.getLong(1))) {
+        val laid = docs.map(r => (r.getLong(3), r.getLong(4), r.getInt(2)))
+          .sortBy(t => (t._1, t._2))
+        var pos = 0L
+        for ((seq, off, n) <- laid) {
+          assert(seq === pos / LlmText.PackBudget && off === pos % LlmText.PackBudget,
+            s"4-shard packing breaks in shard $shard at pos $pos")
+          pos += n
+        }
+      }
+    } finally spark.conf.unset(LlmText.PackShardsConf)
   }
 
   test("d24: source rollup ties to d06 quality flags and d01 dup groups") {
