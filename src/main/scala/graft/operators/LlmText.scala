@@ -1434,7 +1434,71 @@ object LlmText {
        |FROM run""".stripMargin
   }
 
+  // ---------------------------------------------------------------- d26
+  /** SimHash near-duplicate PAIRS — the pairing stage d05's signatures
+    * exist for (d03 is minhash's; this is simhash's): all pairs within
+    * Hamming distance ≤ k of each other, found EXACTLY via the
+    * pigeonhole band trick — split the signature into k+1 bit-bands;
+    * any pair differing in ≤ k bits must agree on ≥ 1 whole band, so a
+    * band-key equi-join is a COMPLETE candidate generator (no recall
+    * loss, unlike probabilistic LSH banding) and the cheap popcount
+    * verification runs on candidates only. Same scale shape as d03:
+    * posexplode → strategy-gated band join, never all-pairs. */
+  val HammingK = 3
+  val SimBands: Int = HammingK + 1
+
+  def d26SimhashNeardup(s: SparkSession, dir: String): DataFrame = {
+    val bandWidth = SimhashBits / SimBands
+    val mask = (1L << bandWidth) - 1
+    val sig = d05Simhash(s, dir)
+    val bandKeys = sig.select(col("doc_id"), col("simhash"),
+      posexplode(array((0 until SimBands).map(i =>
+        shiftright(col("simhash"), i * bandWidth).bitwiseAND(lit(mask))): _*))
+        .as(Seq("band", "band_key")))
+    val a = bandKeys.select(col("band"), col("band_key"),
+      col("doc_id").as("doc_a"), col("simhash").as("sim_a"))
+    val b = bandKeys.select(col("band"), col("band_key"),
+      col("doc_id").as("doc_b"), col("simhash").as("sim_b"))
+    SelfJoin.on(a, b, Seq("band", "band_key"))
+      .where(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).as("hamming"))
+      .where(col("hamming") <= HammingK)
+      .distinct()
+  }
+
+  val d26Sql: String = {
+    val bandWidth = SimhashBits / SimBands
+    val mask = (1L << bandWidth) - 1
+    s"""$baseSql, tf AS (
+       |  SELECT doc_id, token, count(*) AS w
+       |  FROM (SELECT doc_id, unnest(toks) AS token FROM base) GROUP BY 1, 2
+       |), votes AS (
+       |  SELECT doc_id, bit,
+       |    sum(CASE WHEN (${h64Sql("token")} >> bit) & 1 = 1 THEN w ELSE -w END) AS v
+       |  FROM tf, generate_series(0, ${SimhashBits - 1}) g(bit)
+       |  GROUP BY 1, 2
+       |), sims AS (
+       |  SELECT doc_id,
+       |    CAST(sum(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS BIGINT) AS simhash
+       |  FROM votes GROUP BY 1
+       |), bands AS (
+       |  SELECT doc_id, simhash, j, (simhash >> (j * $bandWidth)) & $mask AS band_key
+       |  FROM sims, generate_series(0, ${SimBands - 1}) g(j)
+       |), cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b
+       |    ON a.j = b.j AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+       |)
+       |SELECT doc_a, doc_b,
+       |  CAST(bit_count(xor(x.simhash, y.simhash)) AS INTEGER) AS hamming
+       |FROM cand JOIN sims x ON cand.doc_a = x.doc_id
+       |          JOIN sims y ON cand.doc_b = y.doc_id
+       |WHERE CAST(bit_count(xor(x.simhash, y.simhash)) AS INTEGER) <= $HammingK""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d26_simhash_neardup" -> (d26SimhashNeardup _),
     "d25_curation_manifest" -> (d25CurationManifest _),
     "d24_source_curation" -> (d24SourceCuration _),
     "d23_sequence_pack" -> (d23SequencePack _),
@@ -1462,6 +1526,7 @@ object LlmText {
     "d08_fingerprint" -> (d08Fingerprint _))
 
   val oracleSql: Map[String, String] = Map(
+    "d26_simhash_neardup" -> d26Sql,
     "d25_curation_manifest" -> d25Sql,
     "d24_source_curation" -> d24Sql,
     "d23_sequence_pack" -> d23Sql,

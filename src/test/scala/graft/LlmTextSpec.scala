@@ -473,6 +473,21 @@ class LlmTextSpec extends GraftSuite {
     } finally spark.conf.set(key, saved)
   }
 
+  test("d26: banded simhash pairs are EXACTLY the brute-force hamming set (pigeonhole completeness)") {
+    val sigs = LlmText.d05Simhash(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    val brute = (for {
+      (ida, sa) <- sigs
+      (idb, sb) <- sigs
+      if ida < idb && java.lang.Long.bitCount(sa ^ sb) <= LlmText.HammingK
+    } yield (ida, idb, java.lang.Long.bitCount(sa ^ sb))).toSet
+    val banded = LlmText.d26SimhashNeardup(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(banded === brute,
+      "k+1-band candidate generation must be COMPLETE for hamming <= k")
+    assert(banded.nonEmpty, "fixture's planted near-dups should land within the radius")
+  }
+
   test("e07: recall audit counts are consistent and both ANN paths find truth pairs") {
     import graft.operators.Embeddings
     val rows = Embeddings.e07RecallAudit(spark, sf).collect()
