@@ -98,6 +98,17 @@ class LlmTextSpec extends GraftSuite {
     } finally spark.conf.unset(Embeddings.NprobeConf)
   }
 
+  test("e05: raising nprobe raises AUDITED recall (the e07 loop sees the lever)") {
+    import graft.operators.Embeddings
+    def ivfHits(): Long = Embeddings.e07RecallAudit(spark, sf).collect()
+      .find(_.getString(0) == "ivf_nprobe").get.getLong(2)
+    val base = ivfHits()
+    spark.conf.set(Embeddings.NprobeConf, "3")
+    try assert(ivfHits() > base,
+      s"nprobe=3 did not raise audited recall past $base")
+    finally spark.conf.unset(Embeddings.NprobeConf)
+  }
+
   test("d05: simhash fits the configured bit width and is deterministic") {
     val a = LlmText.d05Simhash(spark, sf).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     val b = LlmText.d05Simhash(spark, sf).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
