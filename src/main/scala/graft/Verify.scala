@@ -5,7 +5,13 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    val (sfDir, outDir) = (args(0), args(1))
+    // optional 3rd arg: comma-separated name/prefix filter (builder-side
+    // fast iteration on a few queries; the driver always passes 2 args)
+    val only: String => Boolean = args.lift(2) match {
+      case Some(f) => val ps = f.split(",").toSeq; n => ps.exists(n.startsWith)
+      case None => _ => true
+    }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -17,7 +23,7 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    SparkEntry.queries.filter(kv => only(kv._1)).foreach { case (name, fn) =>
       // No coalesce(1): it would plan the whole query into one output task.
       // The oracle reads a glob, so multi-file output is fine.
       try fn(spark, sfDir).write.mode("overwrite")
@@ -41,7 +47,7 @@ object Verify {
     // __SF_DIR__ lets a static oracle string reference the data dir the
     // queries actually ran on (mm05's read_blob glob) — templated here,
     // at dump time, from the same argument the queries received.
-    val json = SparkEntry.oracleSql
+    val json = SparkEntry.oracleSql.filter(kv => only(kv._1))
       .map { case (k, v) => s"${q(k)}: ${q(v.replace("__SF_DIR__", sfDir))}" }
       .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)

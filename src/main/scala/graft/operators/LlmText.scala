@@ -1497,7 +1497,161 @@ object LlmText {
        |WHERE CAST(bit_count(xor(x.simhash, y.simhash)) AS INTEGER) <= $HammingK""".stripMargin
   }
 
+  // ---------------------------------------------------------------- d27
+  /** Gopher-style quality RULE FILTER (Rae et al. 2021, §A1.1) — the
+    * published hand-rule battery that precedes model-based scoring in
+    * every large-corpus pipeline (Gopher, MassiveText, RefinedWeb):
+    * word-count bounds, mean-word-length bounds, symbol-to-word ratio,
+    * bullet-start / ellipsis-end line fractions, alphabetic-word share,
+    * and a minimum distinct-stopword count. d06 is the generic stats
+    * profile; this is the specific decision battery, each rule surfaced
+    * as its own column so downstream curation can ablate rules
+    * individually (d24-style per-source rates over `keep` compose).
+    *
+    * Every threshold is evaluated as an exact INTEGER cross-
+    * multiplication (10·n_sym ≤ n_words, 5·n_alpha ≥ 4·n_words, ...) —
+    * no float ratios anywhere, so the verdicts are bit-identical across
+    * engines and partitionings. Map-only: one projection over the scan,
+    * no shuffle at any scale. Line rules run on the RAW text (newlines
+    * are the line structure normalization erases); the fixture is
+    * newline-free, so each doc is one line there — the rules still
+    * evaluate, they just don't discriminate on this fixture (documented;
+    * word-count, mean-length and stopword rules do the discriminating
+    * here). */
+  private val GopherStopwords = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+  val GopherMinWords = 50
+  val GopherMaxWords = 100000
+  /** Gopher requires ≥2 distinct stopwords; the fixture's synthetic
+    * vocabulary contains exactly one member of the published 8-word set
+    * ("the"), so the production value would zero the composite verdict
+    * for every document. 1 keeps the rule discriminating here — the
+    * threshold is the config, the set is the published one. */
+  val GopherMinStopwords = 1
+
+  def d27GopherRules(s: SparkSession, dir: String): DataFrame = {
+    val stopArr = array(GopherStopwords.map(lit): _*)
+    Tables.spreadIfNarrow(Tables.documents(s, dir), s"$dir/documents")
+      .select(col("doc_id"), col("text"), normText(col("text")).as("norm"))
+      .withColumn("toks", split(col("norm"), " "))
+      .withColumn("lines", split(col("text"), "\n"))
+      .select(
+        col("doc_id"),
+        size(col("toks")).as("n_words"),
+        aggregate(transform(col("toks"), t => length(t)), lit(0L), (a, x) => a + x).as("total_len"),
+        size(filter(col("toks"), t => t.rlike("[a-z]"))).as("n_alpha"),
+        (length(col("text")) - length(expr("replace(text, '#', '')"))).as("n_hash"),
+        ((length(col("text")) - length(expr("replace(text, '...', '')"))) / 3).cast("long").as("n_dots"),
+        size(col("lines")).as("n_lines"),
+        size(filter(col("lines"), l => l.rlike("^\\s*[-*•]"))).as("n_bullet"),
+        size(filter(col("lines"), l => l.rlike("(\\.\\.\\.|…)\\s*$"))).as("n_ell"),
+        size(array_intersect(array_distinct(col("toks")), stopArr)).as("n_stop"))
+      .select(
+        col("doc_id"), col("n_words"),
+        col("n_words").between(GopherMinWords, GopherMaxWords).as("words_ok"),
+        (col("total_len") >= lit(3L) * col("n_words") &&
+          col("total_len") <= lit(10L) * col("n_words")).as("mean_len_ok"),
+        (lit(10L) * col("n_hash") <= col("n_words") &&
+          lit(10L) * col("n_dots") <= col("n_words")).as("symbol_ok"),
+        (lit(5L) * col("n_alpha") >= lit(4L) * col("n_words")).as("alpha_ok"),
+        (lit(10L) * col("n_bullet") <= lit(9L) * col("n_lines")).as("bullet_ok"),
+        (lit(10L) * col("n_ell") <= lit(3L) * col("n_lines")).as("ellipsis_ok"),
+        (col("n_stop") >= GopherMinStopwords).as("stop_ok"))
+      .withColumn("keep",
+        col("words_ok") && col("mean_len_ok") && col("symbol_ok") &&
+          col("alpha_ok") && col("bullet_ok") && col("ellipsis_ok") && col("stop_ok"))
+  }
+
+  val d27Sql: String = {
+    val stopList = GopherStopwords.map(w => s"'$w'").mkString(", ")
+    s"""WITH d AS (
+       |  SELECT doc_id, text,
+       |    string_split(${normTextSql("text")}, ' ') AS toks,
+       |    string_split(text, chr(10)) AS lines
+       |  FROM documents
+       |), f AS (
+       |  SELECT doc_id,
+       |    len(toks) AS n_words,
+       |    CAST(list_sum(list_transform(toks, t -> length(t))) AS BIGINT) AS total_len,
+       |    len(list_filter(toks, t -> regexp_matches(t, '[a-z]'))) AS n_alpha,
+       |    length(text) - length(replace(text, '#', '')) AS n_hash,
+       |    (length(text) - length(replace(text, '...', ''))) // 3 AS n_dots,
+       |    len(lines) AS n_lines,
+       |    len(list_filter(lines, l -> regexp_matches(l, '^\\s*[-*•]'))) AS n_bullet,
+       |    len(list_filter(lines, l -> regexp_matches(l, '(\\.\\.\\.|…)\\s*$$'))) AS n_ell,
+       |    len(list_intersect(list_distinct(toks), [$stopList])) AS n_stop
+       |  FROM d
+       |)
+       |SELECT doc_id, n_words,
+       |  n_words BETWEEN $GopherMinWords AND $GopherMaxWords AS words_ok,
+       |  total_len >= 3 * n_words AND total_len <= 10 * n_words AS mean_len_ok,
+       |  10 * n_hash <= n_words AND 10 * n_dots <= n_words AS symbol_ok,
+       |  5 * n_alpha >= 4 * n_words AS alpha_ok,
+       |  10 * n_bullet <= 9 * n_lines AS bullet_ok,
+       |  10 * n_ell <= 3 * n_lines AS ellipsis_ok,
+       |  n_stop >= $GopherMinStopwords AS stop_ok,
+       |  (n_words BETWEEN $GopherMinWords AND $GopherMaxWords)
+       |    AND total_len >= 3 * n_words AND total_len <= 10 * n_words
+       |    AND 10 * n_hash <= n_words AND 10 * n_dots <= n_words
+       |    AND 5 * n_alpha >= 4 * n_words
+       |    AND 10 * n_bullet <= 9 * n_lines
+       |    AND 10 * n_ell <= 3 * n_lines
+       |    AND n_stop >= $GopherMinStopwords AS keep
+       |FROM f""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- d28
+  /** Duplicate-line STRIP — d19's profile turned into the TRANSFORM the
+    * pipelines actually apply (CCNet strips duplicated spans rather than
+    * dropping whole docs): remove every line segment that appears in
+    * [[LineDupMinDocs]]+ documents and reassemble the surviving segments
+    * in original order into the cleaned text. Same one-exchange shape as
+    * d19 (segment map-side with a position index → ONE line-keyed count
+    * shuffle → join back → per-doc fold); the reassembly is an in-group
+    * sort of that doc's own segments (bounded by doc length, never
+    * corpus-wide). Docs whose every segment is boilerplate come back
+    * with empty clean_text — the row survives so downstream can count
+    * them (they'd otherwise look like dropped data). */
+  def d28StripDupLines(s: SparkSession, dir: String): DataFrame = {
+    val seg = base(s, dir).select(col("doc_id"),
+      posexplode(transform(
+        sequence(lit(0), expr(s"(size(toks) - 1) div $LineTokens")),
+        i => array_join(slice(col("toks"), i * LineTokens + 1, lit(LineTokens)), " "))))
+      .toDF("doc_id", "idx", "line")
+    val lineDf = seg.groupBy(col("line"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+    seg.join(lineDf, Seq("line"))
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(when(col("df") >= LineDupMinDocs, 1L).otherwise(0L)).as("n_stripped"),
+        sum(when(col("df") < LineDupMinDocs, 1L).otherwise(0L)).as("n_kept"),
+        array_join(
+          transform(
+            array_sort(collect_list(
+              when(col("df") < LineDupMinDocs, struct(col("idx"), col("line"))))),
+            x => x.getField("line")),
+          " ").as("clean_text"))
+  }
+
+  val d28Sql: String =
+    s"""$baseSql, seg AS (
+       |  SELECT doc_id,
+       |    unnest(generate_series(0, (len(toks)-1)//$LineTokens)) AS idx,
+       |    unnest(list_transform(generate_series(0, (len(toks)-1)//$LineTokens),
+       |      i -> array_to_string(toks[i*$LineTokens+1 : i*$LineTokens+$LineTokens], ' '))) AS line
+       |  FROM base
+       |), linedf AS (
+       |  SELECT line, count(DISTINCT doc_id) AS df FROM seg GROUP BY 1
+       |)
+       |SELECT s.doc_id,
+       |  CAST(sum(CASE WHEN d.df >= $LineDupMinDocs THEN 1 ELSE 0 END) AS BIGINT) AS n_stripped,
+       |  CAST(sum(CASE WHEN d.df < $LineDupMinDocs THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       |  coalesce(string_agg(CASE WHEN d.df < $LineDupMinDocs THEN s.line END, ' ' ORDER BY s.idx), '') AS clean_text
+       |FROM seg s JOIN linedf d USING (line)
+       |GROUP BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d28_strip_dup_lines" -> (d28StripDupLines _),
+    "d27_gopher_rules" -> (d27GopherRules _),
     "d26_simhash_neardup" -> (d26SimhashNeardup _),
     "d25_curation_manifest" -> (d25CurationManifest _),
     "d24_source_curation" -> (d24SourceCuration _),
@@ -1526,6 +1680,8 @@ object LlmText {
     "d08_fingerprint" -> (d08Fingerprint _))
 
   val oracleSql: Map[String, String] = Map(
+    "d28_strip_dup_lines" -> d28Sql,
+    "d27_gopher_rules" -> d27Sql,
     "d26_simhash_neardup" -> d26Sql,
     "d25_curation_manifest" -> d25Sql,
     "d24_source_curation" -> d24Sql,

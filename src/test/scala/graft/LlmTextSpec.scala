@@ -518,6 +518,48 @@ class LlmTextSpec extends GraftSuite {
     assert(rows.map(_.getLong(2)).sum > 0, "no ANN path found any truth pair")
   }
 
+  test("d27: rule verdicts recompute, keep is the exact conjunction, stopword rule ties to the text") {
+    val docs = Tables.documents(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    val rows = LlmText.d27GopherRules(spark, sf).collect()
+    assert(rows.length === docs.size, "every document gets a verdict row")
+    rows.foreach { r =>
+      val conj = Seq("words_ok", "mean_len_ok", "symbol_ok", "alpha_ok",
+        "bullet_ok", "ellipsis_ok", "stop_ok").forall(c => r.getAs[Boolean](c))
+      assert(r.getAs[Boolean]("keep") === conj, s"keep != AND(rules) for ${r}")
+      val nWords = r.getAs[Int]("n_words")
+      assert(r.getAs[Boolean]("words_ok") ===
+        (nWords >= LlmText.GopherMinWords && nWords <= LlmText.GopherMaxWords))
+      // fixture vocabulary holds exactly one Gopher stopword ("the")
+      val hasThe = docs(r.getAs[Long]("doc_id"))
+        .toLowerCase.split("\\s+").contains("the")
+      assert(r.getAs[Boolean]("stop_ok") === hasThe)
+    }
+  }
+
+  test("d28: strip conserves d19's segments and reassembles untouched docs to their norm text") {
+    val clean = LlmText.d28StripDupLines(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_stripped"), r.getAs[Long]("n_kept"), r.getAs[String]("clean_text"))).toMap
+    // conservation: kept + stripped == d19's per-doc segment count
+    LlmText.d19LineDedup(spark, sf).collect().foreach { r =>
+      val (s, k, _) = clean(r.getAs[Long]("doc_id"))
+      assert(s + k === r.getAs[Long]("n_lines"), "segments lost or double-counted")
+    }
+    // identity: a doc with nothing stripped reassembles to its exact norm text
+    val norm = Tables.documents(spark, sf)
+      .select(col("doc_id"), graft.functions.Portable.normText(col("text")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val untouched = clean.filter(_._2._1 == 0L)
+    assert(untouched.nonEmpty, "fixture should have docs with no boilerplate segments")
+    untouched.foreach { case (id, (_, _, text)) =>
+      assert(text === norm(id), s"reassembly of untouched doc $id must be the identity")
+    }
+    // the planted exact clones share every segment → stripped to empty
+    val fullyStripped = clean.count(_._2._2 == 0L)
+    assert(fullyStripped > 0, "planted clone docs must strip to empty")
+  }
+
   test("e06: every vector flagged once; dropped ⊆ cell-mates of an earlier near-dup") {
     import graft.operators.Embeddings
     val rows = Embeddings.e06SemDedup(spark, sf).collect()
