@@ -22,6 +22,18 @@ object Upsert {
       .groupBy(keys.map(col): _*)
       .agg(sum(col(valueCol)).as(valueCol))
 
+  /** [[accumulate]] over several value columns at once — the shape a
+    * multi-metric rollup store (count + sum + ...) merges with. Same
+    * one-shuffle union + re-aggregate; every column must be a mergeable
+    * (associative, commutative) aggregate for store⊕delta ≡ recompute. */
+  def accumulateAll(store: DataFrame, batch: DataFrame, keys: Seq[String],
+      valueCols: Seq[String]): DataFrame = {
+    val aggs = valueCols.map(c => sum(col(c)).as(c))
+    store.unionByName(batch)
+      .groupBy(keys.map(col): _*)
+      .agg(aggs.head, aggs.tail: _*)
+  }
+
   /** Insert-or-overwrite (ad_stat / ad_click_trend): incoming rows replace
     * same-key rows wholesale. Anti-join out the stale rows, append the
     * batch. */

@@ -418,7 +418,76 @@ object Misc {
        |GROUP BY 1, 2""".stripMargin
   }
 
+  // ---------------------------------------------------------------- m12
+  /** PARTITION-INCREMENTAL rollup — the operational pattern every daily
+    * 100 TB job lives by (SURVEY §7.4.5): the cumulative per-key rollup
+    * through yesterday is a persisted store that is NEVER recomputed;
+    * today's delta aggregates over today's date partition ONLY (with
+    * date-partitioned layout — `Sinks.writePartitioned`, pruning pinned
+    * in SinksSpec — that read touches one partition, not the history);
+    * the merge is [[graft.etl.Upsert.accumulateAll]] — union + one
+    * re-aggregate on the key, cost ∝ |key universe| + |delta|,
+    * independent of history size. Counts and decimal sums are mergeable
+    * aggregates, so incremental ≡ full recompute EXACTLY — the oracle IS
+    * the full recompute, and MiscSpec pins the day-by-day fold too. The
+    * date boundary ("today") arrives as a 1-row broadcast frame, not a
+    * driver collect — in production it is the job parameter. */
+  def m12IncrementalRollup(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .withColumn("date", date_format(expr("timestamp_micros(ts div 1000)"), "yyyy-MM-dd"))
+    val today = ev.agg(max(col("date")).as("today"))
+    def rollup(df: DataFrame): DataFrame =
+      df.groupBy(col("event_type")).agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).as("sum_value"))
+    val store = rollup(ev.join(broadcast(today), col("date") < col("today")))
+    val delta = rollup(ev.join(broadcast(today), col("date") === col("today")))
+    graft.etl.Upsert.accumulateAll(store, delta, Seq("event_type"), Seq("n_events", "sum_value"))
+      .select(col("event_type"), col("n_events"),
+        round(col("sum_value"), 2).cast("double").as("sum_value"))
+  }
+
+  val m12Sql: String =
+    """SELECT event_type, count(*) AS n_events,
+      |  CAST(round(sum(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_value
+      |FROM events GROUP BY 1""".stripMargin
+
+  // ---------------------------------------------------------------- m13
+  /** RANGE JOIN via interval bucketing ([[RangeJoin.bucketed]]) — clicks
+    * within ±[[M13ToleranceUs]] of any error event. Spark plans a bare
+    * inequality join as BroadcastNestedLoop (quadratic, and impossible
+    * when neither side fits in memory); the bucket rewrite makes it an
+    * EQUI-join both engines shuffle-partition — the published range-join
+    * optimization. delta_us is signed (click − error). */
+  val M13ToleranceUs = 60L * 1000000
+  val M13BucketUs = 60L * 1000000
+
+  def m13RangeJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir).withColumn("us", expr("ts div 1000"))
+    val errors = ev.where(col("event_type") === "error")
+      .select(col("event_id").as("error_id"),
+        (col("us") - M13ToleranceUs).as("lo"), (col("us") + M13ToleranceUs).as("hi"))
+    val clicks = ev.where(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("us").as("click_us"))
+    RangeJoin.bucketed(clicks, errors, "click_us", "lo", "hi", M13BucketUs)
+      .select(col("error_id"), col("click_id"),
+        (col("click_us") - (col("lo") + M13ToleranceUs)).as("delta_us"))
+  }
+
+  val m13Sql: String =
+    s"""WITH e AS (
+       |  SELECT event_id AS error_id, epoch_ns(ts) // 1000 AS eus
+       |  FROM events WHERE event_type = 'error'
+       |), c AS (
+       |  SELECT event_id AS click_id, epoch_ns(ts) // 1000 AS cus
+       |  FROM events WHERE event_type = 'click'
+       |)
+       |SELECT error_id, click_id, cus - eus AS delta_us
+       |FROM e JOIN c ON c.cus BETWEEN e.eus - $M13ToleranceUs AND e.eus + $M13ToleranceUs""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m13_range_join" -> (m13RangeJoin _),
+    "m12_incremental_rollup" -> (m12IncrementalRollup _),
     "m11_cms_heavy_hitters" -> (m11CmsHeavyHitters _),
     "m10_kmv_distinct" -> (m10KmvDistinct _),
     "m09_bucketed_join" -> (m09BucketedJoin _),
@@ -432,6 +501,8 @@ object Misc {
     "m06_salted_agg" -> (m06SaltedAgg _))
 
   val oracleSql: Map[String, String] = Map(
+    "m13_range_join" -> m13Sql,
+    "m12_incremental_rollup" -> m12Sql,
     "m11_cms_heavy_hitters" -> m11Sql,
     "m10_kmv_distinct" -> m10Sql,
     "m09_bucketed_join" -> m09Sql,

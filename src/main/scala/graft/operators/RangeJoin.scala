@@ -1,0 +1,51 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Range (interval-containment) join via interval bucketing — the
+  * published rewrite for a join Spark has no native strategy for.
+  *
+  * `points ⋈ intervals ON point ∈ [lo, hi]` has no equi-key, so Catalyst
+  * plans BroadcastNestedLoopJoin (quadratic work, and impossible when
+  * neither side fits in one executor's memory). The rewrite quantizes the
+  * domain into buckets of a chosen width: each interval replicates to the
+  * buckets its span covers (⌈span/width⌉ + 1 keys), each point maps to
+  * exactly ONE bucket, and the join becomes an EQUI-join on the bucket
+  * key followed by the residual range predicate. Because the point side
+  * holds a single bucket, every qualifying (interval, point) pair meets
+  * exactly once — no dedup stage.
+  *
+  * Scale properties:
+  *  - Both sides shuffle-partition on the bucket key → sort-merge/hash
+  *    equi-join machinery, AQE skew-split applies to hot buckets (a hot
+  *    minute of events is a hot bucket — the same lever d03's band join
+  *    leans on, stress-pinned in SkewSpec).
+  *  - Replication factor is span/width + 1: width ≈ the typical interval
+  *    span keeps it ≤ ~3× the interval side, tunable per workload.
+  *  - No all-pairs product at any scale; the residual filter runs inside
+  *    the joined partitions (codegen'd comparison, no extra exchange).
+  *
+  * The same shape generalizes to interval-overlap joins (replicate BOTH
+  * sides, dedup on a canonical bucket) — this is the containment form the
+  * m13 query and the reference-adjacent "events near an incident" lookups
+  * need. Reference has equi-joins only (SURVEY §2.3); this is a north-star
+  * extension operator.
+  */
+object RangeJoin {
+
+  /** Join `points` to `intervals` on `points(pointCol)` ∈
+    * `[intervals(loCol), intervals(hiCol)]` (inclusive). All three
+    * columns must share an integral domain (e.g. epoch micros);
+    * `bucketWidth` is in the same unit. Column sets must be disjoint. */
+  def bucketed(points: DataFrame, intervals: DataFrame, pointCol: String,
+      loCol: String, hiCol: String, bucketWidth: Long): DataFrame = {
+    require(bucketWidth > 0, s"bucketWidth must be positive, got $bucketWidth")
+    val pts = points.withColumn("__bucket", floor(col(pointCol) / bucketWidth))
+    val ivs = intervals.withColumn("__bucket",
+      explode(sequence(floor(col(loCol) / bucketWidth), floor(col(hiCol) / bucketWidth))))
+    ivs.join(pts, Seq("__bucket"))
+      .where(col(pointCol) >= col(loCol) && col(pointCol) <= col(hiCol))
+      .drop("__bucket")
+  }
+}

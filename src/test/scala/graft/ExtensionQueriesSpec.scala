@@ -112,6 +112,51 @@ class ExtensionQueriesSpec extends GraftSuite {
     }
   }
 
+  test("m12: day-by-day accumulate fold equals the one-shot merge and the full recompute") {
+    val ev = Tables.events(spark, sf)
+      .withColumn("date", date_format(expr("timestamp_micros(ts div 1000)"), "yyyy-MM-dd"))
+    def rollup(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy(col("event_type")).agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).as("sum_value"))
+    val dates = ev.select("date").distinct().collect().map(_.getString(0)).sorted
+    assert(dates.length > 2, "fixture should span several days")
+    // replay the production lifecycle: one accumulate merge per day
+    val folded = dates.drop(1).foldLeft(rollup(ev.where(col("date") === dates.head))) {
+      (store, d) =>
+        graft.etl.Upsert.accumulateAll(
+          store, rollup(ev.where(col("date") === d)), Seq("event_type"), Seq("n_events", "sum_value"))
+    }.select(col("event_type"), col("n_events"),
+      round(col("sum_value"), 2).cast("double").as("sum_value"))
+    val full = rollup(ev).select(col("event_type"), col("n_events"),
+      round(col("sum_value"), 2).cast("double").as("sum_value"))
+    val canon = (df: org.apache.spark.sql.DataFrame) =>
+      df.collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).sortBy(_._1).toSeq
+    assert(canon(folded) === canon(full), "incremental fold must equal full recompute")
+    assert(canon(Misc.m12IncrementalRollup(spark, sf)) === canon(full))
+  }
+
+  test("m13: bucketed range join equals the naive inequality join, no nested-loop in the plan") {
+    val got = Misc.m13RangeJoin(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.map(p => (p._1, p._2)).distinct.length === got.length,
+      "each (error, click) pair must meet exactly once")
+    // naive reference: all-pairs in test code over the collected arrays
+    val ev = Tables.events(spark, sf).withColumn("us", expr("ts div 1000"))
+    val errs = ev.where(col("event_type") === "error")
+      .select("event_id", "us").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val clks = ev.where(col("event_type") === "click")
+      .select("event_id", "us").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val want = for {
+      (eid, eus) <- errs; (cid, cus) <- clks
+      if cus >= eus - Misc.M13ToleranceUs && cus <= eus + Misc.M13ToleranceUs
+    } yield (eid, cid, cus - eus)
+    assert(got.sorted.toSeq === want.sorted.toSeq)
+    val plan = Misc.m13RangeJoin(spark, sf).queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoop") && !plan.contains("CartesianProduct"),
+      s"range join must stay an equi-join:\n$plan")
+  }
+
   test("st07 streaming dedup equals the batch distinct counts") {
     val dedup = AdAnalytics.st07StreamDedup(spark, sf).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
