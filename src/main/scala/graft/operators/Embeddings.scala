@@ -537,7 +537,102 @@ object Embeddings {
        |FROM hits, tot""".stripMargin
   }
 
+  // ---------------------------------------------------------------- e08
+  /** TWO-STAGE retrieval: coarse scan on 64-bit SIGN SKETCHES, exact
+    * re-rank of the top-[[RerankC]] candidates — the
+    * compress-then-rerank serving pattern (binary/product quantization:
+    * Jégou et al.'s PQ, faiss's default deployment) the e-suite's other
+    * paths don't show. Stage 1 scores every (query, candidate) pair on
+    * an 8-BYTE sketch (two packed 32-bit halves; hamming distance = 2×
+    * bit_count — no overflow care at bit 63) instead of 64 floats: at
+    * 100 TB the coarse pass streams a 64×-smaller column through
+    * codegen'd integer ops, and composes with e02/e05's bucketing for
+    * the asymptotic cut (sketches score bucket candidates; here it runs
+    * over the e01 query subsample so the spec can measure its recall
+    * against the same truth). Stage 2 re-fetches FULL vectors for only
+    * C candidates per query (a join on the candidate ids — the "fetch
+    * from the vector store" of a real deployment) and re-ranks by exact
+    * cosine. Sign sketches, hamming ranks, and the final cosine are all
+    * exact integer / fixed-sequence arithmetic — bit-identical
+    * cross-engine; ties break (hamming asc, id asc) / (cos desc, id
+    * asc). */
+  val RerankC = 25
+
+  /** Rerank-depth lever: how many coarse-stage survivors get the exact
+    * re-rank. THE recall knob of every compress-then-rerank system (the
+    * faiss `k_factor`): candidates are ranked by sketch hamming, so a
+    * larger C is a SUPERSET of a smaller one and recall is monotone
+    * non-decreasing in C (spec-pinned), reaching 1.0 at C = N−1 — at
+    * the cost of C full-vector fetches per query. Default = the
+    * oracle's formulation. */
+  val RerankCConf = "spark.graft.rerank.c"
+
+  private def signSketch(q: Column, lo: Int): Column =
+    aggregate(sequence(lit(lo), lit(lo + 31)), lit(0L),
+      (acc, i) => acc + when(element_at(q, i) > 0,
+        call_function("shiftleft", lit(1L), i - lo)).otherwise(lit(0L)))
+
+  def e08SketchRerank(s: SparkSession, dir: String): DataFrame = {
+    val dot = dotQ(s) _
+    val rerankC = s.conf.get(RerankCConf, RerankC.toString).toInt
+    val v = quantized(s, dir)
+      .withColumn("s_lo", signSketch(col("q"), 1))
+      .withColumn("s_hi", signSketch(col("q"), 33))
+    // stage 1: sketch-only coarse scan (ids + two longs per side)
+    val qs = v.where(col("vec_id") % 5 === 0)
+      .select(col("vec_id").as("query_id"), col("s_lo").as("qlo"), col("s_hi").as("qhi"))
+    val cs = v.select(col("vec_id").as("neighbor_id"),
+      col("s_lo").as("clo"), col("s_hi").as("chi"))
+    val coarse = qs.join(broadcast(cs), col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        (bit_count(col("qlo").bitwiseXOR(col("clo"))) +
+          bit_count(col("qhi").bitwiseXOR(col("chi")))).as("hamming"))
+      .withColumn("crank", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("hamming").asc, col("neighbor_id").asc)))
+      .where(col("crank") <= rerankC)
+    // stage 2: fetch full vectors for the C survivors, exact re-rank
+    val qa = v.select(col("vec_id").as("query_id"), col("q").as("qa"), col("nq").as("na"))
+    val qb = v.select(col("vec_id").as("neighbor_id"), col("q").as("qb"), col("nq").as("nb"))
+    coarse.join(qa, Seq("query_id")).join(qb, Seq("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        (dot(col("qa"), col("qb")).cast("double") /
+          (sqrt(col("na").cast("double")) *
+            sqrt(col("nb").cast("double")))).as("cos"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id").asc)))
+      .where(col("rank") <= TopK)
+  }
+
+  val e08Sql: String = {
+    def sk(lo: Int): String =
+      s"CAST(list_sum(list_transform(generate_series($lo, ${lo + 31}), " +
+        s"i -> CASE WHEN q[i] > 0 THEN (CAST(1 AS BIGINT) << (i - $lo)) ELSE 0 END)) AS BIGINT)"
+    s"""$quantSql, sv AS (
+       |  SELECT vec_id, q, ${sk(1)} AS s_lo, ${sk(33)} AS s_hi FROM qv
+       |), coarse AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+       |      row_number() OVER (PARTITION BY a.vec_id ORDER BY
+       |        bit_count(xor(a.s_lo, b.s_lo)) + bit_count(xor(a.s_hi, b.s_hi)) ASC,
+       |        b.vec_id ASC) AS crank
+       |    FROM sv a JOIN sv b ON a.vec_id % 5 = 0 AND a.vec_id <> b.vec_id) t
+       |  WHERE crank <= $RerankC
+       |), rr AS (
+       |  SELECT c.query_id, c.neighbor_id,
+       |    CAST(list_dot_product(a.q, b.q) AS DOUBLE) /
+       |      (sqrt(CAST(list_dot_product(a.q, a.q) AS DOUBLE)) *
+       |       sqrt(CAST(list_dot_product(b.q, b.q) AS DOUBLE))) AS cos
+       |  FROM coarse c JOIN qv a ON c.query_id = a.vec_id
+       |               JOIN qv b ON c.neighbor_id = b.vec_id
+       |)
+       |SELECT query_id, neighbor_id, cos, rank FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+       |  FROM rr) t
+       |WHERE rank <= $TopK""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e08_sketch_rerank" -> (e08SketchRerank _),
     "e07_recall_audit" -> (e07RecallAudit _),
     "e06_sem_dedup" -> (e06SemDedup _),
     "e05_ivf_ann" -> (e05IvfAnn _),
@@ -547,6 +642,7 @@ object Embeddings {
     "e04_cosine_neardup" -> (e04CosineNeardup _))
 
   val oracleSql: Map[String, String] = Map(
+    "e08_sketch_rerank" -> e08Sql,
     "e07_recall_audit" -> e07Sql,
     "e06_sem_dedup" -> e06Sql,
     "e05_ivf_ann" -> e05Sql,

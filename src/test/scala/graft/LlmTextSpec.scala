@@ -560,6 +560,41 @@ class LlmTextSpec extends GraftSuite {
     assert(fullyStripped > 0, "planted clone docs must strip to empty")
   }
 
+  test("e08: sketch-rerank returns exact top-k per query with high recall vs brute force") {
+    val got = Embeddings.e08SketchRerank(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    val byQuery = got.groupBy(_._1)
+    byQuery.values.foreach(rows =>
+      assert(rows.map(_._4).sorted.toSeq === (1 to Embeddings.TopK), "dense ranks 1..k"))
+    val truth = Embeddings.e01KnnBrute(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(byQuery.keySet === truth.map(_._1).toSet, "same query subsample as e01")
+    // exact stage: any pair surviving to the output carries the SAME
+    // exact cosine the brute-force path computed
+    val truthCos = truth.map(t => (t._1, t._2) -> t._3).toMap
+    got.foreach { case (q, n, c, _) =>
+      truthCos.get((q, n)).foreach(tc => assert(c === tc, s"cos mismatch for ($q,$n)"))
+    }
+    // recall@k: the coarse sketch keeps a usable share of the true
+    // neighborhood on structureless gaussian vectors (the same honest
+    // regime as the e07 audit) ...
+    val truthSet = truth.map(t => (t._1, t._2)).toSet
+    val hits = got.count(g => truthSet.contains((g._1, g._2)))
+    val recall = hits.toDouble / truthSet.size
+    assert(recall >= 0.4,
+      s"sign-sketch rerank recall collapsed: $hits/${truthSet.size} = $recall")
+    // ... and the rerank-depth lever buys recall monotonically: a larger
+    // C reranks a SUPERSET of candidates, so recall can only rise
+    spark.conf.set(Embeddings.RerankCConf, "100")
+    try {
+      val deeper = Embeddings.e08SketchRerank(spark, sf).collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      val deepHits = deeper.count(truthSet.contains)
+      assert(deepHits > hits,
+        s"C=100 should beat C=default on this fixture: $deepHits vs $hits")
+    } finally spark.conf.unset(Embeddings.RerankCConf)
+  }
+
   test("e06: every vector flagged once; dropped ⊆ cell-mates of an earlier near-dup") {
     import graft.operators.Embeddings
     val rows = Embeddings.e06SemDedup(spark, sf).collect()
