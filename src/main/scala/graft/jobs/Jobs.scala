@@ -189,12 +189,14 @@ object CurationJob {
   val ManifestTable = "curation_manifest"
   val LshAuditTable = "curation_lsh_audit"
   val AnnAuditTable = "curation_ann_audit"
+  val RulesTable = "curation_rule_verdicts"
 
   def run(s: SparkSession, dir: String, url: String, props: Properties,
           taskUUID: String): Unit = {
     import graft.operators.{Embeddings, LlmText}
     def write(df: DataFrame, table: String): Unit =
       Jobs.appendKeyed(taskUUID, df, url, table, props)
+    write(LlmText.d27GopherRules(s, dir), RulesTable)
     write(LlmText.d24SourceCuration(s, dir), SourceTable)
     write(LlmText.d25CurationManifest(s, dir), ManifestTable)
     write(LlmText.d22LshRecallAudit(s, dir), LshAuditTable)

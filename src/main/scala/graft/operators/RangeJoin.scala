@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Range (interval-containment) join via interval bucketing — the
@@ -34,6 +34,15 @@ import org.apache.spark.sql.functions._
   */
 object RangeJoin {
 
+  /** Exact floor division on longs: `floor(a / w)` routes through a
+    * DOUBLE division, which is only exact for |a| < 2^53 — an epoch in
+    * nanos or a synthetic 63-bit key silently lands pairs in the wrong
+    * bucket. `(a - pmod(a, w)) div w` stays in integer arithmetic
+    * (a − pmod is an exact multiple of w, DIV of an exact multiple is
+    * exact), matching DuckDB's integer `//` for the whole long domain. */
+  private def floorDiv(a: Column, w: Long): Column =
+    call_function("div", a - pmod(a, lit(w)), lit(w))
+
   /** Join `points` to `intervals` on `points(pointCol)` ∈
     * `[intervals(loCol), intervals(hiCol)]` (inclusive). All three
     * columns must share an integral domain (e.g. epoch micros);
@@ -41,9 +50,9 @@ object RangeJoin {
   def bucketed(points: DataFrame, intervals: DataFrame, pointCol: String,
       loCol: String, hiCol: String, bucketWidth: Long): DataFrame = {
     require(bucketWidth > 0, s"bucketWidth must be positive, got $bucketWidth")
-    val pts = points.withColumn("__bucket", floor(col(pointCol) / bucketWidth))
+    val pts = points.withColumn("__bucket", floorDiv(col(pointCol), bucketWidth))
     val ivs = intervals.withColumn("__bucket",
-      explode(sequence(floor(col(loCol) / bucketWidth), floor(col(hiCol) / bucketWidth))))
+      explode(sequence(floorDiv(col(loCol), bucketWidth), floorDiv(col(hiCol), bucketWidth))))
     ivs.join(pts, Seq("__bucket"))
       .where(col(pointCol) >= col(loCol) && col(pointCol) <= col(hiCol))
       .drop("__bucket")

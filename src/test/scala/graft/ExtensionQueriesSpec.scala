@@ -157,6 +157,27 @@ class ExtensionQueriesSpec extends GraftSuite {
       s"range join must stay an equi-join:\n$plan")
   }
 
+  test("RangeJoin: bucketing is exact beyond the double-precision domain (±2^62 keys)") {
+    // floor(a / w) via double division would misbucket these; the
+    // integer floor-div path must reproduce the naive join exactly
+    import spark.implicits._
+    val big = (1L << 62) - 3
+    val ptsRaw = Seq(big, big - 1, big - 7919, -big, -big + 4231, 0L, 7L, -7L)
+    val ivsRaw = Seq(
+      (1L, big - 8000, big),     // catches the three high points
+      (2L, -big, -big + 5000),   // catches the two low points
+      (3L, -10L, 10L))           // catches 0, 7, -7
+    val pts = ptsRaw.toDF("p")
+    val ivs = ivsRaw.toDF("iid", "lo", "hi")
+    val got = graft.operators.RangeJoin
+      .bucketed(pts, ivs, "p", "lo", "hi", 60000000L)
+      .select("iid", "p").collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val want = (for {
+      (iid, lo, hi) <- ivsRaw; p <- ptsRaw if p >= lo && p <= hi
+    } yield (iid, p)).sorted
+    assert(got === want)
+  }
+
   test("st07 streaming dedup equals the batch distinct counts") {
     val dedup = AdAnalytics.st07StreamDedup(spark, sf).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap

@@ -132,10 +132,13 @@ class JobsSpec extends GraftSuite {
   test("CurationJob writes decisions, manifest, and both audits under one task UUID") {
     graft.jobs.CurationJob.run(spark, sf, url, props, "task-curation")
     import graft.jobs.CurationJob._
-    for (t <- Seq(SourceTable, ManifestTable, LshAuditTable, AnnAuditTable)) {
+    for (t <- Seq(SourceTable, ManifestTable, LshAuditTable, AnnAuditTable, RulesTable)) {
       val n = table(t).where(col("task_id") === "task-curation").count()
       assert(n > 0, s"$t must contain rows for the task")
     }
+    // the rule-verdict table covers every document exactly once
+    assert(table(RulesTable).where(col("task_id") === "task-curation").count()
+      === Tables.documents(spark, sf).count())
     // the stored manifest is exactly the d25 library query
     val direct = graft.operators.LlmText.d25CurationManifest(spark, sf)
       .collect().map(_.toString).sorted.toSeq
