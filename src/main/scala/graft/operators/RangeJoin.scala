@@ -53,7 +53,11 @@ object RangeJoin {
     val pts = points.withColumn("__bucket", floorDiv(col(pointCol), bucketWidth))
     val ivs = intervals.withColumn("__bucket",
       explode(sequence(floorDiv(col(loCol), bucketWidth), floorDiv(col(hiCol), bucketWidth))))
-    ivs.join(pts, Seq("__bucket"))
+    // strategy-gated like every bucket join ([[SelfJoin]]): broadcast
+    // locally; `spark.graft.selfJoin.strategy=shuffle` at scale plans
+    // the sort-merge exchange on the bucket key and leaves a hot time
+    // bucket to AQE's skew split
+    SelfJoin.on(ivs, pts, Seq("__bucket"))
       .where(col(pointCol) >= col(loCol) && col(pointCol) <= col(hiCol))
       .drop("__bucket")
   }

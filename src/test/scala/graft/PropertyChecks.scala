@@ -61,6 +61,33 @@ object PropertyChecks extends Properties("graft") {
       (a, b, k) => kmv(kmv(a, k) ++ kmv(b, k), k) == kmv(a ++ b, k)
     }
 
+  // the merge law m12's incremental rollup rests on: folding per-batch
+  // partial sums key-wise loses nothing vs aggregating the whole input
+  private def sums(xs: Seq[(Int, Long)]): Map[Int, Long] =
+    xs.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+
+  property("accumulate merge: any batch split folds to the global per-key sums") =
+    forAll(Gen.listOf(Gen.zip(Gen.chooseNum(0, 5), Gen.chooseNum(-1000L, 1000L))),
+      Gen.chooseNum(0, 100)) { (rows, cutPct) =>
+      val cut = rows.length * cutPct / 100
+      val (a, b) = rows.splitAt(cut)
+      sums(sums(a).toSeq ++ sums(b).toSeq) == sums(rows)
+    }
+
+  // the completeness law RangeJoin's bucketing rests on: a contained
+  // point's bucket always lies within the interval's replicated span,
+  // for the FULL long domain (exact floor division, no double rounding)
+  property("range bucketing: contained point's bucket is inside the interval's bucket span") =
+    forAll(Gen.long, Gen.chooseNum(0L, 1L << 20), Gen.chooseNum(0.0, 1.0),
+      Gen.chooseNum(1L, 1L << 40)) { (lo0, span, frac, w) =>
+      val lo = math.min(lo0, Long.MaxValue - span)
+      val hi = lo + span
+      val p = lo + (span * frac).toLong
+      val (bl, bp, bh) =
+        (Math.floorDiv(lo, w), Math.floorDiv(p, w), Math.floorDiv(hi, w))
+      bl <= bp && bp <= bh
+    }
+
   property("decode stub: deterministic, bounded, total") =
     forAll(Gen.listOf(Gen.chooseNum(Byte.MinValue, Byte.MaxValue))) { bytes =>
       val payload = bytes.toArray

@@ -25,7 +25,22 @@ class SelfJoinStrategySpec extends GraftSuite {
     "d04_jaccard_neardup" -> (() => LlmText.d04JaccardNeardup(spark, sf)),
     "e02_ann_bucketed" -> (() => Embeddings.e02AnnBucketed(spark, sf)),
     "e04_cosine_neardup" -> (() => Embeddings.e04CosineNeardup(spark, sf)),
-    "e05_ivf_ann" -> (() => Embeddings.e05IvfAnn(spark, sf)))
+    "e05_ivf_ann" -> (() => Embeddings.e05IvfAnn(spark, sf)),
+    // m13's production ±60s window finds no pairs in the sparse sf0.001
+    // fixture; the gate lives in RangeJoin.bucketed, so invariance is
+    // pinned through it directly with a window wide enough to match
+    "m13_range_join_shape" -> (() => {
+      import org.apache.spark.sql.functions._
+      val ev = Tables.events(spark, sf).withColumn("us", expr("ts div 1000"))
+      val tol = 1800L * 1000000
+      graft.operators.RangeJoin.bucketed(
+        ev.where(col("event_type") === "click")
+          .select(col("event_id").as("click_id"), col("us").as("click_us")),
+        ev.where(col("event_type") === "error")
+          .select(col("event_id").as("error_id"),
+            (col("us") - tol).as("lo"), (col("us") + tol).as("hi")),
+        "click_us", "lo", "hi", 60000000L)
+    }))
 
   for ((name, mk) <- gated)
     test(s"$name rows are identical under broadcast and shuffle strategies") {
