@@ -446,7 +446,40 @@ object AdAnalytics {
        |GROUP BY 1, 2""".stripMargin
   }
 
+  // ---------------------------------------------------------------- st12
+  /** Streaming MULTI-METRIC rollup — m12's partition-incremental
+    * pattern deployed as a stream: each micro-batch's per-key (count,
+    * decimal sum) delta folds into the running store through the
+    * multi-column accumulate upsert ([[graft.etl.Upsert.accumulateAll]]
+    * — union + ONE re-aggregate on the key). Because both metrics are
+    * mergeable aggregates, the final store equals the batch rollup over
+    * the whole input EXACTLY regardless of how the stream split into
+    * batches (the m12 merge law; batch-split invariance pinned in
+    * StreamingSpec) — this is the continuously-updated form of the
+    * daily job, same store either way. Store size ∝ |key universe|,
+    * merge cost per batch ∝ |store| + |delta|, history never re-read. */
+  def st12RunningRollup(s: SparkSession, dir: String): DataFrame = {
+    def rollup(df: DataFrame): DataFrame =
+      df.groupBy(col("event_type")).agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).as("sum_value"))
+    val empty = rollup(graft.Tables.events(s, dir).limit(0))
+    val store = Streams.runForeachBatch(s, "append", empty)(
+      ss => Streams.tableStream(ss, dir, "events")) { (store, batch) =>
+      graft.etl.Upsert.accumulateAll(
+        store, rollup(batch), Seq("event_type"), Seq("n_events", "sum_value"))
+    }
+    store.select(col("event_type"), col("n_events"),
+      round(col("sum_value"), 2).cast("double").as("sum_value"))
+  }
+
+  val st12Sql: String =
+    """SELECT event_type, count(*) AS n_events,
+      |  CAST(round(sum(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_value
+      |FROM events GROUP BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "st12_running_rollup" -> (st12RunningRollup _),
     "st11_cms_cells" -> (st11CmsCells _),
     "st10_stream_left_join" -> (st10StreamStreamLeftJoin _),
     "st09_stream_stream_join" -> (st09StreamStreamJoin _),
@@ -460,6 +493,7 @@ object AdAnalytics {
     "st06_daily_top3" -> (st06DailyTop3 _))
 
   val oracleSql: Map[String, String] = Map(
+    "st12_running_rollup" -> st12Sql,
     "st11_cms_cells" -> st11Sql,
     "st10_stream_left_join" -> st10Sql,
     "st09_stream_stream_join" -> st09Sql,

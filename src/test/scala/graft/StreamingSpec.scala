@@ -41,6 +41,39 @@ class StreamingSpec extends GraftSuite {
     assert(got === Map(1L -> 3L, 2L -> 2L, 3L -> 1L))
   }
 
+  test("multi-metric accumulate fold is batch-split invariant (st12 shape)") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val rows = Seq(("a", 1.10), ("b", 2.25), ("a", 0.40), ("c", 5.00),
+      ("b", 1.01), ("a", 3.33), ("c", 0.07), ("a", 0.99))
+    def run(chunks: Seq[Seq[(String, Double)]]): Map[String, (Long, Double)] = {
+      val ms = MemoryStream[(String, Double)]
+      def rollup(df: org.apache.spark.sql.DataFrame) =
+        df.groupBy(col("k")).agg(
+          count(lit(1)).as("n"),
+          sum(col("v").cast("decimal(18,2)")).as("s"))
+      var store = rollup(Seq.empty[(String, Double)].toDF("k", "v"))
+      val q = ms.toDF().toDF("k", "v")
+        .writeStream.outputMode("append")
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          val merged = graft.etl.Upsert
+            .accumulateAll(store, rollup(batch), Seq("k"), Seq("n", "s")).persist()
+          merged.count()
+          store = merged
+          ()
+        }
+        .option("checkpointLocation", ckpt()).start()
+      chunks.foreach { c => ms.addData(c: _*); q.processAllAvailable() }
+      q.stop()
+      store.select(col("k"), col("n"), round(col("s"), 2).cast("double").as("s"))
+        .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    }
+    val oneBatch = run(Seq(rows))
+    val manyBatches = run(rows.grouped(2).toSeq)
+    assert(oneBatch === manyBatches, "fold must not depend on the batch split")
+    assert(oneBatch("a") === ((4L, 5.82)))
+  }
+
   test("flatMapGroupsWithState carries cumulative counts across batches") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
