@@ -31,14 +31,21 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val sweeps = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_SWEEPS", "3").toInt)
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // same extra-conf hook as Verify (e.g. bench the at-scale
+    // selfJoin.strategy=shuffle configuration); a non-default conf is a
+    // forensics run — record it to the filtered sibling file, never the
+    // canonical record
+    val extraConf = sys.env.get("SPARK_GRAFT_CONF")
+    extraConf.foreach(_.split(",").filter(_.contains("="))
+      .foreach { kv => val Array(k, v) = kv.split("=", 2); builder.config(k.trim, v.trim) })
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
     def once(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
@@ -123,7 +130,9 @@ object Bench {
       s"""{"metric":"total","value":$total,"unit":"sec","sweeps":$sweeps,"agg":"min","calibration":$calStart,"calibration_end":$calEnd,"queries":${qjson(best, _.toString)},"sweep_detail":$sweepJson,"sf":"$sfDir"}"""
     // a filtered (isolation-probe) run records to a sibling file so it
     // can never clobber the canonical full-run record
-    val selfFile = if (filter.isDefined) "BENCH_SELF_FILTERED.json" else "BENCH_SELF.json"
+    val selfFile =
+      if (filter.isDefined || extraConf.isDefined) "BENCH_SELF_FILTERED.json"
+      else "BENCH_SELF.json"
     try {
       java.nio.file.Files.write(java.nio.file.Paths.get(selfFile),
         full.getBytes(java.nio.charset.StandardCharsets.UTF_8))
