@@ -58,6 +58,13 @@ class PlanAuditSpec extends GraftSuite {
       assert("Exchange hashpartitioning\\(bucket".r.findFirstIn(pAnn).nonEmpty,
         s"no exchange on the bucket key:\n$pAnn")
       assert(!pAnn.contains("CartesianProduct"))
+      // the range join rides the same gate: sort-merge on the interval
+      // bucket, no nested loop anywhere in the at-scale shape
+      val pRange = plan(graft.operators.Misc.m13RangeJoin(spark, sf))
+      assert(pRange.contains("SortMergeJoin"), s"range join should sort-merge:\n$pRange")
+      assert("Exchange hashpartitioning\\(__bucket".r.findFirstIn(pRange).nonEmpty,
+        s"no exchange on the range-bucket key:\n$pRange")
+      assert(!pRange.contains("BroadcastNestedLoop") && !pRange.contains("CartesianProduct"))
     } finally spark.conf.unset(graft.operators.SelfJoin.StrategyConf)
   }
 
