@@ -437,8 +437,9 @@ object Embeddings {
        |FROM assigned""".stripMargin
 
   // ---------------------------------------------------------------- e07
-  /** Recall audit: recall@k of both ANN paths (e02 hyperplane-LSH, e05
-    * IVF at its oracle formulation nprobe = 1) against the e01
+  /** Recall audit: recall@k of the three ANN serving paths (e02
+    * hyperplane-LSH, e05 IVF at its oracle formulation nprobe = 1, e08
+    * sketch-then-rerank at its default depth) against the e01
     * brute-force ground truth, over the deterministic query subsample.
     * This is the evaluation loop every production ANN deployment runs
     * before trusting an index — the number that tells you whether to add
@@ -460,7 +461,9 @@ object Embeddings {
       .select(lit("lsh_bucketed").as("method"), col("query_id"), col("neighbor_id"))
     val ivf = e05IvfAnn(s, dir).where(col("query_id") % 5 === 0)
       .select(lit("ivf_nprobe").as("method"), col("query_id"), col("neighbor_id"))
-    val hits = lsh.unionByName(ivf)
+    val sketch = e08SketchRerank(s, dir).where(col("rank") <= RecallK)
+      .select(lit("sketch_rerank").as("method"), col("query_id"), col("neighbor_id"))
+    val hits = lsh.unionByName(ivf).unionByName(sketch)
       .join(truth, Seq("query_id", "neighbor_id"))
       .groupBy(col("method")).agg(count(lit(1)).as("n_hits"))
     // |truth| = K·|queries| exactly (every query has ≥ K candidates by
@@ -524,10 +527,30 @@ object Embeddings {
        |        ORDER BY ${cos("a", "b")} DESC, b.vec_id ASC) AS rank
        |    FROM assigned a JOIN assigned b ON a.cell = b.cell AND a.vec_id <> b.vec_id) t
        |  WHERE rank <= $RecallK AND query_id % 5 = 0
+       |), sv AS (
+       |  SELECT vec_id, q, ${sk(1)} AS s_lo, ${sk(33)} AS s_hi FROM qv
+       |), coarse AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+       |      row_number() OVER (PARTITION BY a.vec_id ORDER BY
+       |        bit_count(xor(a.s_lo, b.s_lo)) + bit_count(xor(a.s_hi, b.s_hi)) ASC,
+       |        b.vec_id ASC) AS crank
+       |    FROM sv a JOIN sv b ON a.vec_id % 5 = 0 AND a.vec_id <> b.vec_id) t
+       |  WHERE crank <= $RerankC
+       |), sketch AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT c.query_id, c.neighbor_id,
+       |      row_number() OVER (PARTITION BY c.query_id ORDER BY
+       |        ${cos("a", "b")} DESC, c.neighbor_id ASC) AS rank
+       |    FROM coarse c JOIN qv a ON c.query_id = a.vec_id
+       |                 JOIN qv b ON c.neighbor_id = b.vec_id) t
+       |  WHERE rank <= $RecallK
        |), ann AS (
        |  SELECT 'lsh_bucketed' AS method, query_id, neighbor_id FROM lsh
        |  UNION ALL
        |  SELECT 'ivf_nprobe' AS method, query_id, neighbor_id FROM ivf
+       |  UNION ALL
+       |  SELECT 'sketch_rerank' AS method, query_id, neighbor_id FROM sketch
        |), hits AS (
        |  SELECT method, count(*) AS n_hits
        |  FROM ann JOIN truth USING (query_id, neighbor_id) GROUP BY 1
@@ -556,7 +579,10 @@ object Embeddings {
     * exact integer / fixed-sequence arithmetic — bit-identical
     * cross-engine; ties break (hamming asc, id asc) / (cos desc, id
     * asc). */
-  val RerankC = 25
+  // final + literal = compile-time constant: e07Sql (declared earlier in
+  // the object) interpolates it, and a plain val would still be 0 there
+  // at initialization time
+  final val RerankC = 25
 
   /** Rerank-depth lever: how many coarse-stage survivors get the exact
     * re-rank. THE recall knob of every compress-then-rerank system (the
@@ -603,10 +629,12 @@ object Embeddings {
       .where(col("rank") <= TopK)
   }
 
+  /** DuckDB twin of [[signSketch]] (shared by e08Sql and e07Sql). */
+  private def sk(lo: Int): String =
+    s"CAST(list_sum(list_transform(generate_series($lo, ${lo + 31}), " +
+      s"i -> CASE WHEN q[i] > 0 THEN (CAST(1 AS BIGINT) << (i - $lo)) ELSE 0 END)) AS BIGINT)"
+
   val e08Sql: String = {
-    def sk(lo: Int): String =
-      s"CAST(list_sum(list_transform(generate_series($lo, ${lo + 31}), " +
-        s"i -> CASE WHEN q[i] > 0 THEN (CAST(1 AS BIGINT) << (i - $lo)) ELSE 0 END)) AS BIGINT)"
     s"""$quantSql, sv AS (
        |  SELECT vec_id, q, ${sk(1)} AS s_lo, ${sk(33)} AS s_hi FROM qv
        |), coarse AS (

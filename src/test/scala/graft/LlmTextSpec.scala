@@ -502,7 +502,7 @@ class LlmTextSpec extends GraftSuite {
   test("e07: recall audit counts are consistent and both ANN paths find truth pairs") {
     import graft.operators.Embeddings
     val rows = Embeddings.e07RecallAudit(spark, sf).collect()
-    assert(rows.nonEmpty && rows.length <= 2)
+    assert(rows.nonEmpty && rows.length <= 3)
     val truthPairs = Embeddings.e01KnnBrute(spark, sf)
       .where(col("rank") <= Embeddings.RecallK).count()
     rows.foreach { r =>
@@ -512,10 +512,12 @@ class LlmTextSpec extends GraftSuite {
       assert(recall >= 0.0 && recall <= 1.0)
       assert(recall === r.getLong(2).toDouble / r.getLong(1).toDouble)
     }
-    // on the fixture both index paths must surface SOME of the truth set
+    // on the fixture the index paths must surface SOME of the truth set
     // (e02's bucketed top-quality ⊆ brute-force test already implies
     // overlap; this pins it end-to-end through the audit join)
     assert(rows.map(_.getLong(2)).sum > 0, "no ANN path found any truth pair")
+    // the sketch-rerank path audits alongside the two index paths
+    assert(rows.map(_.getString(0)).contains("sketch_rerank"))
   }
 
   test("d27: rule verdicts recompute, keep is the exact conjunction, stopword rule ties to the text") {
