@@ -56,4 +56,46 @@ class SkewSpec extends GraftSuite {
       case (k, None) => spark.conf.unset(k)
     }
   }
+
+  test("range join under a hot time bucket: skew-split with exact residual filtering") {
+    val n = 200000L
+    val w = 1000000L // bucket width
+    // 30% of points land in time bucket 0 (the "hot minute"); the rest
+    // spread across 1000 buckets
+    val points = spark.range(0, n)
+      .select(
+        when(col("id") % 10 < 3, pmod(col("id"), lit(w)))
+          .otherwise((pmod(col("id"), lit(1000L)) + 1L) * w + pmod(col("id"), lit(w)))
+          .as("p"),
+        col("id").as("pid"),
+        concat_ws("", (1 to 10).map(_ => md5(col("id").cast("string"))): _*).as("payload"))
+    // one interval per bucket, covering it exactly → every point matches
+    // exactly one interval
+    val intervals = spark.range(0, 1001)
+      .select(col("id").as("iid"), (col("id") * w).as("lo"), (col("id") * w + w - 1).as("hi"))
+    val confs = Seq(
+      SelfJoin.StrategyConf -> "shuffle",
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "1MB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "512KB",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val joined = graft.operators.RangeJoin
+        .bucketed(points, intervals, "p", "lo", "hi", w)
+      assert(joined.queryExecution.toRdd.count() === n,
+        "every point lies in exactly one covering interval")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), s"shuffle mode must sort-merge:\n$plan")
+      assert(plan.contains("skew=true") || plan.contains("skewed"),
+        s"hot time bucket was not skew-split:\n$plan")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
 }
