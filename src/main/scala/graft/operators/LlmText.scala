@@ -1649,7 +1649,53 @@ object LlmText {
        |FROM seg s JOIN linedf d USING (line)
        |GROUP BY 1""".stripMargin
 
+  // ---------------------------------------------------------------- d29
+  /** Pack the CLEANED corpus — the d28 → d23 composition a real
+    * pipeline ships: sequence layout must budget POST-strip token
+    * counts (packing raw sizes would leave holes exactly where the
+    * boilerplate was), and fully-stripped docs drop out before the
+    * layout. Same per-shard window as d23 (shard count stays the
+    * `spark.graft.pack.shards` lever), token counts recomputed from the
+    * reassembled text, everything hash-deterministic. */
+  def d29CleanPack(s: SparkSession, dir: String): DataFrame =
+    packed(d28StripDupLines(s, dir)
+      .where(col("clean_text") =!= "")
+      .select(col("doc_id"),
+        size(split(col("clean_text"), " ")).cast("long").as("n_tokens")))
+      .select(col("doc_id"), col("shard"), col("n_tokens"), col("seq"), col("offset"))
+
+  val d29Sql: String =
+    s"""$baseSql, seg AS (
+       |  SELECT doc_id,
+       |    unnest(generate_series(0, (len(toks)-1)//$LineTokens)) AS idx,
+       |    unnest(list_transform(generate_series(0, (len(toks)-1)//$LineTokens),
+       |      i -> array_to_string(toks[i*$LineTokens+1 : i*$LineTokens+$LineTokens], ' '))) AS line
+       |  FROM base
+       |), linedf AS (
+       |  SELECT line, count(DISTINCT doc_id) AS df FROM seg GROUP BY 1
+       |), cleaned AS (
+       |  SELECT s.doc_id,
+       |    coalesce(string_agg(CASE WHEN d.df < $LineDupMinDocs THEN s.line END, ' ' ORDER BY s.idx), '') AS clean_text
+       |  FROM seg s JOIN linedf d USING (line)
+       |  GROUP BY 1
+       |), sized AS (
+       |  SELECT doc_id,
+       |    CAST(len(string_split(clean_text, ' ')) AS BIGINT) AS n_tokens,
+       |    ${h64Sql("concat('pack:', CAST(doc_id AS VARCHAR))")} % $PackShards AS shard,
+       |    ${h64Sql("concat('ord:', CAST(doc_id AS VARCHAR))")} AS ord
+       |  FROM cleaned WHERE clean_text <> ''
+       |), run AS (
+       |  SELECT doc_id, shard, n_tokens,
+       |    CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY ord, doc_id) AS BIGINT) AS cum
+       |  FROM sized
+       |)
+       |SELECT doc_id, shard, n_tokens,
+       |  (cum - n_tokens) // $PackBudget AS seq,
+       |  (cum - n_tokens) % $PackBudget AS offset
+       |FROM run""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d29_clean_pack" -> (d29CleanPack _),
     "d28_strip_dup_lines" -> (d28StripDupLines _),
     "d27_gopher_rules" -> (d27GopherRules _),
     "d26_simhash_neardup" -> (d26SimhashNeardup _),
@@ -1680,6 +1726,7 @@ object LlmText {
     "d08_fingerprint" -> (d08Fingerprint _))
 
   val oracleSql: Map[String, String] = Map(
+    "d29_clean_pack" -> d29Sql,
     "d28_strip_dup_lines" -> d28Sql,
     "d27_gopher_rules" -> d27Sql,
     "d26_simhash_neardup" -> d26Sql,

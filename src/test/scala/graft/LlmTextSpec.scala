@@ -597,6 +597,30 @@ class LlmTextSpec extends GraftSuite {
     } finally spark.conf.unset(Embeddings.RerankCConf)
   }
 
+  test("d29: cleaned pack budgets post-strip sizes, drops empty docs, stays gapless per shard") {
+    val clean = LlmText.d28StripDupLines(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("clean_text")).toMap
+    val rows = LlmText.d29CleanPack(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("shard"),
+        r.getAs[Long]("n_tokens"), r.getAs[Long]("seq"), r.getAs[Long]("offset")))
+    // membership: exactly the docs whose cleaned text is non-empty
+    assert(rows.map(_._1).toSet === clean.filter(_._2.nonEmpty).keySet)
+    // sizes are the POST-strip token counts
+    rows.foreach { case (id, _, n, _, _) =>
+      assert(n === clean(id).split(" ").length.toLong, s"doc $id packed with a stale size")
+    }
+    // gapless head-to-tail layout: within a shard, absolute positions
+    // (seq·budget + offset) ordered are exactly the prefix sums of sizes
+    rows.groupBy(_._2).foreach { case (shard, rs) =>
+      val ordered = rs.sortBy(r => r._4 * LlmText.PackBudget + r._5)
+      val prefix = ordered.scanLeft(0L)(_ + _._3).init
+      ordered.zip(prefix).foreach { case ((id, _, _, seq, off), pos) =>
+        assert(seq * LlmText.PackBudget + off === pos,
+          s"hole or overlap at doc $id in shard $shard")
+      }
+    }
+  }
+
   test("e06: every vector flagged once; dropped ⊆ cell-mates of an earlier near-dup") {
     import graft.operators.Embeddings
     val rows = Embeddings.e06SemDedup(spark, sf).collect()
