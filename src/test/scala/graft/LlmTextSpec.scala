@@ -499,7 +499,7 @@ class LlmTextSpec extends GraftSuite {
     assert(banded.nonEmpty, "fixture's planted near-dups should land within the radius")
   }
 
-  test("e07: recall audit counts are consistent and both ANN paths find truth pairs") {
+  test("e07: recall audit counts are consistent and the ANN paths find truth pairs") {
     import graft.operators.Embeddings
     val rows = Embeddings.e07RecallAudit(spark, sf).collect()
     assert(rows.nonEmpty && rows.length <= 3)
