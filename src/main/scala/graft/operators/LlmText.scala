@@ -1649,6 +1649,88 @@ object LlmText {
        |FROM seg s JOIN linedf d USING (line)
        |GROUP BY 1""".stripMargin
 
+  // ---------------------------------------------------------------- d30
+  /** INCREMENTAL dedup — the daily-ingestion reality at 100 TB: a NEW
+    * batch of documents dedups against the EXISTING corpus (and
+    * against its own earlier members) without ever re-pairing the
+    * corpus with itself. The corpus's band-key table is the persisted
+    * LSH INDEX a production pipeline maintains (append-only, computed
+    * once per doc at ingest — recomputed here only because the fixture
+    * has no store; the JOIN is the operator); the batch computes its
+    * own signatures and probes the index with a bipartite band join,
+    * so candidate volume is proportional to the BATCH's band
+    * collisions, never corpus², and the join inherits the full
+    * strategy gate + hot-band levers. Batch membership is the
+    * deterministic doc_id % 10 slice (in production: today's
+    * partition); "earlier batch member" keeps the keep-first
+    * convention (d09). Output: every batch doc with its verified
+    * near-dup match count — the rows a pipeline drops before
+    * appending the survivors (and their band keys) to the index. */
+  val IncrementalBatchMod = 10
+
+  def d30IncrementalDedup(s: SparkSession, dir: String): DataFrame = {
+    val shd = withShingleSet(s, base(s, dir)).select(col("doc_id"), col("sh")).persist()
+    val sig = d02MinhashSig(s, dir).persist()
+    val bandRows = s.conf.get(BandRowsConf, "1").toInt
+    require(bandRows >= 1 && NumHashes % bandRows == 0,
+      s"$BandRowsConf must divide NumHashes=$NumHashes, got $bandRows")
+    val bandKeyCols = (0 until NumHashes / bandRows).map { b =>
+      val parts = (0 until bandRows).map(r => col(s"mh${b * bandRows + r}"))
+      if (bandRows == 1) parts.head else xxhash64(parts: _*)
+    }
+    val bands = sig.select(col("doc_id"),
+      posexplode(array(bandKeyCols: _*)).as(Seq("band", "band_key")))
+    val isBatch = col("doc_id") % IncrementalBatchMod === 0
+    val probe = bands.where(isBatch)
+      .select(col("band"), col("band_key"), col("doc_id").as("new_id"))
+    val index = bands
+      .select(col("band"), col("band_key"), col("doc_id").as("old_id"))
+    val cand = SelfJoin.on(probe, index, Seq("band", "band_key"))
+      .where(col("old_id") % IncrementalBatchMod =!= 0 || col("old_id") < col("new_id"))
+      .select(col("new_id"), col("old_id")).distinct()
+    val ver = SelfJoin.on(
+      cand, shd.select(col("doc_id").as("new_id"), col("sh").as("sh_n")), Seq("new_id"))
+    val matches = SelfJoin.on(
+      ver, shd.select(col("doc_id").as("old_id"), col("sh").as("sh_o")), Seq("old_id"))
+      .where(size(array_intersect(col("sh_n"), col("sh_o"))).cast("double") /
+        size(array_union(col("sh_n"), col("sh_o"))).cast("double") >= NeardupThreshold)
+      .groupBy(col("new_id")).agg(count(lit(1)).as("n_matches"))
+    val out = base(s, dir).where(isBatch).select(col("doc_id"))
+      .join(matches.withColumnRenamed("new_id", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_matches"), lit(0L)).as("n_matches"))
+      .withColumn("is_dup", col("n_matches") > 0)
+      .localCheckpoint(true)
+    Seq(shd, sig).foreach(_.unpersist())
+    out
+  }
+
+  val d30Sql: String = {
+    val bandSelects = (0 until NumHashes).map { i =>
+      s"""SELECT b.doc_id AS new_id, a.doc_id AS old_id
+         |    FROM sig a JOIN sig b ON a.mh$i = b.mh$i
+         |    WHERE b.doc_id % $IncrementalBatchMod = 0
+         |      AND (a.doc_id % $IncrementalBatchMod <> 0 OR a.doc_id < b.doc_id)""".stripMargin
+    }.mkString("\n  UNION\n  ")
+    s"""$baseSql$shSqlCte, sig AS (
+       |  SELECT doc_id, ${(0 until NumHashes).map(mhExprSql).mkString(", ")} FROM shd
+       |), cand AS (
+       |  $bandSelects
+       |), ver AS (
+       |  SELECT new_id, count(*) AS n_matches
+       |  FROM cand JOIN shd x ON cand.old_id = x.doc_id
+       |            JOIN shd y ON cand.new_id = y.doc_id
+       |  WHERE CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE) /
+       |        CAST(len(list_distinct(x.sh || y.sh)) AS DOUBLE) >= $NeardupThreshold
+       |  GROUP BY 1
+       |)
+       |SELECT b.doc_id,
+       |  CAST(coalesce(v.n_matches, 0) AS BIGINT) AS n_matches,
+       |  coalesce(v.n_matches, 0) > 0 AS is_dup
+       |FROM (SELECT doc_id FROM base WHERE doc_id % $IncrementalBatchMod = 0) b
+       |LEFT JOIN ver v ON v.new_id = b.doc_id""".stripMargin
+  }
+
   // ---------------------------------------------------------------- d29
   /** Pack the CLEANED corpus — the d28 → d23 composition a real
     * pipeline ships: sequence layout must budget POST-strip token
@@ -1695,6 +1777,7 @@ object LlmText {
        |FROM run""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d30_incremental_dedup" -> (d30IncrementalDedup _),
     "d29_clean_pack" -> (d29CleanPack _),
     "d28_strip_dup_lines" -> (d28StripDupLines _),
     "d27_gopher_rules" -> (d27GopherRules _),
@@ -1726,6 +1809,7 @@ object LlmText {
     "d08_fingerprint" -> (d08Fingerprint _))
 
   val oracleSql: Map[String, String] = Map(
+    "d30_incremental_dedup" -> d30Sql,
     "d29_clean_pack" -> d29Sql,
     "d28_strip_dup_lines" -> d28Sql,
     "d27_gopher_rules" -> d27Sql,

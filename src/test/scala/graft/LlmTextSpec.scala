@@ -597,6 +597,29 @@ class LlmTextSpec extends GraftSuite {
     } finally spark.conf.unset(Embeddings.RerankCConf)
   }
 
+  test("d30: incremental verdicts agree with d03's full pair set restricted to batch links") {
+    val mod = LlmText.IncrementalBatchMod
+    val rows = LlmText.d30IncrementalDedup(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    val batch = Tables.documents(spark, sf).select("doc_id").collect()
+      .map(_.getLong(0)).filter(_ % mod == 0).toSet
+    assert(rows.map(_._1).toSet === batch, "one verdict per batch doc")
+    // ground truth from the FULL d03 pairing: a batch doc is a dup iff a
+    // verified pair links it to a corpus doc (either direction) or to an
+    // EARLIER batch doc (keep-first)
+    val pairs = LlmText.d03LshNeardup(spark, sf)
+      .where(col("jaccard") >= LlmText.NeardupThreshold)
+      .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")))
+    def links(n: Long): Int = pairs.count { case (a, b) =>
+      (b == n && (a % mod != 0 || a < n)) || (a == n && b % mod != 0)
+    }
+    rows.foreach { case (id, nMatches, isDup) =>
+      assert(nMatches === links(id).toLong, s"match count mismatch for batch doc $id")
+      assert(isDup === (nMatches > 0))
+    }
+    assert(rows.exists(_._3), "fixture's planted near-dups should flag some batch doc")
+  }
+
   test("d29: cleaned pack budgets post-strip sizes, drops empty docs, stays gapless per shard") {
     val clean = LlmText.d28StripDupLines(spark, sf).collect()
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("clean_text")).toMap
