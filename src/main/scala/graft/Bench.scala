@@ -38,14 +38,11 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.ui.enabled", "false")
-    // same extra-conf hook as Verify (e.g. bench the at-scale
-    // selfJoin.strategy=shuffle configuration); a non-default conf is a
-    // forensics run — record it to the filtered sibling file, never the
-    // canonical record
-    val extraConf = sys.env.get("SPARK_GRAFT_CONF")
-    extraConf.foreach(_.split(",").filter(_.contains("="))
-      .foreach { kv => val Array(k, v) = kv.split("=", 2); builder.config(k.trim, v.trim) })
-    val spark = builder.getOrCreate()
+    // same extra-conf hook as Verify ([[ExtraConf]], e.g. bench the
+    // at-scale selfJoin.strategy=shuffle configuration); a non-default
+    // conf is a forensics run — record it to the filtered sibling file,
+    // never the canonical record
+    val spark = ExtraConf.applyTo(builder).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
     def once(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
@@ -131,7 +128,7 @@ object Bench {
     // a filtered (isolation-probe) run records to a sibling file so it
     // can never clobber the canonical full-run record
     val selfFile =
-      if (filter.isDefined || extraConf.isDefined) "BENCH_SELF_FILTERED.json"
+      if (filter.isDefined || ExtraConf.isSet) "BENCH_SELF_FILTERED.json"
       else "BENCH_SELF.json"
     try {
       java.nio.file.Files.write(java.nio.file.Paths.get(selfFile),

@@ -20,13 +20,11 @@ object Verify {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.ui.enabled", "false")
-    // SPARK_GRAFT_CONF="k=v,k=v": extra session conf — lets the whole
-    // gate run under an at-scale configuration (e.g.
+    // extra session conf ([[ExtraConf]]) — lets the whole gate run
+    // under an at-scale configuration (e.g.
     // spark.graft.selfJoin.strategy=shuffle) to prove the 100 TB plan
     // shapes produce oracle-identical results corpus-wide
-    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(",").filter(_.contains("="))
-      .foreach { kv => val Array(k, v) = kv.split("=", 2); builder.config(k.trim, v.trim) })
-    val spark = builder.getOrCreate()
+    val spark = ExtraConf.applyTo(builder).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.filter(kv => only(kv._1)).foreach { case (name, fn) =>

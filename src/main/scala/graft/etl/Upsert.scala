@@ -16,11 +16,10 @@ object Upsert {
 
   /** Insert-or-accumulate (ad_user_click_count): new keys insert, existing
     * keys ADD the incoming value. Union + re-aggregate — one shuffle on
-    * the key, no row-by-row lookups. */
+    * the key, no row-by-row lookups. Single-column case of
+    * [[accumulateAll]] (one source of truth for the merge shape). */
   def accumulate(store: DataFrame, batch: DataFrame, keys: Seq[String], valueCol: String): DataFrame =
-    store.unionByName(batch)
-      .groupBy(keys.map(col): _*)
-      .agg(sum(col(valueCol)).as(valueCol))
+    accumulateAll(store, batch, keys, Seq(valueCol))
 
   /** [[accumulate]] over several value columns at once — the shape a
     * multi-metric rollup store (count + sum + ...) merges with. Same

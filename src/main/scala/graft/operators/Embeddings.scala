@@ -463,9 +463,18 @@ object Embeddings {
       .select(lit("ivf_nprobe").as("method"), col("query_id"), col("neighbor_id"))
     val sketch = e08SketchRerank(s, dir).where(col("rank") <= RecallK)
       .select(lit("sketch_rerank").as("method"), col("query_id"), col("neighbor_id"))
-    val hits = lsh.unionByName(ivf).unionByName(sketch)
-      .join(truth, Seq("query_id", "neighbor_id"))
-      .groupBy(col("method")).agg(count(lit(1)).as("n_hits"))
+    // LEFT join from a fixed method spine: a path with ZERO truth hits
+    // must report recall 0.0, not vanish from the audit — the failing
+    // path is the one the audit exists to flag
+    val spine = s.createDataFrame(
+      Seq("lsh_bucketed", "ivf_nprobe", "sketch_rerank").map(Tuple1.apply))
+      .toDF("method")
+    val hits = spine.join(
+      lsh.unionByName(ivf).unionByName(sketch)
+        .join(truth, Seq("query_id", "neighbor_id"))
+        .groupBy(col("method")).agg(count(lit(1)).as("raw_hits")),
+      Seq("method"), "left")
+      .select(col("method"), coalesce(col("raw_hits"), lit(0L)).as("n_hits"))
     // |truth| = K·|queries| exactly (every query has ≥ K candidates by
     // construction — the corpus is larger than K+1), so the denominator
     // is a cheap count over the query subsample, not a second
@@ -527,17 +536,7 @@ object Embeddings {
        |        ORDER BY ${cos("a", "b")} DESC, b.vec_id ASC) AS rank
        |    FROM assigned a JOIN assigned b ON a.cell = b.cell AND a.vec_id <> b.vec_id) t
        |  WHERE rank <= $RecallK AND query_id % 5 = 0
-       |), sv AS (
-       |  SELECT vec_id, q, ${sk(1)} AS s_lo, ${sk(33)} AS s_hi FROM qv
-       |), coarse AS (
-       |  SELECT query_id, neighbor_id FROM (
-       |    SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
-       |      row_number() OVER (PARTITION BY a.vec_id ORDER BY
-       |        bit_count(xor(a.s_lo, b.s_lo)) + bit_count(xor(a.s_hi, b.s_hi)) ASC,
-       |        b.vec_id ASC) AS crank
-       |    FROM sv a JOIN sv b ON a.vec_id % 5 = 0 AND a.vec_id <> b.vec_id) t
-       |  WHERE crank <= $RerankC
-       |), sketch AS (
+       |)$svCoarseSqlCtes, sketch AS (
        |  SELECT query_id, neighbor_id FROM (
        |    SELECT c.query_id, c.neighbor_id,
        |      row_number() OVER (PARTITION BY c.query_id ORDER BY
@@ -551,9 +550,13 @@ object Embeddings {
        |  SELECT 'ivf_nprobe' AS method, query_id, neighbor_id FROM ivf
        |  UNION ALL
        |  SELECT 'sketch_rerank' AS method, query_id, neighbor_id FROM sketch
-       |), hits AS (
-       |  SELECT method, count(*) AS n_hits
+       |), raw AS (
+       |  SELECT method, count(*) AS raw_hits
        |  FROM ann JOIN truth USING (query_id, neighbor_id) GROUP BY 1
+       |), hits AS (
+       |  SELECT m.method, CAST(coalesce(r.raw_hits, 0) AS BIGINT) AS n_hits
+       |  FROM (VALUES ('lsh_bucketed'), ('ivf_nprobe'), ('sketch_rerank')) m(method)
+       |  LEFT JOIN raw r ON m.method = r.method
        |), tot AS (SELECT CAST(count(*) AS BIGINT) AS n_truth FROM truth)
        |SELECT method, n_truth, n_hits,
        |  CAST(n_hits AS DOUBLE) / CAST(n_truth AS DOUBLE) AS recall
@@ -634,8 +637,13 @@ object Embeddings {
     s"CAST(list_sum(list_transform(generate_series($lo, ${lo + 31}), " +
       s"i -> CASE WHEN q[i] > 0 THEN (CAST(1 AS BIGINT) << (i - $lo)) ELSE 0 END)) AS BIGINT)"
 
-  val e08Sql: String = {
-    s"""$quantSql, sv AS (
+  /** sv + coarse CTE text shared by e08Sql and e07Sql — one definition
+    * of the sketch packing, hamming ranking, and C cut, so the audit's
+    * sketch path can never drift from the e08 oracle it audits.
+    * A `def`, not a `val`: e07Sql initializes EARLIER in this object
+    * and would read null from a later val (the RerankC trap). */
+  private def svCoarseSqlCtes: String =
+    s""", sv AS (
        |  SELECT vec_id, q, ${sk(1)} AS s_lo, ${sk(33)} AS s_hi FROM qv
        |), coarse AS (
        |  SELECT query_id, neighbor_id FROM (
@@ -645,7 +653,10 @@ object Embeddings {
        |        b.vec_id ASC) AS crank
        |    FROM sv a JOIN sv b ON a.vec_id % 5 = 0 AND a.vec_id <> b.vec_id) t
        |  WHERE crank <= $RerankC
-       |), rr AS (
+       |)""".stripMargin
+
+  val e08Sql: String = {
+    s"""$quantSql$svCoarseSqlCtes, rr AS (
        |  SELECT c.query_id, c.neighbor_id,
        |    CAST(list_dot_product(a.q, b.q) AS DOUBLE) /
        |      (sqrt(CAST(list_dot_product(a.q, a.q) AS DOUBLE)) *

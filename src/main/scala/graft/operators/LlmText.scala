@@ -1611,6 +1611,21 @@ object LlmText {
     * corpus-wide). Docs whose every segment is boilerplate come back
     * with empty clean_text — the row survives so downstream can count
     * them (they'd otherwise look like dropped data). */
+  /** Indexed segment + line-document-frequency oracle CTEs shared by
+    * d28Sql and d29Sql (d19's un-indexed variant predates them); ONE
+    * definition so the segmentation arithmetic can't drift between the
+    * strip transform and the cleaned-pack oracle built on it. */
+  private val segSqlCte: String =
+    s""", seg AS (
+       |  SELECT doc_id,
+       |    unnest(generate_series(0, (len(toks)-1)//$LineTokens)) AS idx,
+       |    unnest(list_transform(generate_series(0, (len(toks)-1)//$LineTokens),
+       |      i -> array_to_string(toks[i*$LineTokens+1 : i*$LineTokens+$LineTokens], ' '))) AS line
+       |  FROM base
+       |), linedf AS (
+       |  SELECT line, count(DISTINCT doc_id) AS df FROM seg GROUP BY 1
+       |)""".stripMargin
+
   def d28StripDupLines(s: SparkSession, dir: String): DataFrame = {
     val seg = base(s, dir).select(col("doc_id"),
       posexplode(transform(
@@ -1633,15 +1648,7 @@ object LlmText {
   }
 
   val d28Sql: String =
-    s"""$baseSql, seg AS (
-       |  SELECT doc_id,
-       |    unnest(generate_series(0, (len(toks)-1)//$LineTokens)) AS idx,
-       |    unnest(list_transform(generate_series(0, (len(toks)-1)//$LineTokens),
-       |      i -> array_to_string(toks[i*$LineTokens+1 : i*$LineTokens+$LineTokens], ' '))) AS line
-       |  FROM base
-       |), linedf AS (
-       |  SELECT line, count(DISTINCT doc_id) AS df FROM seg GROUP BY 1
-       |)
+    s"""$baseSql$segSqlCte
        |SELECT s.doc_id,
        |  CAST(sum(CASE WHEN d.df >= $LineDupMinDocs THEN 1 ELSE 0 END) AS BIGINT) AS n_stripped,
        |  CAST(sum(CASE WHEN d.df < $LineDupMinDocs THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
@@ -1747,15 +1754,7 @@ object LlmText {
       .select(col("doc_id"), col("shard"), col("n_tokens"), col("seq"), col("offset"))
 
   val d29Sql: String =
-    s"""$baseSql, seg AS (
-       |  SELECT doc_id,
-       |    unnest(generate_series(0, (len(toks)-1)//$LineTokens)) AS idx,
-       |    unnest(list_transform(generate_series(0, (len(toks)-1)//$LineTokens),
-       |      i -> array_to_string(toks[i*$LineTokens+1 : i*$LineTokens+$LineTokens], ' '))) AS line
-       |  FROM base
-       |), linedf AS (
-       |  SELECT line, count(DISTINCT doc_id) AS df FROM seg GROUP BY 1
-       |), cleaned AS (
+    s"""$baseSql$segSqlCte, cleaned AS (
        |  SELECT s.doc_id,
        |    coalesce(string_agg(CASE WHEN d.df < $LineDupMinDocs THEN s.line END, ' ' ORDER BY s.idx), '') AS clean_text
        |  FROM seg s JOIN linedf d USING (line)

@@ -432,19 +432,27 @@ object Misc {
     * the full recompute, and MiscSpec pins the day-by-day fold too. The
     * date boundary ("today") arrives as a 1-row broadcast frame, not a
     * driver collect — in production it is the job parameter. */
+  /** The (count, decimal sum) per-event_type rollup m12 and st12 BOTH
+    * maintain — one definition, so the "daily job and stream keep the
+    * same store" equivalence can't drift between the two operators. */
+  private[graft] def eventRollup(df: DataFrame): DataFrame =
+    df.groupBy(col("event_type")).agg(
+      count(lit(1)).as("n_events"),
+      sum(col("value").cast("decimal(18,2)")).as("sum_value"))
+
+  /** Readout of the rollup store (exact decimal → displayed double). */
+  private[graft] def rollupReadout(df: DataFrame): DataFrame =
+    df.select(col("event_type"), col("n_events"),
+      round(col("sum_value"), 2).cast("double").as("sum_value"))
+
   def m12IncrementalRollup(s: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(s, dir)
       .withColumn("date", date_format(expr("timestamp_micros(ts div 1000)"), "yyyy-MM-dd"))
     val today = ev.agg(max(col("date")).as("today"))
-    def rollup(df: DataFrame): DataFrame =
-      df.groupBy(col("event_type")).agg(
-        count(lit(1)).as("n_events"),
-        sum(col("value").cast("decimal(18,2)")).as("sum_value"))
-    val store = rollup(ev.join(broadcast(today), col("date") < col("today")))
-    val delta = rollup(ev.join(broadcast(today), col("date") === col("today")))
-    graft.etl.Upsert.accumulateAll(store, delta, Seq("event_type"), Seq("n_events", "sum_value"))
-      .select(col("event_type"), col("n_events"),
-        round(col("sum_value"), 2).cast("double").as("sum_value"))
+    val store = eventRollup(ev.join(broadcast(today), col("date") < col("today")))
+    val delta = eventRollup(ev.join(broadcast(today), col("date") === col("today")))
+    rollupReadout(graft.etl.Upsert.accumulateAll(
+      store, delta, Seq("event_type"), Seq("n_events", "sum_value")))
   }
 
   val m12Sql: String =

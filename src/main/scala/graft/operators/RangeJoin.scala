@@ -37,11 +37,14 @@ object RangeJoin {
   /** Exact floor division on longs: `floor(a / w)` routes through a
     * DOUBLE division, which is only exact for |a| < 2^53 — an epoch in
     * nanos or a synthetic 63-bit key silently lands pairs in the wrong
-    * bucket. `(a - pmod(a, w)) div w` stays in integer arithmetic
-    * (a − pmod is an exact multiple of w, DIV of an exact multiple is
-    * exact), matching DuckDB's integer `//` for the whole long domain. */
+    * bucket. Truncating integer DIV corrected toward −∞ stays in
+    * integer arithmetic with no intermediate that can overflow (the
+    * earlier `(a - pmod(a, w)) div w` form wrapped for a within
+    * pmod(a,w) of Long.MinValue), matching DuckDB's integer `//` for
+    * the whole long domain. Requires w > 0 (enforced by the caller). */
   private def floorDiv(a: Column, w: Long): Column =
-    call_function("div", a - pmod(a, lit(w)), lit(w))
+    call_function("div", a, lit(w)) -
+      when(a % lit(w) < 0, lit(1L)).otherwise(lit(0L))
 
   /** Join `points` to `intervals` on `points(pointCol)` ∈
     * `[intervals(loCol), intervals(hiCol)]` (inclusive). All three

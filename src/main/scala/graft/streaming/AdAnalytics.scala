@@ -459,18 +459,14 @@ object AdAnalytics {
     * daily job, same store either way. Store size ∝ |key universe|,
     * merge cost per batch ∝ |store| + |delta|, history never re-read. */
   def st12RunningRollup(s: SparkSession, dir: String): DataFrame = {
-    def rollup(df: DataFrame): DataFrame =
-      df.groupBy(col("event_type")).agg(
-        count(lit(1)).as("n_events"),
-        sum(col("value").cast("decimal(18,2)")).as("sum_value"))
-    val empty = rollup(graft.Tables.events(s, dir).limit(0))
+    import graft.operators.Misc.{eventRollup, rollupReadout}
+    val empty = eventRollup(graft.Tables.events(s, dir).limit(0))
     val store = Streams.runForeachBatch(s, "append", empty)(
       ss => Streams.tableStream(ss, dir, "events")) { (store, batch) =>
       graft.etl.Upsert.accumulateAll(
-        store, rollup(batch), Seq("event_type"), Seq("n_events", "sum_value"))
+        store, eventRollup(batch), Seq("event_type"), Seq("n_events", "sum_value"))
     }
-    store.select(col("event_type"), col("n_events"),
-      round(col("sum_value"), 2).cast("double").as("sum_value"))
+    rollupReadout(store)
   }
 
   val st12Sql: String =

@@ -162,11 +162,15 @@ class ExtensionQueriesSpec extends GraftSuite {
     // integer floor-div path must reproduce the naive join exactly
     import spark.implicits._
     val big = (1L << 62) - 3
-    val ptsRaw = Seq(big, big - 1, big - 7919, -big, -big + 4231, 0L, 7L, -7L)
+    val ptsRaw = Seq(big, big - 1, big - 7919, -big, -big + 4231, 0L, 7L, -7L,
+      Long.MinValue, Long.MinValue + 4231, Long.MaxValue, Long.MaxValue - 7919)
     val ivsRaw = Seq(
       (1L, big - 8000, big),     // catches the three high points
       (2L, -big, -big + 5000),   // catches the two low points
-      (3L, -10L, 10L))           // catches 0, 7, -7
+      (3L, -10L, 10L),           // catches 0, 7, -7
+      // the overflow region: a - pmod(a, w) would wrap below MinValue
+      (4L, Long.MinValue, Long.MinValue + 5000),
+      (5L, Long.MaxValue - 8000, Long.MaxValue))
     val pts = ptsRaw.toDF("p")
     val ivs = ivsRaw.toDF("iid", "lo", "hi")
     val got = graft.operators.RangeJoin

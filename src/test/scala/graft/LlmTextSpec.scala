@@ -502,7 +502,9 @@ class LlmTextSpec extends GraftSuite {
   test("e07: recall audit counts are consistent and the ANN paths find truth pairs") {
     import graft.operators.Embeddings
     val rows = Embeddings.e07RecallAudit(spark, sf).collect()
-    assert(rows.nonEmpty && rows.length <= 3)
+    // exactly one row per audited method — a zero-hit path must report
+    // recall 0.0, never vanish
+    assert(rows.length === 3)
     val truthPairs = Embeddings.e01KnnBrute(spark, sf)
       .where(col("rank") <= Embeddings.RecallK).count()
     rows.foreach { r =>
