@@ -670,7 +670,79 @@ object Embeddings {
        |WHERE rank <= $TopK""".stripMargin
   }
 
+  // ---------------------------------------------------------------- e09
+  /** INCREMENTAL SemDeDup — d30's ingestion story in embedding space:
+    * a NEW batch of vectors (vec_id % [[IncrementalBatchModE]], in
+    * production: today's ingest) dedups against the EXISTING corpus
+    * without re-pairing the corpus with itself. The corpus side's cell
+    * assignment is the IVF index a deployment already maintains
+    * (recomputed here only for lack of a store); the batch assigns to
+    * its cells and compares ONLY against that cell's existing members
+    * plus its own earlier batch members (keep-first) — per-day work
+    * scales with |batch| × cell occupancy, never corpus². Same
+    * strategy-gated cell join as e05/e06. Output: every batch vector
+    * with its cell, verified near-dup match count, and the kept flag a
+    * pipeline uses to append survivors to the index. */
+  val IncrementalBatchModE = 10
+
+  def e09IncrementalSemDedup(s: SparkSession, dir: String): DataFrame = {
+    val dot = dotQ(s) _
+    val asg = cellRanked(s, dir).where(col("rn") === 1)
+      .select(col("cell"), col("vec_id"), col("q"), col("nq"))
+    val isBatch = col("vec_id") % IncrementalBatchModE === 0
+    val probe = asg.where(isBatch)
+      .select(col("cell"), col("vec_id").as("new_id"),
+        col("q").as("qn"), col("nq").as("nn"))
+    val index = asg.select(col("cell"), col("vec_id").as("old_id"),
+      col("q").as("qo"), col("nq").as("no"))
+    val matches = SelfJoin.on(probe, index, Seq("cell"))
+      .where(col("old_id") % IncrementalBatchModE =!= 0 || col("old_id") < col("new_id"))
+      .where(dot(col("qn"), col("qo")).cast("double") /
+        (sqrt(col("nn").cast("double")) * sqrt(col("no").cast("double"))) >= CosineThreshold)
+      .groupBy(col("new_id")).agg(count(lit(1)).as("n_matches"))
+    asg.where(isBatch).select(col("cell"), col("vec_id"))
+      .join(matches.withColumnRenamed("new_id", "vec_id"), Seq("vec_id"), "left")
+      .select(col("cell"), col("vec_id"),
+        coalesce(col("n_matches"), lit(0L)).as("n_matches"))
+      .withColumn("kept", col("n_matches") === 0)
+  }
+
+  val e09Sql: String =
+    s"""$quantSql, comps AS (
+       |  SELECT label, i, q[i] AS comp FROM qv, generate_series(1, $Dim) g(i)
+       |), csums AS (
+       |  SELECT label, i, sum(comp) AS csum FROM comps GROUP BY 1, 2
+       |), cents AS (
+       |  SELECT label AS cell, list(CAST(csum AS BIGINT) ORDER BY i) AS cvec
+       |  FROM csums GROUP BY label
+       |), assigned AS (
+       |  SELECT cell, vec_id, q FROM (
+       |    SELECT cents.cell, qv.vec_id, qv.q,
+       |      row_number() OVER (PARTITION BY qv.vec_id ORDER BY
+       |        CAST(list_dot_product(qv.q, cents.cvec) AS DOUBLE) /
+       |          (sqrt(CAST(list_dot_product(qv.q, qv.q) AS DOUBLE)) *
+       |           sqrt(CAST(list_dot_product(cents.cvec, cents.cvec) AS DOUBLE))) DESC,
+       |        cents.cell ASC) AS rn
+       |    FROM qv, cents) t
+       |  WHERE rn = 1
+       |), matches AS (
+       |  SELECT b.vec_id AS new_id, count(*) AS n_matches
+       |  FROM assigned b JOIN assigned a
+       |    ON a.cell = b.cell AND b.vec_id % $IncrementalBatchModE = 0
+       |    AND (a.vec_id % $IncrementalBatchModE <> 0 OR a.vec_id < b.vec_id)
+       |  WHERE CAST(list_dot_product(b.q, a.q) AS DOUBLE) /
+       |      (sqrt(CAST(list_dot_product(b.q, b.q) AS DOUBLE)) *
+       |       sqrt(CAST(list_dot_product(a.q, a.q) AS DOUBLE))) >= $CosineThreshold
+       |  GROUP BY 1
+       |)
+       |SELECT b.cell, b.vec_id,
+       |  CAST(coalesce(m.n_matches, 0) AS BIGINT) AS n_matches,
+       |  coalesce(m.n_matches, 0) = 0 AS kept
+       |FROM assigned b LEFT JOIN matches m ON m.new_id = b.vec_id
+       |WHERE b.vec_id % $IncrementalBatchModE = 0""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e09_incremental_semdedup" -> (e09IncrementalSemDedup _),
     "e08_sketch_rerank" -> (e08SketchRerank _),
     "e07_recall_audit" -> (e07RecallAudit _),
     "e06_sem_dedup" -> (e06SemDedup _),
@@ -681,6 +753,7 @@ object Embeddings {
     "e04_cosine_neardup" -> (e04CosineNeardup _))
 
   val oracleSql: Map[String, String] = Map(
+    "e09_incremental_semdedup" -> e09Sql,
     "e08_sketch_rerank" -> e08Sql,
     "e07_recall_audit" -> e07Sql,
     "e06_sem_dedup" -> e06Sql,

@@ -646,6 +646,38 @@ class LlmTextSpec extends GraftSuite {
     }
   }
 
+  test("e09: incremental verdicts match an exact in-test recomputation over cell-mates") {
+    import graft.operators.Embeddings
+    val mod = Embeddings.IncrementalBatchModE
+    // cell assignment from e06 (same cellRanked stage), exact quantized
+    // vectors recomputed from the raw embeddings
+    val cells = Embeddings.e06SemDedup(spark, sf).collect()
+      .map(r => r.getLong(1) -> r.getInt(0)).toMap
+    val vecs = Tables.embeddings(spark, sf).collect().map { r =>
+      r.getAs[Long]("vec_id") ->
+        r.getAs[scala.collection.Seq[Float]]("embedding")
+          .map(x => math.round(x.toDouble * 10000)).toArray
+    }.toMap
+    def cos(a: Array[Long], b: Array[Long]): Double = {
+      val dot = a.indices.map(i => a(i) * b(i)).sum
+      dot.toDouble / (math.sqrt(a.indices.map(i => a(i) * a(i)).sum.toDouble) *
+        math.sqrt(b.indices.map(i => b(i) * b(i)).sum.toDouble))
+    }
+    val rows = Embeddings.e09IncrementalSemDedup(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    assert(rows.map(_._2).toSet === vecs.keySet.filter(_ % mod == 0),
+      "one verdict per batch vector")
+    rows.foreach { case (cell, id, nMatches, kept) =>
+      assert(cell === cells(id), s"cell assignment must match e06's for $id")
+      val expected = cells.count { case (other, c) =>
+        c == cell && other != id && (other % mod != 0 || other < id) &&
+          cos(vecs(other), vecs(id)) >= Embeddings.CosineThreshold
+      }
+      assert(nMatches === expected.toLong, s"match count mismatch for vector $id")
+      assert(kept === (nMatches == 0L))
+    }
+  }
+
   test("e06: every vector flagged once; dropped ⊆ cell-mates of an earlier near-dup") {
     import graft.operators.Embeddings
     val rows = Embeddings.e06SemDedup(spark, sf).collect()
