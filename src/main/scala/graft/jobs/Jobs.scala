@@ -214,6 +214,36 @@ object CurationJob {
   }
 }
 
+/** The DAILY-INGEST lifecycle the incremental operators exist for:
+  * today's batch dedups against the existing corpus (d30 text LSH
+  * probe, e09 embedding cell probe) and both verdict tables land under
+  * one task UUID — the rows a deployment's next step anti-joins to
+  * append only the SURVIVORS (and their index entries) to the corpus.
+  * Batch membership is the fixture's deterministic id slice; in
+  * production it is today's partition and the index sides are the
+  * persisted band-key / cell tables rather than recomputations. */
+object IngestJob {
+  val TextTable = "ingest_text_verdicts"
+  val EmbeddingTable = "ingest_embedding_verdicts"
+
+  def run(s: SparkSession, dir: String, url: String, props: Properties,
+          taskUUID: String): Unit = {
+    import graft.operators.{Embeddings, LlmText}
+    Jobs.appendKeyed(taskUUID, LlmText.d30IncrementalDedup(s, dir), url, TextTable, props)
+    Jobs.appendKeyed(taskUUID, Embeddings.e09IncrementalSemDedup(s, dir), url, EmbeddingTable, props)
+  }
+
+  /** args: [sfDir] [jdbcUrl]. */
+  def main(args: Array[String]): Unit = {
+    val dir = args.lift(0).getOrElse("/root/testdata/sf0.001")
+    val url = args.lift(1).getOrElse("jdbc:derby:memory:graftjobs;create=true")
+    val s = Jobs.buildSession("graft-ingest-job")
+    val taskUUID = UUID.randomUUID().toString
+    run(s, dir, url, new Properties(), taskUUID)
+    println(s"[job] ingest job $taskUUID done")
+  }
+}
+
 /** 需求6 as one lifecycle: filter → area top-3 products → one JDBC
   * append keyed by the task UUID. */
 object AreaTop3Job {

@@ -153,6 +153,22 @@ class JobsSpec extends GraftSuite {
     assert(manSrc.subsetOf(keptSrc))
   }
 
+  test("IngestJob writes both incremental-dedup verdict tables under one task UUID") {
+    graft.jobs.IngestJob.run(spark, sf, url, props, "task-ingest")
+    import graft.jobs.IngestJob._
+    // the stored verdicts are exactly the library queries
+    val textDirect = graft.operators.LlmText.d30IncrementalDedup(spark, sf)
+      .collect().map(_.toString).sorted.toSeq
+    val textViaJob = table(TextTable).where(col("task_id") === "task-ingest")
+      .drop("task_id").collect().map(_.toString).sorted.toSeq
+    assert(textViaJob === textDirect)
+    val embDirect = graft.operators.Embeddings.e09IncrementalSemDedup(spark, sf)
+      .collect().map(_.toString).sorted.toSeq
+    val embViaJob = table(EmbeddingTable).where(col("task_id") === "task-ingest")
+      .drop("task_id").collect().map(_.toString).sorted.toSeq
+    assert(embViaJob === embDirect)
+  }
+
   test("job mains run end-to-end with an existing session") {
     SessionJob.main(Array(sf, url))
     AreaTop3Job.main(Array(sf, url))
