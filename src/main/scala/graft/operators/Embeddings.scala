@@ -321,6 +321,30 @@ object Embeddings {
         Window.partitionBy(col("vec_id")).orderBy(col("cos_c").desc, col("cell").asc)))
   }
 
+  /** comps/csums/cents/assigned oracle CTE block — the IVF
+    * cell-assignment stage in SQL, shared by e05Sql/e06Sql/e07Sql/
+    * e09Sql so the four oracles cannot drift. A `def` for
+    * object-initialization-order safety (the RerankC trap). */
+  private def assignedSqlCtes: String =
+    s""", comps AS (
+       |  SELECT label, i, q[i] AS comp FROM qv, generate_series(1, $Dim) g(i)
+       |), csums AS (
+       |  SELECT label, i, sum(comp) AS csum FROM comps GROUP BY 1, 2
+       |), cents AS (
+       |  SELECT label AS cell, list(CAST(csum AS BIGINT) ORDER BY i) AS cvec
+       |  FROM csums GROUP BY label
+       |), assigned AS (
+       |  SELECT cell, vec_id, q FROM (
+       |    SELECT cents.cell, qv.vec_id, qv.q,
+       |      row_number() OVER (PARTITION BY qv.vec_id ORDER BY
+       |        CAST(list_dot_product(qv.q, cents.cvec) AS DOUBLE) /
+       |          (sqrt(CAST(list_dot_product(qv.q, qv.q) AS DOUBLE)) *
+       |           sqrt(CAST(list_dot_product(cents.cvec, cents.cvec) AS DOUBLE))) DESC,
+       |        cents.cell ASC) AS rn
+       |    FROM qv, cents) t
+       |  WHERE rn = 1
+       |)""".stripMargin
+
   def e05IvfAnn(s: SparkSession, dir: String): DataFrame = {
     val nprobe = s.conf.get(NprobeConf, "1").toInt
     val dot = dotQ(s) _
@@ -344,24 +368,7 @@ object Embeddings {
   }
 
   val e05Sql: String =
-    s"""$quantSql, comps AS (
-       |  SELECT label, i, q[i] AS comp FROM qv, generate_series(1, $Dim) g(i)
-       |), csums AS (
-       |  SELECT label, i, sum(comp) AS csum FROM comps GROUP BY 1, 2
-       |), cents AS (
-       |  SELECT label AS cell, list(CAST(csum AS BIGINT) ORDER BY i) AS cvec
-       |  FROM csums GROUP BY label
-       |), assigned AS (
-       |  SELECT cell, vec_id, q FROM (
-       |    SELECT cents.cell, qv.vec_id, qv.q,
-       |      row_number() OVER (PARTITION BY qv.vec_id ORDER BY
-       |        CAST(list_dot_product(qv.q, cents.cvec) AS DOUBLE) /
-       |          (sqrt(CAST(list_dot_product(qv.q, qv.q) AS DOUBLE)) *
-       |           sqrt(CAST(list_dot_product(cents.cvec, cents.cvec) AS DOUBLE))) DESC,
-       |        cents.cell ASC) AS rn
-       |    FROM qv, cents) t
-       |  WHERE rn = 1
-       |), scored AS (
+    s"""$quantSql$assignedSqlCtes, scored AS (
        |  SELECT a.cell, a.vec_id AS query_id, b.vec_id AS neighbor_id,
        |    CAST(list_dot_product(a.q, b.q) AS DOUBLE) /
        |      (sqrt(CAST(list_dot_product(a.q, a.q) AS DOUBLE)) *
@@ -409,24 +416,7 @@ object Embeddings {
   }
 
   val e06Sql: String =
-    s"""$quantSql, comps AS (
-       |  SELECT label, i, q[i] AS comp FROM qv, generate_series(1, $Dim) g(i)
-       |), csums AS (
-       |  SELECT label, i, sum(comp) AS csum FROM comps GROUP BY 1, 2
-       |), cents AS (
-       |  SELECT label AS cell, list(CAST(csum AS BIGINT) ORDER BY i) AS cvec
-       |  FROM csums GROUP BY label
-       |), assigned AS (
-       |  SELECT cell, vec_id, q FROM (
-       |    SELECT cents.cell, qv.vec_id, qv.q,
-       |      row_number() OVER (PARTITION BY qv.vec_id ORDER BY
-       |        CAST(list_dot_product(qv.q, cents.cvec) AS DOUBLE) /
-       |          (sqrt(CAST(list_dot_product(qv.q, qv.q) AS DOUBLE)) *
-       |           sqrt(CAST(list_dot_product(cents.cvec, cents.cvec) AS DOUBLE))) DESC,
-       |        cents.cell ASC) AS rn
-       |    FROM qv, cents) t
-       |  WHERE rn = 1
-       |), dups AS (
+    s"""$quantSql$assignedSqlCtes, dups AS (
        |  SELECT DISTINCT b.vec_id FROM assigned a JOIN assigned b
        |  ON a.cell = b.cell AND a.vec_id < b.vec_id
        |  WHERE CAST(list_dot_product(a.q, b.q) AS DOUBLE) /
@@ -512,24 +502,7 @@ object Embeddings {
        |        ORDER BY ${cos("a", "b")} DESC, b.vec_id ASC) AS rank
        |    FROM bv a JOIN bv b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id) t
        |  WHERE rank <= $RecallK AND query_id % 5 = 0
-       |), comps AS (
-       |  SELECT label, i, q[i] AS comp FROM qv, generate_series(1, $Dim) g(i)
-       |), csums AS (
-       |  SELECT label, i, sum(comp) AS csum FROM comps GROUP BY 1, 2
-       |), cents AS (
-       |  SELECT label AS cell, list(CAST(csum AS BIGINT) ORDER BY i) AS cvec
-       |  FROM csums GROUP BY label
-       |), assigned AS (
-       |  SELECT cell, vec_id, q FROM (
-       |    SELECT cents.cell, qv.vec_id, qv.q,
-       |      row_number() OVER (PARTITION BY qv.vec_id ORDER BY
-       |        CAST(list_dot_product(qv.q, cents.cvec) AS DOUBLE) /
-       |          (sqrt(CAST(list_dot_product(qv.q, qv.q) AS DOUBLE)) *
-       |           sqrt(CAST(list_dot_product(cents.cvec, cents.cvec) AS DOUBLE))) DESC,
-       |        cents.cell ASC) AS rn
-       |    FROM qv, cents) t
-       |  WHERE rn = 1
-       |), ivf AS (
+       |)$assignedSqlCtes, ivf AS (
        |  SELECT query_id, neighbor_id FROM (
        |    SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
        |      row_number() OVER (PARTITION BY a.vec_id
@@ -683,7 +656,10 @@ object Embeddings {
     * strategy-gated cell join as e05/e06. Output: every batch vector
     * with its cell, verified near-dup match count, and the kept flag a
     * pipeline uses to append survivors to the index. */
-  val IncrementalBatchModE = 10
+  /** Same slice constant as the text side ([[LlmText.IncrementalBatchMod]])
+    * — IngestJob writes both verdict tables as ONE ingest lifecycle, so
+    * "today's batch" must be a single definition. */
+  val IncrementalBatchModE: Int = LlmText.IncrementalBatchMod
 
   def e09IncrementalSemDedup(s: SparkSession, dir: String): DataFrame = {
     val dot = dotQ(s) _
@@ -708,24 +684,7 @@ object Embeddings {
   }
 
   val e09Sql: String =
-    s"""$quantSql, comps AS (
-       |  SELECT label, i, q[i] AS comp FROM qv, generate_series(1, $Dim) g(i)
-       |), csums AS (
-       |  SELECT label, i, sum(comp) AS csum FROM comps GROUP BY 1, 2
-       |), cents AS (
-       |  SELECT label AS cell, list(CAST(csum AS BIGINT) ORDER BY i) AS cvec
-       |  FROM csums GROUP BY label
-       |), assigned AS (
-       |  SELECT cell, vec_id, q FROM (
-       |    SELECT cents.cell, qv.vec_id, qv.q,
-       |      row_number() OVER (PARTITION BY qv.vec_id ORDER BY
-       |        CAST(list_dot_product(qv.q, cents.cvec) AS DOUBLE) /
-       |          (sqrt(CAST(list_dot_product(qv.q, qv.q) AS DOUBLE)) *
-       |           sqrt(CAST(list_dot_product(cents.cvec, cents.cvec) AS DOUBLE))) DESC,
-       |        cents.cell ASC) AS rn
-       |    FROM qv, cents) t
-       |  WHERE rn = 1
-       |), matches AS (
+    s"""$quantSql$assignedSqlCtes, matches AS (
        |  SELECT b.vec_id AS new_id, count(*) AS n_matches
        |  FROM assigned b JOIN assigned a
        |    ON a.cell = b.cell AND b.vec_id % $IncrementalBatchModE = 0

@@ -173,6 +173,9 @@ class JobsSpec extends GraftSuite {
     SessionJob.main(Array(sf, url))
     AreaTop3Job.main(Array(sf, url))
     graft.jobs.CurationJob.main(Array(sf, url))
+    graft.jobs.IngestJob.main(Array(sf, url))
+    assert(table(graft.jobs.IngestJob.TextTable)
+      .select("task_id").distinct().count() >= 1)
     // each main generated a fresh UUID and appended under it
     assert(table(SessionJob.RatioTable).select("task_id").distinct().count() >= 3)
     assert(table(AreaTop3Job.Table).select("task_id").distinct().count() >= 2)

@@ -656,7 +656,10 @@ class LlmTextSpec extends GraftSuite {
     val vecs = Tables.embeddings(spark, sf).collect().map { r =>
       r.getAs[Long]("vec_id") ->
         r.getAs[scala.collection.Seq[Float]]("embedding")
-          .map(x => math.round(x.toDouble * 10000)).toArray
+          // HALF_UP like Spark's round() (math.round would diverge on
+          // negative exact halves: -2.5 → -2 vs Spark's -3)
+          .map(x => BigDecimal(x.toDouble * 10000)
+            .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong).toArray
     }.toMap
     def cos(a: Array[Long], b: Array[Long]): Double = {
       val dot = a.indices.map(i => a(i) * b(i)).sum

@@ -26,6 +26,9 @@ class SelfJoinStrategySpec extends GraftSuite {
     "e02_ann_bucketed" -> (() => Embeddings.e02AnnBucketed(spark, sf)),
     "e04_cosine_neardup" -> (() => Embeddings.e04CosineNeardup(spark, sf)),
     "e05_ivf_ann" -> (() => Embeddings.e05IvfAnn(spark, sf)),
+    "e06_sem_dedup" -> (() => Embeddings.e06SemDedup(spark, sf)),
+    "e09_incremental_semdedup" -> (() => Embeddings.e09IncrementalSemDedup(spark, sf)),
+    "d30_incremental_dedup" -> (() => LlmText.d30IncrementalDedup(spark, sf)),
     // m13's production ±60s window finds no pairs in the sparse sf0.001
     // fixture; the gate lives in RangeJoin.bucketed, so invariance is
     // pinned through it directly with a window wide enough to match
