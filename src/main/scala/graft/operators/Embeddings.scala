@@ -427,10 +427,11 @@ object Embeddings {
        |FROM assigned""".stripMargin
 
   // ---------------------------------------------------------------- e07
-  /** Recall audit: recall@k of the three ANN serving paths (e02
+  /** Recall audit: recall@k of the four ANN serving paths (e02
     * hyperplane-LSH, e05 IVF at its oracle formulation nprobe = 1, e08
-    * sketch-then-rerank at its default depth) against the e01
-    * brute-force ground truth, over the deterministic query subsample.
+    * sketch-then-rerank at its default depth, e10 composed
+    * IVF-cells × sketch-rerank) against the e01 brute-force ground
+    * truth, over the deterministic query subsample.
     * This is the evaluation loop every production ANN deployment runs
     * before trusting an index — the number that tells you whether to add
     * hyperplanes or raise nprobe. One row per method:
@@ -453,14 +454,17 @@ object Embeddings {
       .select(lit("ivf_nprobe").as("method"), col("query_id"), col("neighbor_id"))
     val sketch = e08SketchRerank(s, dir).where(col("rank") <= RecallK)
       .select(lit("sketch_rerank").as("method"), col("query_id"), col("neighbor_id"))
+    val ivfSketch = e10IvfSketchRerank(s, dir).where(col("rank") <= RecallK)
+      .select(lit("ivf_sketch_rerank").as("method"), col("query_id"), col("neighbor_id"))
     // LEFT join from a fixed method spine: a path with ZERO truth hits
     // must report recall 0.0, not vanish from the audit — the failing
     // path is the one the audit exists to flag
     val spine = s.createDataFrame(
-      Seq("lsh_bucketed", "ivf_nprobe", "sketch_rerank").map(Tuple1.apply))
+      Seq("lsh_bucketed", "ivf_nprobe", "sketch_rerank", "ivf_sketch_rerank")
+        .map(Tuple1.apply))
       .toDF("method")
     val hits = spine.join(
-      lsh.unionByName(ivf).unionByName(sketch)
+      lsh.unionByName(ivf).unionByName(sketch).unionByName(ivfSketch)
         .join(truth, Seq("query_id", "neighbor_id"))
         .groupBy(col("method")).agg(count(lit(1)).as("raw_hits")),
       Seq("method"), "left")
@@ -517,18 +521,29 @@ object Embeddings {
        |    FROM coarse c JOIN qv a ON c.query_id = a.vec_id
        |                 JOIN qv b ON c.neighbor_id = b.vec_id) t
        |  WHERE rank <= $RecallK
+       |)$ivfSketchSqlCtes, ivfsk AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT c.query_id, c.neighbor_id,
+       |      row_number() OVER (PARTITION BY c.query_id ORDER BY
+       |        ${cos("a", "b")} DESC, c.neighbor_id ASC) AS rank
+       |    FROM coarse10 c JOIN qv a ON c.query_id = a.vec_id
+       |                   JOIN qv b ON c.neighbor_id = b.vec_id) t
+       |  WHERE rank <= $RecallK
        |), ann AS (
        |  SELECT 'lsh_bucketed' AS method, query_id, neighbor_id FROM lsh
        |  UNION ALL
        |  SELECT 'ivf_nprobe' AS method, query_id, neighbor_id FROM ivf
        |  UNION ALL
        |  SELECT 'sketch_rerank' AS method, query_id, neighbor_id FROM sketch
+       |  UNION ALL
+       |  SELECT 'ivf_sketch_rerank' AS method, query_id, neighbor_id FROM ivfsk
        |), raw AS (
        |  SELECT method, count(*) AS raw_hits
        |  FROM ann JOIN truth USING (query_id, neighbor_id) GROUP BY 1
        |), hits AS (
        |  SELECT m.method, CAST(coalesce(r.raw_hits, 0) AS BIGINT) AS n_hits
-       |  FROM (VALUES ('lsh_bucketed'), ('ivf_nprobe'), ('sketch_rerank')) m(method)
+       |  FROM (VALUES ('lsh_bucketed'), ('ivf_nprobe'), ('sketch_rerank'),
+       |               ('ivf_sketch_rerank')) m(method)
        |  LEFT JOIN raw r ON m.method = r.method
        |), tot AS (SELECT CAST(count(*) AS BIGINT) AS n_truth FROM truth)
        |SELECT method, n_truth, n_hits,
@@ -545,10 +560,16 @@ object Embeddings {
     * an 8-BYTE sketch (two packed 32-bit halves; hamming distance = 2×
     * bit_count — no overflow care at bit 63) instead of 64 floats: at
     * 100 TB the coarse pass streams a 64×-smaller column through
-    * codegen'd integer ops, and composes with e02/e05's bucketing for
-    * the asymptotic cut (sketches score bucket candidates; here it runs
-    * over the e01 query subsample so the spec can measure its recall
-    * against the same truth). Stage 2 re-fetches FULL vectors for only
+    * codegen'd integer ops. The coarse join below is DELIBERATELY the
+    * LOCAL-ONLY oracle formulation: an all-pairs broadcast sketch scan
+    * over the e01 query subsample, so the spec can measure sketch
+    * recall against the same truth with no index in the way — it is
+    * NOT the at-scale path and intentionally bypasses the [[SelfJoin]]
+    * strategy gate (there is no equi-key to gate). The at-scale
+    * composition — IVF cells bound the candidate set, sketches rank
+    * within the probed cells, top-C gets the exact rerank — is
+    * [[e10IvfSketchRerank]], a first-class query whose coarse join IS
+    * strategy-gated. Stage 2 re-fetches FULL vectors for only
     * C candidates per query (a join on the candidate ids — the "fetch
     * from the vector store" of a real deployment) and re-ranks by exact
     * cosine. Sign sketches, hamming ranks, and the final cosine are all
@@ -700,7 +721,103 @@ object Embeddings {
        |FROM assigned b LEFT JOIN matches m ON m.new_id = b.vec_id
        |WHERE b.vec_id % $IncrementalBatchModE = 0""".stripMargin
 
+  // ---------------------------------------------------------------- e10
+  /** The COMPOSED two-stage ANN — e05's IVF cells × e08's sign
+    * sketches, i.e. the faiss deployment shape (IVF + binary
+    * quantization + exact rerank) as one first-class query:
+    *
+    *  1. cell stage: queries fan out to their `nprobe` nearest cells
+    *     (e05's lever), the index side sits in its one primary cell —
+    *     candidate volume is bounded by cell occupancy, never corpus².
+    *  2. sketch stage: candidates WITHIN the probed cells are ranked by
+    *     8-byte sign-sketch hamming distance (e08's compression) — the
+    *     coarse scan streams two longs per row, not 64 floats, and the
+    *     cell join is the same strategy-gated equi-join as e05/e06
+    *     ([[SelfJoin]]: broadcast locally, sort-merge on `cell` at
+    *     100 TB — unlike e08's deliberately-local oracle scan, NOTHING
+    *     here hard-codes a broadcast of the sketch table).
+    *  3. rerank stage: only the top-[[RerankC]] sketch survivors per
+    *     query fetch their full vectors (two id-keyed joins — the
+    *     "vector store fetch") and re-rank by exact cosine.
+    *
+    * Levers compose: `spark.graft.ivf.nprobe` widens the cell fan-out,
+    * `spark.graft.rerank.c` deepens the exact stage; e07 audits this
+    * path's recall against the e01 truth alongside the single-stage
+    * paths. A neighbor lives in exactly one primary cell, so no
+    * (query, neighbor) pair arises twice — no dedup stage. All
+    * arithmetic is the suite's exact-integer / fixed-sequence kind;
+    * ties break (hamming asc, id asc) / (cos desc, id asc). */
+  def e10IvfSketchRerank(s: SparkSession, dir: String): DataFrame = {
+    val dot = dotQ(s) _
+    val nprobe = s.conf.get(NprobeConf, "1").toInt
+    val rerankC = s.conf.get(RerankCConf, RerankC.toString).toInt
+    val ranked = cellRanked(s, dir)
+      .withColumn("s_lo", signSketch(col("q"), 1))
+      .withColumn("s_hi", signSketch(col("q"), 33))
+    // stage 1+2: ids + sketches only through the cell join (narrow)
+    val qs = ranked.where(col("rn") <= nprobe && col("vec_id") % 5 === 0)
+      .select(col("cell"), col("vec_id").as("query_id"),
+        col("s_lo").as("qlo"), col("s_hi").as("qhi"))
+    val cs = ranked.where(col("rn") === 1)
+      .select(col("cell"), col("vec_id").as("neighbor_id"),
+        col("s_lo").as("clo"), col("s_hi").as("chi"))
+    val coarse = SelfJoin.on(qs, cs, Seq("cell"))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        (bit_count(col("qlo").bitwiseXOR(col("clo"))) +
+          bit_count(col("qhi").bitwiseXOR(col("chi")))).as("hamming"))
+      .withColumn("crank", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("hamming").asc, col("neighbor_id").asc)))
+      .where(col("crank") <= rerankC)
+    // stage 3: fetch full vectors for the C survivors, exact re-rank
+    val v = quantized(s, dir)
+    val qa = v.select(col("vec_id").as("query_id"), col("q").as("qa"), col("nq").as("na"))
+    val qb = v.select(col("vec_id").as("neighbor_id"), col("q").as("qb"), col("nq").as("nb"))
+    coarse.join(qa, Seq("query_id")).join(qb, Seq("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        (dot(col("qa"), col("qb")).cast("double") /
+          (sqrt(col("na").cast("double")) *
+            sqrt(col("nb").cast("double")))).as("cos"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id").asc)))
+      .where(col("rank") <= TopK)
+  }
+
+  /** sketched-assigned + cell-scoped coarse CTEs shared by e10Sql and
+    * e07Sql (one definition of the cell scoping + sketch ranking + C
+    * cut, so the audit can't drift from the e10 oracle it audits). A
+    * `def` for object-init-order safety (the RerankC trap). Requires
+    * $assignedSqlCtes upstream. */
+  private def ivfSketchSqlCtes: String =
+    s""", sva AS (
+       |  SELECT cell, vec_id, q, ${sk(1)} AS s_lo, ${sk(33)} AS s_hi FROM assigned
+       |), coarse10 AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+       |      row_number() OVER (PARTITION BY a.vec_id ORDER BY
+       |        bit_count(xor(a.s_lo, b.s_lo)) + bit_count(xor(a.s_hi, b.s_hi)) ASC,
+       |        b.vec_id ASC) AS crank
+       |    FROM sva a JOIN sva b
+       |      ON a.cell = b.cell AND a.vec_id % 5 = 0 AND a.vec_id <> b.vec_id) t
+       |  WHERE crank <= $RerankC
+       |)""".stripMargin
+
+  val e10Sql: String =
+    s"""$quantSql$assignedSqlCtes$ivfSketchSqlCtes, rr10 AS (
+       |  SELECT c.query_id, c.neighbor_id,
+       |    CAST(list_dot_product(a.q, b.q) AS DOUBLE) /
+       |      (sqrt(CAST(list_dot_product(a.q, a.q) AS DOUBLE)) *
+       |       sqrt(CAST(list_dot_product(b.q, b.q) AS DOUBLE))) AS cos
+       |  FROM coarse10 c JOIN qv a ON c.query_id = a.vec_id
+       |                 JOIN qv b ON c.neighbor_id = b.vec_id
+       |)
+       |SELECT query_id, neighbor_id, cos, rank FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+       |  FROM rr10) t
+       |WHERE rank <= $TopK""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e10_ivf_sketch_rerank" -> (e10IvfSketchRerank _),
     "e09_incremental_semdedup" -> (e09IncrementalSemDedup _),
     "e08_sketch_rerank" -> (e08SketchRerank _),
     "e07_recall_audit" -> (e07RecallAudit _),
@@ -712,6 +829,7 @@ object Embeddings {
     "e04_cosine_neardup" -> (e04CosineNeardup _))
 
   val oracleSql: Map[String, String] = Map(
+    "e10_ivf_sketch_rerank" -> e10Sql,
     "e09_incremental_semdedup" -> e09Sql,
     "e08_sketch_rerank" -> e08Sql,
     "e07_recall_audit" -> e07Sql,

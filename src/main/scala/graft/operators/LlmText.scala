@@ -1676,40 +1676,41 @@ object LlmText {
   val IncrementalBatchMod = 10
 
   def d30IncrementalDedup(s: SparkSession, dir: String): DataFrame = {
-    val shd = withShingleSet(s, base(s, dir)).select(col("doc_id"), col("sh")).persist()
-    val sig = d02MinhashSig(s, dir).persist()
+    // validate conf BEFORE any persist so a bad lever can't leak caches
     val bandRows = s.conf.get(BandRowsConf, "1").toInt
     require(bandRows >= 1 && NumHashes % bandRows == 0,
       s"$BandRowsConf must divide NumHashes=$NumHashes, got $bandRows")
-    val bandKeyCols = (0 until NumHashes / bandRows).map { b =>
-      val parts = (0 until bandRows).map(r => col(s"mh${b * bandRows + r}"))
-      if (bandRows == 1) parts.head else xxhash64(parts: _*)
-    }
-    val bands = sig.select(col("doc_id"),
-      posexplode(array(bandKeyCols: _*)).as(Seq("band", "band_key")))
-    val isBatch = col("doc_id") % IncrementalBatchMod === 0
-    val probe = bands.where(isBatch)
-      .select(col("band"), col("band_key"), col("doc_id").as("new_id"))
-    val index = bands
-      .select(col("band"), col("band_key"), col("doc_id").as("old_id"))
-    val cand = SelfJoin.on(probe, index, Seq("band", "band_key"))
-      .where(col("old_id") % IncrementalBatchMod =!= 0 || col("old_id") < col("new_id"))
-      .select(col("new_id"), col("old_id")).distinct()
-    val ver = SelfJoin.on(
-      cand, shd.select(col("doc_id").as("new_id"), col("sh").as("sh_n")), Seq("new_id"))
-    val matches = SelfJoin.on(
-      ver, shd.select(col("doc_id").as("old_id"), col("sh").as("sh_o")), Seq("old_id"))
-      .where(size(array_intersect(col("sh_n"), col("sh_o"))).cast("double") /
-        size(array_union(col("sh_n"), col("sh_o"))).cast("double") >= NeardupThreshold)
-      .groupBy(col("new_id")).agg(count(lit(1)).as("n_matches"))
-    val out = base(s, dir).where(isBatch).select(col("doc_id"))
-      .join(matches.withColumnRenamed("new_id", "doc_id"), Seq("doc_id"), "left")
-      .select(col("doc_id"),
-        coalesce(col("n_matches"), lit(0L)).as("n_matches"))
-      .withColumn("is_dup", col("n_matches") > 0)
-      .localCheckpoint(true)
-    Seq(shd, sig).foreach(_.unpersist())
-    out
+    val shd = withShingleSet(s, base(s, dir)).select(col("doc_id"), col("sh")).persist()
+    val sig = d02MinhashSig(s, dir).persist()
+    try {
+      val bandKeyCols = (0 until NumHashes / bandRows).map { b =>
+        val parts = (0 until bandRows).map(r => col(s"mh${b * bandRows + r}"))
+        if (bandRows == 1) parts.head else xxhash64(parts: _*)
+      }
+      val bands = sig.select(col("doc_id"),
+        posexplode(array(bandKeyCols: _*)).as(Seq("band", "band_key")))
+      val isBatch = col("doc_id") % IncrementalBatchMod === 0
+      val probe = bands.where(isBatch)
+        .select(col("band"), col("band_key"), col("doc_id").as("new_id"))
+      val index = bands
+        .select(col("band"), col("band_key"), col("doc_id").as("old_id"))
+      val cand = SelfJoin.on(probe, index, Seq("band", "band_key"))
+        .where(col("old_id") % IncrementalBatchMod =!= 0 || col("old_id") < col("new_id"))
+        .select(col("new_id"), col("old_id")).distinct()
+      val ver = SelfJoin.on(
+        cand, shd.select(col("doc_id").as("new_id"), col("sh").as("sh_n")), Seq("new_id"))
+      val matches = SelfJoin.on(
+        ver, shd.select(col("doc_id").as("old_id"), col("sh").as("sh_o")), Seq("old_id"))
+        .where(size(array_intersect(col("sh_n"), col("sh_o"))).cast("double") /
+          size(array_union(col("sh_n"), col("sh_o"))).cast("double") >= NeardupThreshold)
+        .groupBy(col("new_id")).agg(count(lit(1)).as("n_matches"))
+      base(s, dir).where(isBatch).select(col("doc_id"))
+        .join(matches.withColumnRenamed("new_id", "doc_id"), Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_matches"), lit(0L)).as("n_matches"))
+        .withColumn("is_dup", col("n_matches") > 0)
+        .localCheckpoint(true)
+    } finally Seq(shd, sig).foreach(_.unpersist())
   }
 
   val d30Sql: String = {

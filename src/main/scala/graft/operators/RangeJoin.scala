@@ -54,7 +54,12 @@ object RangeJoin {
       loCol: String, hiCol: String, bucketWidth: Long): DataFrame = {
     require(bucketWidth > 0, s"bucketWidth must be positive, got $bucketWidth")
     val pts = points.withColumn("__bucket", floorDiv(col(pointCol), bucketWidth))
-    val ivs = intervals.withColumn("__bucket",
+    // malformed intervals (lo > hi) can never contain a point, but
+    // without this filter `sequence` would step DOWN through them
+    // (implicit step -1) and replicate the row to every bucket of the
+    // reversed span — rows the residual predicate then discards, so the
+    // waste is invisible in the output. Drop them before the explode.
+    val ivs = intervals.where(col(loCol) <= col(hiCol)).withColumn("__bucket",
       explode(sequence(floorDiv(col(loCol), bucketWidth), floorDiv(col(hiCol), bucketWidth))))
     // strategy-gated like every bucket join ([[SelfJoin]]): broadcast
     // locally; `spark.graft.selfJoin.strategy=shuffle` at scale plans

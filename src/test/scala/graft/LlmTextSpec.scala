@@ -599,6 +599,45 @@ class LlmTextSpec extends GraftSuite {
     } finally spark.conf.unset(Embeddings.RerankCConf)
   }
 
+  test("e10: composed two-stage keeps exact cosines and rerank depth buys recall") {
+    val got = Embeddings.e10IvfSketchRerank(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    val byQuery = got.groupBy(_._1)
+    byQuery.values.foreach(rows =>
+      assert(rows.map(_._4).sorted.toSeq === (1 to rows.length), "dense ranks"))
+    val truth = Embeddings.e01KnnBrute(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(byQuery.keySet === truth.map(_._1).toSet, "same query subsample as e01")
+    // exact stage: surviving pairs carry the brute-force cosine verbatim
+    val truthCos = truth.map(t => (t._1, t._2) -> t._3).toMap
+    got.foreach { case (q, n, c, _) =>
+      truthCos.get((q, n)).foreach(tc => assert(c === tc, s"cos mismatch for ($q,$n)"))
+    }
+    val truthSet = truth.map(t => (t._1, t._2)).toSet
+    val hits = got.count(g => truthSet.contains((g._1, g._2)))
+    // deeper exact stage reranks a SUPERSET of sketch survivors within
+    // the same cells: per-query the final top-k can only improve, so
+    // truth hits are monotone non-decreasing in C
+    spark.conf.set(Embeddings.RerankCConf, "100")
+    try {
+      val deeper = Embeddings.e10IvfSketchRerank(spark, sf).collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      val deepHits = deeper.count(truthSet.contains)
+      assert(deepHits >= hits,
+        s"C=100 must not lose truth hits vs C=default: $deepHits vs $hits")
+    } finally spark.conf.unset(Embeddings.RerankCConf)
+  }
+
+  test("e10: raising nprobe raises AUDITED recall (both levers reach the e07 loop)") {
+    def hits(): Long = Embeddings.e07RecallAudit(spark, sf).collect()
+      .find(_.getString(0) == "ivf_sketch_rerank").get.getLong(2)
+    val base = hits()
+    spark.conf.set(Embeddings.NprobeConf, "3")
+    try assert(hits() > base,
+      s"nprobe=3 did not raise e10's audited recall past $base")
+    finally spark.conf.unset(Embeddings.NprobeConf)
+  }
+
   test("d30: incremental verdicts agree with d03's full pair set restricted to batch links") {
     val mod = LlmText.IncrementalBatchMod
     val rows = LlmText.d30IncrementalDedup(spark, sf).collect()

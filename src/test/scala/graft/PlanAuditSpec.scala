@@ -58,6 +58,15 @@ class PlanAuditSpec extends GraftSuite {
       assert("Exchange hashpartitioning\\(bucket".r.findFirstIn(pAnn).nonEmpty,
         s"no exchange on the bucket key:\n$pAnn")
       assert(!pAnn.contains("CartesianProduct"))
+      // the composed two-stage ANN: its coarse CELL join must ride the
+      // gate too — sort-merge with an exchange on cell, never a
+      // hard-coded broadcast of the sketch table (the e08 oracle form's
+      // deliberate local-only shortcut must not leak into e10)
+      val pE10 = plan(Embeddings.e10IvfSketchRerank(spark, sf))
+      assert(pE10.contains("SortMergeJoin"), s"e10 cell join should sort-merge:\n$pE10")
+      assert("Exchange hashpartitioning\\(cell".r.findFirstIn(pE10).nonEmpty,
+        s"e10: no exchange on the cell key:\n$pE10")
+      assert(!pE10.contains("CartesianProduct"))
       // the range join rides the same gate: sort-merge on the interval
       // bucket, no nested loop anywhere in the at-scale shape
       val pRange = plan(graft.operators.Misc.m13RangeJoin(spark, sf))
