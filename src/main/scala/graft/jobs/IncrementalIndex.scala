@@ -1,0 +1,206 @@
+package graft.jobs
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Embeddings, LlmText, SelfJoin}
+
+/** The PERSISTED incremental-dedup index — the store that turns d30/e09
+  * from operators into a daily pipeline with a day 2.
+  *
+  * d30 and e09 prove the bipartite probe shape (batch × index, never
+  * corpus²) but recompute their index side in-query because the oracle
+  * fixture has no store. The reference's analogous capability is its
+  * accumulate-upsert store (adversStat/src/main/scala/JdbcHelper.scala:
+  * 80-172 — state survives across runs and new data folds in); here the
+  * index is four parquet tables, the layout a 100 TB deployment would
+  * keep in its lake:
+  *
+  *  - `text_bands`    (band, band_key, doc_id) — the banded-LSH entries,
+  *    exactly the rows d30's corpus side derives per document.
+  *  - `text_shingles` (doc_id, sh) — the shingle sets Jaccard
+  *    verification needs, so day-2 verification NEVER re-reads day-1
+  *    text.
+  *  - `cell_centroids` (cell, cvec, ncv) — the trained IVF directions,
+  *    computed ONCE and frozen (the faiss convention: assignment uses
+  *    the trained index; retraining is a separate, rarer event).
+  *  - `cell_members`  (cell, vec_id, q, nq) — each vector's primary-cell
+  *    assignment plus its quantized form for exact cosine verification.
+  *
+  * Daily cost ∝ |batch| × collision width: the probe joins are the same
+  * strategy-gated equi-joins as d30/e09 ([[SelfJoin]]: broadcast
+  * locally, sort-merge + AQE skew split at scale), the index side
+  * arrives via a parquet scan of exactly the columns needed, and
+  * APPENDING survivors is an append of batch-sized partitions — the
+  * corpus is never rewritten, never re-paired, never re-scanned.
+  *
+  * Contract: the store pins the signature scheme its entries were built
+  * with — probes must run under the same `spark.graft.lsh.bandRows`
+  * lever the build used (band keys would otherwise never collide), and
+  * `cell_centroids` must be the SAME frozen table every batch assigns
+  * against (that is what makes assignments comparable across days).
+  */
+object IncrementalIndex {
+  val TextBands = "text_bands"
+  val TextShingles = "text_shingles"
+  val CellCentroids = "cell_centroids"
+  val CellMembers = "cell_members"
+
+  private def p(indexDir: String, table: String): String = s"$indexDir/$table"
+
+  // ------------------------------------------------------------ build
+  /** Write the text half of the index for `docs` (band entries +
+    * shingle sets). `Append` is the day-N survivor fold; `Overwrite`
+    * bootstraps day 1. One pass over the normalized text feeds both
+    * tables (the shared base frame is persisted for the two derivations,
+    * released before return). */
+  def writeTextIndex(s: SparkSession, docs: DataFrame, indexDir: String,
+                     mode: SaveMode = SaveMode.Overwrite): Unit = {
+    val baseDf = LlmText.baseFrom(docs).persist()
+    try {
+      LlmText.bandEntriesOf(s, LlmText.sigOf(s, baseDf))
+        .write.mode(mode).parquet(p(indexDir, TextBands))
+      LlmText.shingleSetsOf(s, baseDf)
+        .write.mode(mode).parquet(p(indexDir, TextShingles))
+    } finally { baseDf.unpersist(); () }
+  }
+
+  /** Write the embedding half: train (or adopt) the centroid table and
+    * store every vector's primary-cell assignment. `centroidTrain`
+    * defaults to `vecs` — pass a wider history to train the frozen
+    * index on more data than day 1's slice (the e09 oracle form trains
+    * on the full fixture; a production deployment trains on the corpus
+    * so far and REUSES the stored table for every later batch). */
+  def writeCellIndex(s: SparkSession, vecs: DataFrame, indexDir: String,
+                     centroidTrain: Option[DataFrame] = None): Unit = {
+    val cents = Embeddings.centroidsOf(s,
+      Embeddings.quantizedFrom(s, centroidTrain.getOrElse(vecs)))
+    cents.write.mode(SaveMode.Overwrite).parquet(p(indexDir, CellCentroids))
+    appendCellMembers(s, vecs, indexDir, SaveMode.Overwrite)
+  }
+
+  private def appendCellMembers(s: SparkSession, vecs: DataFrame,
+                                indexDir: String, mode: SaveMode): Unit =
+    Embeddings.assignRanked(s, Embeddings.quantizedFrom(s, vecs),
+        s.read.parquet(p(indexDir, CellCentroids)))
+      .where(col("rn") === 1)
+      .select(col("cell"), col("vec_id"), col("q"), col("nq"))
+      .write.mode(mode).parquet(p(indexDir, CellMembers))
+
+  // ------------------------------------------------------------ probe
+  /** d30's verdicts against the STORED index: every batch doc with its
+    * verified near-dup match count against the indexed corpus plus its
+    * own earlier batch members (keep-first, d09's convention). The
+    * corpus side is the two stored tables — no day-1 text is re-read,
+    * no corpus signature recomputed. Returns the materialized verdict
+    * frame (batch-sized). */
+  def probeText(s: SparkSession, batchDocs: DataFrame, indexDir: String): DataFrame = {
+    val (out, caches) = probeTextLazy(s, batchDocs, indexDir)
+    val materialized = out.localCheckpoint(true)
+    caches.foreach(_.unpersist())
+    materialized
+  }
+
+  /** The un-materialized probe plan + its caches — the form the
+    * lifecycle spec inspects for input files (the public entry
+    * checkpoints, which erases lineage). Callers own the unpersist. */
+  private[graft] def probeTextLazy(s: SparkSession, batchDocs: DataFrame,
+                                   indexDir: String): (DataFrame, Seq[DataFrame]) = {
+    val baseB = LlmText.baseFrom(batchDocs).persist()
+    val bandsB = LlmText.bandEntriesOf(s, LlmText.sigOf(s, baseB))
+    val shB = LlmText.shingleSetsOf(s, baseB)
+    val probe = bandsB
+      .select(col("band"), col("band_key"), col("doc_id").as("new_id"))
+    // stored entries are all PRE-batch ⇒ every collision is eligible;
+    // intra-batch collisions add the keep-first (old < new) half —
+    // together exactly d30's (not-batch OR earlier) candidate set
+    val candStored = SelfJoin.on(probe,
+      s.read.parquet(p(indexDir, TextBands))
+        .select(col("band"), col("band_key"), col("doc_id").as("old_id")),
+      Seq("band", "band_key"))
+    val candIntra = SelfJoin.on(probe,
+      bandsB.select(col("band"), col("band_key"), col("doc_id").as("old_id")),
+      Seq("band", "band_key"))
+      .where(col("old_id") < col("new_id"))
+    val cand = candStored.select(col("new_id"), col("old_id"))
+      .union(candIntra.select(col("new_id"), col("old_id")))
+      .distinct()
+    // shingle lookups: batch docs resolve from the batch pass, index
+    // docs from the store — keyed joins, so the union is never scanned
+    // wider than the candidate list
+    val shAll = s.read.parquet(p(indexDir, TextShingles)).unionByName(shB)
+    val ver = SelfJoin.on(
+      cand, shB.select(col("doc_id").as("new_id"), col("sh").as("sh_n")), Seq("new_id"))
+    val matches = SelfJoin.on(
+      ver, shAll.select(col("doc_id").as("old_id"), col("sh").as("sh_o")), Seq("old_id"))
+      .where(size(array_intersect(col("sh_n"), col("sh_o"))).cast("double") /
+        size(array_union(col("sh_n"), col("sh_o"))).cast("double") >= LlmText.NeardupThreshold)
+      .groupBy(col("new_id")).agg(count(lit(1)).as("n_matches"))
+    val out = baseB.select(col("doc_id"))
+      .join(matches.withColumnRenamed("new_id", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_matches"), lit(0L)).as("n_matches"))
+      .withColumn("is_dup", col("n_matches") > 0)
+    (out, Seq(baseB))
+  }
+
+  /** e09's verdicts against the STORED index: the batch assigns to the
+    * stored (frozen) centroids and compares only against that cell's
+    * stored members plus its own earlier batch members. No day-1 vector
+    * is re-read, no centroid retrained. */
+  def probeCells(s: SparkSession, batchVecs: DataFrame, indexDir: String): DataFrame =
+    probeCellsLazy(s, batchVecs, indexDir).localCheckpoint(true)
+
+  private[graft] def probeCellsLazy(s: SparkSession, batchVecs: DataFrame,
+                                    indexDir: String): DataFrame = {
+    def dot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      graft.functions.ArrayOps.longDot(s, a, b)
+    val asgB = Embeddings.assignRanked(s, Embeddings.quantizedFrom(s, batchVecs),
+        s.read.parquet(p(indexDir, CellCentroids)))
+      .where(col("rn") === 1)
+      .select(col("cell"), col("vec_id"), col("q"), col("nq"))
+    val probe = asgB.select(col("cell"), col("vec_id").as("new_id"),
+      col("q").as("qn"), col("nq").as("nn"))
+    val stored = s.read.parquet(p(indexDir, CellMembers))
+      .select(col("cell"), col("vec_id").as("old_id"),
+        col("q").as("qo"), col("nq").as("no"))
+    val intra = asgB.select(col("cell"), col("vec_id").as("old_id"),
+      col("q").as("qo"), col("nq").as("no"))
+    val candStored = SelfJoin.on(probe, stored, Seq("cell"))
+    val candIntra = SelfJoin.on(probe, intra, Seq("cell"))
+      .where(col("old_id") < col("new_id"))
+    val matches = candStored.unionByName(candIntra)
+      .where(dot(col("qn"), col("qo")).cast("double") /
+        (sqrt(col("nn").cast("double")) * sqrt(col("no").cast("double"))) >=
+        Embeddings.CosineThreshold)
+      .groupBy(col("new_id")).agg(count(lit(1)).as("n_matches"))
+    asgB.select(col("cell"), col("vec_id"))
+      .join(matches.withColumnRenamed("new_id", "vec_id"), Seq("vec_id"), "left")
+      .select(col("cell"), col("vec_id"),
+        coalesce(col("n_matches"), lit(0L)).as("n_matches"))
+      .withColumn("kept", col("n_matches") === 0)
+  }
+
+  // ----------------------------------------------------------- append
+  /** Fold the batch's SURVIVORS into the store — the step that gives
+    * the lifecycle a day 3: next-day probes see today's kept docs as
+    * corpus. Appends batch-sized partitions; the existing index files
+    * are untouched. */
+  def appendTextSurvivors(s: SparkSession, batchDocs: DataFrame,
+                          verdicts: DataFrame, indexDir: String): Unit = {
+    val survivors = verdicts.where(!col("is_dup")).select(col("doc_id"))
+    writeTextIndex(s,
+      batchDocs.join(survivors, Seq("doc_id"), "left_semi"),
+      indexDir, SaveMode.Append)
+  }
+
+  /** Embedding-side survivor fold: kept batch vectors join the stored
+    * member table under their (frozen-centroid) cell assignment. */
+  def appendCellSurvivors(s: SparkSession, batchVecs: DataFrame,
+                          verdicts: DataFrame, indexDir: String): Unit = {
+    val kept = verdicts.where(col("kept")).select(col("vec_id"))
+    appendCellMembers(s,
+      batchVecs.join(kept, Seq("vec_id"), "left_semi"),
+      indexDir, SaveMode.Append)
+  }
+}

@@ -42,13 +42,18 @@ object Embeddings {
     * of the whole e-suite. Factoring it out changes no value (the same
     * exact-integer dot, just evaluated earlier), so oracle hashes are
     * untouched; Catalyst prunes the column where unused (e03). */
-  private def quantized(s: SparkSession, dir: String): DataFrame = {
-    val q = Tables.spreadIfNarrow(Tables.embeddings(s, dir), s"$dir/embeddings")
-      .select(
+  private def quantized(s: SparkSession, dir: String): DataFrame =
+    quantizedFrom(s, Tables.spreadIfNarrow(Tables.embeddings(s, dir), s"$dir/embeddings"))
+
+  /** The quantization core over an arbitrary embeddings-shaped frame —
+    * shared with the persisted-index lifecycle
+    * ([[graft.jobs.IncrementalIndex]]) so a stored index and a recompute
+    * quantize identically. */
+  private[graft] def quantizedFrom(s: SparkSession, vecs: DataFrame): DataFrame =
+    vecs.select(
         col("vec_id"), col("label"),
         transform(col("embedding"), x => round(x.cast("double") * Quant).cast("long")).as("q"))
-    q.withColumn("nq", graft.functions.ArrayOps.longDot(s, col("q"), col("q")))
-  }
+      .withColumn("nq", graft.functions.ArrayOps.longDot(s, col("q"), col("q")))
 
   private val quantSql: String =
     s"""WITH qv AS (
@@ -297,12 +302,19 @@ object Embeddings {
     * component sums — a trained index would swap k-means centroids in
     * at the same shape. */
   private def cellRanked(s: SparkSession, dir: String): DataFrame = {
-    val dot = dotQ(s) _
     val v = quantized(s, dir)
+    assignRanked(s, v, centroidsOf(s, v))
+  }
+
+  /** (cell, cvec, ncv) centroid-sum directions per label over a
+    * quantized frame — the table an IVF index TRAINS once and then
+    * freezes; the persisted-index lifecycle stores it and assigns every
+    * later batch against the stored copy. */
+  private[graft] def centroidsOf(s: SparkSession, v: DataFrame): DataFrame = {
+    val dot = dotQ(s) _
     // centroid-sum vector per label, dim-ordered (collect_list carries
     // no order guarantee → sort the (i, csum) pairs then project)
-    val cents = v
-      .select(col("label"), col("q"), explode(sequence(lit(1), lit(Dim))).as("i"))
+    v.select(col("label"), col("q"), explode(sequence(lit(1), lit(Dim))).as("i"))
       .withColumn("comp", element_at(col("q"), col("i")))
       .groupBy(col("label"), col("i")).agg(sum(col("comp")).as("csum"))
       .groupBy(col("label"))
@@ -312,6 +324,15 @@ object Embeddings {
       // centroid self-norm once per CELL, not per (vector, cell) pair
       .select(col("label").as("cell"), col("cvec"),
         dot(col("cvec"), col("cvec")).as("ncv"))
+  }
+
+  /** Every vector of `v` ranked by centroid-cosine against every cell of
+    * `cents` (rn = 1 is the primary-cell assignment). The assignment
+    * core shared by [[cellRanked]] and the persisted-index probe — the
+    * centroid table is a broadcast dim (#cells rows), so assignment is
+    * map-shaped at any corpus size. */
+  private[graft] def assignRanked(s: SparkSession, v: DataFrame, cents: DataFrame): DataFrame = {
+    val dot = dotQ(s) _
     v.crossJoin(broadcast(cents))
       .withColumn("cos_c",
         dot(col("q"), col("cvec")).cast("double") /
@@ -670,7 +691,10 @@ object Embeddings {
     * production: today's ingest) dedups against the EXISTING corpus
     * without re-pairing the corpus with itself. The corpus side's cell
     * assignment is the IVF index a deployment already maintains
-    * (recomputed here only for lack of a store); the batch assigns to
+    * (recomputed in THIS oracle-twinned form so DuckDB can check it;
+    * the PERSISTED form is [[graft.jobs.IncrementalIndex]], pinned
+    * row-identical to this query by IncrementalIndexSpec); the batch
+    * assigns to
     * its cells and compares ONLY against that cell's existing members
     * plus its own earlier batch members (keep-first) — per-day work
     * scales with |batch| × cell occupancy, never corpus². Same

@@ -35,16 +35,25 @@ object LlmText {
   // single source of truth shared with the fused native expression
   import graft.functions.MinHashParams.{A, B, NumHashes, P, ShingleN}
 
-  /** doc_id + normalized text + token array. Spread to the session's
+  /** doc_id + normalized text + token array for an arbitrary
+    * documents-shaped frame — the parameterized core [[base]] wraps, and
+    * the entry point the persisted-index lifecycle feeds its partitioned
+    * day-slices through ([[graft.jobs.IncrementalIndex]]): one
+    * definition of the normalization, so a stored index and a recompute
+    * can never disagree on it. */
+  private[graft] def baseFrom(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+        normText(col("text")).as("norm"))
+      .withColumn("toks", split(col("norm"), " "))
+
+  /** [[baseFrom]] over the fixture table. Spread to the session's
     * parallelism ONLY when the scan is narrower than it (the single-file
     * fixture yields one input split, which would run every per-row hash
     * single-threaded; a 100 TB scan already has thousands of splits and
     * skips the shuffle — [[graft.Tables.spreadIfNarrow]]). */
   private def base(s: SparkSession, dir: String): DataFrame =
-    Tables.spreadIfNarrow(Tables.documents(s, dir), s"$dir/documents")
-      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
-        normText(col("text")).as("norm"))
-      .withColumn("toks", split(col("norm"), " "))
+    baseFrom(Tables.spreadIfNarrow(Tables.documents(s, dir), s"$dir/documents"))
 
   private val baseSql: String =
     s"""WITH base AS (
@@ -57,6 +66,17 @@ object LlmText {
   /** Distinct word-n-gram shingle set per doc. */
   private def withShingleSet(s: SparkSession, df: DataFrame): DataFrame =
     df.withColumn("sh", graft.functions.ArrayOps.wordShingles(s, col("norm"), ShingleN))
+
+  /** (doc_id, sh) for an arbitrary documents-shaped frame — the
+    * verification half of the persisted text index. */
+  private[graft] def shingleSetsFrom(s: SparkSession, docs: DataFrame): DataFrame =
+    shingleSetsOf(s, baseFrom(docs))
+
+  /** [[shingleSetsFrom]] off an already-built [[baseFrom]] frame (so a
+    * caller holding the base persisted can derive signatures AND
+    * shingles from one pass). */
+  private[graft] def shingleSetsOf(s: SparkSession, baseDf: DataFrame): DataFrame =
+    withShingleSet(s, baseDf).select(col("doc_id"), col("sh"))
 
   private val shSqlCte: String =
     s""", shd AS (
@@ -84,11 +104,34 @@ object LlmText {
     * by the fused native [[graft.functions.MinHashSigExpr]] (one eval per
     * doc instead of k·#shingles interpreted lambdas; value-identical, so
     * the oracle below is untouched). */
-  def d02MinhashSig(s: SparkSession, dir: String): DataFrame = {
-    val sig = base(s, dir)
+  def d02MinhashSig(s: SparkSession, dir: String): DataFrame =
+    sigOf(s, base(s, dir))
+
+  /** The signature table for an arbitrary [[baseFrom]] frame — d02's
+    * core, shared with the persisted-index build/probe. */
+  private[graft] def sigOf(s: SparkSession, baseDf: DataFrame): DataFrame = {
+    val sig = baseDf
       .withColumn("mh", graft.functions.ArrayOps.minHashSig(s, col("norm")))
     val mhCols = (0 until NumHashes).map(i => element_at(col("mh"), i + 1).as(s"mh$i"))
     sig.select(col("doc_id") +: mhCols: _*)
+  }
+
+  /** (doc_id, band, band_key) rows for a signature table — the banded
+    * LSH entries the band joins key on, and the rows the persisted text
+    * index stores per document. Honors the [[BandRowsConf]] lever; a
+    * STORED index pins the scheme its entries were built with, so probes
+    * must run under the same bandRows value (documented contract of
+    * [[graft.jobs.IncrementalIndex]]). */
+  private[graft] def bandEntriesOf(s: SparkSession, sig: DataFrame): DataFrame = {
+    val bandRows = s.conf.get(BandRowsConf, "1").toInt
+    require(bandRows >= 1 && NumHashes % bandRows == 0,
+      s"$BandRowsConf must divide NumHashes=$NumHashes, got $bandRows")
+    val bandKeyCols = (0 until NumHashes / bandRows).map { b =>
+      val parts = (0 until bandRows).map(r => col(s"mh${b * bandRows + r}"))
+      if (bandRows == 1) parts.head else xxhash64(parts: _*)
+    }
+    sig.select(col("doc_id"),
+      posexplode(array(bandKeyCols: _*)).as(Seq("band", "band_key")))
   }
 
   private def mhExprSql(i: Int): String =
@@ -1662,8 +1705,11 @@ object LlmText {
     * against its own earlier members) without ever re-pairing the
     * corpus with itself. The corpus's band-key table is the persisted
     * LSH INDEX a production pipeline maintains (append-only, computed
-    * once per doc at ingest — recomputed here only because the fixture
-    * has no store; the JOIN is the operator); the batch computes its
+    * once per doc at ingest — recomputed in THIS oracle-twinned form so
+    * DuckDB can check it; the PERSISTED form is
+    * [[graft.jobs.IncrementalIndex]], whose stored-index probe is
+    * pinned row-identical to this query by IncrementalIndexSpec); the
+    * batch computes its
     * own signatures and probes the index with a bipartite band join,
     * so candidate volume is proportional to the BATCH's band
     * collisions, never corpus², and the join inherits the full
@@ -1683,12 +1729,7 @@ object LlmText {
     val shd = withShingleSet(s, base(s, dir)).select(col("doc_id"), col("sh")).persist()
     val sig = d02MinhashSig(s, dir).persist()
     try {
-      val bandKeyCols = (0 until NumHashes / bandRows).map { b =>
-        val parts = (0 until bandRows).map(r => col(s"mh${b * bandRows + r}"))
-        if (bandRows == 1) parts.head else xxhash64(parts: _*)
-      }
-      val bands = sig.select(col("doc_id"),
-        posexplode(array(bandKeyCols: _*)).as(Seq("band", "band_key")))
+      val bands = bandEntriesOf(s, sig)
       val isBatch = col("doc_id") % IncrementalBatchMod === 0
       val probe = bands.where(isBatch)
         .select(col("band"), col("band_key"), col("doc_id").as("new_id"))

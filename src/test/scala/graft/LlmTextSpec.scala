@@ -504,7 +504,7 @@ class LlmTextSpec extends GraftSuite {
     val rows = Embeddings.e07RecallAudit(spark, sf).collect()
     // exactly one row per audited method — a zero-hit path must report
     // recall 0.0, never vanish
-    assert(rows.length === 3)
+    assert(rows.length === 4)
     val truthPairs = Embeddings.e01KnnBrute(spark, sf)
       .where(col("rank") <= Embeddings.RecallK).count()
     rows.foreach { r =>
@@ -518,8 +518,9 @@ class LlmTextSpec extends GraftSuite {
     // (e02's bucketed top-quality ⊆ brute-force test already implies
     // overlap; this pins it end-to-end through the audit join)
     assert(rows.map(_.getLong(2)).sum > 0, "no ANN path found any truth pair")
-    // the sketch-rerank path audits alongside the two index paths
+    // the sketch-rerank and composed paths audit alongside the index paths
     assert(rows.map(_.getString(0)).contains("sketch_rerank"))
+    assert(rows.map(_.getString(0)).contains("ivf_sketch_rerank"))
   }
 
   test("d27: rule verdicts recompute, keep is the exact conjunction, stopword rule ties to the text") {
