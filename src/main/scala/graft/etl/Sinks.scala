@@ -23,6 +23,26 @@ object Sinks {
                  props: Properties = new Properties()): Unit =
     df.write.mode(SaveMode.Append).jdbc(url, table, props)
 
+  /** Overwrite a JDBC table wholesale — the store side of a persisted
+    * foreachBatch fold ([[graft.streaming.Streams.runForeachBatchJdbc]]).
+    * String columns are declared VARCHAR at creation (Spark's default
+    * mapping makes them LOBs on several dialects — not comparable, not
+    * indexable; same fix as the jobs layer's keyed appends). CONTRACT:
+    * `df` must be MATERIALIZED (checkpointed/collected lineage) if its
+    * plan reads the same table — overwrite truncates before writing,
+    * so an unmaterialized self-referential plan would consume its own
+    * truncation. */
+  def jdbcOverwrite(df: DataFrame, url: String, table: String,
+                    props: Properties = new Properties()): Unit = {
+    val p2 = new Properties()
+    p2.putAll(props)
+    val varchars = df.schema.fields
+      .filter(_.dataType == org.apache.spark.sql.types.StringType)
+      .map(f => s"${f.name} VARCHAR(1024)").mkString(", ")
+    if (varchars.nonEmpty) p2.setProperty("createTableColumnTypes", varchars)
+    df.write.mode(SaveMode.Overwrite).jdbc(url, table, p2)
+  }
+
   /** Drop `name` AND its managed-table location. Overwrite-mode
     * saveAsTable replaces a TABLE but refuses an orphaned LOCATION
     * (LOCATION_ALREADY_EXISTS) — with the in-memory catalog, a previous

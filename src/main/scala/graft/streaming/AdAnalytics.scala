@@ -474,6 +474,36 @@ object AdAnalytics {
       |  CAST(round(sum(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_value
       |FROM events GROUP BY 1""".stripMargin
 
+  /** st12's fold against a PERSISTED JDBC store
+    * ([[Streams.runForeachBatchJdbc]]) — the RESTARTABLE form: every
+    * micro-batch's merged rollup lands in the store table (the
+    * reference persists each streaming aggregate to MySQL per batch —
+    * AdverStat.scala:262-284), so a restart resumes from the database
+    * plus the checkpoint's unprocessed offsets instead of refolding
+    * history; an in-memory fold store would restart from offset 0.
+    * The merge re-casts the decimal sum to the store precision: the
+    * decimal SUM widens (18,2)→(28,2)→(38,2) per round trip, an
+    * unbounded ladder that would exceed the JDBC dialect's DECIMAL cap
+    * within a few batches; the totals themselves fit (18,2) by the
+    * fixture/domain contract. Restart-resume and replay-idempotence
+    * are pinned in StreamingSpec; `checkpoint` must be stable across
+    * restarts. Returns the current store readout (= st12's result when
+    * run over the same input). */
+  def st12RunningRollupJdbc(s: SparkSession, dir: String, url: String,
+      table: String, props: java.util.Properties, checkpoint: String): DataFrame = {
+    import graft.operators.Misc.{eventRollup, rollupReadout}
+    def pinned(df: DataFrame): DataFrame =
+      df.select(col("event_type"), col("n_events"),
+        col("sum_value").cast("decimal(18,2)").as("sum_value"))
+    val empty = pinned(eventRollup(graft.Tables.events(s, dir).limit(0)))
+    Streams.runForeachBatchJdbc(s, "append", empty, url, table, props, checkpoint)(
+      ss => Streams.tableStream(ss, dir, "events")) { (store, batch) =>
+      pinned(graft.etl.Upsert.accumulateAll(
+        store, eventRollup(batch), Seq("event_type"), Seq("n_events", "sum_value")))
+    }
+    rollupReadout(s.read.jdbc(url, table, props).drop(Streams.BatchIdCol))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "st12_running_rollup" -> (st12RunningRollup _),
     "st11_cms_cells" -> (st11CmsCells _),

@@ -181,6 +181,64 @@ object Streams {
     }
   }
 
+  /** Marker column the PERSISTED fold stamps on every store row: the id
+    * of the last batch merged in. foreachBatch may re-deliver the final
+    * uncommitted batch after a restart (offsets commit AFTER the batch
+    * callback returns), and an accumulate merge is not idempotent — a
+    * replayed batch with id ≤ the stored maximum is skipped wholesale,
+    * which makes the merge effectively exactly-once across restarts. */
+  val BatchIdCol = "__batch_id"
+
+  /** [[runForeachBatch]] with the running store PERSISTED to a JDBC
+    * table instead of held in session memory — the reference's
+    * operational contract (adversStat/src/main/scala/AdverStat.scala:
+    * 262-284: every micro-batch's aggregate lands in MySQL), which is
+    * what makes the fold RESTARTABLE: the store survives in the
+    * database, the checkpoint replays only unprocessed source data, and
+    * a new query on the same (checkpoint, store) pair resumes instead
+    * of restarting (pinned in StreamingSpec). Each batch reads the
+    * store table, merges via one of the [[graft.etl.Upsert]] semantics,
+    * and overwrites the table with the materialized result — at scale
+    * the same merge is a `MERGE INTO` against a transactional table;
+    * the per-batch store read/write here is the plain-JDBC analogue,
+    * costed at |store| + |delta| per batch, history never re-read.
+    * `checkpoint` is caller-owned: it must be STABLE across restarts
+    * (a fresh temp dir per run would replay the whole source). */
+  def runForeachBatchJdbc(
+      s: SparkSession,
+      outputMode: String,
+      emptyStore: DataFrame,
+      url: String, table: String, props: java.util.Properties,
+      checkpoint: String)(
+      build: SparkSession => DataFrame)(
+      merge: (DataFrame, DataFrame) => DataFrame): Unit = {
+    import org.apache.spark.sql.functions.{col, lit, max}
+    val child = streamSession(s)
+    val q = build(child).writeStream
+      .outputMode(outputMode)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val existing =
+          try Some(child.read.jdbc(url, table, props))
+          catch { case _: Exception => None } // first batch: table absent
+        val lastApplied = existing.flatMap { df =>
+          val r = df.agg(max(col(BatchIdCol))).collect()(0)
+          if (r.isNullAt(0)) None else Some(r.getLong(0))
+        }
+        if (!lastApplied.exists(_ >= batchId)) {
+          val store = existing.map(_.drop(BatchIdCol)).getOrElse(emptyStore)
+          val merged = merge(store, batch)
+            .withColumn(BatchIdCol, lit(batchId))
+            .localCheckpoint(true) // the plan reads the table we overwrite
+          graft.etl.Sinks.jdbcOverwrite(merged, url, table, props)
+        }
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpoint)
+      .start()
+    q.awaitTermination()
+  }
+
   /** Run an AvailableNow stream through `foreachBatch`, folding each
     * micro-batch into a running store DataFrame via `merge` (one of the
     * [[graft.etl.Upsert]] semantics) with [[StoreFold]]'s bounded-

@@ -328,6 +328,59 @@ class StreamingSpec extends GraftSuite {
     assert(got === want)
   }
 
+  test("persisted JDBC fold: a new run on the same checkpoint+store resumes; replays are skipped") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import graft.operators.Misc
+    val ms = MemoryStream[(String, Double)]
+    val cp = ckpt()
+    val url = "jdbc:derby:memory:graftst12db;create=true"
+    val props = new java.util.Properties()
+    val table = "st12_fold_store"
+    def pinned(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("event_type"), col("n_events"),
+        col("sum_value").cast("decimal(18,2)").as("sum_value"))
+    val empty = pinned(Misc.eventRollup(
+      Seq.empty[(String, Double)].toDF("event_type", "value")))
+    def merge(store: org.apache.spark.sql.DataFrame,
+              batch: org.apache.spark.sql.DataFrame) =
+      pinned(Upsert.accumulateAll(store, Misc.eventRollup(batch),
+        Seq("event_type"), Seq("n_events", "sum_value")))
+    def run(src: MemoryStream[(String, Double)], checkpoint: String): Unit =
+      Streams.runForeachBatchJdbc(spark, "append", empty, url, table, props, checkpoint)(
+        _ => src.toDF().toDF("event_type", "value"))(merge)
+    ms.addData(("click", 1.50), ("view", 2.25), ("click", 0.25))
+    run(ms, cp) // run 1 folds the first chunk, store lands in Derby
+    ms.addData(("click", 1.00), ("cart", 3.00))
+    run(ms, cp) // run 2: NEW query, same checkpoint+store — must RESUME
+    def readStore() = spark.read.jdbc(url, table, props).drop(Streams.BatchIdCol)
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        r.getDecimal(2).toPlainString)).sorted.toSeq
+    val afterResume = readStore()
+    // equals the one-shot rollup over ALL events — a fold that restarted
+    // from an empty store would read (click 1, cart 1) instead
+    assert(afterResume ===
+      Seq(("cart", 1L, "3.00"), ("click", 3L, "2.75"), ("view", 1L, "2.25")))
+    // crash-replay simulation: a FRESH checkpoint re-delivers its data
+    // as batch 0; the store's batch-id watermark marks 0 and 1 already
+    // applied, so the replayed merges are skipped and nothing
+    // double-counts (the foreachBatch batchId idempotence contract)
+    val replay = MemoryStream[(String, Double)]
+    replay.addData(("click", 99.0))
+    run(replay, ckpt())
+    assert(readStore() === afterResume, "replayed batch ids must not re-merge")
+  }
+
+  test("st12's JDBC-persisted variant equals the in-memory fold over the same input") {
+    val got = AdAnalytics.st12RunningRollupJdbc(spark, sf,
+        "jdbc:derby:memory:graftst12fx;create=true", "st12_store_fx",
+        new java.util.Properties(), ckpt())
+      .collect().map(_.toString).sorted.toSeq
+    val want = AdAnalytics.st12RunningRollup(spark, sf)
+      .collect().map(_.toString).sorted.toSeq
+    assert(got.nonEmpty && got === want)
+  }
+
   test("statePartitions lever: identical results at 4 and 32, session conf restored") {
     val before = spark.conf.get("spark.sql.shuffle.partitions")
     def rows() = AdAnalytics.st09StreamStreamJoin(spark, sf)
