@@ -840,7 +840,65 @@ object Embeddings {
        |  FROM rr10) t
        |WHERE rank <= $TopK""".stripMargin
 
+  // ---------------------------------------------------------------- e11
+  /** One Lloyd retrain round — the RETRAINING EVENT the persisted-index
+    * lifecycle treats as separate-and-rare ([[graft.jobs.IncrementalIndex]]
+    * freezes its centroid table between retrains; this query is what a
+    * retrain runs): every vector reassigns to its nearest current
+    * centroid BY GEOMETRY, each cell's new centroid is the per-dimension
+    * integer sum over its reassigned members, and the output reports per
+    * cell its membership and the cosine between old and new centroid
+    * directions (`drift_cos` — the convergence signal k-means iterates
+    * on; sums-not-means keep every value exact integer, and cosine is
+    * scale-invariant so the direction drift is the same either way).
+    *
+    * Scale shape: assignment is map-only (centroid table is a broadcast
+    * dim, #cells rows); the recompute is one shuffle on (cell, dim) and
+    * one on cell — e03's aggregation pattern, cost linear in corpus ×
+    * Dim regardless of cell count. A cell that attracts no members drops
+    * out (inner join — both engines agree); a production retrain would
+    * reseed it. */
+  def e11KmeansStep(s: SparkSession, dir: String): DataFrame = {
+    val dot = dotQ(s) _
+    val v = quantized(s, dir)
+    val cents = centroidsOf(s, v)
+    val asg = assignRanked(s, v, cents).where(col("rn") === 1)
+      .select(col("cell"), col("vec_id"), col("q"))
+    val newc = asg
+      .select(col("cell"), col("q"), explode(sequence(lit(1), lit(Dim))).as("i"))
+      .select(col("cell"), col("i"), element_at(col("q"), col("i")).as("comp"))
+      .groupBy(col("cell"), col("i")).agg(sum(col("comp")).as("csum"))
+      .groupBy(col("cell"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("i"), col("csum")))),
+        p => p.getField("csum")).as("nvec"))
+    asg.groupBy(col("cell")).agg(count(lit(1)).as("members"))
+      .join(newc, Seq("cell"))
+      .join(cents, Seq("cell"))
+      .select(col("cell"), col("members"),
+        (dot(col("cvec"), col("nvec")).cast("double") /
+          (sqrt(col("ncv").cast("double")) *
+            sqrt(dot(col("nvec"), col("nvec")).cast("double")))).as("drift_cos"))
+  }
+
+  val e11Sql: String =
+    s"""$quantSql$assignedSqlCtes, ncomps AS (
+       |  SELECT cell, i, q[i] AS comp FROM assigned, generate_series(1, $Dim) g(i)
+       |), nsums AS (
+       |  SELECT cell, i, sum(comp) AS csum FROM ncomps GROUP BY 1, 2
+       |), newc AS (
+       |  SELECT cell, list(CAST(csum AS BIGINT) ORDER BY i) AS nvec FROM nsums GROUP BY cell
+       |), mem AS (
+       |  SELECT cell, count(*) AS members FROM assigned GROUP BY cell
+       |)
+       |SELECT m.cell, m.members,
+       |  CAST(list_dot_product(c.cvec, n.nvec) AS DOUBLE) /
+       |    (sqrt(CAST(list_dot_product(c.cvec, c.cvec) AS DOUBLE)) *
+       |     sqrt(CAST(list_dot_product(n.nvec, n.nvec) AS DOUBLE))) AS drift_cos
+       |FROM mem m JOIN newc n ON m.cell = n.cell JOIN cents c ON m.cell = c.cell""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e11_kmeans_step" -> (e11KmeansStep _),
     "e10_ivf_sketch_rerank" -> (e10IvfSketchRerank _),
     "e09_incremental_semdedup" -> (e09IncrementalSemDedup _),
     "e08_sketch_rerank" -> (e08SketchRerank _),
@@ -853,6 +911,7 @@ object Embeddings {
     "e04_cosine_neardup" -> (e04CosineNeardup _))
 
   val oracleSql: Map[String, String] = Map(
+    "e11_kmeans_step" -> e11Sql,
     "e10_ivf_sketch_rerank" -> e10Sql,
     "e09_incremental_semdedup" -> e09Sql,
     "e08_sketch_rerank" -> e08Sql,

@@ -493,7 +493,46 @@ object Misc {
        |SELECT error_id, click_id, cus - eus AS delta_us
        |FROM e JOIN c ON c.cus BETWEEN e.eus - $M13ToleranceUs AND e.eus + $M13ToleranceUs""".stripMargin
 
+  // ---------------------------------------------------------------- m14
+  /** PII scrub + pseudonymization — the privacy stage a training-data
+    * pipeline runs over user-derived tables before anything is logged,
+    * joined, or exported (the pattern in every published curation stack;
+    * the fixture's `customer` table carries the repo's only PII-shaped
+    * values — ID-bearing account names). Three moves, all map-only:
+    *
+    *  - DETECT: count identifier runs (6+ consecutive digits — the
+    *    account/phone/SSN shape) via `regexp_count`;
+    *  - MASK: replace each run with a fixed `[ID]` token via
+    *    `regexp_replace` — crucially the pattern stays inside the
+    *    RE2 ∩ Java-regex common subset (no lookahead/backreferences,
+    *    both engines are greedy), so the oracle masks bit-identically;
+    *  - PSEUDONYMIZE: a stable 60-bit [[graft.functions.Portable.h64]]
+    *    key of the raw name, so scrubbed rows still join/dedup/count
+    *    across tables without carrying the identifier.
+    *
+    * Scale: pure projection — no shuffle, no UDF (regexp + md5 are
+    * codegen'd builtins), streams through any corpus size; the pseudo
+    * key keeps downstream joins on a 64-bit long instead of a string. */
+  def m14PiiScrub(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Portable
+    Tables.customer(s, dir).select(
+      col("c_custkey"),
+      regexp_replace(col("c_name"), "[0-9]{6,}", "[ID]").as("masked_name"),
+      regexp_count(col("c_name"), lit("[0-9]{6,}")).as("id_runs"),
+      Portable.h64(col("c_name")).as("pseudo_key"))
+      .withColumn("has_pii", col("id_runs") > 0)
+  }
+
+  val m14Sql: String =
+    s"""SELECT c_custkey,
+       |  regexp_replace(c_name, '[0-9]{6,}', '[ID]', 'g') AS masked_name,
+       |  CAST(len(regexp_extract_all(c_name, '[0-9]{6,}')) AS INT) AS id_runs,
+       |  ${graft.functions.Portable.h64Sql("c_name")} AS pseudo_key,
+       |  len(regexp_extract_all(c_name, '[0-9]{6,}')) > 0 AS has_pii
+       |FROM customer""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m14_pii_scrub" -> (m14PiiScrub _),
     "m13_range_join" -> (m13RangeJoin _),
     "m12_incremental_rollup" -> (m12IncrementalRollup _),
     "m11_cms_heavy_hitters" -> (m11CmsHeavyHitters _),
@@ -509,6 +548,7 @@ object Misc {
     "m06_salted_agg" -> (m06SaltedAgg _))
 
   val oracleSql: Map[String, String] = Map(
+    "m14_pii_scrub" -> m14Sql,
     "m13_range_join" -> m13Sql,
     "m12_incremental_rollup" -> m12Sql,
     "m11_cms_heavy_hitters" -> m11Sql,

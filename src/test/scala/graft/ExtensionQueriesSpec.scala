@@ -136,6 +136,26 @@ class ExtensionQueriesSpec extends GraftSuite {
     assert(canon(Misc.m12IncrementalRollup(spark, sf)) === canon(full))
   }
 
+  test("m14: masking removes every identifier run; pseudo keys preserve identity") {
+    val rows = Misc.m14PiiScrub(spark, sf).collect()
+    val names = Tables.customer(spark, sf).select("c_name").collect().map(_.getString(0))
+    assert(rows.length === names.length)
+    val idRun = "[0-9]{6,}".r
+    rows.foreach { r =>
+      val masked = r.getString(r.fieldIndex("masked_name"))
+      assert(idRun.findFirstIn(masked).isEmpty, s"unmasked identifier survives in '$masked'")
+      assert(r.getBoolean(r.fieldIndex("has_pii")) ===
+        (r.getInt(r.fieldIndex("id_runs")) > 0))
+    }
+    // the fixture names are ID-bearing throughout: detection must fire on
+    // every row, masking collapses the name space, and the pseudo key —
+    // not the masked text — is what still distinguishes customers
+    assert(rows.forall(_.getBoolean(4)), "fixture rows all carry an ID run")
+    assert(rows.map(_.getString(1)).distinct.length === 1, "masked names collapse")
+    assert(rows.map(_.getLong(3)).distinct.length === names.distinct.length,
+      "pseudo keys stay 1:1 with raw names")
+  }
+
   test("m13: bucketed range join equals the naive inequality join, no nested-loop in the plan") {
     val got = Misc.m13RangeJoin(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))

@@ -639,6 +639,32 @@ class LlmTextSpec extends GraftSuite {
     finally spark.conf.unset(Embeddings.NprobeConf)
   }
 
+  test("e11: one Lloyd round conserves membership and cannot lower the spherical objective") {
+    val rows = Embeddings.e11KmeansStep(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+    val total = Tables.embeddings(spark, sf).count()
+    assert(rows.map(_._2).sum === total, "every vector is assigned to exactly one cell")
+    rows.foreach { case (cell, _, drift) =>
+      assert(drift > 0.0 && drift <= 1.0 + 1e-12,
+        s"cell $cell drift_cos $drift outside (0, 1]")
+    }
+    // spherical k-means: reassigning against the RETRAINED centroids can
+    // only raise the summed assigned-cosine objective (assignment step is
+    // an argmax; the recomputed centroid is the in-cell maximizer)
+    val v = Embeddings.quantizedFrom(spark,
+      Tables.spreadIfNarrow(Tables.embeddings(spark, sf), s"$sf/embeddings"))
+    val oldCents = Embeddings.centroidsOf(spark, v)
+    def objective(cents: org.apache.spark.sql.DataFrame): Double =
+      Embeddings.assignRanked(spark, v, cents).where(col("rn") === 1)
+        .agg(sum(col("cos_c"))).collect()(0).getDouble(0)
+    val j0 = objective(oldCents)
+    val asg = Embeddings.assignRanked(spark, v, oldCents).where(col("rn") === 1)
+      .select(col("cell").as("label"), col("q"))
+    val newCents = Embeddings.centroidsOf(spark, asg)
+    val j1 = objective(newCents)
+    assert(j1 >= j0 - 1e-9, s"Lloyd step lowered the objective: $j0 -> $j1")
+  }
+
   test("d30: incremental verdicts agree with d03's full pair set restricted to batch links") {
     val mod = LlmText.IncrementalBatchMod
     val rows = LlmText.d30IncrementalDedup(spark, sf).collect()
