@@ -504,7 +504,69 @@ object AdAnalytics {
     rollupReadout(s.read.jdbc(url, table, props).drop(Streams.BatchIdCol))
   }
 
+  // ---------------------------------------------------------------- st13
+  /** STREAMING INGEST against the persisted dedup index — the
+    * [[graft.jobs.IngestJob]] lifecycle running continuously instead of
+    * daily: the corpus's band/shingle tables are bootstrapped once
+    * ([[graft.jobs.IncrementalIndex.writeTextIndex]]), then each
+    * micro-batch of arriving documents (1) PROBES the store with the
+    * bipartite band join — work ∝ the batch's collisions, the corpus is
+    * never re-paired or re-read — and (2) APPENDS its own index entries,
+    * so later arrivals dedup against earlier ones. Verdicts accumulate
+    * append-only (each batch's frame is materialized by the probe, so
+    * the running union never re-plans through the store).
+    *
+    * Equivalence contract (the oracle): arrivals ordered by doc_id make
+    * "already ingested" ≡ "lower id", so the final verdict table equals
+    * d30's batch recompute EXACTLY — for ANY ascending-id micro-batch
+    * split (pinned in StreamingSpec; the gate's one-file stream is the
+    * trivial split). Note the FULL batch folds in, not just survivors:
+    * d30 counts matches against every earlier arrival regardless of its
+    * verdict (the keep-first census form); IngestJob's survivors-only
+    * fold is the curation-flavored policy variant of the same append.
+    *
+    * At scale this is the Kafka→index pipeline (S5's consumer feeding
+    * the store): state lives in the lake tables, not the state store,
+    * so a restart resumes from the checkpoint's offsets and the
+    * already-appended index — nothing refolds. */
+  def st13StreamingIngest(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.LlmText
+    import graft.jobs.IncrementalIndex
+    val mod = LlmText.IncrementalBatchMod
+    val indexDir = java.nio.file.Files.createTempDirectory("graft-st13-idx-").toString
+    try {
+      IncrementalIndex.writeTextIndex(s,
+        graft.Tables.documents(s, dir).where(col("doc_id") % mod =!= 0), indexDir)
+      val empty = graft.Tables.documents(s, dir).limit(0)
+        .select(col("doc_id"), lit(0L).as("n_matches"), lit(false).as("is_dup"))
+      Streams.runForeachBatch(s, "append", empty)(
+        ss => Streams.tableStream(ss, dir, "documents")
+          .where(col("doc_id") % mod === 0)) { (store, batch) =>
+        // probe BEFORE appending: the store must hold only prior arrivals
+        // (intra-batch keep-first is the probe's own candIntra half)
+        val verdicts = IncrementalIndex.probeText(s, batch, indexDir)
+        IncrementalIndex.writeTextIndex(s, batch, indexDir,
+          org.apache.spark.sql.SaveMode.Append)
+        store.unionByName(verdicts)
+      }
+      // safe to drop the temp index: every batch's verdicts were
+      // materialized by the probe's localCheckpoint, so the returned
+      // union holds no lineage into these files
+    } finally {
+      val root = java.nio.file.Paths.get(indexDir)
+      if (java.nio.file.Files.exists(root)) {
+        val it = java.nio.file.Files.walk(root)
+          .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        try it.forEach(p => { java.nio.file.Files.deleteIfExists(p); () })
+        finally it.close()
+      }
+    }
+  }
+
+  val st13Sql: String = graft.operators.LlmText.d30Sql
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "st13_streaming_ingest" -> (st13StreamingIngest _),
     "st12_running_rollup" -> (st12RunningRollup _),
     "st11_cms_cells" -> (st11CmsCells _),
     "st10_stream_left_join" -> (st10StreamStreamLeftJoin _),
@@ -519,6 +581,7 @@ object AdAnalytics {
     "st06_daily_top3" -> (st06DailyTop3 _))
 
   val oracleSql: Map[String, String] = Map(
+    "st13_streaming_ingest" -> st13Sql,
     "st12_running_rollup" -> st12Sql,
     "st11_cms_cells" -> st11Sql,
     "st10_stream_left_join" -> st10Sql,

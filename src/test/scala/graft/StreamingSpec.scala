@@ -393,4 +393,46 @@ class StreamingSpec extends GraftSuite {
       "stream-stream join rows must not depend on the state-partition count")
     finally spark.conf.unset("spark.graft.streaming.statePartitions")
   }
+
+  test("st13: every ascending micro-batch split reproduces d30's batch verdicts") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import graft.jobs.IncrementalIndex
+    val mod = graft.operators.LlmText.IncrementalBatchMod
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id", "text", "lang", "source", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3), r.getLong(4)))
+    val corpusDf = docs.filter(_._1 % mod != 0).toSeq
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val arrivals = docs.filter(_._1 % mod == 0).sortBy(_._1).toSeq
+    val expected = graft.operators.LlmText.d30IncrementalDedup(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+
+    def run(chunks: Seq[Seq[(Long, String, String, String, Long)]]): Set[(Long, Long, Boolean)] = {
+      val indexDir = java.nio.file.Files.createTempDirectory("st13-spec-idx-").toString
+      IncrementalIndex.writeTextIndex(spark, corpusDf, indexDir)
+      val ms = MemoryStream[(Long, String, String, String, Long)]
+      val got = scala.collection.mutable.Set.empty[(Long, Long, Boolean)]
+      val q = ms.toDF().toDF("doc_id", "text", "lang", "source", "n_chars")
+        .writeStream.outputMode("append")
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          // probe BEFORE appending — the st13 ordering contract
+          val v = IncrementalIndex.probeText(spark, batch, indexDir)
+          IncrementalIndex.writeTextIndex(spark, batch, indexDir,
+            org.apache.spark.sql.SaveMode.Append)
+          got ++= v.collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+          ()
+        }
+        .option("checkpointLocation", ckpt()).start()
+      chunks.foreach { c => ms.addData(c: _*); q.processAllAvailable() }
+      q.stop()
+      got.toSet
+    }
+
+    assert(run(Seq(arrivals)) === expected, "single-batch stream diverged from d30")
+    assert(run(arrivals.grouped(17).toSeq) === expected,
+      "3-batch ascending split diverged from d30")
+    assert(run(arrivals.grouped(7).toSeq) === expected,
+      "8-batch ascending split diverged from d30")
+  }
 }
