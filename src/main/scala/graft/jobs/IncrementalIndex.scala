@@ -87,6 +87,30 @@ object IncrementalIndex {
       .select(col("cell"), col("vec_id"), col("q"), col("nq"))
       .write.mode(mode).parquet(p(indexDir, CellMembers))
 
+  /** The RETRAIN event the frozen-centroid contract defers to: `rounds`
+    * Lloyd iterations ([[graft.operators.Embeddings.lloydStep]] — e11's
+    * step) over `trainVecs` starting from the STORED centroid table,
+    * then swap the frozen table and REBUILD the member table for
+    * `allVecs` under the new directions. Everything downstream keeps
+    * working because probes always read `cell_centroids` fresh — but
+    * assignments before and after a retrain are NOT comparable, which
+    * is exactly why this is a separate, explicit event and never part
+    * of a daily ingest. `trainVecs` is typically a sample; `allVecs`
+    * the full corpus (the rebuild is the expensive half — one
+    * assignment pass, map-shaped, plus the member-table rewrite). */
+  def retrain(s: SparkSession, trainVecs: DataFrame, allVecs: DataFrame,
+              indexDir: String, rounds: Int = 1): Unit = {
+    require(rounds >= 1, s"retrain needs at least one Lloyd round, got $rounds")
+    val q = Embeddings.quantizedFrom(s, trainVecs)
+    var cents = s.read.parquet(p(indexDir, CellCentroids))
+    (1 to rounds).foreach { _ => cents = Embeddings.lloydStep(s, q, cents) }
+    // materialize before the overwrite: the final plan still reads the
+    // stored table this write replaces (#cells rows — trivially small)
+    cents.localCheckpoint(true)
+      .write.mode(SaveMode.Overwrite).parquet(p(indexDir, CellCentroids))
+    appendCellMembers(s, allVecs, indexDir, SaveMode.Overwrite)
+  }
+
   // ------------------------------------------------------------ probe
   /** d30's verdicts against the STORED index: every batch doc with its
     * verified near-dup match count against the indexed corpus plus its

@@ -326,6 +326,17 @@ object Embeddings {
         dot(col("cvec"), col("cvec")).as("ncv"))
   }
 
+  /** One Lloyd iteration as a frame transform: reassign `v` against
+    * `cents` by geometry, return the recomputed (cell, cvec, ncv)
+    * centroid-sum table. The step [[e11KmeansStep]] reports on and
+    * [[graft.jobs.IncrementalIndex.retrain]] iterates; a cell that
+    * attracts no members drops out (the caller reseeds — faiss does the
+    * same on empty IVF lists). */
+  private[graft] def lloydStep(s: SparkSession, v: DataFrame, cents: DataFrame): DataFrame =
+    centroidsOf(s,
+      assignRanked(s, v, cents).where(col("rn") === 1)
+        .select(col("cell").as("label"), col("q")))
+
   /** Every vector of `v` ranked by centroid-cosine against every cell of
     * `cents` (rn = 1 is the primary-cell assignment). The assignment
     * core shared by [[cellRanked]] and the persisted-index probe — the

@@ -146,4 +146,31 @@ class IncrementalIndexSpec extends GraftSuite {
       .select("vec_id").collect().map(_.getLong(0)).toSet
     assert(storedVecIds === day1VecIds ++ keptVecIds)
   }
+
+  test("retrain swaps the frozen centroids via e11's Lloyd step and rebuilds the members") {
+    val all = Tables.embeddings(spark, sf)
+    val q = Embeddings.quantizedFrom(spark, all)
+    val before = spark.read
+      .parquet(s"${env._3}/${IncrementalIndex.CellCentroids}").localCheckpoint(true)
+    val beforeRows = before.collect().map(_.toString).sorted.toSeq
+    // expected = exactly two Lloyd rounds from the OLD stored table,
+    // evaluated before the store mutates (lineage is fixture + checkpoint)
+    val expect = Embeddings.lloydStep(spark, q, Embeddings.lloydStep(spark, q, before))
+      .collect().map(_.toString).sorted.toSeq
+    IncrementalIndex.retrain(spark, all, all, env._3, rounds = 2)
+    val got = spark.read
+      .parquet(s"${env._3}/${IncrementalIndex.CellCentroids}")
+      .collect().map(_.toString).sorted.toSeq
+    assert(got === expect, "stored centroids must be exactly 2 Lloyd rounds from the old table")
+    assert(got !== beforeRows, "retrain must actually move the directions")
+    // member table rebuilt for the full corpus under the NEW directions
+    val members = spark.read.parquet(s"${env._3}/${IncrementalIndex.CellMembers}")
+    assert(members.count() === all.count(), "member table rebuilt for the full corpus")
+    val expectAsg = Embeddings.assignRanked(spark, q,
+        spark.read.parquet(s"${env._3}/${IncrementalIndex.CellCentroids}"))
+      .where(col("rn") === 1).select("cell", "vec_id")
+      .collect().map(_.toString).sorted.toSeq
+    assert(members.select("cell", "vec_id").collect().map(_.toString).sorted.toSeq
+      === expectAsg, "members must be the primary-cell assignment under the new centroids")
+  }
 }
