@@ -79,8 +79,12 @@ object IncrementalIndex {
     appendCellMembers(s, vecs, indexDir, SaveMode.Overwrite)
   }
 
-  private def appendCellMembers(s: SparkSession, vecs: DataFrame,
-                                indexDir: String, mode: SaveMode): Unit =
+  /** Assign `vecs` against the STORED centroids and write their member
+    * rows. `Append` is the ingest fold — st14's census form appends the
+    * FULL batch (e09 counts matches against every earlier arrival);
+    * [[appendCellSurvivors]] is the survivors-only curation policy. */
+  private[graft] def appendCellMembers(s: SparkSession, vecs: DataFrame,
+                                       indexDir: String, mode: SaveMode): Unit =
     Embeddings.assignRanked(s, Embeddings.quantizedFrom(s, vecs),
         s.read.parquet(p(indexDir, CellCentroids)))
       .where(col("rn") === 1)

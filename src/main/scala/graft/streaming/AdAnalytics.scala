@@ -565,7 +565,56 @@ object AdAnalytics {
 
   val st13Sql: String = graft.operators.LlmText.d30Sql
 
+  // ---------------------------------------------------------------- st14
+  /** st13's embedding twin — e09's SemDeDup ingest running continuously
+    * against the persisted cell index: the frozen centroid table and the
+    * corpus's member table are bootstrapped once
+    * ([[graft.jobs.IncrementalIndex.writeCellIndex]], centroids trained
+    * on the full history — e09's oracle formulation), then each
+    * micro-batch of arriving vectors assigns against the STORED frozen
+    * centroids, compares only within its cells' stored members (plus
+    * intra-batch keep-first), and appends its own member rows for later
+    * arrivals. Same equivalence contract as st13: ascending vec_id
+    * arrivals ⇒ final verdicts ≡ e09's batch recompute for ANY
+    * micro-batch split (pinned in StreamingSpec); same census-form
+    * append (full batch, not survivors — e09 counts matches against
+    * every earlier arrival). State = the lake tables; per-batch work ∝
+    * batch × cell occupancy at any corpus size. */
+  def st14StreamingSemIngest(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Embeddings
+    import graft.jobs.IncrementalIndex
+    val mod = Embeddings.IncrementalBatchModE
+    val indexDir = java.nio.file.Files.createTempDirectory("graft-st14-idx-").toString
+    try {
+      val vecs = graft.Tables.embeddings(s, dir)
+      IncrementalIndex.writeCellIndex(s, vecs.where(col("vec_id") % mod =!= 0),
+        indexDir, centroidTrain = Some(vecs))
+      val empty = vecs.limit(0)
+        .select(col("label").as("cell"), col("vec_id"),
+          lit(0L).as("n_matches"), lit(true).as("kept"))
+      Streams.runForeachBatch(s, "append", empty)(
+        ss => Streams.tableStream(ss, dir, "embeddings")
+          .where(col("vec_id") % mod === 0)) { (store, batch) =>
+        val verdicts = IncrementalIndex.probeCells(s, batch, indexDir)
+        IncrementalIndex.appendCellMembers(s, batch, indexDir,
+          org.apache.spark.sql.SaveMode.Append)
+        store.unionByName(verdicts)
+      }
+    } finally {
+      val root = java.nio.file.Paths.get(indexDir)
+      if (java.nio.file.Files.exists(root)) {
+        val it = java.nio.file.Files.walk(root)
+          .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        try it.forEach(p => { java.nio.file.Files.deleteIfExists(p); () })
+        finally it.close()
+      }
+    }
+  }
+
+  val st14Sql: String = graft.operators.Embeddings.e09Sql
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "st14_streaming_sem_ingest" -> (st14StreamingSemIngest _),
     "st13_streaming_ingest" -> (st13StreamingIngest _),
     "st12_running_rollup" -> (st12RunningRollup _),
     "st11_cms_cells" -> (st11CmsCells _),
@@ -581,6 +630,7 @@ object AdAnalytics {
     "st06_daily_top3" -> (st06DailyTop3 _))
 
   val oracleSql: Map[String, String] = Map(
+    "st14_streaming_sem_ingest" -> st14Sql,
     "st13_streaming_ingest" -> st13Sql,
     "st12_running_rollup" -> st12Sql,
     "st11_cms_cells" -> st11Sql,

@@ -435,4 +435,45 @@ class StreamingSpec extends GraftSuite {
     assert(run(arrivals.grouped(7).toSeq) === expected,
       "8-batch ascending split diverged from d30")
   }
+
+  test("st14: every ascending micro-batch split reproduces e09's batch verdicts") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import graft.jobs.IncrementalIndex
+    val mod = graft.operators.Embeddings.IncrementalBatchModE
+    val vecs = Tables.embeddings(spark, sf)
+      .select("vec_id", "embedding", "label").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1), r.getInt(2)))
+    val corpusDf = vecs.filter(_._1 % mod != 0).toSeq
+      .toDF("vec_id", "embedding", "label")
+    val arrivals = vecs.filter(_._1 % mod == 0).sortBy(_._1).toSeq
+    val expected = graft.operators.Embeddings.e09IncrementalSemDedup(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getBoolean(3))).toSet
+
+    def run(chunks: Seq[Seq[(Long, Seq[Float], Int)]]): Set[(Int, Long, Long, Boolean)] = {
+      val indexDir = java.nio.file.Files.createTempDirectory("st14-spec-idx-").toString
+      IncrementalIndex.writeCellIndex(spark, corpusDf, indexDir,
+        centroidTrain = Some(Tables.embeddings(spark, sf)))
+      val ms = MemoryStream[(Long, Seq[Float], Int)]
+      val got = scala.collection.mutable.Set.empty[(Int, Long, Long, Boolean)]
+      val q = ms.toDF().toDF("vec_id", "embedding", "label")
+        .writeStream.outputMode("append")
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          val v = IncrementalIndex.probeCells(spark, batch, indexDir)
+          IncrementalIndex.appendCellMembers(spark, batch, indexDir,
+            org.apache.spark.sql.SaveMode.Append)
+          got ++= v.collect().map(r =>
+            (r.getInt(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+          ()
+        }
+        .option("checkpointLocation", ckpt()).start()
+      chunks.foreach { c => ms.addData(c: _*); q.processAllAvailable() }
+      q.stop()
+      got.toSet
+    }
+
+    assert(run(Seq(arrivals)) === expected, "single-batch stream diverged from e09")
+    assert(run(arrivals.grouped(13).toSeq) === expected,
+      "4-batch ascending split diverged from e09")
+  }
 }
