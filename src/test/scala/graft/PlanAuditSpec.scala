@@ -86,6 +86,19 @@ class PlanAuditSpec extends GraftSuite {
     assert(!pFr.contains("Exchange hashpartitioning"), s"frame sampling shuffles:\n$pFr")
   }
 
+  test("PII scrub is a pure projection (no exchange of any kind, no join)") {
+    val p = plan(graft.operators.Misc.m14PiiScrub(spark, sf))
+    assert(!p.contains("Exchange"), s"the privacy stage must stream through the scan:\n$p")
+    assert(!p.contains("Join"), s"m14 must not join:\n$p")
+  }
+
+  test("e11 retrain step assigns via the broadcast centroid dim, never a shuffled product") {
+    val p = plan(Embeddings.e11KmeansStep(spark, sf))
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"assignment should ride the broadcast centroid dim:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian in the retrain step:\n$p")
+  }
+
   test("area-top3 composite broadcasts the city dim") {
     val p = plan(Categories.c07AreaTop3(spark, sf))
     assert(p.contains("BroadcastHashJoin"), s"dim join not broadcast:\n$p")
