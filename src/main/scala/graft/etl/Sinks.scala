@@ -2,7 +2,8 @@ package graft.etl
 
 import java.util.Properties
 
-import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
 /** Output surfaces (SURVEY S6/S7/S9/S11): JDBC append, managed-table
@@ -80,6 +81,50 @@ object Sinks {
     * SinksSpec). */
   def writePartitioned(df: DataFrame, path: String, partitionCols: Seq[String]): Unit =
     df.write.mode(SaveMode.Overwrite).partitionBy(partitionCols: _*).parquet(path)
+
+  /** Small-file COMPACTION — the maintenance pass every streaming sink
+    * and per-batch append layout eventually needs: micro-batches and
+    * daily appends leave directories of tiny files, and at 100 TB the
+    * scan cost becomes namenode listing + a task per file instead of
+    * bytes. Rewrites `path` into ~`targetFileBytes` outputs:
+    *
+    *  - unpartitioned: file count from the LIVE byte size (ceil of
+    *    bytes/target, never 0), laid out by round-robin `repartition(n)`
+    *    — no keyed shuffle, no sort, no skew;
+    *  - partitioned (`partitionCols` non-empty): rows shuffle on the
+    *    partition key so each directory is rewritten by the tasks that
+    *    hold its rows (normally ONE file per directory — the streaming-
+    *    sink rescue), with `maxRecordsPerFile` bounding any oversized
+    *    directory instead of emitting one giant file. Pruning survives
+    *    because the directory layout is identical.
+    *
+    * The rewrite stages through a `.compact-tmp` sibling (Spark cannot
+    * overwrite a path it reads) and swaps via delete+rename — the
+    * filesystem form; a lakehouse deployment would make the same swap a
+    * table-format transaction (rewrite-data-files) instead. */
+  def compact(s: SparkSession, path: String,
+              targetFileBytes: Long = 128L << 20,
+              partitionCols: Seq[String] = Nil,
+              maxRecordsPerFile: Long = 0L): Unit = {
+    require(targetFileBytes > 0, s"targetFileBytes must be positive: $targetFileBytes")
+    val src = new org.apache.hadoop.fs.Path(path)
+    val fs = src.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val bytes = fs.getContentSummary(src).getLength
+    val tmp = new org.apache.hadoop.fs.Path(path + ".compact-tmp")
+    val df = s.read.parquet(path)
+    val writer =
+      if (partitionCols.isEmpty) {
+        val n = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
+        df.repartition(n).write
+      } else {
+        df.repartition(partitionCols.map(col): _*).write
+          .option("maxRecordsPerFile", maxRecordsPerFile)
+          .partitionBy(partitionCols: _*)
+      }
+    writer.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    require(fs.delete(src, true), s"compaction could not remove $path")
+    require(fs.rename(tmp, src), s"compaction could not swap $tmp into $path")
+  }
 
   /** Bucketed managed table (the co-located-join layout): rows are
     * hash-bucketed AND sorted by the join key at write time, so a join
