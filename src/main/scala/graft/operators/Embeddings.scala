@@ -279,6 +279,33 @@ object Embeddings {
        |     sqrt(CAST(list_dot_product(b.q, b.q) AS DOUBLE))) >= $CosineThreshold""".stripMargin
   }
 
+  /** qv/bv/sdoomed CTE block for composition into ANOTHER engine's WITH
+    * chain (d31's cross-modal oracle): e04's bucketed cosine pairs
+    * reduced to the semantically-doomed id set (keep-first: a doc is
+    * doomed if an EARLIER vector sits within the threshold). A `def`
+    * whose references (Quant, planes, CosineThreshold) are all declared
+    * above — object-init-order safe from either side of the
+    * LlmText ↔ Embeddings reference cycle. */
+  private[graft] def semDoomedSqlCtes: String = {
+    val planeLits = (0 until NumPlanes).map(p => s"[${planes(p).mkString(", ")}]")
+    val bucketExpr = (0 until NumPlanes).map { p =>
+      s"CASE WHEN list_dot_product(q, ${planeLits(p)}) > 0 THEN ${1L << p} ELSE 0 END"
+    }.mkString(" + ")
+    s""", qv2 AS (
+       |  SELECT vec_id,
+       |    list_transform(CAST(embedding AS DOUBLE[]), x -> CAST(round(x * $Quant) AS BIGINT)) AS q
+       |  FROM embeddings
+       |), bv2 AS (
+       |  SELECT vec_id, q, $bucketExpr AS bucket FROM qv2
+       |), sdoomed AS (
+       |  SELECT DISTINCT b.vec_id AS doc_id
+       |  FROM bv2 a JOIN bv2 b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+       |  WHERE CAST(list_dot_product(a.q, b.q) AS DOUBLE) /
+       |      (sqrt(CAST(list_dot_product(a.q, a.q) AS DOUBLE)) *
+       |       sqrt(CAST(list_dot_product(b.q, b.q) AS DOUBLE))) >= $CosineThreshold
+       |)""".stripMargin
+  }
+
   // ---------------------------------------------------------------- e05
   /** IVF-style ANN: vectors assign to their nearest coarse centroid
     * (argmax cosine against per-label centroid-sum directions — e03's

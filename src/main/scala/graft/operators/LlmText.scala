@@ -1817,7 +1817,63 @@ object LlmText {
        |  (cum - n_tokens) % $PackBudget AS offset
        |FROM run""".stripMargin
 
+  // ---------------------------------------------------------------- d31
+  /** CROSS-MODAL dedup — the multi-signal practice shipping curation
+    * stacks run: a document is a duplicate if EITHER its text matches
+    * (d03's banded-LSH pairs at the d09 threshold) OR its embedding
+    * does (e04's bucketed cosine pairs — the paraphrase/translation
+    * catch lexical dedup misses), each under the keep-first convention.
+    * The fixture's documents and embeddings tables are id-aligned
+    * (doc_id = vec_id), the layout a production pipeline maintains by
+    * construction. Output: every doc with its per-signal verdicts and
+    * the combined kept flag — one column per signal so curation can
+    * ablate them (the d27 discipline). Scale shape: the UNION of two
+    * already-bounded pair generators (banded text join + bucketed
+    * cosine join, both strategy-gated); no new quadratic stage, the
+    * combine is two keyed left joins on the corpus spine. */
+  def d31CrossmodalDedup(s: SparkSession, dir: String): DataFrame = {
+    val textDoomed = d03LshNeardup(s, dir)
+      .where(col("jaccard") >= NeardupThreshold)
+      .select(col("doc_b").as("doc_id")).distinct()
+      .withColumn("t", lit(true))
+    val semDoomed = graft.operators.Embeddings.e04CosineNeardup(s, dir)
+      .select(col("vec_b").as("doc_id")).distinct()
+      .withColumn("m", lit(true))
+    base(s, dir).select(col("doc_id"))
+      .join(textDoomed, Seq("doc_id"), "left")
+      .join(semDoomed, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("t"), lit(false)).as("text_dup"),
+        coalesce(col("m"), lit(false)).as("sem_dup"))
+      .withColumn("kept", !col("text_dup") && !col("sem_dup"))
+  }
+
+  /** A def (not val): it composes [[graft.operators.Embeddings]] SQL —
+    * deferring evaluation keeps the LlmText ↔ Embeddings reference
+    * cycle init-order safe (the RerankC trap). */
+  def d31Sql: String =
+    s"""$baseSql$shSqlCte, sig AS (
+       |  SELECT doc_id, ${(0 until NumHashes).map(mhExprSql).mkString(", ")} FROM shd
+       |), cand31 AS (
+       |  ${(0 until NumHashes).map { i =>
+             s"SELECT a.doc_id AS doc_a, b.doc_id AS doc_b FROM sig a JOIN sig b ON a.mh$i = b.mh$i AND a.doc_id < b.doc_id"
+           }.mkString("\n  UNION\n  ")}
+       |), tdoomed AS (
+       |  SELECT DISTINCT c.doc_b AS doc_id
+       |  FROM cand31 c JOIN shd x ON c.doc_a = x.doc_id
+       |                JOIN shd y ON c.doc_b = y.doc_id
+       |  WHERE CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE) /
+       |        CAST(len(list_distinct(x.sh || y.sh)) AS DOUBLE) >= $NeardupThreshold
+       |)${graft.operators.Embeddings.semDoomedSqlCtes}
+       |SELECT base.doc_id,
+       |  t.doc_id IS NOT NULL AS text_dup,
+       |  sd.doc_id IS NOT NULL AS sem_dup,
+       |  t.doc_id IS NULL AND sd.doc_id IS NULL AS kept
+       |FROM base LEFT JOIN tdoomed t ON base.doc_id = t.doc_id
+       |          LEFT JOIN sdoomed sd ON base.doc_id = sd.doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d31_crossmodal_dedup" -> (d31CrossmodalDedup _),
     "d30_incremental_dedup" -> (d30IncrementalDedup _),
     "d29_clean_pack" -> (d29CleanPack _),
     "d28_strip_dup_lines" -> (d28StripDupLines _),
@@ -1850,6 +1906,7 @@ object LlmText {
     "d08_fingerprint" -> (d08Fingerprint _))
 
   val oracleSql: Map[String, String] = Map(
+    "d31_crossmodal_dedup" -> d31Sql,
     "d30_incremental_dedup" -> d30Sql,
     "d29_clean_pack" -> d29Sql,
     "d28_strip_dup_lines" -> d28Sql,

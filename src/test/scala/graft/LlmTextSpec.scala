@@ -665,6 +665,26 @@ class LlmTextSpec extends GraftSuite {
     assert(j1 >= j0 - 1e-9, s"Lloyd step lowered the objective: $j0 -> $j1")
   }
 
+  test("d31: per-signal verdicts agree with d09 and e04; kept is their conjunction") {
+    val rows = LlmText.d31CrossmodalDedup(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getBoolean(1), r.getBoolean(2), r.getBoolean(3)))
+    val all = Tables.documents(spark, sf).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(rows.map(_._1).toSet === all, "one verdict per document")
+    val d09Survivors = LlmText.d09NeardupSurvivors(spark, sf)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(rows.filter(_._2).map(_._1).toSet === all -- d09Survivors,
+      "text_dup must be exactly the docs d09 drops")
+    val e04Doomed = Embeddings.e04CosineNeardup(spark, sf)
+      .select("vec_b").collect().map(_.getLong(0)).toSet
+    assert(rows.filter(_._3).map(_._1).toSet === e04Doomed,
+      "sem_dup must be exactly e04's later-id pair members")
+    rows.foreach { case (id, t, m, k) =>
+      assert(k === (!t && !m), s"kept must be the conjunction for doc $id")
+    }
+    assert(rows.exists(_._4) && rows.exists(!_._4), "fixture exercises both outcomes")
+  }
+
   test("d30: incremental verdicts agree with d03's full pair set restricted to batch links") {
     val mod = LlmText.IncrementalBatchMod
     val rows = LlmText.d30IncrementalDedup(spark, sf).collect()
