@@ -1872,7 +1872,42 @@ object LlmText {
        |FROM base LEFT JOIN tdoomed t ON base.doc_id = t.doc_id
        |          LEFT JOIN sdoomed sd ON base.doc_id = sd.doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- d32
+  /** Deterministic train/val/test SPLIT assignment — the reproducibility
+    * stage every training pipeline needs: membership must be a pure
+    * function of CONTENT (not row order, partition layout, or PRNG
+    * state), so reruns, backfills, and incremental appends can never
+    * leak a validation document into training. Assignment hashes the
+    * normalized text through the portable 60-bit hash with a named salt
+    * (changing the salt IS the resplit event, like e11 is the retrain
+    * event), buckets 0–99, 90/5/5. Exact duplicates land in the same
+    * split by construction — content hashing, not id hashing, is what
+    * makes the split dedup-consistent. Map-only projection; the salt
+    * keeps this split independent of every other hash-derived decision
+    * (d21's sampling, d23's layout order). */
+  val SplitSalt = "graft-split-v1"
+
+  def d32SplitAssign(s: SparkSession, dir: String): DataFrame =
+    base(s, dir).select(
+      col("doc_id"),
+      (h64(concat(lit(SplitSalt), lit("|"), col("norm"))) % 100).as("bucket"))
+      .select(col("doc_id"), col("bucket"),
+        when(col("bucket") < 90, "train")
+          .when(col("bucket") < 95, "val")
+          .otherwise("test").as("split"))
+
+  val d32Sql: String =
+    s"""$baseSql
+       |SELECT doc_id, bucket,
+       |  CASE WHEN bucket < 90 THEN 'train'
+       |       WHEN bucket < 95 THEN 'val'
+       |       ELSE 'test' END AS split
+       |FROM (SELECT doc_id,
+       |        ${h64Sql(s"'$SplitSalt' || '|' || norm")} % 100 AS bucket
+       |      FROM base)""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d32_split_assign" -> (d32SplitAssign _),
     "d31_crossmodal_dedup" -> (d31CrossmodalDedup _),
     "d30_incremental_dedup" -> (d30IncrementalDedup _),
     "d29_clean_pack" -> (d29CleanPack _),
@@ -1906,6 +1941,7 @@ object LlmText {
     "d08_fingerprint" -> (d08Fingerprint _))
 
   val oracleSql: Map[String, String] = Map(
+    "d32_split_assign" -> d32Sql,
     "d31_crossmodal_dedup" -> d31Sql,
     "d30_incremental_dedup" -> d30Sql,
     "d29_clean_pack" -> d29Sql,

@@ -685,6 +685,36 @@ class LlmTextSpec extends GraftSuite {
     assert(rows.exists(_._4) && rows.exists(!_._4), "fixture exercises both outcomes")
   }
 
+  test("d32: split assignment is content-keyed, exhaustive, and bucket-consistent") {
+    import graft.functions.Portable
+    val rows = LlmText.d32SplitAssign(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val n = Tables.documents(spark, sf).count()
+    assert(rows.length.toLong === n, "one assignment per document")
+    rows.foreach { case (id, b, s) =>
+      assert(b >= 0 && b < 100, s"bucket out of range for doc $id")
+      val expect = if (b < 90) "train" else if (b < 95) "val" else "test"
+      assert(s === expect, s"split inconsistent with bucket for doc $id")
+    }
+    val bySplit = rows.groupBy(_._3).view.mapValues(_.length).toMap
+    assert(bySplit.keySet === Set("train", "val", "test"),
+      "fixture must exercise all three splits")
+    assert(bySplit("train") > bySplit("val") + bySplit("test"),
+      "train must dominate under the 90/5/5 buckets")
+    // content-keyed: the bucket must be a pure function of the
+    // normalized TEXT (same norm ⇒ same split, regardless of id, row
+    // order, or partition layout) — recompute it from norm alone
+    val bucketOf = rows.map(r => r._1 -> r._2).toMap
+    Tables.documents(spark, sf)
+      .select(col("doc_id"),
+        (Portable.h64(concat(lit(LlmText.SplitSalt), lit("|"),
+          Portable.normText(col("text")))) % 100).as("b"))
+      .collect().foreach { r =>
+        assert(bucketOf(r.getLong(0)) === r.getLong(1),
+          s"bucket not derivable from content for doc ${r.getLong(0)}")
+      }
+  }
+
   test("d30: incremental verdicts agree with d03's full pair set restricted to batch links") {
     val mod = LlmText.IncrementalBatchMod
     val rows = LlmText.d30IncrementalDedup(spark, sf).collect()
