@@ -486,18 +486,19 @@ object Embeddings {
        |FROM assigned""".stripMargin
 
   // ---------------------------------------------------------------- e07
-  /** Recall audit: recall@k of the four ANN serving paths (e02
+  /** Recall audit: recall@k of the five ANN serving paths (e02
     * hyperplane-LSH, e05 IVF at its oracle formulation nprobe = 1, e08
     * sketch-then-rerank at its default depth, e10 composed
-    * IVF-cells × sketch-rerank) against the e01 brute-force ground
-    * truth, over the deterministic query subsample.
+    * IVF-cells × sketch-rerank, e12 IVF-PQ with ADC scoring) against
+    * the e01 brute-force ground truth, over the deterministic query
+    * subsample.
     * This is the evaluation loop every production ANN deployment runs
     * before trusting an index — the number that tells you whether to add
     * hyperplanes or raise nprobe. One row per method:
     * (method, n_truth, n_hits, recall); recall is one division of two
     * exact integer counts, so it is bit-identical cross-engine.
     *
-    * Cost note: this intentionally embeds ALL THREE search paths (it IS
+    * Cost note: this intentionally embeds ALL FIVE search paths (it IS
     * the comparison), so it prices as their sum — an audit query, not a
     * serving path. At 100 TB the truth side runs on a fixed small query
     * sample (here vec_id % 5, the e01 contract) — brute force over the
@@ -515,15 +516,19 @@ object Embeddings {
       .select(lit("sketch_rerank").as("method"), col("query_id"), col("neighbor_id"))
     val ivfSketch = e10IvfSketchRerank(s, dir).where(col("rank") <= RecallK)
       .select(lit("ivf_sketch_rerank").as("method"), col("query_id"), col("neighbor_id"))
+    val ivfPq = e12IvfPqAdc(s, dir).where(col("rank") <= RecallK)
+      .select(lit("ivf_pq_adc").as("method"), col("query_id"), col("neighbor_id"))
     // LEFT join from a fixed method spine: a path with ZERO truth hits
     // must report recall 0.0, not vanish from the audit — the failing
     // path is the one the audit exists to flag
     val spine = s.createDataFrame(
-      Seq("lsh_bucketed", "ivf_nprobe", "sketch_rerank", "ivf_sketch_rerank")
+      Seq("lsh_bucketed", "ivf_nprobe", "sketch_rerank", "ivf_sketch_rerank",
+          "ivf_pq_adc")
         .map(Tuple1.apply))
       .toDF("method")
     val hits = spine.join(
       lsh.unionByName(ivf).unionByName(sketch).unionByName(ivfSketch)
+        .unionByName(ivfPq)
         .join(truth, Seq("query_id", "neighbor_id"))
         .groupBy(col("method")).agg(count(lit(1)).as("raw_hits")),
       Seq("method"), "left")
@@ -588,6 +593,14 @@ object Embeddings {
        |    FROM coarse10 c JOIN qv a ON c.query_id = a.vec_id
        |                   JOIN qv b ON c.neighbor_id = b.vec_id) t
        |  WHERE rank <= $RecallK
+       |)$pqSqlCtes, ivfpq AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT c.query_id, c.neighbor_id,
+       |      row_number() OVER (PARTITION BY c.query_id ORDER BY
+       |        ${cos("a", "b")} DESC, c.neighbor_id ASC) AS rank
+       |    FROM coarse12 c JOIN qv a ON c.query_id = a.vec_id
+       |                   JOIN qv b ON c.neighbor_id = b.vec_id) t
+       |  WHERE rank <= $RecallK
        |), ann AS (
        |  SELECT 'lsh_bucketed' AS method, query_id, neighbor_id FROM lsh
        |  UNION ALL
@@ -596,13 +609,15 @@ object Embeddings {
        |  SELECT 'sketch_rerank' AS method, query_id, neighbor_id FROM sketch
        |  UNION ALL
        |  SELECT 'ivf_sketch_rerank' AS method, query_id, neighbor_id FROM ivfsk
+       |  UNION ALL
+       |  SELECT 'ivf_pq_adc' AS method, query_id, neighbor_id FROM ivfpq
        |), raw AS (
        |  SELECT method, count(*) AS raw_hits
        |  FROM ann JOIN truth USING (query_id, neighbor_id) GROUP BY 1
        |), hits AS (
        |  SELECT m.method, CAST(coalesce(r.raw_hits, 0) AS BIGINT) AS n_hits
        |  FROM (VALUES ('lsh_bucketed'), ('ivf_nprobe'), ('sketch_rerank'),
-       |               ('ivf_sketch_rerank')) m(method)
+       |               ('ivf_sketch_rerank'), ('ivf_pq_adc')) m(method)
        |  LEFT JOIN raw r ON m.method = r.method
        |), tot AS (SELECT CAST(count(*) AS BIGINT) AS n_truth FROM truth)
        |SELECT method, n_truth, n_hits,
@@ -935,7 +950,191 @@ object Embeddings {
        |     sqrt(CAST(list_dot_product(n.nvec, n.nvec) AS DOUBLE))) AS drift_cos
        |FROM mem m JOIN newc n ON m.cell = n.cell JOIN cents c ON m.cell = c.cell""".stripMargin
 
+  // ---------------------------------------------------------------- e12
+  /** IVF-PQ with ASYMMETRIC DISTANCE COMPUTATION — the canonical faiss
+    * `IVFPQ` index (Jégou, Douze, Schmid, "Product Quantization for
+    * Nearest Neighbor Search", TPAMI 2011) as one first-class query,
+    * completing the e-suite's compression family: e08/e10 compress to
+    * 1-bit-per-dimension sign sketches; PQ compresses to [[PqM]] coded
+    * subspaces ([[PqK]] codewords each — [[PqM]]×log2([[PqK]]) = 32
+    * bits ≈ 4 bytes per vector vs 512 for the raw quantized array) while
+    * keeping a DISTANCE ESTIMATE, not just a rank heuristic:
+    *
+    *  1. codebook: each vector splits into [[PqM]] contiguous
+    *     [[PqSubDim]]-dim subvectors; subspace m's codewords are the
+    *     m-th subvectors of a deterministic [[PqK]]-vector training
+    *     sample (the [[PqK]] smallest vec_ids — standing in for the
+    *     per-subspace k-means a production PQ trains; [[e11KmeansStep]]
+    *     is the retrain event that would refresh it). The codebook is
+    *     [[PqM]]·[[PqK]] tiny rows — a broadcast dim at any corpus size.
+    *  2. encode (index side, once per corpus): every cell member stores
+    *     its per-subspace nearest codeword (exact integer
+    *     ‖sub−cw‖² = nsub − 2·sub·cw + ncw; nsub is constant within a
+    *     (vector, subspace) group, so argmin(ncw − 2·sub·cw) suffices —
+    *     ties on code id) plus the reconstructed self-norm
+    *     Σₘ ncw[m, code_m] — the 4-byte-per-vector table an IVFPQ index
+    *     persists.
+    *  3. ADC scan (query side): a query precomputes its LOOKUP TABLE —
+    *     the [[PqM]]×[[PqK]] exact integer dot products of its own
+    *     subvectors against every codeword — then scoring a candidate is
+    *     [[PqM]] table gathers and adds (codegen'd static sum, no
+    *     higher-order fold), never a 64-dim dot:
+    *     dot(q, x) ≈ Σₘ lut[m, code_m(x)], cos ≈ that over
+    *     √nq·√nrecon. Candidates come from the query's nprobe IVF cells
+    *     (e05's lever) through the strategy-gated [[SelfJoin]] — sketch
+    *     table never broadcasts at scale, candidate volume bounded by
+    *     cell occupancy.
+    *  4. rerank: the top-[[RerankC]] ADC survivors per query fetch full
+    *     vectors (two id-keyed joins — the vector-store fetch) and
+    *     re-rank by exact cosine; `spark.graft.rerank.c` deepens it,
+    *     recall monotone (the e08/e10 law, spec-pinned).
+    *
+    * All arithmetic is the suite's exact-integer / fixed-sequence kind —
+    * LUT entries, ADC sums, and reconstructed norms are exact BIGINTs in
+    * both engines, so the ADC ranking (ties: score desc, neighbor asc)
+    * cannot diverge cross-engine. Output shape = e10's
+    * (query_id, neighbor_id, cos, rank). */
+  final val PqM = 8
+  final val PqK = 16
+  final val PqSubDim = 8 // = Dim / PqM
+
+  /** (m, code, cw, ncw) broadcast codebook + (cell, vec_id 1-based
+    * codes[PqM], nrecon) encoded members + per-query LUT, composed into
+    * the coarse ADC scan. */
+  def e12IvfPqAdc(s: SparkSession, dir: String): DataFrame = {
+    val dot = dotQ(s) _
+    val nprobe = s.conf.get(NprobeConf, "1").toInt
+    val rerankC = s.conf.get(RerankCConf, RerankC.toString).toInt
+    val v = quantized(s, dir)
+    val ranked = assignRanked(s, v, centroidsOf(s, v))
+    // 1. codebook: subvectors of the PqK smallest-id vectors
+    val train = v.orderBy(col("vec_id").asc).limit(PqK)
+      .select(col("vec_id"), col("q"))
+      .withColumn("code", row_number().over(Window.orderBy(col("vec_id").asc)) - 1)
+    val codebook = train
+      .select(col("code"), explode(sequence(lit(1), lit(PqM))).as("m"), col("q"))
+      .withColumn("cw", slice(col("q"), (col("m") - 1) * lit(PqSubDim) + 1, lit(PqSubDim)))
+      .withColumn("ncw", dot(col("cw"), col("cw")))
+      .select(col("m"), col("code"), col("cw"), col("ncw"))
+    // 2. encode every cell member: per-subspace argmin codeword
+    val subs = ranked.where(col("rn") === 1)
+      .select(col("cell"), col("vec_id"),
+        explode(sequence(lit(1), lit(PqM))).as("m"), col("q"))
+      .withColumn("sub", slice(col("q"), (col("m") - 1) * lit(PqSubDim) + 1, lit(PqSubDim)))
+    val enc = subs.join(broadcast(codebook), Seq("m"))
+      .withColumn("penalty", col("ncw") - lit(2L) * dot(col("sub"), col("cw")))
+      .withColumn("rn2", row_number().over(
+        Window.partitionBy(col("vec_id"), col("m"))
+          .orderBy(col("penalty").asc, col("code").asc)))
+      .where(col("rn2") === 1)
+    val cs = enc.groupBy(col("cell"), col("vec_id"))
+      .agg(
+        transform(array_sort(collect_list(struct(col("m"), col("code")))),
+          p => p.getField("code")).as("codes"),
+        sum(col("ncw")).as("nrecon"))
+      .select(col("cell"), col("vec_id").as("neighbor_id"), col("codes"), col("nrecon"))
+    // 3. per-query LUT (M·K exact subvector·codeword dots, (m, code)-ordered)
+    val lut = v.where(col("vec_id") % 5 === 0)
+      .select(col("vec_id"), explode(sequence(lit(1), lit(PqM))).as("m"), col("q"))
+      .withColumn("sub", slice(col("q"), (col("m") - 1) * lit(PqSubDim) + 1, lit(PqSubDim)))
+      .join(broadcast(codebook), Seq("m"))
+      .withColumn("pdot", dot(col("sub"), col("cw")))
+      .groupBy(col("vec_id"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("m"), col("code"), col("pdot")))),
+        p => p.getField("pdot")).as("lut"))
+    val qs = ranked.where(col("rn") <= nprobe && col("vec_id") % 5 === 0)
+      .select(col("cell"), col("vec_id").as("query_id"), col("nq").as("na"))
+      .join(lut.withColumnRenamed("vec_id", "query_id"), Seq("query_id"))
+    // ADC score: PqM codegen'd gathers-and-adds per candidate
+    val adc = (1 to PqM).map { m =>
+      element_at(col("lut"), element_at(col("codes"), m) + lit((m - 1) * PqK + 1))
+    }.reduce(_ + _)
+    val coarse = SelfJoin.on(qs, cs, Seq("cell"))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .withColumn("ascore",
+        adc.cast("double") /
+          (sqrt(col("na").cast("double")) * sqrt(col("nrecon").cast("double"))))
+      .withColumn("crank", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("ascore").desc, col("neighbor_id").asc)))
+      .where(col("crank") <= rerankC)
+      .select(col("query_id"), col("neighbor_id"))
+    // 4. fetch full vectors for the C survivors, exact re-rank
+    val qa = v.select(col("vec_id").as("query_id"), col("q").as("qa"), col("nq").as("na2"))
+    val qb = v.select(col("vec_id").as("neighbor_id"), col("q").as("qb"), col("nq").as("nb"))
+    coarse.join(qa, Seq("query_id")).join(qb, Seq("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        (dot(col("qa"), col("qb")).cast("double") /
+          (sqrt(col("na2").cast("double")) *
+            sqrt(col("nb").cast("double")))).as("cos"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id").asc)))
+      .where(col("rank") <= TopK)
+  }
+
+  /** DuckDB twin — codebook/encode/LUT/ADC CTEs mirror the Spark stages
+    * 1:1 (1-based list slices, `(m-1)·K + code + 1` LUT gather). A `def`
+    * for object-init-order safety (the RerankC trap). */
+  private def pqSqlCtes: String =
+    s""", train12 AS (
+       |  SELECT code, q FROM (
+       |    SELECT vec_id, q, row_number() OVER (ORDER BY vec_id ASC) - 1 AS code FROM qv) t
+       |  WHERE code < $PqK
+       |), cb12 AS (
+       |  SELECT m, code, q[(m-1)*$PqSubDim+1:m*$PqSubDim] AS cw
+       |  FROM train12, generate_series(1, $PqM) g(m)
+       |), cbn12 AS (
+       |  SELECT m, code, cw, CAST(list_dot_product(cw, cw) AS BIGINT) AS ncw FROM cb12
+       |), enc12 AS (
+       |  SELECT cell, vec_id, m, code, ncw FROM (
+       |    SELECT a.cell, a.vec_id, c.m, c.code, c.ncw,
+       |      row_number() OVER (PARTITION BY a.vec_id, c.m ORDER BY
+       |        c.ncw - 2 * CAST(list_dot_product(
+       |          a.q[(c.m-1)*$PqSubDim+1:c.m*$PqSubDim], c.cw) AS BIGINT) ASC,
+       |        c.code ASC) AS rn2
+       |    FROM assigned a, cbn12 c) t
+       |  WHERE rn2 = 1
+       |), codes12 AS (
+       |  SELECT cell, vec_id, list(code ORDER BY m) AS codes,
+       |    CAST(sum(ncw) AS BIGINT) AS nrecon
+       |  FROM enc12 GROUP BY cell, vec_id
+       |), lut12 AS (
+       |  SELECT a.vec_id AS query_id,
+       |    list(CAST(list_dot_product(
+       |      a.q[(c.m-1)*$PqSubDim+1:c.m*$PqSubDim], c.cw) AS BIGINT)
+       |      ORDER BY c.m, c.code) AS lut
+       |  FROM qv a, cbn12 c WHERE a.vec_id % 5 = 0 GROUP BY a.vec_id
+       |), coarse12 AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT l.query_id, n.vec_id AS neighbor_id,
+       |      row_number() OVER (PARTITION BY l.query_id ORDER BY
+       |        CAST(list_sum(list_transform(generate_series(1, $PqM),
+       |          m -> l.lut[(m-1)*$PqK + n.codes[m] + 1])) AS DOUBLE) /
+       |          (sqrt(CAST(list_dot_product(qa.q, qa.q) AS DOUBLE)) *
+       |           sqrt(CAST(n.nrecon AS DOUBLE))) DESC,
+       |        n.vec_id ASC) AS crank
+       |    FROM assigned qa
+       |      JOIN lut12 l ON l.query_id = qa.vec_id
+       |      JOIN codes12 n ON n.cell = qa.cell AND n.vec_id <> qa.vec_id) t
+       |  WHERE crank <= $RerankC
+       |)""".stripMargin
+
+  val e12Sql: String =
+    s"""$quantSql$assignedSqlCtes$pqSqlCtes, rr12 AS (
+       |  SELECT c.query_id, c.neighbor_id,
+       |    CAST(list_dot_product(a.q, b.q) AS DOUBLE) /
+       |      (sqrt(CAST(list_dot_product(a.q, a.q) AS DOUBLE)) *
+       |       sqrt(CAST(list_dot_product(b.q, b.q) AS DOUBLE))) AS cos
+       |  FROM coarse12 c JOIN qv a ON c.query_id = a.vec_id
+       |                 JOIN qv b ON c.neighbor_id = b.vec_id
+       |)
+       |SELECT query_id, neighbor_id, cos, rank FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+       |  FROM rr12) t
+       |WHERE rank <= $TopK""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e12_ivf_pq_adc" -> (e12IvfPqAdc _),
     "e11_kmeans_step" -> (e11KmeansStep _),
     "e10_ivf_sketch_rerank" -> (e10IvfSketchRerank _),
     "e09_incremental_semdedup" -> (e09IncrementalSemDedup _),
@@ -949,6 +1148,7 @@ object Embeddings {
     "e04_cosine_neardup" -> (e04CosineNeardup _))
 
   val oracleSql: Map[String, String] = Map(
+    "e12_ivf_pq_adc" -> e12Sql,
     "e11_kmeans_step" -> e11Sql,
     "e10_ivf_sketch_rerank" -> e10Sql,
     "e09_incremental_semdedup" -> e09Sql,

@@ -629,6 +629,44 @@ class LlmTextSpec extends GraftSuite {
     } finally spark.conf.unset(Embeddings.RerankCConf)
   }
 
+  test("e12: ADC is an estimate, the rerank is exact, and a vacuous C cut equals e10's") {
+    val got = Embeddings.e12IvfPqAdc(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    val byQuery = got.groupBy(_._1)
+    byQuery.values.foreach(rows =>
+      assert(rows.map(_._4).sorted.toSeq === (1 to rows.length), "dense ranks"))
+    val truth = Embeddings.e01KnnBrute(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(byQuery.keySet === truth.map(_._1).toSet, "same query subsample as e01")
+    // exact stage: surviving pairs carry the brute-force cosine verbatim
+    // (PQ approximates only WHICH candidates reach the rerank, never the
+    // score they are finally ranked by)
+    val truthCos = truth.map(t => (t._1, t._2) -> t._3).toMap
+    got.foreach { case (q, n, c, _) =>
+      truthCos.get((q, n)).foreach(tc => assert(c === tc, s"cos mismatch for ($q,$n)"))
+    }
+    // rerank-depth law (the e08/e10 monotonicity): deeper C reranks a
+    // SUPERSET of ADC survivors, so truth hits cannot drop
+    val truthSet = truth.map(t => (t._1, t._2)).toSet
+    val hits = got.count(g => truthSet.contains((g._1, g._2)))
+    spark.conf.set(Embeddings.RerankCConf, "100")
+    try {
+      val deeper = Embeddings.e12IvfPqAdc(spark, sf).collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      val deepHits = deeper.count(truthSet.contains)
+      assert(deepHits >= hits,
+        s"C=100 must not lose truth hits vs C=default: $deepHits vs $hits")
+      // with C past every cell's size BOTH compressed coarse stages (e10
+      // sketch hamming, e12 PQ-ADC) pass every cell member through, so
+      // the two paths collapse to the same exact within-cell top-k —
+      // pinning that the PQ plumbing changes candidate SELECTION only
+      spark.conf.set(Embeddings.RerankCConf, "100000")
+      val allPq = Embeddings.e12IvfPqAdc(spark, sf).collect().map(_.toString).sorted.toSeq
+      val allSk = Embeddings.e10IvfSketchRerank(spark, sf).collect().map(_.toString).sorted.toSeq
+      assert(allPq === allSk, "vacuous coarse cuts must agree exactly")
+    } finally spark.conf.unset(Embeddings.RerankCConf)
+  }
+
   test("e10: raising nprobe raises AUDITED recall (both levers reach the e07 loop)") {
     def hits(): Long = Embeddings.e07RecallAudit(spark, sf).collect()
       .find(_.getString(0) == "ivf_sketch_rerank").get.getLong(2)

@@ -67,6 +67,14 @@ class PlanAuditSpec extends GraftSuite {
       assert("Exchange hashpartitioning\\(cell".r.findFirstIn(pE10).nonEmpty,
         s"e10: no exchange on the cell key:\n$pE10")
       assert(!pE10.contains("CartesianProduct"))
+      // IVF-PQ rides the same gate: the coarse ADC join sort-merges on
+      // cell (the codes table never broadcasts at scale); the codebook
+      // broadcast (M·K tiny rows) is a legitimate dim join and stays
+      val pE12 = plan(Embeddings.e12IvfPqAdc(spark, sf))
+      assert(pE12.contains("SortMergeJoin"), s"e12 cell join should sort-merge:\n$pE12")
+      assert("Exchange hashpartitioning\\(cell".r.findFirstIn(pE12).nonEmpty,
+        s"e12: no exchange on the cell key:\n$pE12")
+      assert(!pE12.contains("CartesianProduct"))
       // the range join rides the same gate: sort-merge on the interval
       // bucket, no nested loop anywhere in the at-scale shape
       val pRange = plan(graft.operators.Misc.m13RangeJoin(spark, sf))

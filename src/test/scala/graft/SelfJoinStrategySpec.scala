@@ -29,6 +29,7 @@ class SelfJoinStrategySpec extends GraftSuite {
     "e06_sem_dedup" -> (() => Embeddings.e06SemDedup(spark, sf)),
     "e09_incremental_semdedup" -> (() => Embeddings.e09IncrementalSemDedup(spark, sf)),
     "e10_ivf_sketch_rerank" -> (() => Embeddings.e10IvfSketchRerank(spark, sf)),
+    "e12_ivf_pq_adc" -> (() => Embeddings.e12IvfPqAdc(spark, sf)),
     "d30_incremental_dedup" -> (() => LlmText.d30IncrementalDedup(spark, sf)),
     // m13's production ±60s window finds no pairs in the sparse sf0.001
     // fixture; the gate lives in RangeJoin.bucketed, so invariance is
