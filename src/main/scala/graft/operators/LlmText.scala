@@ -1906,7 +1906,106 @@ object LlmText {
        |        ${h64Sql(s"'$SplitSalt' || '|' || norm")} % 100 AS bucket
        |      FROM base)""".stripMargin
 
+  // ---------------------------------------------------------------- d33
+  /** SPARSE tf-idf cosine top-k — lexical retrieval over the corpus via
+    * the INVERTED-INDEX join, the sparse complement of the e-suite's
+    * dense ANN family (BM25-style first-stage retrieval / lexical
+    * near-dup discovery; a hybrid pipeline runs this beside e10/e12 and
+    * fuses the lists). A deterministic query subsample
+    * (doc_id % [[SparseQMod]]) is scored against every other document,
+    * but pairs are NEVER enumerated: candidates arise only from the
+    * term-keyed equi-join of the weighted postings table with itself —
+    * a document pair sharing no term is never materialized. Candidate
+    * volume is Σ_t qdf(t)·df(t), and the idf weighting itself caps the
+    * hot terms: weights use the integer-quantized idf
+    * `[[QuantIdf]] div df` (floor division — exact in both engines over
+    * the whole long domain, unlike a double-routed `floor(a/b)`), so any
+    * term with df > [[QuantIdf]] weighs 0 and is DROPPED from the
+    * postings before the join — stopword-df terms never join (the
+    * hot-key cap d18 needs a lever for falls out of the weighting here).
+    * Dropping the conventional n_docs idf numerator is free: cosine is
+    * scale-invariant, so `n_docs·QuantIdf div df` and `QuantIdf div df`
+    * rank identically while the latter keeps every product-sum below
+    * 2^53.
+    *
+    * Exactness: weights w = tf·(QuantIdf div df) are exact integers, the
+    * pairwise dot Σ_t wq·wc and self-norms Σ_t w² are exact integer
+    * sums (order-independent — a float tf-idf dot would vary with term
+    * order), and cosine is the suite's fixed-sequence double division;
+    * ties break on candidate id. Zero-norm docs (every term weighed 0)
+    * are excluded on both sides — at this quantization they cannot score.
+    *
+    * Scale shape: one (doc,term) count shuffle, one term-keyed df
+    * aggregate, the postings self-join through the [[SelfJoin]]
+    * strategy gate (sort-merge on `term` at 100 TB; zipfian term skew →
+    * AQE skew-split, same story as d03's bands), one (query,cand)
+    * partial-dot aggregation, two id-keyed norm joins, one ranking
+    * window. The three uses of the postings table are one exchange —
+    * Catalyst's ReuseExchange dedups the identical subtrees. */
+  final val QuantIdf = 10000
+  final val SparseQMod = 13
+  final val SparseTopK = 5
+
+  def d33SparseCosine(s: SparkSession, dir: String): DataFrame = {
+    val tf = base(s, dir)
+      .select(col("doc_id"), explode(col("toks")).as("term"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val wts = tf.join(dfreq, Seq("term"))
+      .withColumn("widf", expr(s"$QuantIdf div df"))
+      .where(col("widf") > 0)
+      .select(col("doc_id"), col("term"), (col("tf") * col("widf")).as("w"))
+    val nrm = wts.groupBy(col("doc_id")).agg(sum(col("w") * col("w")).as("nw"))
+      .where(col("nw") > 0)
+    val qw = wts.where(col("doc_id") % SparseQMod === 0)
+      .select(col("term"), col("doc_id").as("query_id"), col("w").as("wq"))
+    val cw = wts.select(col("term"), col("doc_id").as("cand_id"), col("w").as("wc"))
+    val dots = SelfJoin.on(qw, cw, Seq("term"))
+      .where(col("query_id") =!= col("cand_id"))
+      .groupBy(col("query_id"), col("cand_id"))
+      .agg(sum(col("wq") * col("wc")).as("dot"))
+    dots
+      .join(nrm.select(col("doc_id").as("query_id"), col("nw").as("nq")), Seq("query_id"))
+      .join(nrm.select(col("doc_id").as("cand_id"), col("nw").as("nc")), Seq("cand_id"))
+      .select(col("query_id"), col("cand_id"),
+        (col("dot").cast("double") /
+          (sqrt(col("nq").cast("double")) * sqrt(col("nc").cast("double")))).as("cos"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("cand_id").asc)))
+      .where(col("rnk") <= SparseTopK)
+  }
+
+  val d33Sql: String =
+    s"""$baseSql, tf33 AS (
+       |  SELECT doc_id, term, count(*) AS tf
+       |  FROM (SELECT doc_id, unnest(toks) AS term FROM base) GROUP BY 1, 2
+       |), wts33 AS (
+       |  SELECT doc_id, term, CAST(tf * ($QuantIdf // df) AS BIGINT) AS w
+       |  FROM tf33 JOIN (SELECT term, count(*) AS df FROM tf33 GROUP BY 1) d USING (term)
+       |  WHERE $QuantIdf // df > 0
+       |), nrm33 AS (
+       |  SELECT doc_id, CAST(sum(w * w) AS BIGINT) AS nw FROM wts33
+       |  GROUP BY 1 HAVING sum(w * w) > 0
+       |), dots33 AS (
+       |  SELECT q.doc_id AS query_id, c.doc_id AS cand_id,
+       |    CAST(sum(q.w * c.w) AS BIGINT) AS dot
+       |  FROM wts33 q JOIN wts33 c
+       |    ON q.term = c.term AND q.doc_id % $SparseQMod = 0 AND q.doc_id <> c.doc_id
+       |  GROUP BY 1, 2
+       |), scored33 AS (
+       |  SELECT d.query_id, d.cand_id,
+       |    CAST(d.dot AS DOUBLE) /
+       |      (sqrt(CAST(nq.nw AS DOUBLE)) * sqrt(CAST(nc.nw AS DOUBLE))) AS cos
+       |  FROM dots33 d JOIN nrm33 nq ON nq.doc_id = d.query_id
+       |               JOIN nrm33 nc ON nc.doc_id = d.cand_id
+       |)
+       |SELECT query_id, cand_id, cos, rnk FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, cand_id ASC) AS rnk
+       |  FROM scored33) t
+       |WHERE rnk <= $SparseTopK""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d33_sparse_cosine" -> (d33SparseCosine _),
     "d32_split_assign" -> (d32SplitAssign _),
     "d31_crossmodal_dedup" -> (d31CrossmodalDedup _),
     "d30_incremental_dedup" -> (d30IncrementalDedup _),
@@ -1941,6 +2040,7 @@ object LlmText {
     "d08_fingerprint" -> (d08Fingerprint _))
 
   val oracleSql: Map[String, String] = Map(
+    "d33_sparse_cosine" -> d33Sql,
     "d32_split_assign" -> d32Sql,
     "d31_crossmodal_dedup" -> d31Sql,
     "d30_incremental_dedup" -> d30Sql,

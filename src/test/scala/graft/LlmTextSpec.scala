@@ -753,6 +753,42 @@ class LlmTextSpec extends GraftSuite {
       }
   }
 
+  test("d33: inverted-index sparse cosine equals the brute-force tf-idf ranking") {
+    import graft.functions.Portable
+    val got = LlmText.d33SparseCosine(spark, sf).collect()
+      .map(r => (r.getLong(r.fieldIndex("query_id")), r.getLong(r.fieldIndex("cand_id")),
+        r.getDouble(r.fieldIndex("cos")), r.getInt(r.fieldIndex("rnk"))))
+    // brute force the whole similarity matrix from the raw text with the
+    // same integer arithmetic (tf · (QuantIdf floor-div df) weights,
+    // exact long dots) — the postings join must reproduce it verbatim
+    val toks = Tables.documents(spark, sf)
+      .select(col("doc_id"), Portable.normText(col("text")).as("norm")).collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ").toSeq).toMap
+    val tf = toks.view.mapValues(_.groupBy(identity).map { case (t, xs) => t -> xs.size.toLong }).toMap
+    val df = tf.values.flatMap(_.keys).groupBy(identity).map { case (t, xs) => t -> xs.size.toLong }
+    val w = tf.map { case (id, m) =>
+      id -> m.flatMap { case (t, f) =>
+        val widf = LlmText.QuantIdf / df(t)
+        if (widf > 0) Some(t -> f * widf) else None
+      }
+    }
+    val nw = w.map { case (id, m) => id -> m.values.map(x => x * x).sum }
+    val expected = (for {
+      q <- toks.keys.toSeq if q % LlmText.SparseQMod == 0 && nw(q) > 0
+      scored = toks.keys.toSeq
+        .filter(c => c != q && nw(c) > 0 && w(q).keySet.exists(w(c).keySet))
+        .map { c =>
+          val dot = w(q).map { case (t, wq) => wq * w(c).getOrElse(t, 0L) }.sum
+          (c, dot.toDouble / (math.sqrt(nw(q).toDouble) * math.sqrt(nw(c).toDouble)))
+        }
+        .sortBy { case (c, cos) => (-cos, c) }
+        .take(LlmText.SparseTopK)
+      ((c, cos), i) <- scored.zipWithIndex
+    } yield (q, c, cos, i + 1)).toSet
+    assert(got.toSet === expected,
+      s"postings-join ranking diverged from brute force (${got.length} vs ${expected.size})")
+  }
+
   test("d30: incremental verdicts agree with d03's full pair set restricted to batch links") {
     val mod = LlmText.IncrementalBatchMod
     val rows = LlmText.d30IncrementalDedup(spark, sf).collect()

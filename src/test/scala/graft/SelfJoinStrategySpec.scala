@@ -31,6 +31,7 @@ class SelfJoinStrategySpec extends GraftSuite {
     "e10_ivf_sketch_rerank" -> (() => Embeddings.e10IvfSketchRerank(spark, sf)),
     "e12_ivf_pq_adc" -> (() => Embeddings.e12IvfPqAdc(spark, sf)),
     "d30_incremental_dedup" -> (() => LlmText.d30IncrementalDedup(spark, sf)),
+    "d33_sparse_cosine" -> (() => LlmText.d33SparseCosine(spark, sf)),
     // m13's production ±60s window finds no pairs in the sparse sf0.001
     // fixture; the gate lives in RangeJoin.bucketed, so invariance is
     // pinned through it directly with a window wide enough to match
