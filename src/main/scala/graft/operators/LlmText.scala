@@ -2004,7 +2004,76 @@ object LlmText {
        |  FROM scored33) t
        |WHERE rnk <= $SparseTopK""".stripMargin
 
+  // ---------------------------------------------------------------- d34
+  /** HYBRID retrieval fusion — Reciprocal Rank Fusion (Cormack, Clarke
+    * & Büttcher, SIGIR 2009; the default hybrid mode of every current
+    * search stack) over the engine's own two retrieval families: d33's
+    * sparse tf-idf postings list and e10's dense IVF×sketch×rerank list,
+    * fused per query as Σ_lists 1/([[RrfK]] + rank). The fixture's
+    * documents and embeddings tables are id-aligned (the d31 contract),
+    * so the fusion panel is the intersection of the two query
+    * subsamples — doc_id % 65 (lcm of d33's 13 and the e-suite's 5):
+    * both retrievers genuinely ran for every fused query. Output keeps
+    * the per-list ranks beside the fused score (the d27/d31 ablation
+    * discipline — you can see WHICH list carried each hit).
+    *
+    * Exactness: each RRF term is one double division of exact small
+    * integers, the two-term sum is written in the same fixed order in
+    * both engines, and a list miss contributes literal 0.0 — bit
+    * identical; ties break on candidate id. Scale shape: the two
+    * retrievals are the already-bounded operators they embed (this
+    * prices as their sum — a composite, like e07/d25); the fusion
+    * itself is one (query, cand)-keyed full outer join of two top-k
+    * lists — k rows per query per list, negligible at any corpus size. */
+  final val RrfK = 60
+  final val HybridQMod = 65 // = lcm(SparseQMod = 13, e-suite query mod 5)
+
+  def d34HybridRrf(s: SparkSession, dir: String): DataFrame = {
+    val lex = d33SparseCosine(s, dir)
+      .where(col("query_id") % HybridQMod === 0)
+      .select(col("query_id"), col("cand_id"), col("rnk").as("lex_rank"))
+    val den = graft.operators.Embeddings.e10IvfSketchRerank(s, dir)
+      .where(col("query_id") % HybridQMod === 0)
+      .select(col("query_id"), col("neighbor_id").as("cand_id"),
+        col("rank").as("dense_rank"))
+    lex.join(den, Seq("query_id", "cand_id"), "full_outer")
+      .withColumn("rrf",
+        coalesce(lit(1.0) / (lit(RrfK) + col("lex_rank")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(RrfK) + col("dense_rank")), lit(0.0)))
+      .withColumn("fused_rank", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("rrf").desc, col("cand_id").asc)))
+      .where(col("fused_rank") <= SparseTopK)
+      .select(col("query_id"), col("cand_id"), col("lex_rank"),
+        col("dense_rank"), col("rrf"), col("fused_rank"))
+  }
+
+  /** A def: embeds the d33 and e10 oracle statements VERBATIM as
+    * subqueries (one definition each — the fusion oracle cannot drift
+    * from the lists it fuses), and defers the Embeddings reference for
+    * init-order safety (the RerankC trap). */
+  def d34Sql: String =
+    s"""WITH lex34 AS (
+       |  SELECT query_id, cand_id, rnk AS lex_rank
+       |  FROM (${d33Sql}) t WHERE query_id % $HybridQMod = 0
+       |), den34 AS (
+       |  SELECT query_id, neighbor_id AS cand_id, rank AS dense_rank
+       |  FROM (${graft.operators.Embeddings.e10Sql}) t WHERE query_id % $HybridQMod = 0
+       |), fused34 AS (
+       |  SELECT coalesce(l.query_id, d.query_id) AS query_id,
+       |    coalesce(l.cand_id, d.cand_id) AS cand_id,
+       |    l.lex_rank, d.dense_rank,
+       |    coalesce(CAST(1 AS DOUBLE) / ($RrfK + l.lex_rank), 0) +
+       |      coalesce(CAST(1 AS DOUBLE) / ($RrfK + d.dense_rank), 0) AS rrf
+       |  FROM lex34 l FULL OUTER JOIN den34 d
+       |    ON l.query_id = d.query_id AND l.cand_id = d.cand_id
+       |)
+       |SELECT query_id, cand_id, lex_rank, dense_rank, rrf, fused_rank FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY rrf DESC, cand_id ASC) AS fused_rank
+       |  FROM fused34) t
+       |WHERE fused_rank <= $SparseTopK""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d34_hybrid_rrf" -> (d34HybridRrf _),
     "d33_sparse_cosine" -> (d33SparseCosine _),
     "d32_split_assign" -> (d32SplitAssign _),
     "d31_crossmodal_dedup" -> (d31CrossmodalDedup _),
@@ -2040,6 +2109,7 @@ object LlmText {
     "d08_fingerprint" -> (d08Fingerprint _))
 
   val oracleSql: Map[String, String] = Map(
+    "d34_hybrid_rrf" -> d34Sql,
     "d33_sparse_cosine" -> d33Sql,
     "d32_split_assign" -> d32Sql,
     "d31_crossmodal_dedup" -> d31Sql,

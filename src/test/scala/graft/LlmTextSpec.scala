@@ -789,6 +789,40 @@ class LlmTextSpec extends GraftSuite {
       s"postings-join ranking diverged from brute force (${got.length} vs ${expected.size})")
   }
 
+  test("d34: RRF fusion is exactly the recomputation from its two source lists") {
+    val got = LlmText.d34HybridRrf(spark, sf).collect()
+      .map(r => (r.getLong(r.fieldIndex("query_id")), r.getLong(r.fieldIndex("cand_id")),
+        r.getDouble(r.fieldIndex("rrf")), r.getInt(r.fieldIndex("fused_rank"))))
+    assert(got.nonEmpty, "fusion panel empty — the %65 query intersection missed the fixture")
+    val lex = LlmText.d33SparseCosine(spark, sf).collect()
+      .filter(_.getLong(0) % LlmText.HybridQMod == 0)
+      .map(r => (r.getLong(r.fieldIndex("query_id")), r.getLong(r.fieldIndex("cand_id"))) ->
+        r.getInt(r.fieldIndex("rnk"))).toMap
+    val den = Embeddings.e10IvfSketchRerank(spark, sf).collect()
+      .filter(_.getLong(0) % LlmText.HybridQMod == 0)
+      .map(r => (r.getLong(r.fieldIndex("query_id")), r.getLong(r.fieldIndex("neighbor_id")))
+        -> r.getInt(r.fieldIndex("rank"))).toMap
+    val expected = (lex.keySet ++ den.keySet).groupBy(_._1).flatMap { case (q, pairs) =>
+      pairs.toSeq
+        .map { p =>
+          val score = lex.get(p).map(r => 1.0 / (LlmText.RrfK + r)).getOrElse(0.0) +
+            den.get(p).map(r => 1.0 / (LlmText.RrfK + r)).getOrElse(0.0)
+          (p._2, score)
+        }
+        .sortBy { case (c, s) => (-s, c) }
+        .take(LlmText.SparseTopK)
+        .zipWithIndex
+        .map { case ((c, s), i) => (q, c, s, i + 1) }
+    }.toSet
+    assert(got.toSet === expected, "fused ranking diverged from the list recomputation")
+    // both lists genuinely contribute on the fixture (the panel is not
+    // degenerate — a hit carried by only one retriever exists each way)
+    assert(got.exists(g => lex.contains((g._1, g._2)) && !den.contains((g._1, g._2))),
+      "no lexical-only hit survived fusion")
+    assert(got.exists(g => den.contains((g._1, g._2)) && !lex.contains((g._1, g._2))),
+      "no dense-only hit survived fusion")
+  }
+
   test("d30: incremental verdicts agree with d03's full pair set restricted to batch links") {
     val mod = LlmText.IncrementalBatchMod
     val rows = LlmText.d30IncrementalDedup(spark, sf).collect()
