@@ -504,7 +504,7 @@ class LlmTextSpec extends GraftSuite {
     val rows = Embeddings.e07RecallAudit(spark, sf).collect()
     // exactly one row per audited method — a zero-hit path must report
     // recall 0.0, never vanish
-    assert(rows.length === 4)
+    assert(rows.length === 5)
     val truthPairs = Embeddings.e01KnnBrute(spark, sf)
       .where(col("rank") <= Embeddings.RecallK).count()
     rows.foreach { r =>
@@ -521,6 +521,7 @@ class LlmTextSpec extends GraftSuite {
     // the sketch-rerank and composed paths audit alongside the index paths
     assert(rows.map(_.getString(0)).contains("sketch_rerank"))
     assert(rows.map(_.getString(0)).contains("ivf_sketch_rerank"))
+    assert(rows.map(_.getString(0)).contains("ivf_pq_adc"))
   }
 
   test("d27: rule verdicts recompute, keep is the exact conjunction, stopword rule ties to the text") {
