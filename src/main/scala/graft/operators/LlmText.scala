@@ -1946,11 +1946,38 @@ object LlmText {
   final val SparseQMod = 13
   final val SparseTopK = 5
 
+  /** Static index pruning lever (Carmel et al.'s practice; the Lucene
+    * stopword default by another route): keep only terms whose df is at
+    * most maxDfPermille/1000 of the corpus. Candidate volume is
+    * Σ_t qdf(t)·df(t), so the few highest-df terms dominate it while
+    * contributing the least idf weight — at scale you prune them from
+    * the index. 1000 (default) = no pruning, the oracle's formulation;
+    * the cut is an exact integer cross-multiplication (df·1000 ≤
+    * permille·n_docs), so a pruned run is still bit-reproducible.
+    * NOTE the fixture prices the UNPRUNED form adversarially: its
+    * synthetic vocabulary is ~31 words with df ≈ 0.8·n_docs, i.e.
+    * every term is a stopword and the postings join is dense by
+    * construction (BASELINE.md r7 notes) — real Zipf corpora put almost
+    * all mass below any sane cutoff. The lever's semantics (results ≡
+    * the brute-force ranking restricted to surviving terms, vacuous at
+    * 1000) are spec-pinned. */
+  val SparseMaxDfConf = "spark.graft.sparse.maxDfPermille"
+
   def d33SparseCosine(s: SparkSession, dir: String): DataFrame = {
-    val tf = base(s, dir)
+    val maxDfPermille = s.conf.get(SparseMaxDfConf, "1000").toInt
+    val docs = base(s, dir)
+    val tf = docs
       .select(col("doc_id"), explode(col("toks")).as("term"))
       .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
-    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val dfreq0 = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    // default path stays the oracle plan verbatim: the n_docs broadcast
+    // and the prune filter only enter the plan when the lever is set
+    val dfreq =
+      if (maxDfPermille >= 1000) dfreq0
+      else dfreq0
+        .crossJoin(broadcast(docs.agg(count(lit(1)).as("n_docs"))))
+        .where(col("df") * 1000 <= lit(maxDfPermille.toLong) * col("n_docs"))
+        .select(col("term"), col("df"))
     val wts = tf.join(dfreq, Seq("term"))
       .withColumn("widf", expr(s"$QuantIdf div df"))
       .where(col("widf") > 0)

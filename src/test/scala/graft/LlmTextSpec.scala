@@ -754,27 +754,26 @@ class LlmTextSpec extends GraftSuite {
       }
   }
 
-  test("d33: inverted-index sparse cosine equals the brute-force tf-idf ranking") {
+  /** Brute-force sparse tf-idf ranking from the raw text with the same
+    * integer arithmetic (tf · (QuantIdf floor-div df) weights, exact
+    * long dots), with terms restricted to `keepDf` — the recomputation
+    * both the default and df-pruned d33 paths must reproduce verbatim. */
+  private def sparseBrute(keepDf: (Long, Long) => Boolean): Set[(Long, Long, Double, Int)] = {
     import graft.functions.Portable
-    val got = LlmText.d33SparseCosine(spark, sf).collect()
-      .map(r => (r.getLong(r.fieldIndex("query_id")), r.getLong(r.fieldIndex("cand_id")),
-        r.getDouble(r.fieldIndex("cos")), r.getInt(r.fieldIndex("rnk"))))
-    // brute force the whole similarity matrix from the raw text with the
-    // same integer arithmetic (tf · (QuantIdf floor-div df) weights,
-    // exact long dots) — the postings join must reproduce it verbatim
     val toks = Tables.documents(spark, sf)
       .select(col("doc_id"), Portable.normText(col("text")).as("norm")).collect()
       .map(r => r.getLong(0) -> r.getString(1).split(" ").toSeq).toMap
+    val nDocs = toks.size.toLong
     val tf = toks.view.mapValues(_.groupBy(identity).map { case (t, xs) => t -> xs.size.toLong }).toMap
     val df = tf.values.flatMap(_.keys).groupBy(identity).map { case (t, xs) => t -> xs.size.toLong }
     val w = tf.map { case (id, m) =>
       id -> m.flatMap { case (t, f) =>
         val widf = LlmText.QuantIdf / df(t)
-        if (widf > 0) Some(t -> f * widf) else None
+        if (widf > 0 && keepDf(df(t), nDocs)) Some(t -> f * widf) else None
       }
     }
     val nw = w.map { case (id, m) => id -> m.values.map(x => x * x).sum }
-    val expected = (for {
+    (for {
       q <- toks.keys.toSeq if q % LlmText.SparseQMod == 0 && nw(q) > 0
       scored = toks.keys.toSeq
         .filter(c => c != q && nw(c) > 0 && w(q).keySet.exists(w(c).keySet))
@@ -786,8 +785,35 @@ class LlmTextSpec extends GraftSuite {
         .take(LlmText.SparseTopK)
       ((c, cos), i) <- scored.zipWithIndex
     } yield (q, c, cos, i + 1)).toSet
-    assert(got.toSet === expected,
-      s"postings-join ranking diverged from brute force (${got.length} vs ${expected.size})")
+  }
+
+  private def d33Rows(): Set[(Long, Long, Double, Int)] =
+    LlmText.d33SparseCosine(spark, sf).collect()
+      .map(r => (r.getLong(r.fieldIndex("query_id")), r.getLong(r.fieldIndex("cand_id")),
+        r.getDouble(r.fieldIndex("cos")), r.getInt(r.fieldIndex("rnk")))).toSet
+
+  test("d33: inverted-index sparse cosine equals the brute-force tf-idf ranking") {
+    val got = d33Rows()
+    assert(got === sparseBrute((_, _) => true),
+      "postings-join ranking diverged from brute force")
+  }
+
+  test("d33: the static-pruning lever is vacuous at 1000 and exact when engaged") {
+    val base = d33Rows()
+    spark.conf.set(LlmText.SparseMaxDfConf, "1000")
+    try assert(d33Rows() === base, "permille=1000 must be the identity")
+    finally spark.conf.unset(LlmText.SparseMaxDfConf)
+    // engaged: results must equal the brute-force ranking restricted to
+    // the surviving terms — pruning changes WHICH terms index, never the
+    // arithmetic of those that do
+    spark.conf.set(LlmText.SparseMaxDfConf, "600")
+    try {
+      val pruned = d33Rows()
+      assert(pruned === sparseBrute((df, n) => df * 1000 <= 600 * n),
+        "pruned ranking diverged from the restricted brute force")
+      assert(pruned !== base,
+        "the 600-permille cut must bite on this stopword-dense fixture")
+    } finally spark.conf.unset(LlmText.SparseMaxDfConf)
   }
 
   test("d34: RRF fusion is exactly the recomputation from its two source lists") {
