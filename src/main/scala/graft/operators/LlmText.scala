@@ -1940,8 +1940,11 @@ object LlmText {
     * strategy gate (sort-merge on `term` at 100 TB; zipfian term skew →
     * AQE skew-split, same story as d03's bands), one (query,cand)
     * partial-dot aggregation, two id-keyed norm joins, one ranking
-    * window. The three uses of the postings table are one exchange —
-    * Catalyst's ReuseExchange dedups the identical subtrees. */
+    * window. The weighted postings table is materialized ONCE (eager
+    * localCheckpoint) and probed three ways — per-branch column pruning
+    * makes the three subtrees differ, so ReuseExchange alone would NOT
+    * dedup them; a search deployment persists this table anyway (the
+    * postings ARE the inverted index). */
   final val QuantIdf = 10000
   final val SparseQMod = 13
   final val SparseTopK = 5
@@ -1978,10 +1981,18 @@ object LlmText {
         .crossJoin(broadcast(docs.agg(count(lit(1)).as("n_docs"))))
         .where(col("df") * 1000 <= lit(maxDfPermille.toLong) * col("n_docs"))
         .select(col("term"), col("df"))
+    // materialize the weighted postings ONCE (eager localCheckpoint —
+    // the s08/d03 discipline): the table is probed three ways below
+    // (query postings, candidate postings, self-norms), and per-branch
+    // column pruning makes the subtrees differ, so ReuseExchange cannot
+    // dedup them — without the materialization the tokenize+count
+    // pipeline runs once per branch. A search deployment PERSISTS this
+    // table anyway: the weighted postings ARE the inverted index.
     val wts = tf.join(dfreq, Seq("term"))
       .withColumn("widf", expr(s"$QuantIdf div df"))
       .where(col("widf") > 0)
       .select(col("doc_id"), col("term"), (col("tf") * col("widf")).as("w"))
+      .localCheckpoint()
     val nrm = wts.groupBy(col("doc_id")).agg(sum(col("w") * col("w")).as("nw"))
       .where(col("nw") > 0)
     val qw = wts.where(col("doc_id") % SparseQMod === 0)
