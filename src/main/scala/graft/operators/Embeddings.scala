@@ -1147,7 +1147,12 @@ object Embeddings {
     "e03_label_centroids" -> (e03LabelCentroids _),
     "e04_cosine_neardup" -> (e04CosineNeardup _))
 
-  val oracleSql: Map[String, String] = Map(
+  /** LAZY for symmetry with LlmText/AdAnalytics: no e-suite oracle
+    * interpolates another object today, but the LlmText <-> Embeddings
+    * init cycle is real (d31/d34 read this object's vals) and a lazy
+    * map keeps any future cross-reference out of static init — the
+    * cross-object RerankC trap ([[graft.tools.InitOrderCheck]]). */
+  lazy val oracleSql: Map[String, String] = Map(
     "e12_ivf_pq_adc" -> e12Sql,
     "e11_kmeans_step" -> e11Sql,
     "e10_ivf_sketch_rerank" -> e10Sql,

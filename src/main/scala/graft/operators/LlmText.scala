@@ -1718,8 +1718,14 @@ object LlmText {
     * partition); "earlier batch member" keeps the keep-first
     * convention (d09). Output: every batch doc with its verified
     * near-dup match count — the rows a pipeline drops before
-    * appending the survivors (and their band keys) to the index. */
-  val IncrementalBatchMod = 10
+    * appending the survivors (and their band keys) to the index.
+    * `final` + literal = compile-time constant: Embeddings mirrors this
+    * value (IncrementalBatchModE) and a non-constant val would make
+    * that read a RUNTIME cross-object access during Embeddings' static
+    * init — the edge that let an Embeddings-first JVM re-enter a
+    * partially-initialized LlmText (the cross-object RerankC trap,
+    * caught by graft.tools.InitOrderCheck). */
+  final val IncrementalBatchMod = 10
 
   def d30IncrementalDedup(s: SparkSession, dir: String): DataFrame = {
     // validate conf BEFORE any persist so a bad lever can't leak caches
@@ -2146,7 +2152,14 @@ object LlmText {
     "d07_lang_id" -> (d07LangId _),
     "d08_fingerprint" -> (d08Fingerprint _))
 
-  val oracleSql: Map[String, String] = Map(
+  /** LAZY: d31Sql/d34Sql interpolate Embeddings vals (semDoomedSqlCtes
+    * deps, e10Sql). Assembling them during THIS object's static init
+    * read null for e10Sql whenever Embeddings initialized first and
+    * re-entered a partially-initialized LlmText — the cross-object
+    * RerankC trap, reproduced and pinned by
+    * [[graft.tools.InitOrderCheck]]. Lazy = assembled on first use,
+    * after both objects finish initializing. */
+  lazy val oracleSql: Map[String, String] = Map(
     "d34_hybrid_rrf" -> d34Sql,
     "d33_sparse_cosine" -> d33Sql,
     "d32_split_assign" -> d32Sql,

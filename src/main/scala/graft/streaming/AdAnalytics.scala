@@ -563,7 +563,7 @@ object AdAnalytics {
     }
   }
 
-  val st13Sql: String = graft.operators.LlmText.d30Sql
+  lazy val st13Sql: String = graft.operators.LlmText.d30Sql
 
   // ---------------------------------------------------------------- st14
   /** st13's embedding twin — e09's SemDeDup ingest running continuously
@@ -611,7 +611,7 @@ object AdAnalytics {
     }
   }
 
-  val st14Sql: String = graft.operators.Embeddings.e09Sql
+  lazy val st14Sql: String = graft.operators.Embeddings.e09Sql
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "st14_streaming_sem_ingest" -> (st14StreamingSemIngest _),
@@ -629,7 +629,11 @@ object AdAnalytics {
     "st05_threshold_promote" -> (st05ThresholdPromote _),
     "st06_daily_top3" -> (st06DailyTop3 _))
 
-  val oracleSql: Map[String, String] = Map(
+  /** LAZY: st13Sql/st14Sql ARE LlmText.d30Sql / Embeddings.e09Sql.
+    * Assembling the map during static init would read them mid-cycle
+    * if either operator object's init re-entered this one — the
+    * cross-object RerankC trap ([[graft.tools.InitOrderCheck]]). */
+  lazy val oracleSql: Map[String, String] = Map(
     "st14_streaming_sem_ingest" -> st14Sql,
     "st13_streaming_ingest" -> st13Sql,
     "st12_running_rollup" -> st12Sql,
