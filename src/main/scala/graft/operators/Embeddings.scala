@@ -486,10 +486,11 @@ object Embeddings {
        |FROM assigned""".stripMargin
 
   // ---------------------------------------------------------------- e07
-  /** Recall audit: recall@k of the five ANN serving paths (e02
+  /** Recall audit: recall@k of the six ANN serving paths (e02
     * hyperplane-LSH, e05 IVF at its oracle formulation nprobe = 1, e08
     * sketch-then-rerank at its default depth, e10 composed
-    * IVF-cells × sketch-rerank, e12 IVF-PQ with ADC scoring) against
+    * IVF-cells × sketch-rerank, e12 IVF-PQ with ADC scoring, e13
+    * residual IVF-PQ) against
     * the e01 brute-force ground truth, over the deterministic query
     * subsample.
     * This is the evaluation loop every production ANN deployment runs
@@ -498,7 +499,7 @@ object Embeddings {
     * (method, n_truth, n_hits, recall); recall is one division of two
     * exact integer counts, so it is bit-identical cross-engine.
     *
-    * Cost note: this intentionally embeds ALL FIVE search paths (it IS
+    * Cost note: this intentionally embeds ALL SIX search paths (it IS
     * the comparison), so it prices as their sum — an audit query, not a
     * serving path. At 100 TB the truth side runs on a fixed small query
     * sample (here vec_id % 5, the e01 contract) — brute force over the
@@ -518,17 +519,19 @@ object Embeddings {
       .select(lit("ivf_sketch_rerank").as("method"), col("query_id"), col("neighbor_id"))
     val ivfPq = e12IvfPqAdc(s, dir).where(col("rank") <= RecallK)
       .select(lit("ivf_pq_adc").as("method"), col("query_id"), col("neighbor_id"))
+    val resPq = e13ResidualPq(s, dir).where(col("rank") <= RecallK)
+      .select(lit("residual_pq").as("method"), col("query_id"), col("neighbor_id"))
     // LEFT join from a fixed method spine: a path with ZERO truth hits
     // must report recall 0.0, not vanish from the audit — the failing
     // path is the one the audit exists to flag
     val spine = s.createDataFrame(
       Seq("lsh_bucketed", "ivf_nprobe", "sketch_rerank", "ivf_sketch_rerank",
-          "ivf_pq_adc")
+          "ivf_pq_adc", "residual_pq")
         .map(Tuple1.apply))
       .toDF("method")
     val hits = spine.join(
       lsh.unionByName(ivf).unionByName(sketch).unionByName(ivfSketch)
-        .unionByName(ivfPq)
+        .unionByName(ivfPq).unionByName(resPq)
         .join(truth, Seq("query_id", "neighbor_id"))
         .groupBy(col("method")).agg(count(lit(1)).as("raw_hits")),
       Seq("method"), "left")
@@ -601,6 +604,14 @@ object Embeddings {
        |    FROM coarse12 c JOIN qv a ON c.query_id = a.vec_id
        |                   JOIN qv b ON c.neighbor_id = b.vec_id) t
        |  WHERE rank <= $RecallK
+       |)$residualPqSqlCtes, respq AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT c.query_id, c.neighbor_id,
+       |      row_number() OVER (PARTITION BY c.query_id ORDER BY
+       |        ${cos("a", "b")} DESC, c.neighbor_id ASC) AS rank
+       |    FROM coarse13 c JOIN qv a ON c.query_id = a.vec_id
+       |                   JOIN qv b ON c.neighbor_id = b.vec_id) t
+       |  WHERE rank <= $RecallK
        |), ann AS (
        |  SELECT 'lsh_bucketed' AS method, query_id, neighbor_id FROM lsh
        |  UNION ALL
@@ -611,13 +622,15 @@ object Embeddings {
        |  SELECT 'ivf_sketch_rerank' AS method, query_id, neighbor_id FROM ivfsk
        |  UNION ALL
        |  SELECT 'ivf_pq_adc' AS method, query_id, neighbor_id FROM ivfpq
+       |  UNION ALL
+       |  SELECT 'residual_pq' AS method, query_id, neighbor_id FROM respq
        |), raw AS (
        |  SELECT method, count(*) AS raw_hits
        |  FROM ann JOIN truth USING (query_id, neighbor_id) GROUP BY 1
        |), hits AS (
        |  SELECT m.method, CAST(coalesce(r.raw_hits, 0) AS BIGINT) AS n_hits
        |  FROM (VALUES ('lsh_bucketed'), ('ivf_nprobe'), ('sketch_rerank'),
-       |               ('ivf_sketch_rerank'), ('ivf_pq_adc')) m(method)
+       |               ('ivf_sketch_rerank'), ('ivf_pq_adc'), ('residual_pq')) m(method)
        |  LEFT JOIN raw r ON m.method = r.method
        |), tot AS (SELECT CAST(count(*) AS BIGINT) AS n_truth FROM truth)
        |SELECT method, n_truth, n_hits,
@@ -1133,7 +1146,182 @@ object Embeddings {
        |  FROM rr12) t
        |WHERE rank <= $TopK""".stripMargin
 
+  // ---------------------------------------------------------------- e13
+  /** RESIDUAL IVF-PQ — the faiss `IVFPQ` default in full: e12 quantizes
+    * RAW vectors, but faiss encodes each vector's RESIDUAL against its
+    * coarse cell centroid (x − c), because residuals concentrate near
+    * the origin where a small codebook spends its codewords best
+    * (Jégou et al. 2011 §IV.B). Differences from e12, each exact:
+    *
+    *  - residual: r_i = (x_i·m − cvec_i) div m, where cvec is the
+    *    cell's integer SUM vector and m its member count — the
+    *    mean-centered residual under TRUNCATING integer division,
+    *    which Spark's `div` and DuckDB's integer `//` agree on over
+    *    the whole long domain (both truncate toward zero).
+    *  - coarse metric: estimated L2 DISTANCE in residual space —
+    *    ‖rq − recon(rc)‖² = nrq − 2·Σₘ lut[m, codeₘ] + nrecon, the
+    *    actual IVFPQ ADC formula; every term is an exact integer
+    *    (residuals preserve within-cell distances up to the div
+    *    rounding). Rank asc, ties on neighbor id.
+    *  - the LUT is per (query, probed cell): a residual is
+    *    centroid-relative, so the query re-centers against EACH cell
+    *    it probes (at nprobe = 1, its own primary cell — the oracle
+    *    formulation).
+    *
+    * Codebook, encode, gather-sum ADC, strategy-gated cell join, and
+    * the exact-cosine top-C rerank all reuse e12's machinery and
+    * levers. With C past every cell's size the coarse cut is vacuous
+    * and e13 collapses to exactly e10's and e12's answer (spec-pinned):
+    * all three compressions change candidate SELECTION, never the
+    * final exact scores. */
+  def e13ResidualPq(s: SparkSession, dir: String): DataFrame = {
+    val dot = dotQ(s) _
+    val nprobe = s.conf.get(NprobeConf, "1").toInt
+    val rerankC = s.conf.get(RerankCConf, RerankC.toString).toInt
+    val v = quantized(s, dir)
+    val cents = centroidsOf(s, v)
+    val ranked = assignRanked(s, v, cents)
+    val mem = ranked.where(col("rn") === 1)
+      .groupBy(col("cell")).agg(count(lit(1)).as("members"))
+    val resExpr = expr("zip_with(q, cvec, (x, c) -> (x * members - c) div members)")
+    // index side: members' residuals vs their own cell centroid
+    // `ranked` carries cvec from the assignment cross-join already
+    val resIdx = ranked.where(col("rn") === 1)
+      .join(broadcast(mem), Seq("cell"))
+      .select(col("cell"), col("vec_id"), resExpr.as("r"))
+    // codebook: residual subvectors of the PqK smallest-id vectors
+    val train = resIdx.orderBy(col("vec_id").asc).limit(PqK)
+      .select(col("vec_id"), col("r"))
+      .withColumn("code", row_number().over(Window.orderBy(col("vec_id").asc)) - 1)
+    val codebook = train
+      .select(col("code"), explode(sequence(lit(1), lit(PqM))).as("m"), col("r"))
+      .withColumn("cw", slice(col("r"), (col("m") - 1) * lit(PqSubDim) + 1, lit(PqSubDim)))
+      .withColumn("ncw", dot(col("cw"), col("cw")))
+      .select(col("m"), col("code"), col("cw"), col("ncw"))
+    // encode: per-subspace nearest codeword over the residual
+    val subs = resIdx
+      .select(col("cell"), col("vec_id"),
+        explode(sequence(lit(1), lit(PqM))).as("m"), col("r"))
+      .withColumn("sub", slice(col("r"), (col("m") - 1) * lit(PqSubDim) + 1, lit(PqSubDim)))
+    val enc = subs.join(broadcast(codebook), Seq("m"))
+      .withColumn("penalty", col("ncw") - lit(2L) * dot(col("sub"), col("cw")))
+      .withColumn("rn2", row_number().over(
+        Window.partitionBy(col("vec_id"), col("m"))
+          .orderBy(col("penalty").asc, col("code").asc)))
+      .where(col("rn2") === 1)
+    val cs = enc.groupBy(col("cell"), col("vec_id"))
+      .agg(
+        transform(array_sort(collect_list(struct(col("m"), col("code")))),
+          p => p.getField("code")).as("codes"),
+        sum(col("ncw")).as("nrecon"))
+      .select(col("cell"), col("vec_id").as("neighbor_id"), col("codes"), col("nrecon"))
+    // query side: residual vs EACH probed cell's centroid, LUT per (query, cell)
+    val resQ = ranked.where(col("rn") <= nprobe && col("vec_id") % 5 === 0)
+      .join(broadcast(mem), Seq("cell"))
+      .select(col("cell"), col("vec_id").as("query_id"), resExpr.as("rq"))
+      .withColumn("nrq", dot(col("rq"), col("rq")))
+    val lut = resQ
+      .select(col("cell"), col("query_id"), col("nrq"),
+        explode(sequence(lit(1), lit(PqM))).as("m"), col("rq"))
+      .withColumn("sub", slice(col("rq"), (col("m") - 1) * lit(PqSubDim) + 1, lit(PqSubDim)))
+      .join(broadcast(codebook), Seq("m"))
+      .withColumn("pdot", dot(col("sub"), col("cw")))
+      .groupBy(col("cell"), col("query_id"), col("nrq"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("m"), col("code"), col("pdot")))),
+        p => p.getField("pdot")).as("lut"))
+    val adc = (1 to PqM).map { m =>
+      element_at(col("lut"), element_at(col("codes"), m) + lit((m - 1) * PqK + 1))
+    }.reduce(_ + _)
+    val coarse = SelfJoin.on(lut, cs, Seq("cell"))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .withColumn("dist2", col("nrq") - lit(2L) * adc + col("nrecon"))
+      .withColumn("crank", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("dist2").asc, col("neighbor_id").asc)))
+      .where(col("crank") <= rerankC)
+      .select(col("query_id"), col("neighbor_id"))
+    // exact-cosine rerank of the C survivors (the suite's final metric)
+    val qa = v.select(col("vec_id").as("query_id"), col("q").as("qa"), col("nq").as("na2"))
+    val qb = v.select(col("vec_id").as("neighbor_id"), col("q").as("qb"), col("nq").as("nb"))
+    coarse.join(qa, Seq("query_id")).join(qb, Seq("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        (dot(col("qa"), col("qb")).cast("double") /
+          (sqrt(col("na2").cast("double")) *
+            sqrt(col("nb").cast("double")))).as("cos"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id").asc)))
+      .where(col("rank") <= TopK)
+  }
+
+  /** DuckDB twin — the residual/codebook/encode/LUT/L2-ADC CTEs mirror
+    * the Spark stages 1:1 (integer `//` ≡ Spark `div`, both truncating).
+    * A `def` for init-order safety. Requires $assignedSqlCtes upstream. */
+  private def residualPqSqlCtes: String =
+    s""", mem13 AS (
+       |  SELECT cell, count(*) AS m FROM assigned GROUP BY 1
+       |), res13 AS (
+       |  SELECT a.cell, a.vec_id,
+       |    list_transform(generate_series(1, $Dim),
+       |      i -> (a.q[i] * mem13.m - cents.cvec[i]) // mem13.m) AS r
+       |  FROM assigned a JOIN cents ON a.cell = cents.cell
+       |                 JOIN mem13 ON a.cell = mem13.cell
+       |), train13 AS (
+       |  SELECT code, r FROM (
+       |    SELECT vec_id, r, row_number() OVER (ORDER BY vec_id ASC) - 1 AS code FROM res13) t
+       |  WHERE code < $PqK
+       |), cb13 AS (
+       |  SELECT m, code, r[(m-1)*$PqSubDim+1:m*$PqSubDim] AS cw
+       |  FROM train13, generate_series(1, $PqM) g(m)
+       |), cbn13 AS (
+       |  SELECT m, code, cw, CAST(list_dot_product(cw, cw) AS BIGINT) AS ncw FROM cb13
+       |), enc13 AS (
+       |  SELECT cell, vec_id, m, code, ncw FROM (
+       |    SELECT a.cell, a.vec_id, c.m, c.code, c.ncw,
+       |      row_number() OVER (PARTITION BY a.vec_id, c.m ORDER BY
+       |        c.ncw - 2 * CAST(list_dot_product(
+       |          a.r[(c.m-1)*$PqSubDim+1:c.m*$PqSubDim], c.cw) AS BIGINT) ASC,
+       |        c.code ASC) AS rn2
+       |    FROM res13 a, cbn13 c) t
+       |  WHERE rn2 = 1
+       |), codes13 AS (
+       |  SELECT cell, vec_id, list(code ORDER BY m) AS codes,
+       |    CAST(sum(ncw) AS BIGINT) AS nrecon
+       |  FROM enc13 GROUP BY cell, vec_id
+       |), lut13 AS (
+       |  SELECT a.cell, a.vec_id AS query_id,
+       |    CAST(list_dot_product(a.r, a.r) AS BIGINT) AS nrq,
+       |    list(CAST(list_dot_product(
+       |      a.r[(c.m-1)*$PqSubDim+1:c.m*$PqSubDim], c.cw) AS BIGINT)
+       |      ORDER BY c.m, c.code) AS lut
+       |  FROM res13 a, cbn13 c WHERE a.vec_id % 5 = 0
+       |  GROUP BY a.cell, a.vec_id, a.r
+       |), coarse13 AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT l.query_id, n.vec_id AS neighbor_id,
+       |      row_number() OVER (PARTITION BY l.query_id ORDER BY
+       |        l.nrq - 2 * CAST(list_sum(list_transform(generate_series(1, $PqM),
+       |          m -> l.lut[(m-1)*$PqK + n.codes[m] + 1])) AS BIGINT) + n.nrecon ASC,
+       |        n.vec_id ASC) AS crank
+       |    FROM lut13 l JOIN codes13 n ON n.cell = l.cell AND n.vec_id <> l.query_id) t
+       |  WHERE crank <= $RerankC
+       |)""".stripMargin
+
+  val e13Sql: String =
+    s"""$quantSql$assignedSqlCtes$residualPqSqlCtes, rr13 AS (
+       |  SELECT c.query_id, c.neighbor_id,
+       |    CAST(list_dot_product(a.q, b.q) AS DOUBLE) /
+       |      (sqrt(CAST(list_dot_product(a.q, a.q) AS DOUBLE)) *
+       |       sqrt(CAST(list_dot_product(b.q, b.q) AS DOUBLE))) AS cos
+       |  FROM coarse13 c JOIN qv a ON c.query_id = a.vec_id
+       |                 JOIN qv b ON c.neighbor_id = b.vec_id
+       |)
+       |SELECT query_id, neighbor_id, cos, rank FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+       |  FROM rr13) t
+       |WHERE rank <= $TopK""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e13_residual_pq" -> (e13ResidualPq _),
     "e12_ivf_pq_adc" -> (e12IvfPqAdc _),
     "e11_kmeans_step" -> (e11KmeansStep _),
     "e10_ivf_sketch_rerank" -> (e10IvfSketchRerank _),
@@ -1153,6 +1341,7 @@ object Embeddings {
     * map keeps any future cross-reference out of static init — the
     * cross-object RerankC trap ([[graft.tools.InitOrderCheck]]). */
   lazy val oracleSql: Map[String, String] = Map(
+    "e13_residual_pq" -> e13Sql,
     "e12_ivf_pq_adc" -> e12Sql,
     "e11_kmeans_step" -> e11Sql,
     "e10_ivf_sketch_rerank" -> e10Sql,

@@ -504,7 +504,7 @@ class LlmTextSpec extends GraftSuite {
     val rows = Embeddings.e07RecallAudit(spark, sf).collect()
     // exactly one row per audited method — a zero-hit path must report
     // recall 0.0, never vanish
-    assert(rows.length === 5)
+    assert(rows.length === 6)
     val truthPairs = Embeddings.e01KnnBrute(spark, sf)
       .where(col("rank") <= Embeddings.RecallK).count()
     rows.foreach { r =>
@@ -522,6 +522,7 @@ class LlmTextSpec extends GraftSuite {
     assert(rows.map(_.getString(0)).contains("sketch_rerank"))
     assert(rows.map(_.getString(0)).contains("ivf_sketch_rerank"))
     assert(rows.map(_.getString(0)).contains("ivf_pq_adc"))
+    assert(rows.map(_.getString(0)).contains("residual_pq"))
   }
 
   test("d27: rule verdicts recompute, keep is the exact conjunction, stopword rule ties to the text") {
@@ -665,6 +666,37 @@ class LlmTextSpec extends GraftSuite {
       val allPq = Embeddings.e12IvfPqAdc(spark, sf).collect().map(_.toString).sorted.toSeq
       val allSk = Embeddings.e10IvfSketchRerank(spark, sf).collect().map(_.toString).sorted.toSeq
       assert(allPq === allSk, "vacuous coarse cuts must agree exactly")
+    } finally spark.conf.unset(Embeddings.RerankCConf)
+  }
+
+  test("e13: residual encoding keeps exact rerank scores and collapses to e10/e12 at vacuous C") {
+    val got = Embeddings.e13ResidualPq(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    val byQuery = got.groupBy(_._1)
+    byQuery.values.foreach(rows =>
+      assert(rows.map(_._4).sorted.toSeq === (1 to rows.length), "dense ranks"))
+    val truth = Embeddings.e01KnnBrute(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(byQuery.keySet === truth.map(_._1).toSet, "same query subsample as e01")
+    val truthCos = truth.map(t => (t._1, t._2) -> t._3).toMap
+    got.foreach { case (q, n, c, _) =>
+      truthCos.get((q, n)).foreach(tc => assert(c === tc, s"cos mismatch for ($q,$n)"))
+    }
+    val truthSet = truth.map(t => (t._1, t._2)).toSet
+    val hits = got.count(g => truthSet.contains((g._1, g._2)))
+    spark.conf.set(Embeddings.RerankCConf, "100")
+    try {
+      val deeper = Embeddings.e13ResidualPq(spark, sf).collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      assert(deeper.count(truthSet.contains) >= hits,
+        "C=100 must not lose truth hits vs C=default")
+      // with C past every cell's size all three compressed coarse stages
+      // (e10 sketches, e12 raw PQ, e13 residual PQ) pass every cell
+      // member through and collapse to the same exact within-cell top-k
+      spark.conf.set(Embeddings.RerankCConf, "100000")
+      val allRes = Embeddings.e13ResidualPq(spark, sf).collect().map(_.toString).sorted.toSeq
+      val allSk = Embeddings.e10IvfSketchRerank(spark, sf).collect().map(_.toString).sorted.toSeq
+      assert(allRes === allSk, "vacuous coarse cuts must agree exactly")
     } finally spark.conf.unset(Embeddings.RerankCConf)
   }
 

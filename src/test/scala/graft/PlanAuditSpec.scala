@@ -75,6 +75,11 @@ class PlanAuditSpec extends GraftSuite {
       assert("Exchange hashpartitioning\\(cell".r.findFirstIn(pE12).nonEmpty,
         s"e12: no exchange on the cell key:\n$pE12")
       assert(!pE12.contains("CartesianProduct"))
+      val pE13 = plan(Embeddings.e13ResidualPq(spark, sf))
+      assert(pE13.contains("SortMergeJoin"), s"e13 cell join should sort-merge:\n$pE13")
+      assert("Exchange hashpartitioning\\(cell".r.findFirstIn(pE13).nonEmpty,
+        s"e13: no exchange on the cell key:\n$pE13")
+      assert(!pE13.contains("CartesianProduct"))
       // the range join rides the same gate: sort-merge on the interval
       // bucket, no nested loop anywhere in the at-scale shape
       val pRange = plan(graft.operators.Misc.m13RangeJoin(spark, sf))

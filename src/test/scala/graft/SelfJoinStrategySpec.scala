@@ -30,6 +30,7 @@ class SelfJoinStrategySpec extends GraftSuite {
     "e09_incremental_semdedup" -> (() => Embeddings.e09IncrementalSemDedup(spark, sf)),
     "e10_ivf_sketch_rerank" -> (() => Embeddings.e10IvfSketchRerank(spark, sf)),
     "e12_ivf_pq_adc" -> (() => Embeddings.e12IvfPqAdc(spark, sf)),
+    "e13_residual_pq" -> (() => Embeddings.e13ResidualPq(spark, sf)),
     "d30_incremental_dedup" -> (() => LlmText.d30IncrementalDedup(spark, sf)),
     "d33_sparse_cosine" -> (() => LlmText.d33SparseCosine(spark, sf)),
     // m13's production ±60s window finds no pairs in the sparse sf0.001
