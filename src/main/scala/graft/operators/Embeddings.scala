@@ -1011,68 +1011,76 @@ object Embeddings {
   final val PqK = 16
   final val PqSubDim = 8 // = Dim / PqM
 
-  /** (m, code, cw, ncw) broadcast codebook + (cell, vec_id 1-based
-    * codes[PqM], nrecon) encoded members + per-query LUT, composed into
-    * the coarse ADC scan. */
-  def e12IvfPqAdc(s: SparkSession, dir: String): DataFrame = {
+  /** (m, code, cw, ncw) PQ codebook: the [[PqM]] subvectors of each of
+    * the [[PqK]] smallest-vec_id rows of `frame` (vec_id, vecCol) —
+    * ONE definition of training-sample selection, code numbering, and
+    * subvector slicing, shared by the raw (e12) and residual (e13)
+    * quantizers so the two cannot drift. */
+  private def pqCodebookOf(s: SparkSession, frame: DataFrame, vecCol: String): DataFrame = {
     val dot = dotQ(s) _
-    val nprobe = s.conf.get(NprobeConf, "1").toInt
-    val rerankC = s.conf.get(RerankCConf, RerankC.toString).toInt
-    val v = quantized(s, dir)
-    val ranked = assignRanked(s, v, centroidsOf(s, v))
-    // 1. codebook: subvectors of the PqK smallest-id vectors
-    val train = v.orderBy(col("vec_id").asc).limit(PqK)
-      .select(col("vec_id"), col("q"))
+    frame.orderBy(col("vec_id").asc).limit(PqK)
+      .select(col("vec_id"), col(vecCol))
       .withColumn("code", row_number().over(Window.orderBy(col("vec_id").asc)) - 1)
-    val codebook = train
-      .select(col("code"), explode(sequence(lit(1), lit(PqM))).as("m"), col("q"))
-      .withColumn("cw", slice(col("q"), (col("m") - 1) * lit(PqSubDim) + 1, lit(PqSubDim)))
+      .select(col("code"), explode(sequence(lit(1), lit(PqM))).as("m"), col(vecCol))
+      .withColumn("cw", slice(col(vecCol), (col("m") - 1) * lit(PqSubDim) + 1, lit(PqSubDim)))
       .withColumn("ncw", dot(col("cw"), col("cw")))
       .select(col("m"), col("code"), col("cw"), col("ncw"))
-    // 2. encode every cell member: per-subspace argmin codeword
-    val subs = ranked.where(col("rn") === 1)
+  }
+
+  /** (cell, neighbor_id, codes[PqM] 0-based, nrecon) per-subspace
+    * nearest-codeword encoding of `frame` (cell, vec_id, vecCol)
+    * against `codebook` — exact integer argmin(ncw − 2·sub·cw), ties
+    * on code id; nrecon = Σₘ ncw of the chosen codewords. */
+  private def pqEncode(s: SparkSession, frame: DataFrame, vecCol: String,
+      codebook: DataFrame): DataFrame = {
+    val dot = dotQ(s) _
+    frame
       .select(col("cell"), col("vec_id"),
-        explode(sequence(lit(1), lit(PqM))).as("m"), col("q"))
-      .withColumn("sub", slice(col("q"), (col("m") - 1) * lit(PqSubDim) + 1, lit(PqSubDim)))
-    val enc = subs.join(broadcast(codebook), Seq("m"))
+        explode(sequence(lit(1), lit(PqM))).as("m"), col(vecCol))
+      .withColumn("sub", slice(col(vecCol), (col("m") - 1) * lit(PqSubDim) + 1, lit(PqSubDim)))
+      .join(broadcast(codebook), Seq("m"))
       .withColumn("penalty", col("ncw") - lit(2L) * dot(col("sub"), col("cw")))
       .withColumn("rn2", row_number().over(
         Window.partitionBy(col("vec_id"), col("m"))
           .orderBy(col("penalty").asc, col("code").asc)))
       .where(col("rn2") === 1)
-    val cs = enc.groupBy(col("cell"), col("vec_id"))
+      .groupBy(col("cell"), col("vec_id"))
       .agg(
         transform(array_sort(collect_list(struct(col("m"), col("code")))),
           p => p.getField("code")).as("codes"),
         sum(col("ncw")).as("nrecon"))
       .select(col("cell"), col("vec_id").as("neighbor_id"), col("codes"), col("nrecon"))
-    // 3. per-query LUT (M·K exact subvector·codeword dots, (m, code)-ordered)
-    val lut = v.where(col("vec_id") % 5 === 0)
-      .select(col("vec_id"), explode(sequence(lit(1), lit(PqM))).as("m"), col("q"))
-      .withColumn("sub", slice(col("q"), (col("m") - 1) * lit(PqSubDim) + 1, lit(PqSubDim)))
+  }
+
+  /** Per-`keys` LUT: the M·K exact subvector·codeword dots of `frame`'s
+    * vecCol, (m, code)-ordered into one gatherable array. */
+  private def pqLut(s: SparkSession, frame: DataFrame, vecCol: String,
+      codebook: DataFrame, keys: Seq[String]): DataFrame = {
+    val dot = dotQ(s) _
+    frame
+      .select(keys.map(col) ++ Seq(
+        explode(sequence(lit(1), lit(PqM))).as("m"), col(vecCol)): _*)
+      .withColumn("sub", slice(col(vecCol), (col("m") - 1) * lit(PqSubDim) + 1, lit(PqSubDim)))
       .join(broadcast(codebook), Seq("m"))
       .withColumn("pdot", dot(col("sub"), col("cw")))
-      .groupBy(col("vec_id"))
+      .groupBy(keys.map(col): _*)
       .agg(transform(
         array_sort(collect_list(struct(col("m"), col("code"), col("pdot")))),
         p => p.getField("pdot")).as("lut"))
-    val qs = ranked.where(col("rn") <= nprobe && col("vec_id") % 5 === 0)
-      .select(col("cell"), col("vec_id").as("query_id"), col("nq").as("na"))
-      .join(lut.withColumnRenamed("vec_id", "query_id"), Seq("query_id"))
-    // ADC score: PqM codegen'd gathers-and-adds per candidate
-    val adc = (1 to PqM).map { m =>
+  }
+
+  /** The ADC gather Σₘ lut[(m−1)·K + codeₘ + 1] — PqM codegen'd
+    * element_at adds, never a higher-order fold. */
+  private def pqAdcGather: Column =
+    (1 to PqM).map { m =>
       element_at(col("lut"), element_at(col("codes"), m) + lit((m - 1) * PqK + 1))
     }.reduce(_ + _)
-    val coarse = SelfJoin.on(qs, cs, Seq("cell"))
-      .where(col("query_id") =!= col("neighbor_id"))
-      .withColumn("ascore",
-        adc.cast("double") /
-          (sqrt(col("na").cast("double")) * sqrt(col("nrecon").cast("double"))))
-      .withColumn("crank", row_number().over(
-        Window.partitionBy(col("query_id")).orderBy(col("ascore").desc, col("neighbor_id").asc)))
-      .where(col("crank") <= rerankC)
-      .select(col("query_id"), col("neighbor_id"))
-    // 4. fetch full vectors for the C survivors, exact re-rank
+
+  /** Exact-cosine top-[[TopK]] rerank of `coarse` (query_id,
+    * neighbor_id) — the full-vector "store fetch" tail shared by the
+    * compressed paths. */
+  private def exactRerank(s: SparkSession, v: DataFrame, coarse: DataFrame): DataFrame = {
+    val dot = dotQ(s) _
     val qa = v.select(col("vec_id").as("query_id"), col("q").as("qa"), col("nq").as("na2"))
     val qb = v.select(col("vec_id").as("neighbor_id"), col("q").as("qb"), col("nq").as("nb"))
     coarse.join(qa, Seq("query_id")).join(qb, Seq("neighbor_id"))
@@ -1085,33 +1093,71 @@ object Embeddings {
       .where(col("rank") <= TopK)
   }
 
-  /** DuckDB twin — codebook/encode/LUT/ADC CTEs mirror the Spark stages
-    * 1:1 (1-based list slices, `(m-1)·K + code + 1` LUT gather). A `def`
-    * for object-init-order safety (the RerankC trap). */
-  private def pqSqlCtes: String =
-    s""", train12 AS (
-       |  SELECT code, q FROM (
-       |    SELECT vec_id, q, row_number() OVER (ORDER BY vec_id ASC) - 1 AS code FROM qv) t
+  /** Raw-vector IVF-PQ: [[pqCodebookOf]] over the corpus, [[pqEncode]]
+    * of the cell members, per-QUERY [[pqLut]], cosine-estimate ADC
+    * ranking in the strategy-gated cell join, exact rerank. */
+  def e12IvfPqAdc(s: SparkSession, dir: String): DataFrame = {
+    val nprobe = s.conf.get(NprobeConf, "1").toInt
+    val rerankC = s.conf.get(RerankCConf, RerankC.toString).toInt
+    val v = quantized(s, dir)
+    val ranked = assignRanked(s, v, centroidsOf(s, v))
+    val codebook = pqCodebookOf(s, v, "q")
+    val cs = pqEncode(s, ranked.where(col("rn") === 1)
+      .select(col("cell"), col("vec_id"), col("q")), "q", codebook)
+    val lut = pqLut(s, v.where(col("vec_id") % 5 === 0), "q", codebook, Seq("vec_id"))
+    val qs = ranked.where(col("rn") <= nprobe && col("vec_id") % 5 === 0)
+      .select(col("cell"), col("vec_id").as("query_id"), col("nq").as("na"))
+      .join(lut.withColumnRenamed("vec_id", "query_id"), Seq("query_id"))
+    val coarse = SelfJoin.on(qs, cs, Seq("cell"))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .withColumn("ascore",
+        pqAdcGather.cast("double") /
+          (sqrt(col("na").cast("double")) * sqrt(col("nrecon").cast("double"))))
+      .withColumn("crank", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("ascore").desc, col("neighbor_id").asc)))
+      .where(col("crank") <= rerankC)
+      .select(col("query_id"), col("neighbor_id"))
+    exactRerank(s, v, coarse)
+  }
+
+  /** The SQL PQ quantizer — train/codebook/encode/codes CTEs (suffix
+    * `sfx`) over training CTE `trainSrc` and encoding CTE `encSrc`
+    * (both exposing cell, vec_id, and vector column `vc`) — ONE
+    * definition instantiated for the raw ("12", qv/assigned, q) and
+    * residual ("13", res13/res13, r) paths, mirroring the shared Spark
+    * helpers so the oracles cannot drift either. A `def` for
+    * object-init-order safety (the RerankC trap). */
+  private def pqQuantizerSqlCtes(sfx: String, trainSrc: String,
+      encSrc: String, vc: String): String =
+    s""", train$sfx AS (
+       |  SELECT code, $vc FROM (
+       |    SELECT vec_id, $vc, row_number() OVER (ORDER BY vec_id ASC) - 1 AS code FROM $trainSrc) t
        |  WHERE code < $PqK
-       |), cb12 AS (
-       |  SELECT m, code, q[(m-1)*$PqSubDim+1:m*$PqSubDim] AS cw
-       |  FROM train12, generate_series(1, $PqM) g(m)
-       |), cbn12 AS (
-       |  SELECT m, code, cw, CAST(list_dot_product(cw, cw) AS BIGINT) AS ncw FROM cb12
-       |), enc12 AS (
+       |), cb$sfx AS (
+       |  SELECT m, code, $vc[(m-1)*$PqSubDim+1:m*$PqSubDim] AS cw
+       |  FROM train$sfx, generate_series(1, $PqM) g(m)
+       |), cbn$sfx AS (
+       |  SELECT m, code, cw, CAST(list_dot_product(cw, cw) AS BIGINT) AS ncw FROM cb$sfx
+       |), enc$sfx AS (
        |  SELECT cell, vec_id, m, code, ncw FROM (
        |    SELECT a.cell, a.vec_id, c.m, c.code, c.ncw,
        |      row_number() OVER (PARTITION BY a.vec_id, c.m ORDER BY
        |        c.ncw - 2 * CAST(list_dot_product(
-       |          a.q[(c.m-1)*$PqSubDim+1:c.m*$PqSubDim], c.cw) AS BIGINT) ASC,
+       |          a.$vc[(c.m-1)*$PqSubDim+1:c.m*$PqSubDim], c.cw) AS BIGINT) ASC,
        |        c.code ASC) AS rn2
-       |    FROM assigned a, cbn12 c) t
+       |    FROM $encSrc a, cbn$sfx c) t
        |  WHERE rn2 = 1
-       |), codes12 AS (
+       |), codes$sfx AS (
        |  SELECT cell, vec_id, list(code ORDER BY m) AS codes,
        |    CAST(sum(ncw) AS BIGINT) AS nrecon
-       |  FROM enc12 GROUP BY cell, vec_id
-       |), lut12 AS (
+       |  FROM enc$sfx GROUP BY cell, vec_id
+       |)""".stripMargin
+
+  /** DuckDB twin of e12 — the shared quantizer CTEs plus the per-query
+    * LUT and the cosine-estimate ADC coarse cut. */
+  private def pqSqlCtes: String =
+    pqQuantizerSqlCtes("12", "qv", "assigned", "q") +
+    s""", lut12 AS (
        |  SELECT a.vec_id AS query_id,
        |    list(CAST(list_dot_product(
        |      a.q[(c.m-1)*$PqSubDim+1:c.m*$PqSubDim], c.cw) AS BIGINT)
@@ -1189,72 +1235,30 @@ object Embeddings {
     val resIdx = ranked.where(col("rn") === 1)
       .join(broadcast(mem), Seq("cell"))
       .select(col("cell"), col("vec_id"), resExpr.as("r"))
-    // codebook: residual subvectors of the PqK smallest-id vectors
-    val train = resIdx.orderBy(col("vec_id").asc).limit(PqK)
-      .select(col("vec_id"), col("r"))
-      .withColumn("code", row_number().over(Window.orderBy(col("vec_id").asc)) - 1)
-    val codebook = train
-      .select(col("code"), explode(sequence(lit(1), lit(PqM))).as("m"), col("r"))
-      .withColumn("cw", slice(col("r"), (col("m") - 1) * lit(PqSubDim) + 1, lit(PqSubDim)))
-      .withColumn("ncw", dot(col("cw"), col("cw")))
-      .select(col("m"), col("code"), col("cw"), col("ncw"))
-    // encode: per-subspace nearest codeword over the residual
-    val subs = resIdx
-      .select(col("cell"), col("vec_id"),
-        explode(sequence(lit(1), lit(PqM))).as("m"), col("r"))
-      .withColumn("sub", slice(col("r"), (col("m") - 1) * lit(PqSubDim) + 1, lit(PqSubDim)))
-    val enc = subs.join(broadcast(codebook), Seq("m"))
-      .withColumn("penalty", col("ncw") - lit(2L) * dot(col("sub"), col("cw")))
-      .withColumn("rn2", row_number().over(
-        Window.partitionBy(col("vec_id"), col("m"))
-          .orderBy(col("penalty").asc, col("code").asc)))
-      .where(col("rn2") === 1)
-    val cs = enc.groupBy(col("cell"), col("vec_id"))
-      .agg(
-        transform(array_sort(collect_list(struct(col("m"), col("code")))),
-          p => p.getField("code")).as("codes"),
-        sum(col("ncw")).as("nrecon"))
-      .select(col("cell"), col("vec_id").as("neighbor_id"), col("codes"), col("nrecon"))
+    // shared PQ machinery over the RESIDUAL column (one quantizer
+    // definition with e12 — the spec-pinned vacuous-C equivalence
+    // depends on the two paths never drifting)
+    val codebook = pqCodebookOf(s, resIdx, "r")
+    val cs = pqEncode(s, resIdx, "r", codebook)
     // query side: residual vs EACH probed cell's centroid, LUT per (query, cell)
     val resQ = ranked.where(col("rn") <= nprobe && col("vec_id") % 5 === 0)
       .join(broadcast(mem), Seq("cell"))
       .select(col("cell"), col("vec_id").as("query_id"), resExpr.as("rq"))
       .withColumn("nrq", dot(col("rq"), col("rq")))
-    val lut = resQ
-      .select(col("cell"), col("query_id"), col("nrq"),
-        explode(sequence(lit(1), lit(PqM))).as("m"), col("rq"))
-      .withColumn("sub", slice(col("rq"), (col("m") - 1) * lit(PqSubDim) + 1, lit(PqSubDim)))
-      .join(broadcast(codebook), Seq("m"))
-      .withColumn("pdot", dot(col("sub"), col("cw")))
-      .groupBy(col("cell"), col("query_id"), col("nrq"))
-      .agg(transform(
-        array_sort(collect_list(struct(col("m"), col("code"), col("pdot")))),
-        p => p.getField("pdot")).as("lut"))
-    val adc = (1 to PqM).map { m =>
-      element_at(col("lut"), element_at(col("codes"), m) + lit((m - 1) * PqK + 1))
-    }.reduce(_ + _)
+    val lut = pqLut(s, resQ, "rq", codebook, Seq("cell", "query_id", "nrq"))
     val coarse = SelfJoin.on(lut, cs, Seq("cell"))
       .where(col("query_id") =!= col("neighbor_id"))
-      .withColumn("dist2", col("nrq") - lit(2L) * adc + col("nrecon"))
+      .withColumn("dist2", col("nrq") - lit(2L) * pqAdcGather + col("nrecon"))
       .withColumn("crank", row_number().over(
         Window.partitionBy(col("query_id")).orderBy(col("dist2").asc, col("neighbor_id").asc)))
       .where(col("crank") <= rerankC)
       .select(col("query_id"), col("neighbor_id"))
-    // exact-cosine rerank of the C survivors (the suite's final metric)
-    val qa = v.select(col("vec_id").as("query_id"), col("q").as("qa"), col("nq").as("na2"))
-    val qb = v.select(col("vec_id").as("neighbor_id"), col("q").as("qb"), col("nq").as("nb"))
-    coarse.join(qa, Seq("query_id")).join(qb, Seq("neighbor_id"))
-      .select(col("query_id"), col("neighbor_id"),
-        (dot(col("qa"), col("qb")).cast("double") /
-          (sqrt(col("na2").cast("double")) *
-            sqrt(col("nb").cast("double")))).as("cos"))
-      .withColumn("rank", row_number().over(
-        Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id").asc)))
-      .where(col("rank") <= TopK)
+    exactRerank(s, v, coarse)
   }
 
-  /** DuckDB twin — the residual/codebook/encode/LUT/L2-ADC CTEs mirror
-    * the Spark stages 1:1 (integer `//` ≡ Spark `div`, both truncating).
+  /** DuckDB twin of e13 — residual CTEs (integer `//` ≡ Spark `div`,
+    * both truncating), the SAME shared quantizer CTEs over the residual
+    * column, the per-(query, cell) LUT, and the L2 ADC coarse cut.
     * A `def` for init-order safety. Requires $assignedSqlCtes upstream. */
   private def residualPqSqlCtes: String =
     s""", mem13 AS (
@@ -1265,29 +1269,9 @@ object Embeddings {
        |      i -> (a.q[i] * mem13.m - cents.cvec[i]) // mem13.m) AS r
        |  FROM assigned a JOIN cents ON a.cell = cents.cell
        |                 JOIN mem13 ON a.cell = mem13.cell
-       |), train13 AS (
-       |  SELECT code, r FROM (
-       |    SELECT vec_id, r, row_number() OVER (ORDER BY vec_id ASC) - 1 AS code FROM res13) t
-       |  WHERE code < $PqK
-       |), cb13 AS (
-       |  SELECT m, code, r[(m-1)*$PqSubDim+1:m*$PqSubDim] AS cw
-       |  FROM train13, generate_series(1, $PqM) g(m)
-       |), cbn13 AS (
-       |  SELECT m, code, cw, CAST(list_dot_product(cw, cw) AS BIGINT) AS ncw FROM cb13
-       |), enc13 AS (
-       |  SELECT cell, vec_id, m, code, ncw FROM (
-       |    SELECT a.cell, a.vec_id, c.m, c.code, c.ncw,
-       |      row_number() OVER (PARTITION BY a.vec_id, c.m ORDER BY
-       |        c.ncw - 2 * CAST(list_dot_product(
-       |          a.r[(c.m-1)*$PqSubDim+1:c.m*$PqSubDim], c.cw) AS BIGINT) ASC,
-       |        c.code ASC) AS rn2
-       |    FROM res13 a, cbn13 c) t
-       |  WHERE rn2 = 1
-       |), codes13 AS (
-       |  SELECT cell, vec_id, list(code ORDER BY m) AS codes,
-       |    CAST(sum(ncw) AS BIGINT) AS nrecon
-       |  FROM enc13 GROUP BY cell, vec_id
-       |), lut13 AS (
+       |)""".stripMargin +
+    pqQuantizerSqlCtes("13", "res13", "res13", "r") +
+    s""", lut13 AS (
        |  SELECT a.cell, a.vec_id AS query_id,
        |    CAST(list_dot_product(a.r, a.r) AS BIGINT) AS nrq,
        |    list(CAST(list_dot_product(
