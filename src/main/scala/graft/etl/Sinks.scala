@@ -26,21 +26,27 @@ object Sinks {
 
   /** Overwrite a JDBC table wholesale — the store side of a persisted
     * foreachBatch fold ([[graft.streaming.Streams.runForeachBatchJdbc]]).
-    * String columns are declared VARCHAR at creation (Spark's default
-    * mapping makes them LOBs on several dialects — not comparable, not
-    * indexable; same fix as the jobs layer's keyed appends). CONTRACT:
-    * `df` must be MATERIALIZED (checkpointed/collected lineage) if its
-    * plan reads the same table — overwrite truncates before writing,
-    * so an unmaterialized self-referential plan would consume its own
-    * truncation. */
+    * String columns are declared `VARCHAR(varcharWidth)` at creation
+    * (Spark's default mapping makes them LOBs on several dialects — not
+    * comparable, not indexable; same fix as the jobs layer's keyed
+    * appends) UNLESS the caller already supplies
+    * `createTableColumnTypes` in `props`, which always wins. CONTRACT:
+    * string values longer than `varcharWidth` (default 1024) fail or
+    * truncate dialect-dependently — widen the parameter or pass your
+    * own column types for wide-text stores. `df` must be MATERIALIZED
+    * (checkpointed/collected lineage) if its plan reads the same
+    * table — overwrite truncates before writing, so an unmaterialized
+    * self-referential plan would consume its own truncation. */
   def jdbcOverwrite(df: DataFrame, url: String, table: String,
-                    props: Properties = new Properties()): Unit = {
+                    props: Properties = new Properties(),
+                    varcharWidth: Int = 1024): Unit = {
     val p2 = new Properties()
     p2.putAll(props)
     val varchars = df.schema.fields
       .filter(_.dataType == org.apache.spark.sql.types.StringType)
-      .map(f => s"${f.name} VARCHAR(1024)").mkString(", ")
-    if (varchars.nonEmpty) p2.setProperty("createTableColumnTypes", varchars)
+      .map(f => s"${f.name} VARCHAR($varcharWidth)").mkString(", ")
+    if (varchars.nonEmpty && !p2.containsKey("createTableColumnTypes"))
+      p2.setProperty("createTableColumnTypes", varchars)
     df.write.mode(SaveMode.Overwrite).jdbc(url, table, p2)
   }
 
@@ -99,9 +105,13 @@ object Sinks {
     *    because the directory layout is identical.
     *
     * The rewrite stages through a `.compact-tmp` sibling (Spark cannot
-    * overwrite a path it reads) and swaps via delete+rename — the
-    * filesystem form; a lakehouse deployment would make the same swap a
-    * table-format transaction (rewrite-data-files) instead. */
+    * overwrite a path it reads) and swaps by renaming the ORIGINAL
+    * aside first (`.compact-old`), renaming the rewrite into place,
+    * then deleting the old copy — the no-data window is one rename, and
+    * a crash mid-swap leaves a recoverable copy under one of the two
+    * sibling names instead of silently losing the directory; a
+    * lakehouse deployment would make the same swap a table-format
+    * transaction (rewrite-data-files) instead. */
   def compact(s: SparkSession, path: String,
               targetFileBytes: Long = 128L << 20,
               partitionCols: Seq[String] = Nil,
@@ -122,8 +132,11 @@ object Sinks {
           .partitionBy(partitionCols: _*)
       }
     writer.mode(SaveMode.Overwrite).parquet(tmp.toString)
-    require(fs.delete(src, true), s"compaction could not remove $path")
+    val old = new org.apache.hadoop.fs.Path(path + ".compact-old")
+    if (fs.exists(old)) fs.delete(old, true) // leftover from a prior crash
+    require(fs.rename(src, old), s"compaction could not move $path aside")
     require(fs.rename(tmp, src), s"compaction could not swap $tmp into $path")
+    require(fs.delete(old, true), s"compaction could not remove $old")
   }
 
   /** Bucketed managed table (the co-located-join layout): rows are

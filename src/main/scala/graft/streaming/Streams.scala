@@ -189,6 +189,24 @@ object Streams {
     * which makes the merge effectively exactly-once across restarts. */
   val BatchIdCol = "__batch_id"
 
+  /** Dialect-agnostic JDBC table-existence probe (the JdbcUtils
+    * .tableExists shape): a zero-row SELECT against the table. ONLY a
+    * failure of that statement reads as "absent" — a connection-level
+    * failure (broken network, auth, timeout) throws out of
+    * `getConnection` and propagates, which is what keeps
+    * [[runForeachBatchJdbc]] from mistaking a transient outage for a
+    * first batch and truncating the accumulated store. */
+  private[graft] def jdbcTableExists(
+      url: String, table: String, props: java.util.Properties): Boolean = {
+    val conn = java.sql.DriverManager.getConnection(url, props)
+    try {
+      val stmt = conn.createStatement()
+      try { stmt.executeQuery(s"SELECT 1 FROM $table WHERE 1=0"); true }
+      catch { case _: java.sql.SQLException => false }
+      finally stmt.close()
+    } finally conn.close()
+  }
+
   /** [[runForeachBatch]] with the running store PERSISTED to a JDBC
     * table instead of held in session memory — the reference's
     * operational contract (adversStat/src/main/scala/AdverStat.scala:
@@ -217,9 +235,14 @@ object Streams {
     val q = build(child).writeStream
       .outputMode(outputMode)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // absence is detected SPECIFICALLY (metadata probe) — any other
+        // failure, including on the read itself, aborts the batch so a
+        // transient JDBC outage can never read as "first batch" and
+        // wipe the store through the overwrite below
         val existing =
-          try Some(child.read.jdbc(url, table, props))
-          catch { case _: Exception => None } // first batch: table absent
+          if (jdbcTableExists(url, table, props))
+            Some(child.read.jdbc(url, table, props))
+          else None
         val lastApplied = existing.flatMap { df =>
           val r = df.agg(max(col(BatchIdCol))).collect()(0)
           if (r.isNullAt(0)) None else Some(r.getLong(0))

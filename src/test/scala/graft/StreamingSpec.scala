@@ -371,6 +371,24 @@ class StreamingSpec extends GraftSuite {
     assert(readStore() === afterResume, "replayed batch ids must not re-merge")
   }
 
+  test("persisted JDBC fold: store-read failures abort the batch — only true table absence reads as first-batch") {
+    val props = new java.util.Properties()
+    val url = "jdbc:derby:memory:graftprobedb;create=true"
+    // live connection + absent table → false (the legitimate first-batch case)
+    assert(!Streams.jdbcTableExists(url, "no_such_table_probe", props))
+    // connection-level failure (database not found — the transient-outage
+    // analogue) must PROPAGATE, never read as absence: the old behavior
+    // mapped it to existing=None and the overwrite then truncated the store
+    intercept[java.sql.SQLException] {
+      Streams.jdbcTableExists("jdbc:derby:memory:graftNoSuchDb", "t", props)
+    }
+    // and once the table exists, the probe sees it
+    import spark.implicits._
+    graft.etl.Sinks.jdbcOverwrite(
+      Seq((1L, "a")).toDF("k", "v"), url, "probe_present", props)
+    assert(Streams.jdbcTableExists(url, "probe_present", props))
+  }
+
   test("st12's JDBC-persisted variant equals the in-memory fold over the same input") {
     val got = AdAnalytics.st12RunningRollupJdbc(spark, sf,
         "jdbc:derby:memory:graftst12fx;create=true", "st12_store_fx",
