@@ -26,6 +26,16 @@ import graft.operators.{Embeddings, LlmText, SelfJoin}
   *    the trained index; retraining is a separate, rarer event).
   *  - `cell_members`  (cell, vec_id, q, nq) — each vector's primary-cell
   *    assignment plus its quantized form for exact cosine verification.
+  *  - `term_stats`    (term, df, widf) — the SPARSE retrieval half's
+  *    frozen idf: document frequency and the integer-quantized weight
+  *    `QuantIdf div df`, computed ONCE at build and reused for every
+  *    later batch (the `cell_centroids` convention for lexical
+  *    statistics; re-weighting is the separate [[reidf]] event).
+  *  - `postings`      (doc_id, term, w) — the weighted inverted index
+  *    d33 materializes in-query; persisted, a batch of queries retrieves
+  *    with ZERO corpus re-tokenization.
+  *  - `doc_norms`     (doc_id, nw) — exact integer self-norms Σ w², so
+  *    candidate-side cosine needs no postings re-aggregation.
   *
   * Daily cost ∝ |batch| × collision width: the probe joins are the same
   * strategy-gated equi-joins as d30/e09 ([[SelfJoin]]: broadcast
@@ -45,6 +55,9 @@ object IncrementalIndex {
   val TextShingles = "text_shingles"
   val CellCentroids = "cell_centroids"
   val CellMembers = "cell_members"
+  val TermStats = "term_stats"
+  val Postings = "postings"
+  val DocNorms = "doc_norms"
 
   private def p(indexDir: String, table: String): String = s"$indexDir/$table"
 
@@ -114,6 +127,55 @@ object IncrementalIndex {
       .write.mode(SaveMode.Overwrite).parquet(p(indexDir, CellCentroids))
     appendCellMembers(s, allVecs, indexDir, SaveMode.Overwrite)
   }
+
+  /** Build the SPARSE retrieval half: freeze the term statistics
+    * (df → quantized idf weight, honoring the build session's
+    * `spark.graft.sparse.maxDfPermille` pruning lever — the store PINS
+    * the lever value its postings were weighted with, the `bandRows`
+    * contract's lexical twin) and write every document's weighted
+    * postings + self-norm. One tokenize+count pass feeds all three
+    * tables. Also the [[reidf]] rebuild. */
+  def writeSparseIndex(s: SparkSession, docs: DataFrame, indexDir: String): Unit = {
+    val tf = LlmText.tfOf(LlmText.baseFrom(docs)).persist()
+    try {
+      LlmText.termStatsOf(s, LlmText.baseFrom(docs), tf)
+        .write.mode(SaveMode.Overwrite).parquet(p(indexDir, TermStats))
+      writePostingsAgainstStats(s, tf, indexDir, SaveMode.Overwrite)
+    } finally { tf.unpersist(); () }
+  }
+
+  /** Weight `tf` under the STORED (frozen) statistics and land the
+    * postings + norms — shared by the day-1 build and the day-N append. */
+  private def writePostingsAgainstStats(s: SparkSession, tf: DataFrame,
+                                        indexDir: String, mode: SaveMode): Unit = {
+    val w = LlmText.weightedPostingsOf(tf,
+      s.read.parquet(p(indexDir, TermStats))).persist()
+    try {
+      w.write.mode(mode).parquet(p(indexDir, Postings))
+      LlmText.sparseNormsOf(w)
+        .write.mode(mode).parquet(p(indexDir, DocNorms))
+    } finally { w.unpersist(); () }
+  }
+
+  /** Fold a batch of NEW documents into the postings store under the
+    * frozen idf — batch-sized appended partitions, the corpus never
+    * re-tokenized. Terms unseen at build time carry no stored weight
+    * and are DROPPED (they cannot score against any indexed posting
+    * anyway); the drift this accumulates is exactly what [[reidf]]
+    * resets. */
+  def appendSparsePostings(s: SparkSession, newDocs: DataFrame, indexDir: String): Unit =
+    writePostingsAgainstStats(s, LlmText.tfOf(LlmText.baseFrom(newDocs)),
+      indexDir, SaveMode.Append)
+
+  /** The RE-IDF event the frozen-statistics contract defers to — the
+    * [[retrain]] of the lexical half. Unlike centroids, idf has a
+    * closed form (no warm start to iterate from), so re-weighting IS a
+    * full rebuild: recompute df over the corpus so far, swap the frozen
+    * stats, rewrite postings + norms wholesale. Rankings before and
+    * after are NOT comparable — a separate, explicit event, never part
+    * of a daily ingest. */
+  def reidf(s: SparkSession, allDocs: DataFrame, indexDir: String): Unit =
+    writeSparseIndex(s, allDocs, indexDir)
 
   // ------------------------------------------------------------ probe
   /** d30's verdicts against the STORED index: every batch doc with its
@@ -207,6 +269,50 @@ object IncrementalIndex {
       .select(col("cell"), col("vec_id"),
         coalesce(col("n_matches"), lit(0L)).as("n_matches"))
       .withColumn("kept", col("n_matches") === 0)
+  }
+
+  /** d33's ranking for a batch of queries against the STORED postings:
+    * the batch tokenizes itself, weights under the frozen `term_stats`,
+    * and joins the stored inverted index — no corpus text is re-read,
+    * no df recomputed, no corpus norm re-aggregated. With the index
+    * built over the full corpus this is row-identical to the d33
+    * recompute form restricted to the batch's queries (SparseIndexSpec);
+    * in deployment it is the serving path: cost ∝ Σ_t qdf(t)·df(t)
+    * through the same [[SelfJoin]] strategy gate, never corpus². */
+  def probeSparse(s: SparkSession, queryDocs: DataFrame, indexDir: String): DataFrame = {
+    val (out, caches) = probeSparseLazy(s, queryDocs, indexDir)
+    val materialized = out.localCheckpoint(true)
+    caches.foreach(_.unpersist())
+    materialized
+  }
+
+  private[graft] def probeSparseLazy(s: SparkSession, queryDocs: DataFrame,
+                                     indexDir: String): (DataFrame, Seq[DataFrame]) = {
+    import org.apache.spark.sql.expressions.Window
+    // query-side postings under the FROZEN stats — probed twice (dots +
+    // self-norms), so persisted like probeText's base; callers own it
+    val qw0 = LlmText.weightedPostingsOf(
+      LlmText.tfOf(LlmText.baseFrom(queryDocs)),
+      s.read.parquet(p(indexDir, TermStats))).persist()
+    val qw = qw0.select(col("term"), col("doc_id").as("query_id"), col("w").as("wq"))
+    val cw = s.read.parquet(p(indexDir, Postings))
+      .select(col("term"), col("doc_id").as("cand_id"), col("w").as("wc"))
+    val dots = SelfJoin.on(qw, cw, Seq("term"))
+      .where(col("query_id") =!= col("cand_id"))
+      .groupBy(col("query_id"), col("cand_id"))
+      .agg(sum(col("wq") * col("wc")).as("dot"))
+    val out = dots
+      .join(LlmText.sparseNormsOf(qw0)
+        .select(col("doc_id").as("query_id"), col("nw").as("nq")), Seq("query_id"))
+      .join(s.read.parquet(p(indexDir, DocNorms))
+        .select(col("doc_id").as("cand_id"), col("nw").as("nc")), Seq("cand_id"))
+      .select(col("query_id"), col("cand_id"),
+        (col("dot").cast("double") /
+          (sqrt(col("nq").cast("double")) * sqrt(col("nc").cast("double")))).as("cos"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("cand_id").asc)))
+      .where(col("rnk") <= LlmText.SparseTopK)
+    (out, Seq(qw0))
   }
 
   // ----------------------------------------------------------- append

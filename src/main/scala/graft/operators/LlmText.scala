@@ -1972,35 +1972,62 @@ object LlmText {
     * 1000) are spec-pinned. */
   val SparseMaxDfConf = "spark.graft.sparse.maxDfPermille"
 
-  def d33SparseCosine(s: SparkSession, dir: String): DataFrame = {
-    val maxDfPermille = s.conf.get(SparseMaxDfConf, "1000").toInt
-    val docs = base(s, dir)
-    val tf = docs
+  /** (doc_id, term, tf) counts for a [[baseFrom]] frame — d33's first
+    * stage, shared with the persisted sparse index
+    * ([[graft.jobs.IncrementalIndex]]). One explode + one keyed count. */
+  private[graft] def tfOf(baseDf: DataFrame): DataFrame =
+    baseDf
       .select(col("doc_id"), explode(col("toks")).as("term"))
       .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+
+  /** Frozen-idf term statistics for a tf table: document frequency plus
+    * the integer-quantized weight `QuantIdf div df` (exact in both
+    * engines over the whole long domain), honoring the
+    * [[SparseMaxDfConf]] static-pruning lever and dropping weight-0
+    * (stopword-df) terms. This is d33's weighting AND the schema the
+    * persisted sparse index freezes — one definition, so a stored index
+    * and a recompute can never disagree on a weight. The default path
+    * stays the oracle plan verbatim: the n_docs broadcast and the prune
+    * filter only enter the plan when the lever is set. */
+  private[graft] def termStatsOf(s: SparkSession, baseDf: DataFrame,
+                                 tf: DataFrame): DataFrame = {
+    val maxDfPermille = s.conf.get(SparseMaxDfConf, "1000").toInt
     val dfreq0 = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    // default path stays the oracle plan verbatim: the n_docs broadcast
-    // and the prune filter only enter the plan when the lever is set
     val dfreq =
       if (maxDfPermille >= 1000) dfreq0
       else dfreq0
-        .crossJoin(broadcast(docs.agg(count(lit(1)).as("n_docs"))))
+        .crossJoin(broadcast(baseDf.agg(count(lit(1)).as("n_docs"))))
         .where(col("df") * 1000 <= lit(maxDfPermille.toLong) * col("n_docs"))
         .select(col("term"), col("df"))
+    dfreq.withColumn("widf", expr(s"$QuantIdf div df")).where(col("widf") > 0)
+  }
+
+  /** Weighted postings w = tf·widf for a tf table against a (possibly
+    * stored and frozen) term-stats table — the inverted index rows. */
+  private[graft] def weightedPostingsOf(tf: DataFrame, stats: DataFrame): DataFrame =
+    tf.join(stats.select(col("term"), col("widf")), Seq("term"))
+      .select(col("doc_id"), col("term"), (col("tf") * col("widf")).as("w"))
+
+  /** Exact integer self-norms Σ_t w² per doc; zero-norm docs (every term
+    * weighed 0) are dropped — at this quantization they cannot score. */
+  private[graft] def sparseNormsOf(w: DataFrame): DataFrame =
+    w.groupBy(col("doc_id")).agg(sum(col("w") * col("w")).as("nw"))
+      .where(col("nw") > 0)
+
+  def d33SparseCosine(s: SparkSession, dir: String): DataFrame = {
+    val docs = base(s, dir)
+    val tf = tfOf(docs)
     // materialize the weighted postings ONCE (eager localCheckpoint —
     // the s08/d03 discipline): the table is probed three ways below
     // (query postings, candidate postings, self-norms), and per-branch
     // column pruning makes the subtrees differ, so ReuseExchange cannot
     // dedup them — without the materialization the tokenize+count
     // pipeline runs once per branch. A search deployment PERSISTS this
-    // table anyway: the weighted postings ARE the inverted index.
-    val wts = tf.join(dfreq, Seq("term"))
-      .withColumn("widf", expr(s"$QuantIdf div df"))
-      .where(col("widf") > 0)
-      .select(col("doc_id"), col("term"), (col("tf") * col("widf")).as("w"))
+    // table anyway: the weighted postings ARE the inverted index
+    // (and since r8, [[graft.jobs.IncrementalIndex]] does persist it).
+    val wts = weightedPostingsOf(tf, termStatsOf(s, docs, tf))
       .localCheckpoint()
-    val nrm = wts.groupBy(col("doc_id")).agg(sum(col("w") * col("w")).as("nw"))
-      .where(col("nw") > 0)
+    val nrm = sparseNormsOf(wts)
     val qw = wts.where(col("doc_id") % SparseQMod === 0)
       .select(col("term"), col("doc_id").as("query_id"), col("w").as("wq"))
     val cw = wts.select(col("term"), col("doc_id").as("cand_id"), col("w").as("wc"))
