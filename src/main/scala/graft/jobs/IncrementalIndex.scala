@@ -26,6 +26,12 @@ import graft.operators.{Embeddings, LlmText, SelfJoin}
   *    the trained index; retraining is a separate, rarer event).
   *  - `cell_members`  (cell, vec_id, q, nq) — each vector's primary-cell
   *    assignment plus its quantized form for exact cosine verification.
+  *  - `pq_codebook`   (m, code, cw, ncw) — the TRAINED product-quantizer
+  *    codebook (per-subspace Lloyd, e12's machinery), frozen like the
+  *    centroids; [[retrainPq]] is its refresh event.
+  *  - `pq_codes`      (cell, vec_id, codes, nrecon) — every member's
+  *    4-byte PQ encoding, the table an IVFPQ index persists: an ADC
+  *    scan reads codes + codebook, never a raw vector.
   *  - `term_stats`    (term, df, widf) — the SPARSE retrieval half's
   *    frozen idf: document frequency and the integer-quantized weight
   *    `QuantIdf div df`, computed ONCE at build and reused for every
@@ -58,6 +64,8 @@ object IncrementalIndex {
   val TermStats = "term_stats"
   val Postings = "postings"
   val DocNorms = "doc_norms"
+  val PqCodebook = "pq_codebook"
+  val PqCodes = "pq_codes"
 
   private def p(indexDir: String, table: String): String = s"$indexDir/$table"
 
@@ -127,6 +135,44 @@ object IncrementalIndex {
       .write.mode(SaveMode.Overwrite).parquet(p(indexDir, CellCentroids))
     appendCellMembers(s, allVecs, indexDir, SaveMode.Overwrite)
   }
+
+  /** Train and freeze the PQ half beside `cell_members`: per-subspace
+    * Lloyd codebook over `trainVecs`' quantized vectors (e12's
+    * [[graft.operators.Embeddings.pqCodebookOf]] — seed + fixed rounds,
+    * deterministic) and the 4-byte code row for every vector of
+    * `allVecs` under its STORED primary-cell assignment. Requires
+    * `cell_centroids` (the coarse quantizer) to exist. `trainVecs` is
+    * typically a sample at scale; `allVecs` the corpus — the encode is
+    * the expensive half, one broadcast-join pass over the members. */
+  def writePqIndex(s: SparkSession, trainVecs: DataFrame, allVecs: DataFrame,
+                   indexDir: String): Unit = {
+    Embeddings.pqCodebookOf(s, Embeddings.quantizedFrom(s, trainVecs), "q")
+      .write.mode(SaveMode.Overwrite).parquet(p(indexDir, PqCodebook))
+    encodePqMembers(s, allVecs, indexDir, SaveMode.Overwrite)
+  }
+
+  /** Encode `vecs` against the STORED codebook + centroids and land
+    * their code rows. `Append` is the ingest fold (a new batch's codes
+    * join the store); `Overwrite` the build/retrain rebuild. */
+  def encodePqMembers(s: SparkSession, vecs: DataFrame, indexDir: String,
+                      mode: SaveMode = SaveMode.Append): Unit = {
+    val members = Embeddings.assignRanked(s, Embeddings.quantizedFrom(s, vecs),
+        s.read.parquet(p(indexDir, CellCentroids)))
+      .where(col("rn") === 1)
+      .select(col("cell"), col("vec_id"), col("q"))
+    Embeddings.pqEncode(s, members, "q", s.read.parquet(p(indexDir, PqCodebook)))
+      .withColumnRenamed("neighbor_id", "vec_id")
+      .write.mode(mode).parquet(p(indexDir, PqCodes))
+  }
+
+  /** The CODEBOOK-RETRAIN event the frozen-codebook contract defers to
+    * (the [[retrain]] of the product quantizer): re-run the Lloyd
+    * training on `trainVecs` and re-encode `allVecs` wholesale — codes
+    * under different codebooks are NOT comparable, so this is a
+    * separate explicit event, never part of a daily ingest. */
+  def retrainPq(s: SparkSession, trainVecs: DataFrame, allVecs: DataFrame,
+                indexDir: String): Unit =
+    writePqIndex(s, trainVecs, allVecs, indexDir)
 
   /** Build the SPARSE retrieval half: freeze the term statistics
     * (df → quantized idf weight, honoring the build session's

@@ -404,10 +404,15 @@ object Embeddings {
        |  WHERE rn = 1
        |)""".stripMargin
 
-  def e05IvfAnn(s: SparkSession, dir: String): DataFrame = {
+  def e05IvfAnn(s: SparkSession, dir: String): DataFrame =
+    e05From(s, cellRanked(s, dir))
+
+  /** e05's body over a caller-supplied assignment table — the audit
+    * (e07) materializes ONE `assignRanked` and feeds every IVF path;
+    * the standalone query builds its own. Same plan either way. */
+  private def e05From(s: SparkSession, ranked: DataFrame): DataFrame = {
     val nprobe = s.conf.get(NprobeConf, "1").toInt
     val dot = dotQ(s) _
-    val ranked = cellRanked(s, dir)
     // index side: primary cell only; query side: nprobe nearest cells
     val a = ranked.where(col("rn") <= nprobe)
       .select(col("cell"), col("vec_id").as("query_id"),
@@ -511,15 +516,24 @@ object Embeddings {
       .select(col("query_id"), col("neighbor_id"))
     val lsh = e02AnnBucketed(s, dir).where(col("query_id") % 5 === 0)
       .select(lit("lsh_bucketed").as("method"), col("query_id"), col("neighbor_id"))
-    val ivf = e05IvfAnn(s, dir).where(col("query_id") % 5 === 0)
+    // the four IVF paths share ONE materialized assignment stage (the
+    // d33 postings discipline): quantize + centroids + assignRanked run
+    // once instead of once per path — identical values (materialization
+    // changes no arithmetic), roughly half the audit's work. cvec rides
+    // along for e13's residual re-centering.
+    val v = quantized(s, dir).localCheckpoint()
+    val ranked = assignRanked(s, v, centroidsOf(s, v))
+      .select(col("cell"), col("vec_id"), col("q"), col("nq"), col("cvec"), col("rn"))
+      .localCheckpoint()
+    val ivf = e05From(s, ranked).where(col("query_id") % 5 === 0)
       .select(lit("ivf_nprobe").as("method"), col("query_id"), col("neighbor_id"))
     val sketch = e08SketchRerank(s, dir).where(col("rank") <= RecallK)
       .select(lit("sketch_rerank").as("method"), col("query_id"), col("neighbor_id"))
-    val ivfSketch = e10IvfSketchRerank(s, dir).where(col("rank") <= RecallK)
+    val ivfSketch = e10From(s, v, ranked).where(col("rank") <= RecallK)
       .select(lit("ivf_sketch_rerank").as("method"), col("query_id"), col("neighbor_id"))
-    val ivfPq = e12IvfPqAdc(s, dir).where(col("rank") <= RecallK)
+    val ivfPq = e12From(s, v, ranked).where(col("rank") <= RecallK)
       .select(lit("ivf_pq_adc").as("method"), col("query_id"), col("neighbor_id"))
-    val resPq = e13ResidualPq(s, dir).where(col("rank") <= RecallK)
+    val resPq = e13From(s, v, ranked).where(col("rank") <= RecallK)
       .select(lit("residual_pq").as("method"), col("query_id"), col("neighbor_id"))
     // LEFT join from a fixed method spine: a path with ZERO truth hits
     // must report recall 0.0, not vanish from the audit — the failing
@@ -837,11 +851,16 @@ object Embeddings {
     * (query, neighbor) pair arises twice — no dedup stage. All
     * arithmetic is the suite's exact-integer / fixed-sequence kind;
     * ties break (hamming asc, id asc) / (cos desc, id asc). */
-  def e10IvfSketchRerank(s: SparkSession, dir: String): DataFrame = {
+  def e10IvfSketchRerank(s: SparkSession, dir: String): DataFrame =
+    e10From(s, quantized(s, dir), cellRanked(s, dir))
+
+  /** e10's body over caller-supplied quantized + assignment frames (the
+    * e07 shared-stage form; [[e05From]]'s convention). */
+  private def e10From(s: SparkSession, v0: DataFrame, ranked0: DataFrame): DataFrame = {
     val dot = dotQ(s) _
     val nprobe = s.conf.get(NprobeConf, "1").toInt
     val rerankC = s.conf.get(RerankCConf, RerankC.toString).toInt
-    val ranked = cellRanked(s, dir)
+    val ranked = ranked0
       .withColumn("s_lo", signSketch(col("q"), 1))
       .withColumn("s_hi", signSketch(col("q"), 33))
     // stage 1+2: ids + sketches only through the cell join (narrow)
@@ -860,9 +879,8 @@ object Embeddings {
         Window.partitionBy(col("query_id")).orderBy(col("hamming").asc, col("neighbor_id").asc)))
       .where(col("crank") <= rerankC)
     // stage 3: fetch full vectors for the C survivors, exact re-rank
-    val v = quantized(s, dir)
-    val qa = v.select(col("vec_id").as("query_id"), col("q").as("qa"), col("nq").as("na"))
-    val qb = v.select(col("vec_id").as("neighbor_id"), col("q").as("qb"), col("nq").as("nb"))
+    val qa = v0.select(col("vec_id").as("query_id"), col("q").as("qa"), col("nq").as("na"))
+    val qb = v0.select(col("vec_id").as("neighbor_id"), col("q").as("qb"), col("nq").as("nb"))
     coarse.join(qa, Seq("query_id")).join(qb, Seq("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         (dot(col("qa"), col("qb")).cast("double") /
@@ -1011,19 +1029,79 @@ object Embeddings {
   final val PqK = 16
   final val PqSubDim = 8 // = Dim / PqM
 
-  /** (m, code, cw, ncw) PQ codebook: the [[PqM]] subvectors of each of
-    * the [[PqK]] smallest-vec_id rows of `frame` (vec_id, vecCol) —
-    * ONE definition of training-sample selection, code numbering, and
-    * subvector slicing, shared by the raw (e12) and residual (e13)
-    * quantizers so the two cannot drift. */
-  private def pqCodebookOf(s: SparkSession, frame: DataFrame, vecCol: String): DataFrame = {
+  /** Lloyd rounds the codebook training runs — fixed (not
+    * to-convergence) so the oracle can unroll the same rounds as CTEs;
+    * 2 rounds already moves every codeword off its seed on the
+    * fixture and the marginal ADC-recall gain of further rounds is
+    * the retrain event's call, not the query's. */
+  final val PqTrainRounds = 2
+
+  /** (vec_id, m, sub) — every vector of `frame` split into its [[PqM]]
+    * contiguous [[PqSubDim]]-dim subvectors: the training set AND the
+    * encode input, one slicing definition. */
+  private def pqSubvectors(frame: DataFrame, vecCol: String): DataFrame =
+    frame
+      .select(col("vec_id"), explode(sequence(lit(1), lit(PqM))).as("m"), col(vecCol))
+      .withColumn("sub", slice(col(vecCol), (col("m") - 1) * lit(PqSubDim) + 1, lit(PqSubDim)))
+      .select(col("vec_id"), col("m"), col("sub"))
+
+  /** One per-subspace Lloyd round: assign every subvector to its
+    * nearest codeword (exact integer L2 penalty ncw − 2·sub·cw — nsub
+    * is constant within the (vector, subspace) group; ties on code id),
+    * then move each codeword to the TRUNCATING integer mean of its
+    * members (`div`, ≡ DuckDB `//` — the e13 residual convention, so
+    * the oracle's unrolled rounds cannot drift). A codeword attracting
+    * no members keeps its position (faiss's empty-list convention,
+    * [[lloydStep]]'s reseed analogue at fixed K). The codebook is
+    * [[PqM]]·[[PqK]] rows — broadcast at any corpus size; the round is
+    * one pass over the subvector table. */
+  private def pqLloydRound(s: SparkSession, subs: DataFrame, cb: DataFrame): DataFrame = {
     val dot = dotQ(s) _
-    frame.orderBy(col("vec_id").asc).limit(PqK)
+    val trained = subs.join(broadcast(cb), Seq("m"))
+      .withColumn("penalty",
+        dot(col("cw"), col("cw")) - lit(2L) * dot(col("sub"), col("cw")))
+      .withColumn("rnL", row_number().over(
+        Window.partitionBy(col("vec_id"), col("m"))
+          .orderBy(col("penalty").asc, col("code").asc)))
+      .where(col("rnL") === 1)
+      .select(col("m"), col("code"), explode(sequence(lit(1), lit(PqSubDim))).as("i"),
+        element_at(col("sub"), col("i")).as("comp"))
+      .groupBy(col("m"), col("code"), col("i"))
+      .agg(expr("sum(comp) div count(1)").as("cmean"))
+      .groupBy(col("m"), col("code"))
+      .agg(transform(array_sort(collect_list(struct(col("i"), col("cmean")))),
+        p => p.getField("cmean")).as("cw_new"))
+    cb.select(col("m"), col("code"), col("cw").as("cw_seed"))
+      .join(trained, Seq("m", "code"), "left")
+      .select(col("m"), col("code"),
+        coalesce(col("cw_new"), col("cw_seed")).as("cw"))
+  }
+
+  /** (m, code, cw, ncw) TRAINED PQ codebook: per-subspace k-means —
+    * [[PqTrainRounds]] Lloyd rounds over every subvector of `frame`,
+    * seeded deterministically from the [[PqK]] smallest-vec_id rows
+    * (r7's codebook, now the Lloyd init instead of the product). ONE
+    * definition of seeding, rounds, code numbering, and subvector
+    * slicing, shared by the raw (e12) and residual (e13) quantizers and
+    * the persisted index ([[graft.jobs.IncrementalIndex]]) so none can
+    * drift. Each round's output is materialized (128 tiny rows) so
+    * round r+1 never re-runs round r's assignment pass; the subvector
+    * table is materialized once and feeds every round. At 100 TB the
+    * training input is a sample and the codebook is stored — this
+    * in-query training is the oracle formulation, and
+    * `IncrementalIndex.writePqIndex` is the store-and-freeze form. */
+  private[graft] def pqCodebookOf(s: SparkSession, frame: DataFrame, vecCol: String): DataFrame = {
+    val dot = dotQ(s) _
+    val subs = pqSubvectors(frame, vecCol).localCheckpoint()
+    val seed = frame.orderBy(col("vec_id").asc).limit(PqK)
       .select(col("vec_id"), col(vecCol))
       .withColumn("code", row_number().over(Window.orderBy(col("vec_id").asc)) - 1)
       .select(col("code"), explode(sequence(lit(1), lit(PqM))).as("m"), col(vecCol))
       .withColumn("cw", slice(col(vecCol), (col("m") - 1) * lit(PqSubDim) + 1, lit(PqSubDim)))
-      .withColumn("ncw", dot(col("cw"), col("cw")))
+      .select(col("m"), col("code"), col("cw"))
+    var cb = seed.localCheckpoint()
+    (1 to PqTrainRounds).foreach { _ => cb = pqLloydRound(s, subs, cb).localCheckpoint() }
+    cb.withColumn("ncw", dot(col("cw"), col("cw")))
       .select(col("m"), col("code"), col("cw"), col("ncw"))
   }
 
@@ -1031,7 +1109,7 @@ object Embeddings {
     * nearest-codeword encoding of `frame` (cell, vec_id, vecCol)
     * against `codebook` — exact integer argmin(ncw − 2·sub·cw), ties
     * on code id; nrecon = Σₘ ncw of the chosen codewords. */
-  private def pqEncode(s: SparkSession, frame: DataFrame, vecCol: String,
+  private[graft] def pqEncode(s: SparkSession, frame: DataFrame, vecCol: String,
       codebook: DataFrame): DataFrame = {
     val dot = dotQ(s) _
     frame
@@ -1097,10 +1175,15 @@ object Embeddings {
     * of the cell members, per-QUERY [[pqLut]], cosine-estimate ADC
     * ranking in the strategy-gated cell join, exact rerank. */
   def e12IvfPqAdc(s: SparkSession, dir: String): DataFrame = {
+    val v = quantized(s, dir)
+    e12From(s, v, assignRanked(s, v, centroidsOf(s, v)))
+  }
+
+  /** e12's body over caller-supplied quantized + assignment frames (the
+    * e07 shared-stage form; [[e05From]]'s convention). */
+  private def e12From(s: SparkSession, v: DataFrame, ranked: DataFrame): DataFrame = {
     val nprobe = s.conf.get(NprobeConf, "1").toInt
     val rerankC = s.conf.get(RerankCConf, RerankC.toString).toInt
-    val v = quantized(s, dir)
-    val ranked = assignRanked(s, v, centroidsOf(s, v))
     val codebook = pqCodebookOf(s, v, "q")
     val cs = pqEncode(s, ranked.where(col("rn") === 1)
       .select(col("cell"), col("vec_id"), col("q")), "q", codebook)
@@ -1120,24 +1203,55 @@ object Embeddings {
     exactRerank(s, v, coarse)
   }
 
-  /** The SQL PQ quantizer — train/codebook/encode/codes CTEs (suffix
-    * `sfx`) over training CTE `trainSrc` and encoding CTE `encSrc`
-    * (both exposing cell, vec_id, and vector column `vc`) — ONE
-    * definition instantiated for the raw ("12", qv/assigned, q) and
+  /** The SQL PQ quantizer — subvector/seed/Lloyd-round/encode CTEs
+    * (suffix `sfx`) over training CTE `trainSrc` and encoding CTE
+    * `encSrc` (both exposing cell, vec_id, and vector column `vc`) —
+    * ONE definition instantiated for the raw ("12", qv/assigned, q) and
     * residual ("13", res13/res13, r) paths, mirroring the shared Spark
-    * helpers so the oracles cannot drift either. A `def` for
-    * object-init-order safety (the RerankC trap). */
+    * helpers so the oracles cannot drift either. The [[PqTrainRounds]]
+    * per-subspace Lloyd rounds unroll as one CTE pair per round:
+    * assignment by the exact integer L2 penalty (ties on code id), new
+    * codeword = truncating integer mean (`//` ≡ Spark `div`), empty
+    * codewords keep their position via the LEFT JOIN coalesce. A `def`
+    * for object-init-order safety (the RerankC trap). */
   private def pqQuantizerSqlCtes(sfx: String, trainSrc: String,
-      encSrc: String, vc: String): String =
-    s""", train$sfx AS (
-       |  SELECT code, $vc FROM (
-       |    SELECT vec_id, $vc, row_number() OVER (ORDER BY vec_id ASC) - 1 AS code FROM $trainSrc) t
-       |  WHERE code < $PqK
-       |), cb$sfx AS (
-       |  SELECT m, code, $vc[(m-1)*$PqSubDim+1:m*$PqSubDim] AS cw
-       |  FROM train$sfx, generate_series(1, $PqM) g(m)
-       |), cbn$sfx AS (
-       |  SELECT m, code, cw, CAST(list_dot_product(cw, cw) AS BIGINT) AS ncw FROM cb$sfx
+      encSrc: String, vc: String): String = {
+    val subsAndSeed =
+      s""", subs$sfx AS (
+         |  SELECT vec_id, m, $vc[(m-1)*$PqSubDim+1:m*$PqSubDim] AS sub
+         |  FROM $trainSrc, generate_series(1, $PqM) g(m)
+         |), cb0$sfx AS (
+         |  SELECT m, code, $vc[(m-1)*$PqSubDim+1:m*$PqSubDim] AS cw
+         |  FROM (
+         |    SELECT vec_id, $vc, row_number() OVER (ORDER BY vec_id ASC) - 1 AS code
+         |    FROM $trainSrc) t, generate_series(1, $PqM) g(m)
+         |  WHERE code < $PqK
+         |)""".stripMargin
+    val rounds = (1 to PqTrainRounds).map { r =>
+      s""", asg$r$sfx AS (
+         |  SELECT m, code, sub FROM (
+         |    SELECT s.m, c.code, s.sub,
+         |      row_number() OVER (PARTITION BY s.vec_id, s.m ORDER BY
+         |        CAST(list_dot_product(c.cw, c.cw) AS BIGINT)
+         |          - 2 * CAST(list_dot_product(s.sub, c.cw) AS BIGINT) ASC,
+         |        c.code ASC) AS rnL
+         |    FROM subs$sfx s JOIN cb${r - 1}$sfx c ON c.m = s.m) t
+         |  WHERE rnL = 1
+         |), cbm$r$sfx AS (
+         |  SELECT m, code, list(cmean ORDER BY i) AS cw FROM (
+         |    SELECT m, code, i, CAST(sum(sub[i]) AS BIGINT) // count(*) AS cmean
+         |    FROM asg$r$sfx, generate_series(1, $PqSubDim) g(i)
+         |    GROUP BY 1, 2, 3) t
+         |  GROUP BY 1, 2
+         |), cb$r$sfx AS (
+         |  SELECT o.m, o.code, coalesce(n.cw, o.cw) AS cw
+         |  FROM cb${r - 1}$sfx o LEFT JOIN cbm$r$sfx n ON n.m = o.m AND n.code = o.code
+         |)""".stripMargin
+    }.mkString
+    subsAndSeed + rounds +
+    s""", cbn$sfx AS (
+       |  SELECT m, code, cw, CAST(list_dot_product(cw, cw) AS BIGINT) AS ncw
+       |  FROM cb$PqTrainRounds$sfx
        |), enc$sfx AS (
        |  SELECT cell, vec_id, m, code, ncw FROM (
        |    SELECT a.cell, a.vec_id, c.m, c.code, c.ncw,
@@ -1152,6 +1266,7 @@ object Embeddings {
        |    CAST(sum(ncw) AS BIGINT) AS nrecon
        |  FROM enc$sfx GROUP BY cell, vec_id
        |)""".stripMargin
+  }
 
   /** DuckDB twin of e12 — the shared quantizer CTEs plus the per-query
     * LUT and the cosine-estimate ADC coarse cut. */
@@ -1221,12 +1336,17 @@ object Embeddings {
     * all three compressions change candidate SELECTION, never the
     * final exact scores. */
   def e13ResidualPq(s: SparkSession, dir: String): DataFrame = {
+    val v = quantized(s, dir)
+    e13From(s, v, assignRanked(s, v, centroidsOf(s, v)))
+  }
+
+  /** e13's body over caller-supplied quantized + assignment frames —
+    * `ranked` must carry `cvec` (the residual re-centers against it);
+    * the e07 shared-stage form ([[e05From]]'s convention). */
+  private def e13From(s: SparkSession, v: DataFrame, ranked: DataFrame): DataFrame = {
     val dot = dotQ(s) _
     val nprobe = s.conf.get(NprobeConf, "1").toInt
     val rerankC = s.conf.get(RerankCConf, RerankC.toString).toInt
-    val v = quantized(s, dir)
-    val cents = centroidsOf(s, v)
-    val ranked = assignRanked(s, v, cents)
     val mem = ranked.where(col("rn") === 1)
       .groupBy(col("cell")).agg(count(lit(1)).as("members"))
     val resExpr = expr("zip_with(q, cvec, (x, c) -> (x * members - c) div members)")

@@ -1,0 +1,84 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.jobs.IncrementalIndex
+import graft.operators.Embeddings
+
+/** The persisted PQ half of the incremental index: trained codebook +
+  * 4-byte code rows stored beside cell_members, and the explicit
+  * codebook-retrain event. The stored tables must be byte-identical to
+  * the in-query e12 machinery (one shared definition), or a served ADC
+  * scan and the oracle-pinned query could rank differently.
+  */
+class PqIndexSpec extends GraftSuite {
+
+  test("stored PQ codebook and codes equal the in-query e12 quantizer") {
+    val tmp = Files.createTempDirectory("graft-pq-").toString
+    val all = Tables.embeddings(spark, sf)
+    IncrementalIndex.writeCellIndex(spark, all, tmp)
+    IncrementalIndex.writePqIndex(spark, all, all, tmp)
+    val v = Embeddings.quantizedFrom(spark, all)
+    val expectCb = Embeddings.pqCodebookOf(spark, v, "q")
+      .collect().map(_.toString).sorted.toSeq
+    val gotCb = spark.read.parquet(s"$tmp/${IncrementalIndex.PqCodebook}")
+      .collect().map(_.toString).sorted.toSeq
+    assert(gotCb.nonEmpty && gotCb === expectCb)
+    val members = Embeddings.assignRanked(spark, v,
+        spark.read.parquet(s"$tmp/${IncrementalIndex.CellCentroids}"))
+      .where(col("rn") === 1).select(col("cell"), col("vec_id"), col("q"))
+    val expectCodes = Embeddings.pqEncode(spark, members, "q",
+        spark.read.parquet(s"$tmp/${IncrementalIndex.PqCodebook}"))
+      .withColumnRenamed("neighbor_id", "vec_id")
+      .collect().map(_.toString).sorted.toSeq
+    val gotCodes = spark.read.parquet(s"$tmp/${IncrementalIndex.PqCodes}")
+      .collect().map(_.toString).sorted.toSeq
+    assert(gotCodes.length === all.count() && gotCodes === expectCodes)
+  }
+
+  test("retrainPq swaps the frozen codebook and re-encodes the corpus wholesale") {
+    val tmp = Files.createTempDirectory("graft-pq-retrain-").toString
+    val all = Tables.embeddings(spark, sf)
+    val day1 = all.where(col("vec_id") % 3 =!= 0)
+    IncrementalIndex.writeCellIndex(spark, all, tmp)
+    // day-1 codebook trains on the day-1 slice only
+    IncrementalIndex.writePqIndex(spark, day1, day1, tmp)
+    val cbBefore = spark.read.parquet(s"$tmp/${IncrementalIndex.PqCodebook}")
+      .collect().map(_.toString).sorted.toSeq
+    val codesBefore = spark.read.parquet(s"$tmp/${IncrementalIndex.PqCodes}")
+    assert(codesBefore.count() === day1.count())
+    // the retrain event: train on the grown corpus, re-encode everything
+    IncrementalIndex.retrainPq(spark, all, all, tmp)
+    val cbAfter = spark.read.parquet(s"$tmp/${IncrementalIndex.PqCodebook}")
+      .collect().map(_.toString).sorted.toSeq
+    assert(cbAfter !== cbBefore, "retraining on a grown corpus must move the codebook")
+    assert(cbAfter.length === cbBefore.length, "codebook stays PqM x PqK")
+    val codesAfter = spark.read.parquet(s"$tmp/${IncrementalIndex.PqCodes}")
+    assert(codesAfter.count() === all.count(), "codes rebuilt for the full corpus")
+    // re-encode is consistent: stored codes equal a fresh encode of the
+    // corpus against the NEW stored codebook
+    val v = Embeddings.quantizedFrom(spark, all)
+    val members = Embeddings.assignRanked(spark, v,
+        spark.read.parquet(s"$tmp/${IncrementalIndex.CellCentroids}"))
+      .where(col("rn") === 1).select(col("cell"), col("vec_id"), col("q"))
+    val expect = Embeddings.pqEncode(spark, members, "q",
+        spark.read.parquet(s"$tmp/${IncrementalIndex.PqCodebook}"))
+      .withColumnRenamed("neighbor_id", "vec_id")
+      .collect().map(_.toString).sorted.toSeq
+    assert(codesAfter.collect().map(_.toString).sorted.toSeq === expect)
+  }
+
+  test("ADC recall with the trained codebook is non-decreasing vs the r7 seed codebook") {
+    // r7's untrained (PqK-smallest-id) codebook recorded 69/300 for
+    // ivf_pq_adc and 70/300 for residual_pq on this fixture; training
+    // must never pay recall for compression (the whole point of Lloyd)
+    val hits = Embeddings.e07RecallAudit(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(hits("ivf_pq_adc") >= 69L,
+      s"trained PQ ADC recall regressed below the r7 seed record: ${hits("ivf_pq_adc")}")
+    assert(hits("residual_pq") >= 70L,
+      s"trained residual PQ recall regressed below the r7 seed record: ${hits("residual_pq")}")
+  }
+}

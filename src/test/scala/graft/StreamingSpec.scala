@@ -1,5 +1,7 @@
 package graft
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
@@ -452,6 +454,135 @@ class StreamingSpec extends GraftSuite {
       "3-batch ascending split diverged from d30")
     assert(run(arrivals.grouped(7).toSeq) === expected,
       "8-batch ascending split diverged from d30")
+  }
+
+  /** Non-hidden data files under a store dir → (path, size, mtime).
+    * `_SUCCESS` markers are excluded: parquet append jobs rewrite them
+    * at the root, which is metadata churn, not data rewrite. */
+  private def storeFiles(dir: String): Map[String, (Long, Long)] = {
+    val root = java.nio.file.Paths.get(dir)
+    val it = java.nio.file.Files.walk(root)
+    try it.iterator().asScala
+      .filter(p => java.nio.file.Files.isRegularFile(p))
+      .filterNot(p => p.getFileName.toString.startsWith("_") ||
+        p.getFileName.toString.startsWith("."))
+      .map(p => p.toString ->
+        (java.nio.file.Files.size(p),
+          java.nio.file.Files.getLastModifiedTime(p).toMillis))
+      .toMap
+    finally it.close()
+  }
+
+  test("st13: a restart on the same checkpoint + index dir resumes — no refold, no index rewrite") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import graft.jobs.IncrementalIndex
+    val mod = graft.operators.LlmText.IncrementalBatchMod
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id", "text", "lang", "source", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3), r.getLong(4)))
+    val corpusDf = docs.filter(_._1 % mod != 0).toSeq
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val arrivals = docs.filter(_._1 % mod == 0).sortBy(_._1).toSeq
+    val expected = graft.operators.LlmText.d30IncrementalDedup(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    val indexDir = java.nio.file.Files.createTempDirectory("st13-resume-idx-").toString
+    IncrementalIndex.writeTextIndex(spark, corpusDf, indexDir)
+    val cp = ckpt() // STABLE across both runs — the resume contract
+    val ms = MemoryStream[(Long, String, String, String, Long)]
+    def run(): Set[(Long, Long, Boolean)] = {
+      val got = scala.collection.mutable.Set.empty[(Long, Long, Boolean)]
+      val q = ms.toDF().toDF("doc_id", "text", "lang", "source", "n_chars")
+        .writeStream.outputMode("append")
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          val v = IncrementalIndex.probeText(spark, batch, indexDir)
+          IncrementalIndex.writeTextIndex(spark, batch, indexDir,
+            org.apache.spark.sql.SaveMode.Append)
+          got ++= v.collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+          ()
+        }
+        .option("checkpointLocation", cp)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      got.toSet
+    }
+    // run 1: first chunk of arrivals lands in the store, then STOP
+    val (chunkA, chunkB) = arrivals.splitAt(arrivals.length / 2)
+    ms.addData(chunkA: _*)
+    val gotA = run()
+    assert(gotA.map(_._1) === chunkA.map(_._1).toSet,
+      "run 1 must verdict exactly its own arrivals")
+    val before = storeFiles(indexDir)
+    // run 2: NEW query, same checkpoint + same (already-populated) index
+    // dir — must process ONLY the remaining arrivals: nothing refolds,
+    // nothing re-probes, and no already-written index file is touched
+    ms.addData(chunkB: _*)
+    val gotB = run()
+    assert(gotB.map(_._1) === chunkB.map(_._1).toSet,
+      "resume must probe only the un-processed arrivals")
+    assert(gotA ++ gotB === expected,
+      "the two runs' verdicts must equal the one-shot d30 recompute")
+    val after = storeFiles(indexDir)
+    before.foreach { case (path, stamp) =>
+      assert(after.get(path).contains(stamp),
+        s"resume rewrote an existing index file: $path")
+    }
+    assert(after.size > before.size, "run 2 must append its own index entries")
+  }
+
+  test("st14: a restart on the same checkpoint + index dir resumes — no refold, no index rewrite") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import graft.jobs.IncrementalIndex
+    val mod = graft.operators.Embeddings.IncrementalBatchModE
+    val vecs = Tables.embeddings(spark, sf)
+      .select("vec_id", "embedding", "label").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1), r.getInt(2)))
+    val corpusDf = vecs.filter(_._1 % mod != 0).toSeq
+      .toDF("vec_id", "embedding", "label")
+    val arrivals = vecs.filter(_._1 % mod == 0).sortBy(_._1).toSeq
+    val expected = graft.operators.Embeddings.e09IncrementalSemDedup(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getBoolean(3))).toSet
+    val indexDir = java.nio.file.Files.createTempDirectory("st14-resume-idx-").toString
+    IncrementalIndex.writeCellIndex(spark, corpusDf, indexDir,
+      centroidTrain = Some(Tables.embeddings(spark, sf)))
+    val cp = ckpt()
+    val ms = MemoryStream[(Long, Seq[Float], Int)]
+    def run(): Set[(Int, Long, Long, Boolean)] = {
+      val got = scala.collection.mutable.Set.empty[(Int, Long, Long, Boolean)]
+      val q = ms.toDF().toDF("vec_id", "embedding", "label")
+        .writeStream.outputMode("append")
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          val v = IncrementalIndex.probeCells(spark, batch, indexDir)
+          IncrementalIndex.appendCellMembers(spark, batch, indexDir,
+            org.apache.spark.sql.SaveMode.Append)
+          got ++= v.collect().map(r =>
+            (r.getInt(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+          ()
+        }
+        .option("checkpointLocation", cp)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      got.toSet
+    }
+    val (chunkA, chunkB) = arrivals.splitAt(arrivals.length / 2)
+    ms.addData(chunkA: _*)
+    val gotA = run()
+    assert(gotA.map(_._2) === chunkA.map(_._1).toSet,
+      "run 1 must verdict exactly its own arrivals")
+    val before = storeFiles(indexDir)
+    ms.addData(chunkB: _*)
+    val gotB = run()
+    assert(gotB.map(_._2) === chunkB.map(_._1).toSet,
+      "resume must probe only the un-processed arrivals")
+    assert(gotA ++ gotB === expected,
+      "the two runs' verdicts must equal the one-shot e09 recompute")
+    val after = storeFiles(indexDir)
+    before.foreach { case (path, stamp) =>
+      assert(after.get(path).contains(stamp),
+        s"resume rewrote an existing index file: $path")
+    }
+    assert(after.size > before.size, "run 2 must append its own member rows")
   }
 
   test("st14: every ascending micro-batch split reproduces e09's batch verdicts") {
