@@ -29,6 +29,7 @@ object SparkEntry {
     * once at the entry point (not hidden inside a reader). */
   def entry(spark: SparkSession): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     operators.Categories.c07AreaTop3(spark, "/root/testdata/sf0.001")
   }

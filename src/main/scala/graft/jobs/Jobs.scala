@@ -34,10 +34,13 @@ import graft.operators.{Categories, Sessions}
   */
 object Jobs {
   /** Runtime confs every graft entry point needs (the events fixture
-    * stores nanosecond longs; all date math is UTC). Runtime-settable,
-    * so mains can apply them to a caller-provided or fresh session. */
+    * stores nanosecond longs; parquet timestamps annotated
+    * isAdjustedToUTC=false must read as plain TIMESTAMP, not NTZ, to
+    * match the oracle; all date math is UTC). Runtime-settable, so
+    * mains can apply them to a caller-provided or fresh session. */
   def configure(s: SparkSession): SparkSession = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    s.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     s.conf.set("spark.sql.session.timeZone", "UTC")
     s
   }
