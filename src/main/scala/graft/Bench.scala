@@ -34,16 +34,13 @@ object Bench {
     val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", "32")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.ui.enabled", "false")
     // same extra-conf hook as Verify ([[ExtraConf]], e.g. bench the
     // at-scale selfJoin.strategy=shuffle configuration); a non-default
     // conf is a forensics run — record it to the filtered sibling file,
     // never the canonical record
-    val spark = ExtraConf.applyTo(builder).getOrCreate()
+    val spark = jobs.Jobs.configure(ExtraConf.applyTo(builder).getOrCreate())
     spark.sparkContext.setLogLevel("WARN")
 
     def once(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
@@ -115,6 +112,15 @@ object Bench {
     }
     val best = names.map(n => n -> minOf(n))
     val total = best.map(_._2).filter(_ >= 0).sum
+    // LOUD error accounting (round-8 verdict: a third of the registry
+    // reported -1 while the headline total still printed with rc 0) —
+    // the errored list rides in BOTH JSON records and a terminal stderr
+    // line so no log tail can miss it.
+    val erroredNames = best.collect { case (n, v) if v < 0 => n }
+    if (erroredNames.nonEmpty)
+      System.err.println(
+        s"[bench] ERRORED: ${erroredNames.size} of ${names.size} queries never succeeded in any sweep: ${erroredNames.mkString(", ")}")
+    val erroredJson = erroredNames.map("\"" + _ + "\"").mkString("[", ",", "]")
 
     def fmt(v: Double): String = if (v < 0) "-1" else f"$v%.3f"
     def qjson(kv: Seq[(String, Double)], f: Double => String) =
@@ -125,7 +131,7 @@ object Bench {
       s"""{"sweep":${i + 1},"calibration_after":$cal,"queries":${qjson(names.map(n => n -> m(n)), _.toString)}}"""
     }.mkString("[", ",", "]")
     val full =
-      s"""{"metric":"total","value":$total,"unit":"sec","sweeps":$sweeps,"agg":"min","calibration":$calStart,"calibration_end":$calEnd,"queries":${qjson(best, _.toString)},"sweep_detail":$sweepJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","sweeps":$sweeps,"agg":"min","calibration":$calStart,"calibration_end":$calEnd,"errored":$erroredJson,"queries":${qjson(best, _.toString)},"sweep_detail":$sweepJson,"sf":"$sfDir"}"""
     // a filtered (isolation-probe) run records to a sibling file so it
     // can never clobber the canonical full-run record
     val selfFile =
@@ -139,7 +145,7 @@ object Bench {
 
     // Compact single line LAST on stdout (3-decimal values, no sweep
     // detail) so a bounded stdout tail still contains one parseable JSON.
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sweeps":$sweeps,"agg":"min","calibration":${fmt(calStart)},"calibration_end":${fmt(calEnd)},"queries":${qjson(best, fmt)},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sweeps":$sweeps,"agg":"min","calibration":${fmt(calStart)},"calibration_end":${fmt(calEnd)},"errored":$erroredJson,"queries":${qjson(best, fmt)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

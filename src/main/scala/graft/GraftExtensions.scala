@@ -41,5 +41,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         SimHashExpr(children(0))))
     // analysis-time guardrail (opt-in via spark.graft.strictPlans)
     ext.injectCheckRule(session => graft.plans.StrictPlanCheck(session))
+    // scan pushdown for range predicates on the normalized events ts
+    // (runs in the operator-optimization fixpoint, cooperating with
+    // PushDownPredicates + the file-source filter translation)
+    ext.injectOptimizerRule(session => graft.plans.TsPushdown(session))
   }
 }

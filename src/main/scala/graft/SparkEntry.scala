@@ -23,14 +23,12 @@ object SparkEntry {
     * broadcast join, composite agg with distinct group-concat, ranking
     * window, and CASE tiering in one plan.
     *
-    * `entry` receives a CALLER-built session, so the job-entry conf the
-    * engine's own mains set at build time (events' parquet-nanos flag,
-    * UTC) is applied here explicitly — runtime-settable SQL confs, set
-    * once at the entry point (not hidden inside a reader). */
+    * `entry` receives a CALLER-built session, so the shared runtime conf
+    * every graft entry point needs ([[jobs.Jobs.configure]] — single
+    * source, per round-8 ADVICE) is applied here — runtime-settable SQL
+    * confs, set once at the entry point (not hidden inside a reader). */
   def entry(spark: SparkSession): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    jobs.Jobs.configure(spark)
     operators.Categories.c07AreaTop3(spark, "/root/testdata/sf0.001")
   }
 

@@ -25,19 +25,51 @@ object Tables {
   def documents(s: SparkSession, dir: String): DataFrame = s.read.parquet(p(dir, "documents"))
   def embeddings(s: SparkSession, dir: String): DataFrame = s.read.parquet(p(dir, "embeddings"))
 
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's reader rejects
-    * by default (PARQUET_TYPE_ILLEGAL). Sessions that read `events` must set
-    * `spark.sql.legacy.parquet.nanosAsLong=true` **at session build time**
-    * (Verify, Bench and the test base all do) — mapping ts to LongType
-    * (epoch nanos); downstream code derives second/timestamp columns from
-    * it explicitly, which also pins the truncation semantics the DuckDB
-    * oracle must mirror (`epoch_ns(ts)`). The conf is deliberately NOT set
-    * here: mutating session conf from inside a reader is order-dependent
-    * global state (a plan built before the first events read would see
-    * different conf than one built after).
+  /** `events.ts` — engine-internal contract: LongType epoch NANOS.
+    *
+    * The fixture's physical type has shifted between driver generations
+    * (TIMESTAMP(NANOS) through round 7, TIMESTAMP(MICROS) from round 8),
+    * so this reader is the single choke point that normalizes whatever
+    * is on disk back to the internal contract:
+    *
+    *  - physical INT64 / TIMESTAMP(NANOS) read under
+    *    `spark.sql.legacy.parquet.nanosAsLong=true` → already LongType
+    *    epoch nanos → pass through;
+    *  - physical TIMESTAMP(MICROS/MILLIS) → TimestampType (sessions set
+    *    `inferTimestampNTZ.enabled=false` + UTC via [[jobs.Jobs.configure]])
+    *    → `unix_micros(ts) * 1000` = the stored micros ×1000, bit-exact
+    *    with the DuckDB oracle's `epoch_ns(ts)` on the same file.
+    *
+    * Downstream code (sessionization, windows, the oracle SQL) is unaware
+    * of the physical type. The conf trio is deliberately NOT set here:
+    * mutating session conf from inside a reader is order-dependent global
+    * state; entry points call `Jobs.configure` instead. Pinned for BOTH
+    * physical variants in TablesSpec.
     */
   def events(s: SparkSession, dir: String): DataFrame =
-    s.read.parquet(p(dir, "events"))
+    normalizeTs(s.read.parquet(p(dir, "events")))
+
+  /** Normalize a `ts` column to LongType epoch nanos whatever the read
+    * type was. A pure projection, so it composes with batch AND streaming
+    * frames (Streams.tableStream routes through it too — the streaming
+    * file source sees the same physical schema). No-op when `ts` is
+    * absent or already Long. */
+  def normalizeTs(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    df.schema.find(_.name == "ts").map(_.dataType) match {
+      case None | Some(LongType) => df
+      case Some(TimestampType) =>
+        df.withColumn("ts", unix_micros(col("ts")) * lit(1000L))
+      case Some(TimestampNTZType) =>
+        // NTZ→TZ cast applies the session time zone; graft sessions pin
+        // UTC, making the cast a micros-identity (the same wall-clock
+        // DuckDB reads via epoch_ns on the tz-less file).
+        df.withColumn("ts", unix_micros(col("ts").cast(TimestampType)) * lit(1000L))
+      case Some(other) =>
+        throw new IllegalStateException(
+          s"ts: unsupported physical type $other — expected LongType (nanos) or Timestamp(NTZ)Type")
+    }
+  }
 
   /** Catalog-table input surface (S1: the reference reads Hive-managed
     * tables — `session/src/main/scala/SessionStat.scala:701-710`; here

@@ -16,27 +16,34 @@ object Verify {
     val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.ui.enabled", "false")
     // extra session conf ([[ExtraConf]]) — lets the whole gate run
     // under an at-scale configuration (e.g.
     // spark.graft.selfJoin.strategy=shuffle) to prove the 100 TB plan
     // shapes produce oracle-identical results corpus-wide
-    val spark = ExtraConf.applyTo(builder).getOrCreate()
+    val spark = jobs.Jobs.configure(ExtraConf.applyTo(builder).getOrCreate())
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    val errored = scala.collection.mutable.ListBuffer[String]()
     SparkEntry.queries.filter(kv => only(kv._1)).foreach { case (name, fn) =>
       // No coalesce(1): it would plan the whole query into one output task.
       // The oracle reads a glob, so multi-file output is fine.
       try fn(spark, sfDir).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
+        errored += name
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
+    // LOUD terminal summary (round-8 verdict: 28 queries died silently as
+    // per-line stderr noise) — a dark third of the registry must be
+    // unmissable in any log tail.
+    if (errored.nonEmpty)
+      System.err.println(
+        s"[verify] ERRORED: ${errored.size} of ${SparkEntry.queries.size} queries threw: ${errored.sorted.mkString(", ")}")
+    else
+      System.err.println(s"[verify] all ${SparkEntry.queries.count(kv => only(kv._1))} queries wrote OK")
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

@@ -33,11 +33,18 @@ import graft.operators.{Categories, Sessions}
   * executor memory (byte-identical outputs, pinned in JobsSpec).
   */
 object Jobs {
-  /** Runtime confs every graft entry point needs (the events fixture
-    * stores nanosecond longs; parquet timestamps annotated
-    * isAdjustedToUTC=false must read as plain TIMESTAMP, not NTZ, to
-    * match the oracle; all date math is UTC). Runtime-settable, so
-    * mains can apply them to a caller-provided or fresh session. */
+  /** Runtime confs every graft entry point needs — THE single source for
+    * the trio (round-8 ADVICE; Verify/Bench/ExplainDump/RecallSnap/
+    * SparkTestBase/SparkEntry.entry all route through here):
+    *  - `nanosAsLong`: a TIMESTAMP(NANOS) events fixture (driver
+    *    generations through round 7) must read as LongType, not error;
+    *  - `inferTimestampNTZ=false`: a TIMESTAMP(MICROS) fixture with
+    *    isAdjustedToUTC=false (round-8+ generations) must read as plain
+    *    TIMESTAMP, not NTZ, so `unix_micros` applies directly;
+    *  - UTC: all date math, and it makes Timestamp↔NTZ casts identity.
+    * Whatever variant is on disk, [[graft.Tables.normalizeTs]] maps ts
+    * back to the internal epoch-nanos-Long contract. Runtime-settable,
+    * so mains can apply them to a caller-provided or fresh session. */
   def configure(s: SparkSession): SparkSession = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     s.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")

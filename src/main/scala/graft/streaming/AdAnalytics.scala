@@ -36,7 +36,12 @@ object AdAnalytics {
   private def lines(s: SparkSession, dir: String): DataFrame =
     Streams.tableStream(s, dir, "events")
       .select(concat_ws(" ",
-        col("ts"), col("user_id"), col("event_type"), col("value")).as("value"))
+        // every field EXPLICITLY cast before entering the delimited
+        // format — a non-string column whose implicit rendering contains
+        // the delimiter (e.g. a timestamp's "2026-08-01 00:00:00") would
+        // silently shift every downstream split() field (round-8 st01)
+        col("ts").cast("string"), col("user_id").cast("string"),
+        col("event_type"), col("value").cast("string")).as("value"))
 
   // ---------------------------------------------------------------- st01
   /** Raw line parse (P5) → typed columns → keyed count, complete mode:

@@ -52,7 +52,10 @@ object Streams {
       t
     })
     val schema = s.read.parquet(src.toString).schema
-    s.readStream.schema(schema).parquet(d.toString)
+    // same ts contract as the batch reader: LongType epoch nanos,
+    // whatever the fixture's physical timestamp type (Tables.normalizeTs
+    // is a pure projection, legal on a streaming frame)
+    graft.Tables.normalizeTs(s.readStream.schema(schema).parquet(d.toString))
   }
 
   private def ckpt(): String =

@@ -9,14 +9,11 @@ import org.apache.spark.sql.SparkSession
 object RecallSnap {
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.001")
-    val s = SparkSession.builder().master("local[8]")
+    val s = graft.jobs.Jobs.configure(SparkSession.builder().master("local[8]")
       .config("spark.sql.shuffle.partitions", "32")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+      .getOrCreate())
     s.sparkContext.setLogLevel("WARN")
     graft.operators.Embeddings.e07RecallAudit(s, dir).collect()
       .foreach(r => println(s"[recall] ${r.getString(0)} ${r.getLong(2)}/${r.getLong(1)} = ${r.getDouble(3)}"))
