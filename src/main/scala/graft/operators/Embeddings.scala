@@ -1111,7 +1111,11 @@ object Embeddings {
 
   private[graft] def pqCodebookOf(s: SparkSession, frame: DataFrame, vecCol: String): DataFrame = {
     // canonicalized-plan key: structural equality, so two frames compare
-    // equal iff they compute the same relation (no hash-collision risk)
+    // equal iff they compute the same relation (no hash-collision risk).
+    // Frames built over a localCheckpoint (e07's shared stages) get a
+    // FRESH plan per invocation and never re-hit — bound the cache so
+    // those one-shot entries cannot accumulate in a long-lived session.
+    if (pqCbCache.size > 64) pqCbCache.clear()
     val key = (frame.queryExecution.analyzed.canonicalized, vecCol)
     pqCbCache.computeIfAbsent(key, _ => pqTrain(s, frame, vecCol))
   }
