@@ -191,6 +191,8 @@ object Sessions {
     * here the filter is one `where` — with absent params constant-folded
     * away — and the counters one aggregation). */
   val s04Params: TaskParams = TaskParams(Map(
+    "startDate" -> "2024-01-08", // the reference's PRIMARY task params —
+    "endDate" -> "2024-01-22",   // whole-day ts bounds, pushed to the scan
     "eventTypes" -> "click,purchase,view",
     "minValue" -> "5.0",
     "maxValue" -> "80.0",
@@ -244,7 +246,9 @@ object Sessions {
       |  CAST(round(sum(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_value,
       |  count(DISTINCT user_id) AS n_users
       |FROM events
-      |WHERE event_type IN ('click','purchase','view')
+      |WHERE epoch_ns(ts) >= 1704672000000000000
+      |  AND epoch_ns(ts) <= 1705967999999999999
+      |  AND event_type IN ('click','purchase','view')
       |  AND value >= 5.0 AND value <= 80.0
       |  AND TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) >= 10""".stripMargin
 
