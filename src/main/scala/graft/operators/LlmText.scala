@@ -2143,7 +2143,102 @@ object LlmText {
        |  FROM fused34) t
        |WHERE fused_rank <= $SparseTopK""".stripMargin
 
+  // ---------------------------------------------------------------- d35
+  /** EPOCH SHUFFLE — the deterministic global training order every
+    * large-scale LM data pipeline needs (training is order-sensitive;
+    * the pipeline must produce a reproducible per-epoch permutation,
+    * not rely on nondeterministic task order). Each (epoch, doc) gets a
+    * portable hash key; the corpus is sharded by the key and ordered
+    * within (epoch, shard) — the standard two-level shuffle (shard
+    * files, then in-shard order) that readers consume sequentially.
+    *
+    * Deliberately NOT a dense global row index: `row_number` over a
+    * whole epoch is a single-task sort at any scale (the anti-pattern);
+    * the (shard, ord) pair IS the global order, lexicographically, and
+    * the window partitions by (epoch, shard) so state is bounded by the
+    * largest shard (hash-balanced). `spark.graft.shuffle.shards` scales
+    * the shard count to the cluster (default 8 = the oracle's
+    * formulation); different epochs get independent permutations from
+    * the hash salt. One exchange per query: the window's
+    * (epoch, shard) shuffle.
+    *
+    * Exactness: the hash is [[graft.functions.Portable.h64]] (md5
+    * prefix — identical in both engines), ties break on doc_id, and
+    * shard = hkey % shards on a nonnegative hash. */
+  final val Epochs = 2
+  val ShuffleShardsConf = "spark.graft.shuffle.shards"
+
+  def d35EpochShuffle(s: SparkSession, dir: String): DataFrame = {
+    val shards = s.conf.get(ShuffleShardsConf, "8").toLong
+    base(s, dir).select(col("doc_id"))
+      .select(col("doc_id"), explode(sequence(lit(1), lit(Epochs))).as("epoch"))
+      .withColumn("hkey", h64(concat(
+        lit("ep"), col("epoch").cast("string"), lit(":"), col("doc_id").cast("string"))))
+      .withColumn("shard", col("hkey") % lit(shards))
+      .withColumn("ord", row_number().over(
+        Window.partitionBy(col("epoch"), col("shard"))
+          .orderBy(col("hkey").asc, col("doc_id").asc)))
+      .select(col("epoch").cast("long").as("epoch"), col("shard"),
+        col("ord").cast("long").as("ord"), col("doc_id"))
+  }
+
+  val d35Sql: String =
+    s"""$baseSql, sh35 AS (
+       |  SELECT doc_id, epoch,
+       |    ${h64Sql("concat('ep', CAST(epoch AS VARCHAR), ':', CAST(doc_id AS VARCHAR))")} AS hkey
+       |  FROM base, generate_series(1, $Epochs) g(epoch)
+       |)
+       |SELECT epoch, hkey % 8 AS shard,
+       |  row_number() OVER (PARTITION BY epoch, hkey % 8 ORDER BY hkey ASC, doc_id ASC) AS ord,
+       |  doc_id
+       |FROM sh35""".stripMargin
+
+  // ---------------------------------------------------------------- d36
+  /** MIXTURE EXPANSION — source-weighted epoch composition (the GPT-3 /
+    * Pile practice: per-source sampling weights, upsampling curated
+    * sources and downsampling bulk ones, realized as an explicit
+    * repeat-expansion of the document list). Weights are integer
+    * PERMILLE derived deterministically from the source id (covers
+    * downsample <1000, identity, and fractional upsamples): each doc
+    * yields `wpm div 1000` whole copies plus one more iff its portable
+    * hash lands below `wpm mod 1000` — so a 1900‰ source is expanded
+    * ×1.9 EXACTLY in expectation with a deterministic, reproducible
+    * per-doc decision, and a 500‰ source is halved the same way.
+    *
+    * Scale shape: the weight table is a broadcast-size dim (one row per
+    * source) folded here into a map-side expression; the expansion is a
+    * map-only posexplode — zero shuffles, output rows ≈ Σ w·n. All
+    * arithmetic is exact integers; both engines compute the identical
+    * copy counts. */
+  def d36MixtureExpand(s: SparkSession, dir: String): DataFrame =
+    base(s, dir).select(col("doc_id"), col("source"))
+      .withColumn("srcidx", regexp_extract(col("source"), "\\d+", 0).cast("long"))
+      .withColumn("wpm", lit(500L) + (col("srcidx") % lit(4L)) * lit(700L))
+      .withColumn("cut", h64(concat(lit("mix:"), col("doc_id").cast("string"))) % lit(1000L))
+      .withColumn("n_copies",
+        expr("wpm div 1000") + when(col("cut") < col("wpm") % lit(1000L), lit(1L)).otherwise(lit(0L)))
+      .select(col("doc_id"), col("source"), col("wpm"),
+        posexplode(array_repeat(lit(1), col("n_copies").cast("int"))).as(Seq("pos", "one")))
+      .select(col("doc_id"), col("source"), col("wpm"), (col("pos") + 1).cast("long").as("copy"))
+
+  val d36Sql: String =
+    s"""$baseSql, mix36 AS (
+       |  SELECT doc_id, source,
+       |    500 + (CAST(regexp_extract(source, '[0-9]+') AS BIGINT) % 4) * 700 AS wpm,
+       |    ${h64Sql("concat('mix:', CAST(doc_id AS VARCHAR))")} % 1000 AS cut
+       |  FROM base
+       |), cop36 AS (
+       |  SELECT doc_id, source, wpm,
+       |    wpm // 1000 + CASE WHEN cut < wpm % 1000 THEN 1 ELSE 0 END AS n_copies
+       |  FROM mix36
+       |)
+       |SELECT doc_id, source, wpm,
+       |  unnest(range(1, CAST(n_copies AS BIGINT) + 1)) AS copy
+       |FROM cop36""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d36_mixture_expand" -> (d36MixtureExpand _),
+    "d35_epoch_shuffle" -> (d35EpochShuffle _),
     "d34_hybrid_rrf" -> (d34HybridRrf _),
     "d33_sparse_cosine" -> (d33SparseCosine _),
     "d32_split_assign" -> (d32SplitAssign _),
@@ -2187,6 +2282,8 @@ object LlmText {
     * [[graft.tools.InitOrderCheck]]. Lazy = assembled on first use,
     * after both objects finish initializing. */
   lazy val oracleSql: Map[String, String] = Map(
+    "d36_mixture_expand" -> d36Sql,
+    "d35_epoch_shuffle" -> d35Sql,
     "d34_hybrid_rrf" -> d34Sql,
     "d33_sparse_cosine" -> d33Sql,
     "d32_split_assign" -> d32Sql,

@@ -964,6 +964,53 @@ class LlmTextSpec extends GraftSuite {
     }
   }
 
+  test("d35: per-(epoch,shard) orders are contiguous, epochs permute independently") {
+    val rows = LlmText.d35EpochShuffle(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val nDocs = Tables.documents(spark, sf).count()
+    assert(rows.length === (nDocs * LlmText.Epochs).toInt, "every doc appears once per epoch")
+    // within each (epoch, shard): ord is exactly 1..count (a valid order)
+    rows.groupBy(r => (r._1, r._2)).foreach { case ((e, sh), grp) =>
+      assert(grp.map(_._3).sorted.toSeq === (1L to grp.length).toSeq,
+        s"ord must be contiguous in epoch=$e shard=$sh")
+      assert(sh >= 0 && sh < 8)
+    }
+    // the two epochs are DIFFERENT permutations (the salt works): the
+    // doc sequence read in (shard, ord) order must not coincide
+    def orderOf(epoch: Long): Seq[Long] =
+      rows.filter(_._1 == epoch).sortBy(r => (r._2, r._3)).map(_._4).toSeq
+    assert(orderOf(1) !== orderOf(2), "epochs must permute independently")
+    assert(orderOf(1).sorted === orderOf(2).sorted, "same corpus each epoch")
+    // deterministic: a second run reproduces the permutation exactly
+    val again = LlmText.d35EpochShuffle(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(again.sortBy(identity).toSeq === rows.sortBy(identity).toSeq)
+  }
+
+  test("d36: copy counts follow the permille weights exactly, copies contiguous") {
+    val rows = LlmText.d36MixtureExpand(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val byDoc = rows.groupBy(_._1)
+    byDoc.foreach { case (_, grp) =>
+      assert(grp.map(_._4).sorted.toSeq === (1L to grp.length).toSeq, "copies 1..n")
+      assert(grp.map(_._3).distinct.length === 1, "one weight per doc")
+      val wpm = grp.head._3
+      assert(wpm === 500L + (grp.head._2.replaceAll("\\D", "").toLong % 4) * 700L)
+      // n_copies is floor or ceil of the permille weight — never outside
+      assert(grp.length >= (wpm / 1000L).toInt && grp.length <= ((wpm + 999L) / 1000L).toInt)
+    }
+    // a sub-1000-permille source (wpm=500) DOWN-samples: strictly fewer
+    // expanded docs than source docs for at least one such source
+    val srcDocs = Tables.documents(spark, sf).groupBy(col("source")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val halfSources = srcDocs.keys.filter(s => s.replaceAll("\\D", "").toLong % 4 == 0)
+    assert(halfSources.nonEmpty)
+    val expandedDocs = byDoc.map { case (d, g) => g.head._2 -> d }
+      .groupBy(_._1).view.mapValues(_.size).toMap
+    assert(halfSources.exists(s => expandedDocs.getOrElse(s, 0) < srcDocs(s)),
+      "a 500-permille source must drop documents")
+  }
+
   test("e06: every vector flagged once; dropped ⊆ cell-mates of an earlier near-dup") {
     import graft.operators.Embeddings
     val rows = Embeddings.e06SemDedup(spark, sf).collect()
