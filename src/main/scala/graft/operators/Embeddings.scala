@@ -525,15 +525,25 @@ object Embeddings {
     val ranked = assignRanked(s, v, centroidsOf(s, v))
       .select(col("cell"), col("vec_id"), col("q"), col("nq"), col("cvec"), col("rn"))
       .localCheckpoint()
+    // PQ codebooks come from the STABLE (un-checkpointed) input plans —
+    // identical values, but the memo keys match the standalone e12/e13
+    // entries, so the audit reuses the index's trained codebooks
+    // instead of retraining against checkpoint-fresh plans every call
+    // (the operational semantics too: an audit measures THE index).
+    val stableV = quantized(s, dir)
+    val stableRanked = assignRanked(s, stableV, centroidsOf(s, stableV))
+    val cb12 = pqCodebookOf(s, stableV, "q")
+    val cb13 = pqCodebookOf(s,
+      residualIndexOf(stableRanked, cellMembersOf(stableRanked)), "r")
     val ivf = e05From(s, ranked).where(col("query_id") % 5 === 0)
       .select(lit("ivf_nprobe").as("method"), col("query_id"), col("neighbor_id"))
     val sketch = e08SketchRerank(s, dir).where(col("rank") <= RecallK)
       .select(lit("sketch_rerank").as("method"), col("query_id"), col("neighbor_id"))
     val ivfSketch = e10From(s, v, ranked).where(col("rank") <= RecallK)
       .select(lit("ivf_sketch_rerank").as("method"), col("query_id"), col("neighbor_id"))
-    val ivfPq = e12From(s, v, ranked).where(col("rank") <= RecallK)
+    val ivfPq = e12From(s, v, ranked, Some(cb12)).where(col("rank") <= RecallK)
       .select(lit("ivf_pq_adc").as("method"), col("query_id"), col("neighbor_id"))
-    val resPq = e13From(s, v, ranked).where(col("rank") <= RecallK)
+    val resPq = e13From(s, v, ranked, Some(cb13)).where(col("rank") <= RecallK)
       .select(lit("residual_pq").as("method"), col("query_id"), col("neighbor_id"))
     // LEFT join from a fixed method spine: a path with ZERO truth hits
     // must report recall 0.0, not vanish from the audit — the failing
@@ -1212,11 +1222,16 @@ object Embeddings {
   }
 
   /** e12's body over caller-supplied quantized + assignment frames (the
-    * e07 shared-stage form; [[e05From]]'s convention). */
-  private def e12From(s: SparkSession, v: DataFrame, ranked: DataFrame): DataFrame = {
+    * e07 shared-stage form; [[e05From]]'s convention). `codebook` lets a
+    * caller supply an already-trained codebook (e07 passes the one
+    * trained from the STABLE input plan, so the memo shares it with
+    * standalone e12 instead of retraining against the audit's
+    * checkpoint-fresh plans); default = train/look up from `v`. */
+  private def e12From(s: SparkSession, v: DataFrame, ranked: DataFrame,
+      codebookIn: Option[DataFrame] = None): DataFrame = {
     val nprobe = s.conf.get(NprobeConf, "1").toInt
     val rerankC = s.conf.get(RerankCConf, RerankC.toString).toInt
-    val codebook = pqCodebookOf(s, v, "q")
+    val codebook = codebookIn.getOrElse(pqCodebookOf(s, v, "q"))
     val cs = pqEncode(s, ranked.where(col("rn") === 1)
       .select(col("cell"), col("vec_id"), col("q")), "q", codebook)
     val lut = pqLut(s, v.where(col("vec_id") % 5 === 0), "q", codebook, Seq("vec_id"))
@@ -1377,22 +1392,35 @@ object Embeddings {
   /** e13's body over caller-supplied quantized + assignment frames —
     * `ranked` must carry `cvec` (the residual re-centers against it);
     * the e07 shared-stage form ([[e05From]]'s convention). */
-  private def e13From(s: SparkSession, v: DataFrame, ranked: DataFrame): DataFrame = {
+  /** Cell member counts of an assignment frame (rn = 1 rows). */
+  private def cellMembersOf(ranked: DataFrame): DataFrame =
+    ranked.where(col("rn") === 1)
+      .groupBy(col("cell")).agg(count(lit(1)).as("members"))
+
+  /** (cell, vec_id, r) residual index rows: each member's residual
+    * against its own cell centroid — mean-centered under TRUNCATING
+    * integer division. ONE construction shared by e13's default path
+    * and e07's stable-plan codebook training. */
+  private def residualIndexOf(ranked: DataFrame, mem: DataFrame): DataFrame =
+    ranked.where(col("rn") === 1)
+      .join(broadcast(mem), Seq("cell"))
+      .select(col("cell"), col("vec_id"),
+        expr("zip_with(q, cvec, (x, c) -> (x * members - c) div members)").as("r"))
+
+  private def e13From(s: SparkSession, v: DataFrame, ranked: DataFrame,
+      codebookIn: Option[DataFrame] = None): DataFrame = {
     val dot = dotQ(s) _
     val nprobe = s.conf.get(NprobeConf, "1").toInt
     val rerankC = s.conf.get(RerankCConf, RerankC.toString).toInt
-    val mem = ranked.where(col("rn") === 1)
-      .groupBy(col("cell")).agg(count(lit(1)).as("members"))
+    val mem = cellMembersOf(ranked)
     val resExpr = expr("zip_with(q, cvec, (x, c) -> (x * members - c) div members)")
     // index side: members' residuals vs their own cell centroid
     // `ranked` carries cvec from the assignment cross-join already
-    val resIdx = ranked.where(col("rn") === 1)
-      .join(broadcast(mem), Seq("cell"))
-      .select(col("cell"), col("vec_id"), resExpr.as("r"))
+    val resIdx = residualIndexOf(ranked, mem)
     // shared PQ machinery over the RESIDUAL column (one quantizer
     // definition with e12 — the spec-pinned vacuous-C equivalence
     // depends on the two paths never drifting)
-    val codebook = pqCodebookOf(s, resIdx, "r")
+    val codebook = codebookIn.getOrElse(pqCodebookOf(s, resIdx, "r"))
     val cs = pqEncode(s, resIdx, "r", codebook)
     // query side: residual vs EACH probed cell's centroid, LUT per (query, cell)
     val resQ = ranked.where(col("rn") <= nprobe && col("vec_id") % 5 === 0)
