@@ -391,6 +391,34 @@ class StreamingSpec extends GraftSuite {
     assert(Streams.jdbcTableExists(url, "probe_present", props))
   }
 
+  test("retriedJdbc: transient SQLExceptions are retried with backoff, persistent ones propagate after the bound") {
+    // fails twice then succeeds → the retry rides out the blip
+    var calls = 0
+    val got = Streams.retriedJdbc(attempts = 3, backoffMs = 1L) {
+      calls += 1
+      if (calls < 3) throw new java.sql.SQLTransientConnectionException("blip")
+      42
+    }
+    assert(got === 42 && calls === 3)
+    // never succeeds → the LAST failure propagates after `attempts` tries
+    var always = 0
+    val e = intercept[java.sql.SQLException] {
+      Streams.retriedJdbc(attempts = 3, backoffMs = 1L) {
+        always += 1
+        throw new java.sql.SQLException(s"down $always")
+      }
+    }
+    assert(always === 3 && e.getMessage === "down 3")
+    // non-SQL failures are NOT retried — the bound is for the connection layer only
+    var other = 0
+    intercept[IllegalArgumentException] {
+      Streams.retriedJdbc(attempts = 3, backoffMs = 1L) {
+        other += 1; throw new IllegalArgumentException("bug")
+      }
+    }
+    assert(other === 1)
+  }
+
   test("st12's JDBC-persisted variant equals the in-memory fold over the same input") {
     val got = AdAnalytics.st12RunningRollupJdbc(spark, sf,
         "jdbc:derby:memory:graftst12fx;create=true", "st12_store_fx",
