@@ -1486,7 +1486,120 @@ object Embeddings {
        |  FROM rr13) t
        |WHERE rank <= $TopK""".stripMargin
 
+  // ---------------------------------------------------------------- e14
+  /** SQ8 SCALAR-QUANTIZED rerank — the remaining classic quantization
+    * family next to sign sketches (e08) and product quantization
+    * (e12/e13): faiss's `ScalarQuantizer QT_8bit`. TRAIN: per-dimension
+    * [lo, hi] over the corpus (64 grouped min/max rows — a shuffle on 64
+    * keys, then one broadcast-size row). ENCODE: each dimension to an
+    * 8-bit level `code = round((x−lo)·255/(hi−lo))` — the stored index
+    * is 64 BYTES per vector (8× smaller than the raw floats; PQ's 8
+    * bytes is the next rung down, traded against SQ's much finer grid).
+    * SEARCH is asymmetric (ADC): the query keeps full precision and
+    * scores against the candidate's RECONSTRUCTION, here carried
+    * ×255-scaled so it stays integer-exact: `r_d = lo_d·255 +
+    * code_d·(hi_d−lo_d)`; coarse score = q·r / √(r·r) (the query's own
+    * norm is constant per query — dropped from the ranking). Top-C
+    * survivors get the shared full-vector [[exactRerank]].
+    *
+    * Like e08, the coarse join is DELIBERATELY the local-only oracle
+    * formulation (all-pairs broadcast over the e01 query subsample) so
+    * recall is measurable against the same truth with no index in the
+    * way; the at-scale composition is the e10 shape — IVF cells bound
+    * the candidate set, SQ codes rank within the probed cells — and at
+    * 100 TB the coarse pass streams a 64-byte column, not 256 bytes of
+    * floats.
+    *
+    * Exactness: code uses integer HALF_UP `((x−lo)·510 + (hi−lo)) div
+    * (2(hi−lo))` — all operands exact nonneg integers (floor-div via
+    * double is exact here: numerator < 2^53 and the quotient is > 1/b
+    * away from the next integer). r, q·r, r·r are exact-integer sums
+    * (< 2^53 at |x| ≤ 0.6, Quant = 1e4); the one double division +
+    * sqrt is a fixed IEEE sequence — bit-identical cross-engine. */
+  final val SqLevels = 255
+
+  def e14SqRerank(s: SparkSession, dir: String): DataFrame = {
+    val dot = dotQ(s) _
+    val v = quantized(s, dir)
+    // train: per-dimension corpus [lo, hi], folded to ONE broadcast row
+    val lohi = v.select(posexplode(col("q")).as(Seq("d", "x")))
+      .groupBy(col("d")).agg(min(col("x")).as("lo"), max(col("x")).as("hi"))
+      .agg(
+        transform(array_sort(collect_list(struct(col("d"), col("lo")))),
+          p => p.getField("lo")).as("los"),
+        transform(array_sort(collect_list(struct(col("d"), col("hi")))),
+          p => p.getField("hi")).as("his"))
+    // encode: the stored SQ8 index — 1 byte per dimension
+    def loD(d: Column) = element_at(col("los"), d)
+    def hiD(d: Column) = element_at(col("his"), d)
+    val enc = v.crossJoin(broadcast(lohi))
+      .withColumn("codes", transform(sequence(lit(1), lit(Dim)), d => {
+        val x = element_at(col("q"), d)
+        val span = hiD(d) - loD(d)
+        when(span === 0, lit(0L)).otherwise(
+          floor(((x - loD(d)) * lit(2L * SqLevels) + span).cast("double") /
+            (span * 2L).cast("double")).cast("long"))
+      }))
+    // candidate side carries only the ×255-scaled reconstruction
+    val cand = enc
+      .withColumn("r", transform(sequence(lit(1), lit(Dim)), d =>
+        loD(d) * lit(SqLevels.toLong) + element_at(col("codes"), d) * (hiD(d) - loD(d))))
+      .select(col("vec_id").as("neighbor_id"), col("r"),
+        dot(col("r"), col("r")).as("rnb"))
+    val qs = v.where(col("vec_id") % 5 === 0)
+      .select(col("vec_id").as("query_id"), col("q").as("qa"))
+    val coarse = qs.join(broadcast(cand), col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        (dot(col("qa"), col("r")).cast("double") /
+          sqrt(col("rnb").cast("double"))).as("ascore"))
+      .withColumn("crank", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("ascore").desc, col("neighbor_id").asc)))
+      .where(col("crank") <= RerankC)
+      .select(col("query_id"), col("neighbor_id"))
+    exactRerank(s, v, coarse)
+  }
+
+  val e14Sql: String =
+    s"""$quantSql, dims14 AS (
+       |  SELECT i, min(q[i]) AS lo, max(q[i]) AS hi
+       |  FROM qv, generate_series(1, $Dim) g(i) GROUP BY 1
+       |), lohi14 AS (
+       |  SELECT list(lo ORDER BY i) AS los, list(hi ORDER BY i) AS his FROM dims14
+       |), enc14 AS (
+       |  SELECT vec_id, list_transform(generate_series(1, $Dim), d ->
+       |    CASE WHEN his[d] = los[d] THEN 0
+       |         ELSE ((q[d] - los[d]) * ${2 * SqLevels} + (his[d] - los[d]))
+       |              // (2 * (his[d] - los[d])) END) AS codes
+       |  FROM qv, lohi14
+       |), rec14 AS (
+       |  SELECT vec_id, list_transform(generate_series(1, $Dim), d ->
+       |    los[d] * $SqLevels + codes[d] * (his[d] - los[d])) AS r
+       |  FROM enc14, lohi14
+       |), coarse14 AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT a.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |      row_number() OVER (PARTITION BY a.vec_id ORDER BY
+       |        CAST(list_dot_product(a.q, c.r) AS DOUBLE) /
+       |          sqrt(CAST(list_dot_product(c.r, c.r) AS DOUBLE)) DESC,
+       |        c.vec_id ASC) AS crank
+       |    FROM qv a JOIN rec14 c ON a.vec_id % 5 = 0 AND a.vec_id <> c.vec_id) t
+       |  WHERE crank <= $RerankC
+       |), rr14 AS (
+       |  SELECT c.query_id, c.neighbor_id,
+       |    CAST(list_dot_product(a.q, b.q) AS DOUBLE) /
+       |      (sqrt(CAST(list_dot_product(a.q, a.q) AS DOUBLE)) *
+       |       sqrt(CAST(list_dot_product(b.q, b.q) AS DOUBLE))) AS cos
+       |  FROM coarse14 c JOIN qv a ON c.query_id = a.vec_id
+       |                 JOIN qv b ON c.neighbor_id = b.vec_id
+       |)
+       |SELECT query_id, neighbor_id, cos, rank FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+       |  FROM rr14) t
+       |WHERE rank <= $TopK""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e14_sq8_rerank" -> (e14SqRerank _),
     "e13_residual_pq" -> (e13ResidualPq _),
     "e12_ivf_pq_adc" -> (e12IvfPqAdc _),
     "e11_kmeans_step" -> (e11KmeansStep _),
@@ -1507,6 +1620,7 @@ object Embeddings {
     * map keeps any future cross-reference out of static init — the
     * cross-object RerankC trap ([[graft.tools.InitOrderCheck]]). */
   lazy val oracleSql: Map[String, String] = Map(
+    "e14_sq8_rerank" -> e14Sql,
     "e13_residual_pq" -> e13Sql,
     "e12_ivf_pq_adc" -> e12Sql,
     "e11_kmeans_step" -> e11Sql,

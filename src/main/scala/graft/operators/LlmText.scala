@@ -2236,7 +2236,126 @@ object LlmText {
        |  unnest(range(1, CAST(n_copies AS BIGINT) + 1)) AS copy
        |FROM cop36""".stripMargin
 
+  // ---------------------------------------------------------------- d37
+  /** BPE MERGE-SELECTION round — the tokenizer-TRAINING primitive
+    * (Sennrich et al. 2016: byte-pair encoding learns its vocabulary by
+    * repeatedly merging the most frequent adjacent symbol pair). This is
+    * one selection round at the initial character alphabet: count every
+    * adjacent character pair across the corpus WEIGHTED BY WORD
+    * FREQUENCY and emit the top-[[BpeTopK]] merge candidates.
+    *
+    * Scale shape — the standard BPE trick is visible in the plan: pair
+    * counting runs over the DISTINCT-WORD table with a weight column
+    * (shuffle keyed on word, vocabulary-sized — orders of magnitude
+    * smaller than the corpus), never over raw tokens; the pair explode
+    * is map-side over that vocabulary and the final aggregate shuffles
+    * on a key space bounded by |Σ|² character bigrams. The rank window
+    * is partition-less but ranks ONLY that bounded aggregate. A full
+    * tokenizer train iterates: apply the chosen merge (map-only regex
+    * over the vocabulary), re-count — one bounded shuffle per round. */
+  final val BpeTopK = 20
+
+  def d37BpePairs(s: SparkSession, dir: String): DataFrame = {
+    val wf = base(s, dir)
+      .select(explode(col("toks")).as("w"))
+      .where(length(col("w")) >= 2)
+      .groupBy(col("w")).agg(count(lit(1)).as("wf"))
+    wf.select(col("wf"), explode(transform(
+        sequence(lit(1), length(col("w")) - 1),
+        i => call_function("substr", col("w"), i, lit(2)))).as("pair"))
+      .groupBy(col("pair")).agg(sum(col("wf")).as("cnt"))
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("cnt").desc, col("pair").asc)))
+      .where(col("rank") <= BpeTopK)
+      .select(col("rank").cast("long").as("rank"), col("pair"), col("cnt"))
+  }
+
+  val d37Sql: String =
+    s"""$baseSql, wf37 AS (
+       |  SELECT w, count(*) AS wf
+       |  FROM (SELECT unnest(toks) AS w FROM base) t
+       |  WHERE length(w) >= 2 GROUP BY 1
+       |), pc37 AS (
+       |  SELECT pair, CAST(sum(wf) AS BIGINT) AS cnt FROM (
+       |    SELECT unnest(list_transform(generate_series(1, length(w) - 1),
+       |      i -> substr(w, CAST(i AS INT), 2))) AS pair, wf
+       |    FROM wf37) p
+       |  GROUP BY 1
+       |)
+       |SELECT rank, pair, cnt FROM (
+       |  SELECT *, row_number() OVER (ORDER BY cnt DESC, pair ASC) AS rank
+       |  FROM pc37) r
+       |WHERE rank <= $BpeTopK""".stripMargin
+
+  // ---------------------------------------------------------------- d38
+  /** DSIR-style IMPORTANCE SCORING (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling"): score every raw
+    * document by how target-like its HASHED-UNIGRAM feature counts are,
+    * where "target" is a curated slice (here: the source-id % 4 == 0
+    * sources — the same deterministic source partitioning d36 weights).
+    * DSIR proper weights by Σ_b n_b·log(p_b/q_b); this computes the
+    * sign-compatible linear surrogate Σ_b n_b·(tcnt_b·RawTotal −
+    * rcnt_b·TgtTotal) — the same p−q direction per bucket in EXACT
+    * integer arithmetic (the correctness gate hashes cell values, and
+    * `log` is not bit-portable across engines). At 100 TB the log-space
+    * double version drops in per-partition; only the gate needs
+    * integers.
+    *
+    * Scale shape: the feature space is [[DsirBuckets]] hash buckets, so
+    * the learned weight table is a BROADCAST-size dim (256 rows) and the
+    * totals a 1-row broadcast — the per-doc scoring pass is one shuffle
+    * on (doc_id, b) then one on doc_id, never keyed on raw terms. In
+    * production the target/raw bucket counts are trained once and
+    * persisted; here they derive in-query from the same fixture. */
+  final val DsirBuckets = 256L
+
+  def d38DsirScore(s: SparkSession, dir: String): DataFrame = {
+    val feats = base(s, dir)
+      .withColumn("srcidx", regexp_extract(col("source"), "\\d+", 0).cast("long"))
+      .select(col("doc_id"), col("srcidx"), explode(col("toks")).as("term"))
+      .withColumn("b", h64(col("term")) % lit(DsirBuckets))
+    val perDoc = feats.groupBy(col("doc_id"), col("b")).agg(count(lit(1)).as("n_b"))
+    val tgt = feats.where(col("srcidx") % 4 === 0)
+      .groupBy(col("b")).agg(count(lit(1)).as("tcnt"))
+    val raw = feats.groupBy(col("b")).agg(count(lit(1)).as("rcnt"))
+    val w = raw.join(tgt, Seq("b"), "left_outer").na.fill(0L, Seq("tcnt"))
+    val totals = w.agg(sum(col("tcnt")).as("tgt_total"), sum(col("rcnt")).as("raw_total"))
+    perDoc.join(broadcast(w), Seq("b"))
+      .crossJoin(broadcast(totals))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("n_b")).as("n_toks"),
+        sum(col("n_b") *
+          (col("tcnt") * col("raw_total") - col("rcnt") * col("tgt_total"))).as("score"))
+      .select(col("doc_id"), col("n_toks"), col("score"),
+        (col("score") > 0).as("target_like"))
+  }
+
+  val d38Sql: String =
+    s"""$baseSql, ft38 AS (
+       |  SELECT doc_id, CAST(regexp_extract(source, '[0-9]+') AS BIGINT) AS srcidx,
+       |    ${h64Sql("term")} % $DsirBuckets AS b
+       |  FROM (SELECT doc_id, source, unnest(toks) AS term FROM base) t
+       |), pd38 AS (
+       |  SELECT doc_id, b, count(*) AS n_b FROM ft38 GROUP BY 1, 2
+       |), tg38 AS (
+       |  SELECT b, count(*) AS tcnt FROM ft38 WHERE srcidx % 4 = 0 GROUP BY 1
+       |), rw38 AS (
+       |  SELECT b, count(*) AS rcnt FROM ft38 GROUP BY 1
+       |), w38 AS (
+       |  SELECT r.b, coalesce(t.tcnt, 0) AS tcnt, r.rcnt
+       |  FROM rw38 r LEFT JOIN tg38 t ON r.b = t.b
+       |), tot38 AS (
+       |  SELECT CAST(sum(tcnt) AS BIGINT) AS tgt_total, CAST(sum(rcnt) AS BIGINT) AS raw_total FROM w38
+       |)
+       |SELECT doc_id, CAST(sum(n_b) AS BIGINT) AS n_toks,
+       |  CAST(sum(n_b * (tcnt * raw_total - rcnt * tgt_total)) AS BIGINT) AS score,
+       |  CAST(sum(n_b * (tcnt * raw_total - rcnt * tgt_total)) AS BIGINT) > 0 AS target_like
+       |FROM pd38 p JOIN w38 w ON p.b = w.b CROSS JOIN tot38
+       |GROUP BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d38_dsir_score" -> (d38DsirScore _),
+    "d37_bpe_pairs" -> (d37BpePairs _),
     "d36_mixture_expand" -> (d36MixtureExpand _),
     "d35_epoch_shuffle" -> (d35EpochShuffle _),
     "d34_hybrid_rrf" -> (d34HybridRrf _),
@@ -2282,6 +2401,8 @@ object LlmText {
     * [[graft.tools.InitOrderCheck]]. Lazy = assembled on first use,
     * after both objects finish initializing. */
   lazy val oracleSql: Map[String, String] = Map(
+    "d38_dsir_score" -> d38Sql,
+    "d37_bpe_pairs" -> d37Sql,
     "d36_mixture_expand" -> d36Sql,
     "d35_epoch_shuffle" -> d35Sql,
     "d34_hybrid_rrf" -> d34Sql,

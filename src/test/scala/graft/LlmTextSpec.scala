@@ -1011,6 +1011,97 @@ class LlmTextSpec extends GraftSuite {
       "a 500-permille source must drop documents")
   }
 
+  // JVM twin of Portable.normText/tokens for brute-force recomputation:
+  // Spark trim() strips the ' ' char from both ends; split keeps
+  // trailing empties (limit -1 semantics)
+  private def jvmToks(text: String): Array[String] =
+    text.replaceAll("^ +| +$", "").toLowerCase(java.util.Locale.ROOT)
+      .replaceAll("\\s+", " ").split(" ", -1)
+
+  test("d37: BPE pair counts equal a brute-force recomputation; ranks dense, counts non-increasing") {
+    val got = LlmText.d37BpePairs(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(got.map(_._1).sorted.toSeq === (1L to LlmText.BpeTopK), "dense ranks 1..K")
+    val byRank = got.sortBy(_._1)
+    assert(byRank.sliding(2).forall(p => p(0)._3 >= p(1)._3), "counts non-increasing in rank")
+    assert(got.forall(_._2.length == 2), "every merge candidate is an adjacent char pair")
+    // brute force: word frequencies over the corpus, weighted pair counts
+    val texts = Tables.documents(spark, sf).select("text").collect().map(_.getString(0))
+    val wf = scala.collection.mutable.Map.empty[String, Long]
+    for (t <- texts; w <- jvmToks(t) if w.length >= 2)
+      wf(w) = wf.getOrElse(w, 0L) + 1L
+    val pc = scala.collection.mutable.Map.empty[String, Long]
+    for ((w, f) <- wf; i <- 0 until w.length - 1) {
+      val p = w.substring(i, i + 2)
+      pc(p) = pc.getOrElse(p, 0L) + f
+    }
+    val want = pc.toSeq.sortBy { case (p, c) => (-c, p) }.take(LlmText.BpeTopK)
+      .zipWithIndex.map { case ((p, c), i) => (i + 1L, p, c) }
+    assert(byRank.toSeq === want, "top merge candidates must match the brute-force count")
+  }
+
+  test("d38: DSIR scores equal a brute-force recomputation; target slice separates upward") {
+    val got = LlmText.d38DsirScore(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    val docs = Tables.documents(spark, sf).select("doc_id", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    assert(got.length === docs.length, "every document scored once")
+    // JVM twin of Portable.h64: first 15 hex digits of md5, base-16
+    def h64(sv: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(sv.getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.map("%02x".format(_)).mkString.take(15), 16)
+    }
+    val B = LlmText.DsirBuckets
+    def isTgt(src: String): Boolean = src.replaceAll("\\D", "").toLong % 4 == 0
+    val perDoc = docs.map { case (id, src, text) =>
+      (id, isTgt(src), jvmToks(text).map(t => h64(t) % B))
+    }
+    val rcnt = scala.collection.mutable.Map.empty[Long, Long]
+    val tcnt = scala.collection.mutable.Map.empty[Long, Long]
+    for ((_, tgt, bs) <- perDoc; b <- bs) {
+      rcnt(b) = rcnt.getOrElse(b, 0L) + 1L
+      if (tgt) tcnt(b) = tcnt.getOrElse(b, 0L) + 1L
+    }
+    val rawTotal = rcnt.values.sum
+    val tgtTotal = tcnt.values.sum
+    val want = perDoc.map { case (id, _, bs) =>
+      val score = bs.groupBy(identity).map { case (b, n) =>
+        n.length * (tcnt.getOrElse(b, 0L) * rawTotal - rcnt(b) * tgtTotal)
+      }.sum
+      id -> ((bs.length.toLong, score, score > 0))
+    }.toMap
+    got.foreach { case (id, n, sc, tl) =>
+      assert((n, sc, tl) === want(id), s"doc $id score mismatch")
+    }
+    // the importance direction: target-slice docs average above the rest
+    val (tgtScores, rawScores) = got.partition(g => isTgt(docs.find(_._1 == g._1).get._2))
+    assert(tgtScores.map(_._3).sum / tgtScores.length.max(1) >
+      rawScores.map(_._3).sum / rawScores.length.max(1),
+      "target-source documents must score higher on average")
+  }
+
+  test("e14: SQ8 rerank keeps exact cosines, dense ranks, and high recall vs brute force") {
+    val got = Embeddings.e14SqRerank(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    val byQuery = got.groupBy(_._1)
+    byQuery.values.foreach(rows =>
+      assert(rows.map(_._4).sorted.toSeq === (1 to Embeddings.TopK), "dense ranks 1..k"))
+    val truth = Embeddings.e01KnnBrute(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(byQuery.keySet === truth.map(_._1).toSet, "same query subsample as e01")
+    val truthCos = truth.map(t => (t._1, t._2) -> t._3).toMap
+    got.foreach { case (q, n, c, _) =>
+      truthCos.get((q, n)).foreach(tc => assert(c === tc, s"cos mismatch for ($q,$n)"))
+    }
+    // an 8-bit-per-dimension grid is far finer than e08's 1-bit sketch:
+    // the 255-level reconstruction keeps nearly the whole neighborhood
+    val truthSet = truth.map(t => (t._1, t._2)).toSet
+    val hits = got.count(g => truthSet.contains((g._1, g._2)))
+    val recall = hits.toDouble / truthSet.size
+    assert(recall >= 0.8, s"SQ8 recall collapsed: $hits/${truthSet.size} = $recall")
+  }
+
   test("e06: every vector flagged once; dropped ⊆ cell-mates of an earlier near-dup") {
     import graft.operators.Embeddings
     val rows = Embeddings.e06SemDedup(spark, sf).collect()
