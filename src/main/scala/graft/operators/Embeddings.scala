@@ -491,11 +491,11 @@ object Embeddings {
        |FROM assigned""".stripMargin
 
   // ---------------------------------------------------------------- e07
-  /** Recall audit: recall@k of the six ANN serving paths (e02
+  /** Recall audit: recall@k of the seven ANN serving paths (e02
     * hyperplane-LSH, e05 IVF at its oracle formulation nprobe = 1, e08
     * sketch-then-rerank at its default depth, e10 composed
     * IVF-cells × sketch-rerank, e12 IVF-PQ with ADC scoring, e13
-    * residual IVF-PQ) against
+    * residual IVF-PQ, e14 SQ8 scalar-quantized rerank) against
     * the e01 brute-force ground truth, over the deterministic query
     * subsample.
     * This is the evaluation loop every production ANN deployment runs
@@ -504,7 +504,7 @@ object Embeddings {
     * (method, n_truth, n_hits, recall); recall is one division of two
     * exact integer counts, so it is bit-identical cross-engine.
     *
-    * Cost note: this intentionally embeds ALL SIX search paths (it IS
+    * Cost note: this intentionally embeds ALL SEVEN search paths (it IS
     * the comparison), so it prices as their sum — an audit query, not a
     * serving path. At 100 TB the truth side runs on a fixed small query
     * sample (here vec_id % 5, the e01 contract) — brute force over the
@@ -545,17 +545,22 @@ object Embeddings {
       .select(lit("ivf_pq_adc").as("method"), col("query_id"), col("neighbor_id"))
     val resPq = e13From(s, v, ranked, Some(cb13)).where(col("rank") <= RecallK)
       .select(lit("residual_pq").as("method"), col("query_id"), col("neighbor_id"))
+    // SQ8 path: e14 trains from the stable quantized plan internally,
+    // so its lohi memo is shared with the standalone e14 entry (the
+    // cb12/cb13 discipline — the audit measures THE index)
+    val sq = e14SqRerank(s, dir).where(col("rank") <= RecallK)
+      .select(lit("sq8_rerank").as("method"), col("query_id"), col("neighbor_id"))
     // LEFT join from a fixed method spine: a path with ZERO truth hits
     // must report recall 0.0, not vanish from the audit — the failing
     // path is the one the audit exists to flag
     val spine = s.createDataFrame(
       Seq("lsh_bucketed", "ivf_nprobe", "sketch_rerank", "ivf_sketch_rerank",
-          "ivf_pq_adc", "residual_pq")
+          "ivf_pq_adc", "residual_pq", "sq8_rerank")
         .map(Tuple1.apply))
       .toDF("method")
     val hits = spine.join(
       lsh.unionByName(ivf).unionByName(sketch).unionByName(ivfSketch)
-        .unionByName(ivfPq).unionByName(resPq)
+        .unionByName(ivfPq).unionByName(resPq).unionByName(sq)
         .join(truth, Seq("query_id", "neighbor_id"))
         .groupBy(col("method")).agg(count(lit(1)).as("raw_hits")),
       Seq("method"), "left")
@@ -636,6 +641,14 @@ object Embeddings {
        |    FROM coarse13 c JOIN qv a ON c.query_id = a.vec_id
        |                   JOIN qv b ON c.neighbor_id = b.vec_id) t
        |  WHERE rank <= $RecallK
+       |)$sqSqlCtes, sq14 AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT c.query_id, c.neighbor_id,
+       |      row_number() OVER (PARTITION BY c.query_id ORDER BY
+       |        ${cos("a", "b")} DESC, c.neighbor_id ASC) AS rank
+       |    FROM coarse14 c JOIN qv a ON c.query_id = a.vec_id
+       |                   JOIN qv b ON c.neighbor_id = b.vec_id) t
+       |  WHERE rank <= $RecallK
        |), ann AS (
        |  SELECT 'lsh_bucketed' AS method, query_id, neighbor_id FROM lsh
        |  UNION ALL
@@ -648,13 +661,16 @@ object Embeddings {
        |  SELECT 'ivf_pq_adc' AS method, query_id, neighbor_id FROM ivfpq
        |  UNION ALL
        |  SELECT 'residual_pq' AS method, query_id, neighbor_id FROM respq
+       |  UNION ALL
+       |  SELECT 'sq8_rerank' AS method, query_id, neighbor_id FROM sq14
        |), raw AS (
        |  SELECT method, count(*) AS raw_hits
        |  FROM ann JOIN truth USING (query_id, neighbor_id) GROUP BY 1
        |), hits AS (
        |  SELECT m.method, CAST(coalesce(r.raw_hits, 0) AS BIGINT) AS n_hits
        |  FROM (VALUES ('lsh_bucketed'), ('ivf_nprobe'), ('sketch_rerank'),
-       |               ('ivf_sketch_rerank'), ('ivf_pq_adc'), ('residual_pq')) m(method)
+       |               ('ivf_sketch_rerank'), ('ivf_pq_adc'), ('residual_pq'),
+       |               ('sq8_rerank')) m(method)
        |  LEFT JOIN raw r ON m.method = r.method
        |), tot AS (SELECT CAST(count(*) AS BIGINT) AS n_truth FROM truth)
        |SELECT method, n_truth, n_hits,
@@ -1518,17 +1534,35 @@ object Embeddings {
     * sqrt is a fixed IEEE sequence — bit-identical cross-engine. */
   final val SqLevels = 255
 
+  /** Trained SQ quantizer (one row: los[Dim], his[Dim]) — an
+    * index-BUILD artifact exactly like the PQ codebook, so it gets the
+    * same in-JVM memo per canonical input plan ([[pqCodebookOf]]'s
+    * contract: immutable fixture inputs, structural plan key, bounded
+    * cache). The training pass (a Dim-way fan-out aggregate) runs once
+    * per corpus, not once per query; operationally it would
+    * store-and-freeze beside the PQ halves in
+    * [[graft.jobs.IncrementalIndex]]. */
+  private val sqLohiCache =
+    new java.util.concurrent.ConcurrentHashMap[org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, DataFrame]()
+
+  private def sqLohiOf(v: DataFrame): DataFrame = {
+    if (sqLohiCache.size > 64) sqLohiCache.clear()
+    sqLohiCache.computeIfAbsent(v.queryExecution.analyzed.canonicalized, _ =>
+      v.select(posexplode(col("q")).as(Seq("d", "x")))
+        .groupBy(col("d")).agg(min(col("x")).as("lo"), max(col("x")).as("hi"))
+        .agg(
+          transform(array_sort(collect_list(struct(col("d"), col("lo")))),
+            p => p.getField("lo")).as("los"),
+          transform(array_sort(collect_list(struct(col("d"), col("hi")))),
+            p => p.getField("hi")).as("his"))
+        .localCheckpoint())
+  }
+
   def e14SqRerank(s: SparkSession, dir: String): DataFrame = {
     val dot = dotQ(s) _
     val v = quantized(s, dir)
     // train: per-dimension corpus [lo, hi], folded to ONE broadcast row
-    val lohi = v.select(posexplode(col("q")).as(Seq("d", "x")))
-      .groupBy(col("d")).agg(min(col("x")).as("lo"), max(col("x")).as("hi"))
-      .agg(
-        transform(array_sort(collect_list(struct(col("d"), col("lo")))),
-          p => p.getField("lo")).as("los"),
-        transform(array_sort(collect_list(struct(col("d"), col("hi")))),
-          p => p.getField("hi")).as("his"))
+    val lohi = sqLohiOf(v)
     // encode: the stored SQ8 index — 1 byte per dimension
     def loD(d: Column) = element_at(col("los"), d)
     def hiD(d: Column) = element_at(col("his"), d)
@@ -1560,8 +1594,13 @@ object Embeddings {
     exactRerank(s, v, coarse)
   }
 
-  val e14Sql: String =
-    s"""$quantSql, dims14 AS (
+  /** SQ8 CTE text shared by e14Sql and e07Sql — one definition of the
+    * per-dimension training, the HALF_UP encode, the ×255-scaled
+    * reconstruction, and the asymmetric coarse cut, so the audit's SQ
+    * path can never drift from the e14 oracle it audits. A `def` (the
+    * svCoarseSqlCtes init-order convention). */
+  private def sqSqlCtes: String =
+    s""", dims14 AS (
        |  SELECT i, min(q[i]) AS lo, max(q[i]) AS hi
        |  FROM qv, generate_series(1, $Dim) g(i) GROUP BY 1
        |), lohi14 AS (
@@ -1585,7 +1624,10 @@ object Embeddings {
        |        c.vec_id ASC) AS crank
        |    FROM qv a JOIN rec14 c ON a.vec_id % 5 = 0 AND a.vec_id <> c.vec_id) t
        |  WHERE crank <= $RerankC
-       |), rr14 AS (
+       |)""".stripMargin
+
+  val e14Sql: String =
+    s"""$quantSql$sqSqlCtes, rr14 AS (
        |  SELECT c.query_id, c.neighbor_id,
        |    CAST(list_dot_product(a.q, b.q) AS DOUBLE) /
        |      (sqrt(CAST(list_dot_product(a.q, a.q) AS DOUBLE)) *

@@ -2301,24 +2301,27 @@ object LlmText {
     * double version drops in per-partition; only the gate needs
     * integers.
     *
-    * Scale shape: the feature space is [[DsirBuckets]] hash buckets, so
-    * the learned weight table is a BROADCAST-size dim (256 rows) and the
-    * totals a 1-row broadcast — the per-doc scoring pass is one shuffle
-    * on (doc_id, b) then one on doc_id, never keyed on raw terms. In
-    * production the target/raw bucket counts are trained once and
-    * persisted; here they derive in-query from the same fixture. */
+    * Scale shape: ONE corpus pass. The token stream aggregates straight
+    * into the compact per-(doc, bucket) feature table (≤ docs ×
+    * [[DsirBuckets]] rows), eagerly materialized; the bucket weight
+    * table (256 rows, a BROADCAST dim), the 1-row totals, and the final
+    * per-doc score all derive from that table — the corpus is never
+    * re-read per derivation branch (plan-pinned: one parquet scan). In
+    * production the target/raw bucket counts train once and persist
+    * (the IncrementalIndex pattern); the in-query derivation shares the
+    * same single-pass frame. */
   final val DsirBuckets = 256L
 
   def d38DsirScore(s: SparkSession, dir: String): DataFrame = {
-    val feats = base(s, dir)
+    val perDoc = base(s, dir)
       .withColumn("srcidx", regexp_extract(col("source"), "\\d+", 0).cast("long"))
       .select(col("doc_id"), col("srcidx"), explode(col("toks")).as("term"))
       .withColumn("b", h64(col("term")) % lit(DsirBuckets))
-    val perDoc = feats.groupBy(col("doc_id"), col("b")).agg(count(lit(1)).as("n_b"))
-    val tgt = feats.where(col("srcidx") % 4 === 0)
-      .groupBy(col("b")).agg(count(lit(1)).as("tcnt"))
-    val raw = feats.groupBy(col("b")).agg(count(lit(1)).as("rcnt"))
-    val w = raw.join(tgt, Seq("b"), "left_outer").na.fill(0L, Seq("tcnt"))
+      .groupBy(col("doc_id"), col("srcidx"), col("b")).agg(count(lit(1)).as("n_b"))
+      .localCheckpoint()
+    val w = perDoc.groupBy(col("b")).agg(
+      sum(when(col("srcidx") % 4 === 0, col("n_b")).otherwise(lit(0L))).as("tcnt"),
+      sum(col("n_b")).as("rcnt"))
     val totals = w.agg(sum(col("tcnt")).as("tgt_total"), sum(col("rcnt")).as("raw_total"))
     perDoc.join(broadcast(w), Seq("b"))
       .crossJoin(broadcast(totals))

@@ -504,7 +504,7 @@ class LlmTextSpec extends GraftSuite {
     val rows = Embeddings.e07RecallAudit(spark, sf).collect()
     // exactly one row per audited method — a zero-hit path must report
     // recall 0.0, never vanish
-    assert(rows.length === 6)
+    assert(rows.length === 7)
     val truthPairs = Embeddings.e01KnnBrute(spark, sf)
       .where(col("rank") <= Embeddings.RecallK).count()
     rows.foreach { r =>
@@ -523,6 +523,11 @@ class LlmTextSpec extends GraftSuite {
     assert(rows.map(_.getString(0)).contains("ivf_sketch_rerank"))
     assert(rows.map(_.getString(0)).contains("ivf_pq_adc"))
     assert(rows.map(_.getString(0)).contains("residual_pq"))
+    assert(rows.map(_.getString(0)).contains("sq8_rerank"))
+    // the 255-level SQ grid must not audit below the 1-bit sketch path
+    val byM = rows.map(r => r.getString(0) -> r.getDouble(3)).toMap
+    assert(byM("sq8_rerank") >= byM("sketch_rerank"),
+      s"SQ8 recall ${byM("sq8_rerank")} below 1-bit sketch ${byM("sketch_rerank")}")
   }
 
   test("d27: rule verdicts recompute, keep is the exact conjunction, stopword rule ties to the text") {

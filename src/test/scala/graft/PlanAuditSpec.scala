@@ -183,6 +183,20 @@ class PlanAuditSpec extends GraftSuite {
     } finally spark.conf.unset(graft.plans.StrictPlanCheck.Conf)
   }
 
+  test("d38 consumes the corpus in ONE pass — no parquet re-scan per derivation branch") {
+    // the per-(doc, bucket) feature table is eagerly materialized; the
+    // weight dim, totals, and final score all derive from it, so the
+    // FINAL plan must read the checkpointed feature frame, never the
+    // documents parquet again (the corpus was scanned exactly once,
+    // inside the materialization)
+    val p = operators.LlmText.d38DsirScore(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Scan parquet"),
+      s"d38's final plan must not re-scan the corpus:\n$p")
+    assert(p.contains("ExistingRDD") || p.contains("LocalTableScan"),
+      "d38 must derive from the materialized feature table")
+  }
+
   test("no query in the whole registry plans a CartesianProduct") {
     // building a plan is free for declarative queries; excluded are the
     // entries whose CONSTRUCTION executes work (streaming runs to
