@@ -2356,7 +2356,69 @@ object LlmText {
        |FROM pd38 p JOIN w38 w ON p.b = w.b CROSS JOIN tot38
        |GROUP BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- d39
+  /** DATA-ANNEALING phase schedule — the staged-pretraining data
+    * curriculum (the midtraining/annealing recipe: train on everything,
+    * then anneal onto progressively higher-quality slices): every doc
+    * gets its quality rank WITHIN ITS SOURCE and membership flags for
+    * phase 2 (best half) and phase 3 (best decile); phase 1 is the full
+    * corpus by definition. Quality is d20's corpus-unigram mean
+    * probability (bit-identical cross-engine, so rank comparisons agree
+    * exactly; ties break on doc_id).
+    *
+    * Scale shape: d20's 3-shuffle scoring pipeline plus ONE stratified
+    * rank window partitioned by source — bounded state per stratum,
+    * never a global sort (the s05/s08 stratification discipline). The
+    * phase cut is rank arithmetic against the in-window source count:
+    * no percentile sketch, no second pass, and the thresholds are exact
+    * integer cross-multiplications. */
+  def d39AnnealSchedule(s: SparkSession, dir: String): DataFrame = {
+    val toks = base(s, dir)
+      .select(col("doc_id"), col("source"), explode(col("toks")).as("term"))
+    val cf = toks.groupBy(col("term")).agg(count(lit(1)).as("cf"))
+    val total = cf.agg(sum(col("cf")).as("n_total"))
+    val scored = toks.join(cf, Seq("term"))
+      .groupBy(col("doc_id"), col("source"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("cf")).as("cf_sum"))
+      .crossJoin(broadcast(total))
+      .withColumn("mean_prob",
+        col("cf_sum").cast("double") /
+          (col("n_tokens") * col("n_total")).cast("double"))
+    scored
+      .withColumn("q_rank", row_number().over(
+        Window.partitionBy(col("source"))
+          .orderBy(col("mean_prob").desc, col("doc_id").asc)).cast("long"))
+      .withColumn("n_src", count(lit(1)).over(Window.partitionBy(col("source"))))
+      .select(col("doc_id"), col("source"), col("mean_prob"), col("q_rank"),
+        col("n_src"),
+        (col("q_rank") * 2 <= col("n_src")).as("in_phase2"),
+        (col("q_rank") * 10 <= col("n_src")).as("in_phase3"))
+  }
+
+  val d39Sql: String =
+    s"""$baseSql, tk39 AS (
+       |  SELECT doc_id, source, unnest(toks) AS term FROM base
+       |), cf39 AS (
+       |  SELECT term, count(*) AS cf FROM tk39 GROUP BY 1
+       |), tot39 AS (SELECT CAST(sum(cf) AS BIGINT) AS n_total FROM cf39),
+       |sc39 AS (
+       |  SELECT doc_id, source, count(*) AS n_tokens, CAST(sum(cf) AS BIGINT) AS cf_sum
+       |  FROM tk39 JOIN cf39 USING (term) GROUP BY 1, 2
+       |), rk39 AS (
+       |  SELECT doc_id, source,
+       |    CAST(cf_sum AS DOUBLE) / CAST(n_tokens * n_total AS DOUBLE) AS mean_prob,
+       |    row_number() OVER (PARTITION BY source ORDER BY
+       |      CAST(cf_sum AS DOUBLE) / CAST(n_tokens * n_total AS DOUBLE) DESC,
+       |      doc_id ASC) AS q_rank,
+       |    count(*) OVER (PARTITION BY source) AS n_src
+       |  FROM sc39, tot39
+       |)
+       |SELECT doc_id, source, mean_prob, q_rank, CAST(n_src AS BIGINT) AS n_src,
+       |  q_rank * 2 <= n_src AS in_phase2, q_rank * 10 <= n_src AS in_phase3
+       |FROM rk39""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d39_anneal_schedule" -> (d39AnnealSchedule _),
     "d38_dsir_score" -> (d38DsirScore _),
     "d37_bpe_pairs" -> (d37BpePairs _),
     "d36_mixture_expand" -> (d36MixtureExpand _),
@@ -2404,6 +2466,7 @@ object LlmText {
     * [[graft.tools.InitOrderCheck]]. Lazy = assembled on first use,
     * after both objects finish initializing. */
   lazy val oracleSql: Map[String, String] = Map(
+    "d39_anneal_schedule" -> d39Sql,
     "d38_dsir_score" -> d38Sql,
     "d37_bpe_pairs" -> d37Sql,
     "d36_mixture_expand" -> d36Sql,

@@ -1086,6 +1086,31 @@ class LlmTextSpec extends GraftSuite {
       "target-source documents must score higher on average")
   }
 
+  test("d39: anneal phases are exact per-source quality slices consistent with d20") {
+    val rows = LlmText.d39AnnealSchedule(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getLong(3),
+        r.getLong(4), r.getBoolean(5), r.getBoolean(6)))
+    val nDocs = Tables.documents(spark, sf).count()
+    assert(rows.length === nDocs, "every document gets a phase row")
+    // the quality signal IS d20's score, verbatim
+    val d20 = LlmText.d20UnigramScore(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    rows.foreach { case (id, _, p, _, _, _, _) => assert(p === d20(id)) }
+    rows.groupBy(_._2).foreach { case (src, grp) =>
+      val n = grp.length
+      assert(grp.forall(_._5 == n), s"n_src must equal the stratum size for $src")
+      assert(grp.map(_._4).sorted.toSeq === (1L to n), "ranks dense within source")
+      // ranks order by score desc (ties impossible to assert generally;
+      // the oracle hash pins the exact order) — spot the top rank
+      val top = grp.minBy(_._4)
+      assert(grp.forall(r => r._3 <= top._3), "rank 1 carries the stratum's best score")
+      // phase sizes are the exact half / decile cuts, and nested
+      assert(grp.count(_._6) === n / 2, s"phase-2 must be the best half of $src")
+      assert(grp.count(_._7) === n / 10, s"phase-3 must be the best decile of $src")
+      assert(grp.filter(_._7).forall(_._6), "phase-3 members must also be phase-2")
+    }
+  }
+
   test("e14: SQ8 rerank keeps exact cosines, dense ranks, and high recall vs brute force") {
     val got = Embeddings.e14SqRerank(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
