@@ -491,11 +491,12 @@ object Embeddings {
        |FROM assigned""".stripMargin
 
   // ---------------------------------------------------------------- e07
-  /** Recall audit: recall@k of the seven ANN serving paths (e02
+  /** Recall audit: recall@k of the eight ANN serving paths (e02
     * hyperplane-LSH, e05 IVF at its oracle formulation nprobe = 1, e08
     * sketch-then-rerank at its default depth, e10 composed
     * IVF-cells × sketch-rerank, e12 IVF-PQ with ADC scoring, e13
-    * residual IVF-PQ, e14 SQ8 scalar-quantized rerank) against
+    * residual IVF-PQ, e14 SQ8 scalar-quantized rerank, e15 composed
+    * IVF-cells × SQ8-ADC) against
     * the e01 brute-force ground truth, over the deterministic query
     * subsample.
     * This is the evaluation loop every production ANN deployment runs
@@ -504,7 +505,7 @@ object Embeddings {
     * (method, n_truth, n_hits, recall); recall is one division of two
     * exact integer counts, so it is bit-identical cross-engine.
     *
-    * Cost note: this intentionally embeds ALL SEVEN search paths (it IS
+    * Cost note: this intentionally embeds ALL EIGHT search paths (it IS
     * the comparison), so it prices as their sum — an audit query, not a
     * serving path. At 100 TB the truth side runs on a fixed small query
     * sample (here vec_id % 5, the e01 contract) — brute force over the
@@ -550,17 +551,21 @@ object Embeddings {
     // cb12/cb13 discipline — the audit measures THE index)
     val sq = e14SqRerank(s, dir).where(col("rank") <= RecallK)
       .select(lit("sq8_rerank").as("method"), col("query_id"), col("neighbor_id"))
+    val ivfSq = e15From(s, v, ranked, Some(sqLohiOf(stableV)))
+      .where(col("rank") <= RecallK)
+      .select(lit("ivf_sq_rerank").as("method"), col("query_id"), col("neighbor_id"))
     // LEFT join from a fixed method spine: a path with ZERO truth hits
     // must report recall 0.0, not vanish from the audit — the failing
     // path is the one the audit exists to flag
     val spine = s.createDataFrame(
       Seq("lsh_bucketed", "ivf_nprobe", "sketch_rerank", "ivf_sketch_rerank",
-          "ivf_pq_adc", "residual_pq", "sq8_rerank")
+          "ivf_pq_adc", "residual_pq", "sq8_rerank", "ivf_sq_rerank")
         .map(Tuple1.apply))
       .toDF("method")
     val hits = spine.join(
       lsh.unionByName(ivf).unionByName(sketch).unionByName(ivfSketch)
         .unionByName(ivfPq).unionByName(resPq).unionByName(sq)
+        .unionByName(ivfSq)
         .join(truth, Seq("query_id", "neighbor_id"))
         .groupBy(col("method")).agg(count(lit(1)).as("raw_hits")),
       Seq("method"), "left")
@@ -649,6 +654,14 @@ object Embeddings {
        |    FROM coarse14 c JOIN qv a ON c.query_id = a.vec_id
        |                   JOIN qv b ON c.neighbor_id = b.vec_id) t
        |  WHERE rank <= $RecallK
+       |)$ivfSqSqlCtes, sq15 AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT c.query_id, c.neighbor_id,
+       |      row_number() OVER (PARTITION BY c.query_id ORDER BY
+       |        ${cos("a", "b")} DESC, c.neighbor_id ASC) AS rank
+       |    FROM coarse15 c JOIN qv a ON c.query_id = a.vec_id
+       |                   JOIN qv b ON c.neighbor_id = b.vec_id) t
+       |  WHERE rank <= $RecallK
        |), ann AS (
        |  SELECT 'lsh_bucketed' AS method, query_id, neighbor_id FROM lsh
        |  UNION ALL
@@ -663,6 +676,8 @@ object Embeddings {
        |  SELECT 'residual_pq' AS method, query_id, neighbor_id FROM respq
        |  UNION ALL
        |  SELECT 'sq8_rerank' AS method, query_id, neighbor_id FROM sq14
+       |  UNION ALL
+       |  SELECT 'ivf_sq_rerank' AS method, query_id, neighbor_id FROM sq15
        |), raw AS (
        |  SELECT method, count(*) AS raw_hits
        |  FROM ann JOIN truth USING (query_id, neighbor_id) GROUP BY 1
@@ -670,7 +685,7 @@ object Embeddings {
        |  SELECT m.method, CAST(coalesce(r.raw_hits, 0) AS BIGINT) AS n_hits
        |  FROM (VALUES ('lsh_bucketed'), ('ivf_nprobe'), ('sketch_rerank'),
        |               ('ivf_sketch_rerank'), ('ivf_pq_adc'), ('residual_pq'),
-       |               ('sq8_rerank')) m(method)
+       |               ('sq8_rerank'), ('ivf_sq_rerank')) m(method)
        |  LEFT JOIN raw r ON m.method = r.method
        |), tot AS (SELECT CAST(count(*) AS BIGINT) AS n_truth FROM truth)
        |SELECT method, n_truth, n_hits,
@@ -1640,7 +1655,121 @@ object Embeddings {
        |  FROM rr14) t
        |WHERE rank <= $TopK""".stripMargin
 
+  // ---------------------------------------------------------------- e15
+  /** The AT-SCALE SQ8 deployment — e05's IVF cells × e14's scalar
+    * quantizer, composed exactly as e10 composes the sign sketches
+    * (faiss `IndexIVFScalarQuantizer`):
+    *
+    *  1. cell stage: queries fan to their `nprobe` nearest cells, the
+    *     index side sits in its primary cell — candidate volume bounded
+    *     by cell occupancy, and the cell join rides the [[SelfJoin]]
+    *     strategy gate (sort-merge on `cell` at 100 TB, nothing
+    *     broadcasts the code table).
+    *  2. SQ-ADC stage: candidates within the probed cells are ranked by
+    *     the asymmetric estimate WITHOUT reconstructing: each query
+    *     precomputes map-side its weight vector `w_d = q_d·span_d` and
+    *     scalar `qlo = 255·q·los`, so scoring a candidate is
+    *     `qlo + codes·w` — the candidate side streams only its CODES
+    *     (8-bit values; byte-packed at rest — the 64-byte index column)
+    *     plus one precomputed norm, never floats. Algebraically
+    *     identical to e14's `q·r` (exact integers; spec-pinned).
+    *  3. rerank stage: top-[[RerankC]] survivors fetch full vectors for
+    *     the exact-cosine [[exactRerank]].
+    *
+    * Levers compose (`ivf.nprobe` × `rerank.c`), and the e07 audit
+    * reads this path beside the others. Same tie-breaks and
+    * fixed-sequence arithmetic as the rest of the suite. */
+  def e15IvfSqRerank(s: SparkSession, dir: String): DataFrame =
+    e15From(s, quantized(s, dir), cellRanked(s, dir))
+
+  /** e15's body over caller-supplied quantized + assignment frames (the
+    * e07 shared-stage form). The quantizer trains from `v0` — callers
+    * passing a STABLE plan share the lohi memo with standalone e14/e15. */
+  private def e15From(s: SparkSession, v0: DataFrame, ranked0: DataFrame,
+      lohiOpt: Option[DataFrame] = None): DataFrame = {
+    val dot = dotQ(s) _
+    val nprobe = s.conf.get(NprobeConf, "1").toInt
+    val rerankC = s.conf.get(RerankCConf, RerankC.toString).toInt
+    val lohi = lohiOpt.getOrElse(sqLohiOf(v0))
+    def loD(d: Column) = element_at(col("los"), d)
+    def hiD(d: Column) = element_at(col("his"), d)
+    // index side: cells + SQ codes + reconstruction norm (build-time)
+    val cs = ranked0.where(col("rn") === 1).crossJoin(broadcast(lohi))
+      .withColumn("codes", transform(sequence(lit(1), lit(Dim)), d => {
+        val x = element_at(col("q"), d)
+        val span = hiD(d) - loD(d)
+        when(span === 0, lit(0L)).otherwise(
+          floor(((x - loD(d)) * lit(2L * SqLevels) + span).cast("double") /
+            (span * 2L).cast("double")).cast("long"))
+      }))
+      .withColumn("r", transform(sequence(lit(1), lit(Dim)), d =>
+        loD(d) * lit(SqLevels.toLong) + element_at(col("codes"), d) * (hiD(d) - loD(d))))
+      .select(col("cell"), col("vec_id").as("neighbor_id"), col("codes"),
+        dot(col("r"), col("r")).as("rnb"))
+    // query side: per-query ADC weights, precomputed map-side
+    val qs = ranked0.where(col("rn") <= nprobe && col("vec_id") % 5 === 0)
+      .crossJoin(broadcast(lohi))
+      .withColumn("w", transform(sequence(lit(1), lit(Dim)), d =>
+        element_at(col("q"), d) * (hiD(d) - loD(d))))
+      .withColumn("qlo", dot(col("q"), col("los")) * lit(SqLevels.toLong))
+      .select(col("cell"), col("vec_id").as("query_id"), col("w"), col("qlo"))
+    val coarse = SelfJoin.on(qs, cs, Seq("cell"))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        ((col("qlo") + dot(col("codes"), col("w"))).cast("double") /
+          sqrt(col("rnb").cast("double"))).as("ascore"))
+      .withColumn("crank", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("ascore").desc, col("neighbor_id").asc)))
+      .where(col("crank") <= rerankC)
+      .select(col("query_id"), col("neighbor_id"))
+    exactRerank(s, v0, coarse)
+  }
+
+  /** cell-scoped SQ-ADC coarse CTEs shared by e15Sql and e07Sql (one
+    * definition of the encode + ADC scoring + C cut). A `def` for
+    * init-order safety. Requires $assignedSqlCtes and $sqSqlCtes
+    * (dims14/lohi14/enc14/rec14) upstream. */
+  private def ivfSqSqlCtes: String =
+    s""", csq15 AS (
+       |  SELECT a.cell, a.vec_id AS neighbor_id, e.codes,
+       |    CAST(list_dot_product(r.r, r.r) AS BIGINT) AS rnb
+       |  FROM assigned a JOIN enc14 e ON a.vec_id = e.vec_id
+       |                 JOIN rec14 r ON a.vec_id = r.vec_id
+       |), qsq15 AS (
+       |  SELECT a.cell, a.vec_id AS query_id,
+       |    list_transform(generate_series(1, $Dim), d ->
+       |      a.q[d] * (lohi14.his[d] - lohi14.los[d])) AS w,
+       |    CAST(list_dot_product(a.q, lohi14.los) AS BIGINT) * $SqLevels AS qlo
+       |  FROM assigned a, lohi14 WHERE a.vec_id % 5 = 0
+       |), coarse15 AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT q.query_id, c.neighbor_id,
+       |      row_number() OVER (PARTITION BY q.query_id ORDER BY
+       |        CAST(q.qlo + list_dot_product(c.codes, q.w) AS DOUBLE) /
+       |          sqrt(CAST(c.rnb AS DOUBLE)) DESC,
+       |        c.neighbor_id ASC) AS crank
+       |    FROM qsq15 q JOIN csq15 c
+       |      ON q.cell = c.cell AND q.query_id <> c.neighbor_id) t
+       |  WHERE crank <= $RerankC
+       |)""".stripMargin
+
+  val e15Sql: String =
+    s"""$quantSql$assignedSqlCtes$sqSqlCtes$ivfSqSqlCtes, rr15 AS (
+       |  SELECT c.query_id, c.neighbor_id,
+       |    CAST(list_dot_product(a.q, b.q) AS DOUBLE) /
+       |      (sqrt(CAST(list_dot_product(a.q, a.q) AS DOUBLE)) *
+       |       sqrt(CAST(list_dot_product(b.q, b.q) AS DOUBLE))) AS cos
+       |  FROM coarse15 c JOIN qv a ON c.query_id = a.vec_id
+       |                 JOIN qv b ON c.neighbor_id = b.vec_id
+       |)
+       |SELECT query_id, neighbor_id, cos, rank FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+       |  FROM rr15) t
+       |WHERE rank <= $TopK""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e15_ivf_sq_rerank" -> (e15IvfSqRerank _),
     "e14_sq8_rerank" -> (e14SqRerank _),
     "e13_residual_pq" -> (e13ResidualPq _),
     "e12_ivf_pq_adc" -> (e12IvfPqAdc _),
@@ -1662,6 +1791,7 @@ object Embeddings {
     * map keeps any future cross-reference out of static init — the
     * cross-object RerankC trap ([[graft.tools.InitOrderCheck]]). */
   lazy val oracleSql: Map[String, String] = Map(
+    "e15_ivf_sq_rerank" -> e15Sql,
     "e14_sq8_rerank" -> e14Sql,
     "e13_residual_pq" -> e13Sql,
     "e12_ivf_pq_adc" -> e12Sql,

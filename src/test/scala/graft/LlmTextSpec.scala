@@ -504,7 +504,7 @@ class LlmTextSpec extends GraftSuite {
     val rows = Embeddings.e07RecallAudit(spark, sf).collect()
     // exactly one row per audited method — a zero-hit path must report
     // recall 0.0, never vanish
-    assert(rows.length === 7)
+    assert(rows.length === 8)
     val truthPairs = Embeddings.e01KnnBrute(spark, sf)
       .where(col("rank") <= Embeddings.RecallK).count()
     rows.foreach { r =>
@@ -524,6 +524,7 @@ class LlmTextSpec extends GraftSuite {
     assert(rows.map(_.getString(0)).contains("ivf_pq_adc"))
     assert(rows.map(_.getString(0)).contains("residual_pq"))
     assert(rows.map(_.getString(0)).contains("sq8_rerank"))
+    assert(rows.map(_.getString(0)).contains("ivf_sq_rerank"))
     // the 255-level SQ grid must not audit below the 1-bit sketch path
     val byM = rows.map(r => r.getString(0) -> r.getDouble(3)).toMap
     assert(byM("sq8_rerank") >= byM("sketch_rerank"),
@@ -1130,6 +1131,35 @@ class LlmTextSpec extends GraftSuite {
     val hits = got.count(g => truthSet.contains((g._1, g._2)))
     val recall = hits.toDouble / truthSet.size
     assert(recall >= 0.8, s"SQ8 recall collapsed: $hits/${truthSet.size} = $recall")
+  }
+
+  test("e15: composed IVF×SQ8 keeps exact cosines; vacuous C collapses to e10's within-cell answer") {
+    import graft.operators.Embeddings
+    val got = Embeddings.e15IvfSqRerank(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    val byQuery = got.groupBy(_._1)
+    byQuery.values.foreach(rows =>
+      assert(rows.map(_._4).sorted.toSeq === (1 to rows.length), "dense ranks"))
+    val truth = Embeddings.e01KnnBrute(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(byQuery.keySet === truth.map(_._1).toSet, "same query subsample as e01")
+    // exact stage: surviving pairs carry the brute-force cosine verbatim
+    val truthCos = truth.map(t => (t._1, t._2) -> t._3).toMap
+    got.foreach { case (q, n, c, _) =>
+      truthCos.get((q, n)).foreach(tc => assert(c === tc, s"cos mismatch for ($q,$n)"))
+    }
+    // ADC selection changes candidate ORDER, never the exact final
+    // scores: with C past every cell's size both compressed cell paths
+    // rerank the whole cell and must agree exactly
+    spark.conf.set(Embeddings.RerankCConf, "100000")
+    try {
+      val sq = Embeddings.e15IvfSqRerank(spark, sf).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).sortBy(x => (x._1, x._4))
+      val sk = Embeddings.e10IvfSketchRerank(spark, sf).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).sortBy(x => (x._1, x._4))
+      assert(sq.toSeq === sk.toSeq,
+        "vacuous-C IVF×SQ8 must equal vacuous-C IVF×sketch (both = exact within-cell)")
+    } finally spark.conf.unset(Embeddings.RerankCConf)
   }
 
   test("e06: every vector flagged once; dropped ⊆ cell-mates of an earlier near-dup") {
