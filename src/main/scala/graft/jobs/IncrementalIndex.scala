@@ -66,6 +66,8 @@ object IncrementalIndex {
   val DocNorms = "doc_norms"
   val PqCodebook = "pq_codebook"
   val PqCodes = "pq_codes"
+  val SqQuantizer = "sq_quantizer"
+  val SqCodes = "sq_codes"
 
   private def p(indexDir: String, table: String): String = s"$indexDir/$table"
 
@@ -163,6 +165,32 @@ object IncrementalIndex {
     Embeddings.pqEncode(s, members, "q", s.read.parquet(p(indexDir, PqCodebook)))
       .withColumnRenamed("neighbor_id", "vec_id")
       .write.mode(mode).parquet(p(indexDir, PqCodes))
+  }
+
+  /** Persist the SQ8 half of the index (e14/e15's quantizer): the
+    * trained per-dimension [lo, hi] row over `trainVecs` (frozen like
+    * the PQ codebook; a sample at scale) and the 64-byte code row for
+    * every vector of `allVecs` — the column an SQ-ADC scan streams
+    * instead of raw floats. One shared encode definition
+    * ([[graft.operators.Embeddings.sqEncode]]) keeps the stored table
+    * bit-identical to the in-query quantizer. */
+  def writeSqIndex(s: SparkSession, trainVecs: DataFrame, allVecs: DataFrame,
+                   indexDir: String): Unit = {
+    Embeddings.sqLohiOf(Embeddings.quantizedFrom(s, trainVecs))
+      .write.mode(SaveMode.Overwrite).parquet(p(indexDir, SqQuantizer))
+    encodeSqMembers(s, allVecs, indexDir, SaveMode.Overwrite)
+  }
+
+  /** Encode `vecs` against the STORED quantizer and land their code
+    * rows. `Append` is the ingest fold; `Overwrite` the build/retrain
+    * rebuild (codes under different [lo, hi] tables are NOT comparable
+    * — retraining re-encodes wholesale, the [[retrainPq]] contract). */
+  def encodeSqMembers(s: SparkSession, vecs: DataFrame, indexDir: String,
+                      mode: SaveMode = SaveMode.Append): Unit = {
+    val v = Embeddings.quantizedFrom(s, vecs).select(col("vec_id"), col("q"))
+    Embeddings.sqEncode(v, s.read.parquet(p(indexDir, SqQuantizer)))
+      .select(col("vec_id"), col("codes"))
+      .write.mode(mode).parquet(p(indexDir, SqCodes))
   }
 
   /** The CODEBOOK-RETRAIN event the frozen-codebook contract defers to

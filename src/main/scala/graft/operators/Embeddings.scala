@@ -1560,7 +1560,7 @@ object Embeddings {
   private val sqLohiCache =
     new java.util.concurrent.ConcurrentHashMap[org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, DataFrame]()
 
-  private def sqLohiOf(v: DataFrame): DataFrame = {
+  private[graft] def sqLohiOf(v: DataFrame): DataFrame = {
     if (sqLohiCache.size > 64) sqLohiCache.clear()
     sqLohiCache.computeIfAbsent(v.queryExecution.analyzed.canonicalized, _ =>
       v.select(posexplode(col("q")).as(Seq("d", "x")))
@@ -1573,15 +1573,16 @@ object Embeddings {
         .localCheckpoint())
   }
 
-  def e14SqRerank(s: SparkSession, dir: String): DataFrame = {
-    val dot = dotQ(s) _
-    val v = quantized(s, dir)
-    // train: per-dimension corpus [lo, hi], folded to ONE broadcast row
-    val lohi = sqLohiOf(v)
-    // encode: the stored SQ8 index — 1 byte per dimension
+  /** SQ8 encode of `frame` (any frame carrying `q`) against quantizer
+    * `lohi`: appends `codes` (the 8-bit levels — the 64-byte stored
+    * index column) and `r` (the ×255-scaled integer reconstruction).
+    * ONE definition shared by e14, e15, and the persisted index
+    * ([[graft.jobs.IncrementalIndex.writeSqIndex]]) so a stored code
+    * table and an in-query encode can never disagree. */
+  private[graft] def sqEncode(frame: DataFrame, lohi: DataFrame): DataFrame = {
     def loD(d: Column) = element_at(col("los"), d)
     def hiD(d: Column) = element_at(col("his"), d)
-    val enc = v.crossJoin(broadcast(lohi))
+    frame.crossJoin(broadcast(lohi))
       .withColumn("codes", transform(sequence(lit(1), lit(Dim)), d => {
         val x = element_at(col("q"), d)
         val span = hiD(d) - loD(d)
@@ -1589,10 +1590,18 @@ object Embeddings {
           floor(((x - loD(d)) * lit(2L * SqLevels) + span).cast("double") /
             (span * 2L).cast("double")).cast("long"))
       }))
-    // candidate side carries only the ×255-scaled reconstruction
-    val cand = enc
       .withColumn("r", transform(sequence(lit(1), lit(Dim)), d =>
         loD(d) * lit(SqLevels.toLong) + element_at(col("codes"), d) * (hiD(d) - loD(d))))
+      .drop("los", "his")
+  }
+
+  def e14SqRerank(s: SparkSession, dir: String): DataFrame = {
+    val dot = dotQ(s) _
+    val v = quantized(s, dir)
+    // train: per-dimension corpus [lo, hi], folded to ONE broadcast row
+    val lohi = sqLohiOf(v)
+    // candidate side carries only the ×255-scaled reconstruction
+    val cand = sqEncode(v, lohi)
       .select(col("vec_id").as("neighbor_id"), col("r"),
         dot(col("r"), col("r")).as("rnb"))
     val qs = v.where(col("vec_id") % 5 === 0)
@@ -1691,22 +1700,13 @@ object Embeddings {
     val nprobe = s.conf.get(NprobeConf, "1").toInt
     val rerankC = s.conf.get(RerankCConf, RerankC.toString).toInt
     val lohi = lohiOpt.getOrElse(sqLohiOf(v0))
-    def loD(d: Column) = element_at(col("los"), d)
-    def hiD(d: Column) = element_at(col("his"), d)
     // index side: cells + SQ codes + reconstruction norm (build-time)
-    val cs = ranked0.where(col("rn") === 1).crossJoin(broadcast(lohi))
-      .withColumn("codes", transform(sequence(lit(1), lit(Dim)), d => {
-        val x = element_at(col("q"), d)
-        val span = hiD(d) - loD(d)
-        when(span === 0, lit(0L)).otherwise(
-          floor(((x - loD(d)) * lit(2L * SqLevels) + span).cast("double") /
-            (span * 2L).cast("double")).cast("long"))
-      }))
-      .withColumn("r", transform(sequence(lit(1), lit(Dim)), d =>
-        loD(d) * lit(SqLevels.toLong) + element_at(col("codes"), d) * (hiD(d) - loD(d))))
+    val cs = sqEncode(ranked0.where(col("rn") === 1), lohi)
       .select(col("cell"), col("vec_id").as("neighbor_id"), col("codes"),
         dot(col("r"), col("r")).as("rnb"))
     // query side: per-query ADC weights, precomputed map-side
+    def loD(d: Column) = element_at(col("los"), d)
+    def hiD(d: Column) = element_at(col("his"), d)
     val qs = ranked0.where(col("rn") <= nprobe && col("vec_id") % 5 === 0)
       .crossJoin(broadcast(lohi))
       .withColumn("w", transform(sequence(lit(1), lit(Dim)), d =>

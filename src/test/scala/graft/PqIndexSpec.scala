@@ -38,6 +38,36 @@ class PqIndexSpec extends GraftSuite {
     assert(gotCodes.length === all.count() && gotCodes === expectCodes)
   }
 
+  test("stored SQ quantizer and codes equal the in-query e14 encode") {
+    val tmp = Files.createTempDirectory("graft-sq-").toString
+    val all = Tables.embeddings(spark, sf)
+    IncrementalIndex.writeSqIndex(spark, all, all, tmp)
+    val v = Embeddings.quantizedFrom(spark, all)
+    val expectLohi = Embeddings.sqLohiOf(v)
+      .collect().map(_.toString).toSeq
+    val gotLohi = spark.read.parquet(s"$tmp/${IncrementalIndex.SqQuantizer}")
+      .collect().map(_.toString).toSeq
+    assert(gotLohi.length === 1 && gotLohi === expectLohi)
+    val expectCodes = Embeddings.sqEncode(v.select(col("vec_id"), col("q")),
+        spark.read.parquet(s"$tmp/${IncrementalIndex.SqQuantizer}"))
+      .select(col("vec_id"), col("codes"))
+      .collect().map(_.toString).sorted.toSeq
+    val gotCodes = spark.read.parquet(s"$tmp/${IncrementalIndex.SqCodes}")
+      .select(col("vec_id"), col("codes"))
+      .collect().map(_.toString).sorted.toSeq
+    assert(gotCodes.length === all.count() && gotCodes === expectCodes)
+    // every stored code is an 8-bit level — the byte-packable contract
+    val levels = spark.read.parquet(s"$tmp/${IncrementalIndex.SqCodes}")
+      .select(explode(col("codes")).as("c"))
+      .agg(min(col("c")), max(col("c"))).collect()(0)
+    assert(levels.getLong(0) >= 0L && levels.getLong(1) <= 255L)
+    // an APPEND ingest folds a new batch's codes into the store
+    val day2 = all.where(col("vec_id") % 7 === 0)
+    IncrementalIndex.encodeSqMembers(spark, day2, tmp)
+    val n = spark.read.parquet(s"$tmp/${IncrementalIndex.SqCodes}").count()
+    assert(n === all.count() + day2.count())
+  }
+
   test("retrainPq swaps the frozen codebook and re-encodes the corpus wholesale") {
     val tmp = Files.createTempDirectory("graft-pq-retrain-").toString
     val all = Tables.embeddings(spark, sf)
