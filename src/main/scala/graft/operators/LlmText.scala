@@ -2287,6 +2287,62 @@ object LlmText {
        |  FROM pc37) r
        |WHERE rank <= $BpeTopK""".stripMargin
 
+  /** The FULL BPE training loop d37 shows one round of: `rounds`
+    * merge-selection + merge-apply iterations over the weighted
+    * vocabulary, returning the learned merge table
+    * (round, left, right, cnt) — the artifact a tokenizer ships.
+    *
+    * Iteration discipline (the d14/d17 pattern): each round is ONE
+    * bounded distributed aggregate over the vocabulary (pair counts), a
+    * 1-ROW collect (the argmax — a scalar, not a dataset), and a
+    * map-only regex merge-apply, with the vocab localCheckpointed per
+    * round to truncate lineage. The corpus is read once (the initial
+    * word-frequency pass); every later round touches only the vocab
+    * table. Merge-apply is the canonical left-to-right non-overlapping
+    * replacement, realized as `(?<=^| )A B(?= |$)` over the
+    * space-joined symbol string (symbols never contain spaces, so the
+    * lookarounds are exact symbol boundaries) — spec-pinned against a
+    * list-based reference implementation of the algorithm. Not a
+    * registry query: the per-round argmax is not expressible as one
+    * non-recursive SQL statement; d37 (one round) carries the oracle. */
+  def bpeTrainMerges(s: SparkSession, dir: String, rounds: Int): DataFrame = {
+    import java.util.regex.{Matcher, Pattern}
+    var vocab = base(s, dir).select(explode(col("toks")).as("w"))
+      .where(length(col("w")) >= 2)
+      .groupBy(col("w")).agg(count(lit(1)).as("wf"))
+      .select(concat_ws(" ", split(col("w"), "")).as("syms"), col("wf"))
+      .localCheckpoint()
+    val merges = scala.collection.mutable.ListBuffer.empty[(Int, String, String, Long)]
+    var r = 1
+    var exhausted = false
+    while (r <= rounds && !exhausted) {
+      val top = vocab
+        .withColumn("sym_arr", split(col("syms"), " "))
+        .where(size(col("sym_arr")) >= 2)
+        .select(col("wf"), explode(transform(
+          sequence(lit(1), size(col("sym_arr")) - 1),
+          i => concat(element_at(col("sym_arr"), i), lit(" "),
+            element_at(col("sym_arr"), i + 1)))).as("pair"))
+        .groupBy(col("pair")).agg(sum(col("wf")).as("cnt"))
+        .orderBy(col("cnt").desc, col("pair").asc)
+        .limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val pair = top(0).getString(0)
+        val cnt = top(0).getLong(1)
+        val Array(a, b) = pair.split(" ", 2)
+        merges += ((r, a, b, cnt))
+        vocab = vocab.withColumn("syms", regexp_replace(col("syms"),
+            lit("(?<=^| )" + Pattern.quote(pair) + "(?= |$)"),
+            lit(Matcher.quoteReplacement(a + b))))
+          .localCheckpoint()
+        r += 1
+      }
+    }
+    import s.implicits._
+    merges.toSeq.toDF("round", "left", "right", "cnt")
+  }
+
   // ---------------------------------------------------------------- d38
   /** DSIR-style IMPORTANCE SCORING (Xie et al. 2023, "Data Selection
     * for Language Models via Importance Resampling"): score every raw

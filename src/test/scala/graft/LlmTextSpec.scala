@@ -1046,6 +1046,42 @@ class LlmTextSpec extends GraftSuite {
     assert(byRank.toSeq === want, "top merge candidates must match the brute-force count")
   }
 
+  test("bpeTrainMerges: the iterated train equals the canonical list-merge algorithm") {
+    val rounds = 5
+    val got = LlmText.bpeTrainMerges(spark, sf, rounds).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    assert(got.map(_._1) === (1 to rounds), "one merge per round")
+    assert(got.sliding(2).forall(p => p(0)._4 >= p(1)._4),
+      "top pair counts are non-increasing across rounds (each round's max bounds the next)")
+    // canonical reference: vocab of symbol LISTS, argmax pair by
+    // (count desc, 'a b' asc), left-to-right non-overlapping merge
+    val texts = Tables.documents(spark, sf).select("text").collect().map(_.getString(0))
+    var vocab = scala.collection.mutable.Map.empty[List[String], Long]
+    for (t <- texts; w <- jvmToks(t) if w.length >= 2) {
+      val k = w.map(_.toString).toList
+      vocab(k) = vocab.getOrElse(k, 0L) + 1L
+    }
+    val want = scala.collection.mutable.ListBuffer.empty[(Int, String, String, Long)]
+    for (r <- 1 to rounds) {
+      val pc = scala.collection.mutable.Map.empty[(String, String), Long]
+      for ((syms, f) <- vocab; p <- syms.zip(syms.tail))
+        pc(p) = pc.getOrElse(p, 0L) + f
+      val ((a, b), cnt) = pc.minBy { case ((x, y), c) => (-c, x + " " + y) }
+      want += ((r, a, b, cnt))
+      def merge(syms: List[String]): List[String] = syms match {
+        case `a` :: `b` :: rest => (a + b) :: merge(rest)
+        case h :: rest => h :: merge(rest)
+        case Nil => Nil
+      }
+      vocab = vocab.foldLeft(scala.collection.mutable.Map.empty[List[String], Long]) {
+        case (m, (syms, f)) =>
+          val k = merge(syms); m(k) = m.getOrElse(k, 0L) + f; m
+      }
+    }
+    assert(got === want.toSeq,
+      "distributed regex merge-apply must realize the canonical algorithm")
+  }
+
   test("d38: DSIR scores equal a brute-force recomputation; target slice separates upward") {
     val got = LlmText.d38DsirScore(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
