@@ -186,11 +186,12 @@ object IncrementalIndex {
     * rebuild (codes under different [lo, hi] tables are NOT comparable
     * — retraining re-encodes wholesale, the [[retrainPq]] contract). */
   def encodeSqMembers(s: SparkSession, vecs: DataFrame, indexDir: String,
-                      mode: SaveMode = SaveMode.Append): Unit = {
+                      mode: SaveMode = SaveMode.Append): DataFrame = {
     val v = Embeddings.quantizedFrom(s, vecs).select(col("vec_id"), col("q"))
-    Embeddings.sqEncode(v, s.read.parquet(p(indexDir, SqQuantizer)))
+    val enc = Embeddings.sqEncode(v, s.read.parquet(p(indexDir, SqQuantizer)))
       .select(col("vec_id"), col("codes"))
-      .write.mode(mode).parquet(p(indexDir, SqCodes))
+    enc.write.mode(mode).parquet(p(indexDir, SqCodes))
+    enc
   }
 
   /** The CODEBOOK-RETRAIN event the frozen-codebook contract defers to

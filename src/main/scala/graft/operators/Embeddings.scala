@@ -1586,9 +1586,14 @@ object Embeddings {
       .withColumn("codes", transform(sequence(lit(1), lit(Dim)), d => {
         val x = element_at(col("q"), d)
         val span = hiD(d) - loD(d)
+        // clamp to the 8-bit range: a no-op when the quantizer trained
+        // on this corpus (min/max bound every x), but the encode must
+        // stay total when a FROZEN quantizer meets out-of-range later
+        // arrivals (the st15 ingest case — faiss clamps identically)
         when(span === 0, lit(0L)).otherwise(
-          floor(((x - loD(d)) * lit(2L * SqLevels) + span).cast("double") /
-            (span * 2L).cast("double")).cast("long"))
+          greatest(lit(0L), least(lit(SqLevels.toLong),
+            floor(((x - loD(d)) * lit(2L * SqLevels) + span).cast("double") /
+              (span * 2L).cast("double")).cast("long"))))
       }))
       .withColumn("r", transform(sequence(lit(1), lit(Dim)), d =>
         loD(d) * lit(SqLevels.toLong) + element_at(col("codes"), d) * (hiD(d) - loD(d))))
@@ -1632,8 +1637,9 @@ object Embeddings {
        |), enc14 AS (
        |  SELECT vec_id, list_transform(generate_series(1, $Dim), d ->
        |    CASE WHEN his[d] = los[d] THEN 0
-       |         ELSE ((q[d] - los[d]) * ${2 * SqLevels} + (his[d] - los[d]))
-       |              // (2 * (his[d] - los[d])) END) AS codes
+       |         ELSE greatest(0, least($SqLevels,
+       |              ((q[d] - los[d]) * ${2 * SqLevels} + (his[d] - los[d]))
+       |              // (2 * (his[d] - los[d])))) END) AS codes
        |  FROM qv, lohi14
        |), rec14 AS (
        |  SELECT vec_id, list_transform(generate_series(1, $Dim), d ->

@@ -618,7 +618,73 @@ object AdAnalytics {
 
   lazy val st14Sql: String = graft.operators.Embeddings.e09Sql
 
+  // ---------------------------------------------------------------- st15
+  /** The SQ-index ingest lifecycle as a continuous query — st14's twin
+    * for the quantizer half ([[graft.jobs.IncrementalIndex
+    * .writeSqIndex]]): the per-dimension [lo, hi] trains ONCE on the
+    * history slice and FREEZES (codes under different spans are not
+    * comparable — re-spanning is the explicit retrain event, the
+    * retrainPq contract), history lands its code rows, then each
+    * arriving micro-batch encodes against the STORED quantizer and
+    * appends its own 64-byte codes. Encoding is per-row (no cross-batch
+    * state), so the final appended code set equals the batch encode of
+    * the same slice for ANY micro-batch split — and an arrival OUTSIDE
+    * the frozen [lo, hi] clamps to the 8-bit range exactly as faiss
+    * does (the shared [[graft.operators.Embeddings.sqEncode]]
+    * definition; clamp pinned in PqIndexSpec). Output: the streamed
+    * batch's code rows; the oracle recomputes the same encode with the
+    * history-trained quantizer. */
+  def st15StreamingSqIngest(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Embeddings
+    import graft.jobs.IncrementalIndex
+    val mod = Embeddings.IncrementalBatchModE
+    val indexDir = java.nio.file.Files.createTempDirectory("graft-st15-idx-").toString
+    try {
+      val vecs = graft.Tables.embeddings(s, dir)
+      val hist = vecs.where(col("vec_id") % mod =!= 0)
+      IncrementalIndex.writeSqIndex(s, hist, hist, indexDir)
+      val empty = graft.operators.Embeddings.quantizedFrom(s, vecs.limit(0))
+        .select(col("vec_id"), array().cast("array<long>").as("codes"))
+      Streams.runForeachBatch(s, "append", empty)(
+        ss => Streams.tableStream(ss, dir, "embeddings")
+          .where(col("vec_id") % mod === 0)) { (store, batch) =>
+        store.unionByName(
+          IncrementalIndex.encodeSqMembers(s, batch, indexDir))
+      }
+    } finally {
+      val root = java.nio.file.Paths.get(indexDir)
+      if (java.nio.file.Files.exists(root)) {
+        val it = java.nio.file.Files.walk(root)
+          .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        try it.forEach(pp => { java.nio.file.Files.deleteIfExists(pp); () })
+        finally it.close()
+      }
+    }
+  }
+
+  lazy val st15Sql: String = {
+    import graft.operators.Embeddings.{Dim, IncrementalBatchModE, SqLevels}
+    s"""WITH qv AS (
+       |  SELECT vec_id,
+       |    list_transform(CAST(embedding AS DOUBLE[]), x -> CAST(round(x * 10000) AS BIGINT)) AS q
+       |  FROM embeddings
+       |), dims15 AS (
+       |  SELECT i, min(q[i]) AS lo, max(q[i]) AS hi
+       |  FROM qv, generate_series(1, $Dim) g(i)
+       |  WHERE vec_id % $IncrementalBatchModE <> 0 GROUP BY 1
+       |), lohi15 AS (
+       |  SELECT list(lo ORDER BY i) AS los, list(hi ORDER BY i) AS his FROM dims15
+       |)
+       |SELECT vec_id, list_transform(generate_series(1, $Dim), d ->
+       |  CASE WHEN his[d] = los[d] THEN 0
+       |       ELSE greatest(0, least($SqLevels,
+       |            ((q[d] - los[d]) * ${2 * SqLevels} + (his[d] - los[d]))
+       |            // (2 * (his[d] - los[d])))) END) AS codes
+       |FROM qv, lohi15 WHERE vec_id % $IncrementalBatchModE = 0""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "st15_streaming_sq_ingest" -> (st15StreamingSqIngest _),
     "st14_streaming_sem_ingest" -> (st14StreamingSemIngest _),
     "st13_streaming_ingest" -> (st13StreamingIngest _),
     "st12_running_rollup" -> (st12RunningRollup _),
@@ -639,6 +705,7 @@ object AdAnalytics {
     * if either operator object's init re-entered this one — the
     * cross-object RerankC trap ([[graft.tools.InitOrderCheck]]). */
   lazy val oracleSql: Map[String, String] = Map(
+    "st15_streaming_sq_ingest" -> st15Sql,
     "st14_streaming_sem_ingest" -> st14Sql,
     "st13_streaming_ingest" -> st13Sql,
     "st12_running_rollup" -> st12Sql,

@@ -613,6 +613,50 @@ class StreamingSpec extends GraftSuite {
     assert(after.size > before.size, "run 2 must append its own member rows")
   }
 
+  test("st15: every micro-batch split lands the same frozen-quantizer codes as the batch encode") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import graft.jobs.IncrementalIndex
+    import graft.operators.Embeddings
+    val mod = Embeddings.IncrementalBatchModE
+    val vecs = Tables.embeddings(spark, sf)
+      .select("vec_id", "embedding", "label").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1), r.getInt(2)))
+    val histDf = vecs.filter(_._1 % mod != 0).toSeq.toDF("vec_id", "embedding", "label")
+    val arrivals = vecs.filter(_._1 % mod == 0).sortBy(_._1).toSeq
+    // expected: one-shot encode of the arrivals against the history-trained quantizer
+    def snapshot(indexDir: String): Map[Long, Seq[Long]] =
+      spark.read.parquet(s"$indexDir/${IncrementalIndex.SqCodes}")
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSeq).toMap
+
+    def run(chunks: Seq[Seq[(Long, Seq[Float], Int)]]): Map[Long, Seq[Long]] = {
+      val indexDir = java.nio.file.Files.createTempDirectory("st15-spec-idx-").toString
+      IncrementalIndex.writeSqIndex(spark, histDf, histDf, indexDir)
+      val ms = MemoryStream[(Long, Seq[Float], Int)]
+      val q = ms.toDF().toDF("vec_id", "embedding", "label")
+        .writeStream.outputMode("append")
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          IncrementalIndex.encodeSqMembers(spark, batch, indexDir); ()
+        }
+        .option("checkpointLocation", ckpt()).start()
+      chunks.foreach { c => ms.addData(c: _*); q.processAllAvailable() }
+      q.stop()
+      snapshot(indexDir)
+    }
+
+    val single = run(Seq(arrivals))
+    assert(single.size === vecs.length, "store = history + every arrival, each encoded once")
+    val split = run(arrivals.grouped(13).toSeq)
+    assert(split === single,
+      "a 4-batch split must land byte-identical codes (per-row encode, frozen quantizer)")
+    // frozen-quantizer contract: history rows keep the codes the build wrote
+    val buildDir = java.nio.file.Files.createTempDirectory("st15-spec-build-").toString
+    IncrementalIndex.writeSqIndex(spark, histDf, histDf, buildDir)
+    val buildCodes = snapshot(buildDir)
+    buildCodes.foreach { case (id, c) => assert(single(id) === c,
+      s"history vec $id re-coded differently after ingest") }
+  }
+
   test("st14: every ascending micro-batch split reproduces e09's batch verdicts") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
