@@ -2473,7 +2473,174 @@ object LlmText {
        |  q_rank * 2 <= n_src AS in_phase2, q_rank * 10 <= n_src AS in_phase3
        |FROM rk39""".stripMargin
 
+  // ---------------------------------------------------------------- d40
+  /** BPE ENCODE — the apply side of the tokenizer d37 trains: tokenize
+    * every document against the learned top-[[BpeTopK]] merge vocabulary
+    * and report the per-document subword token count (the number every
+    * budget/packing decision downstream consumes — d23/d29/d35 pack by
+    * token count, and a trained tokenizer is what turns chars into
+    * tokens). Encoding is single-pass greedy left-to-right pairing: scan
+    * each word once, consuming two characters where the bigram is in
+    * the vocabulary, one otherwise (rank-ITERATED merge application —
+    * full BPE — lives in [[bpeTrainMerges]]; the single-pass form is the
+    * WordPiece-style longest-match-first scan at max token length 2,
+    * and is what one non-recursive SQL statement can express).
+    *
+    * The sequential scan is NOT computed sequentially: within a word,
+    * greedy pairing merges exactly ceil(L/2) pairs in every maximal run
+    * of L consecutive vocabulary-bigram positions (a merge consumes two
+    * positions; a run's start is always reachable because the preceding
+    * position is not mergeable) — so the scan reduces to gaps-and-
+    * islands: mark mergeable positions, group runs with the
+    * `i − row_number()` trick, sum ceil(run/2). Equivalence to the
+    * character-by-character reference scan is property-pinned in
+    * LlmTextSpec.
+    *
+    * Scale shape: vocabulary selection is d37's bounded aggregate (the
+    * distinct-word table, never the corpus); the vocab (≤ [[BpeTopK]]
+    * rows) broadcasts into the position join; runs need ONE shuffle on
+    * (doc_id, word_idx) for the row_number window and one on doc_id for
+    * the roll-up; the word-stat half is map-only array arithmetic over
+    * the scan. No driver loop, no per-row UDF. */
+  def d40BpeEncode(s: SparkSession, dir: String): DataFrame = {
+    val b = base(s, dir)
+    val vocab = b.select(explode(col("toks")).as("w"))
+      .where(length(col("w")) >= 2)
+      .groupBy(col("w")).agg(count(lit(1)).as("wf"))
+      .select(col("wf"), explode(transform(
+        sequence(lit(1), length(col("w")) - 1),
+        i => call_function("substr", col("w"), i, lit(2)))).as("pair"))
+      .groupBy(col("pair")).agg(sum(col("wf")).as("cnt"))
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("cnt").desc, col("pair").asc)))
+      .where(col("rank") <= BpeTopK)
+      .select(col("pair"))
+    val words = b.select(col("doc_id"), posexplode(col("toks")).as(Seq("wi", "w")))
+      .where(length(col("w")) >= 2)
+    val positions = words
+      .select(col("doc_id"), col("wi"), col("w"),
+        explode(sequence(lit(1), length(col("w")) - 1)).as("i"))
+      .select(col("doc_id"), col("wi"), col("i"),
+        call_function("substr", col("w"), col("i"), lit(2)).as("pair"))
+    val merges = positions.join(broadcast(vocab), Seq("pair"))
+      .withColumn("runk", col("i") - row_number().over(
+        Window.partitionBy(col("doc_id"), col("wi")).orderBy(col("i"))))
+      .groupBy(col("doc_id"), col("wi"), col("runk"))
+      .agg(count(lit(1)).as("rl"))
+      .groupBy(col("doc_id"))
+      .agg(sum(expr("(rl + 1) div 2")).as("n_merges"))
+    val stats = b.select(col("doc_id"),
+      size(filter(col("toks"), x => length(x) >= 1)).cast("long").as("n_words"),
+      aggregate(col("toks"), lit(0L),
+        (acc, x) => acc + length(x).cast("long")).as("n_chars_tok"))
+    stats.join(merges, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_words"), col("n_chars_tok"),
+        coalesce(col("n_merges"), lit(0L)).as("n_merges"),
+        (col("n_chars_tok") - coalesce(col("n_merges"), lit(0L))).as("n_bpe_tokens"))
+  }
+
+  val d40Sql: String =
+    s"""$baseSql, wf40 AS (
+       |  SELECT w, count(*) AS wf
+       |  FROM (SELECT unnest(toks) AS w FROM base) t
+       |  WHERE length(w) >= 2 GROUP BY 1
+       |), pc40 AS (
+       |  SELECT pair, CAST(sum(wf) AS BIGINT) AS cnt FROM (
+       |    SELECT unnest(list_transform(generate_series(1, length(w) - 1),
+       |      i -> substr(w, CAST(i AS INT), 2))) AS pair, wf
+       |    FROM wf40) p
+       |  GROUP BY 1
+       |), vb40 AS (
+       |  SELECT pair FROM (
+       |    SELECT pair, row_number() OVER (ORDER BY cnt DESC, pair ASC) AS rank
+       |    FROM pc40) r
+       |  WHERE rank <= $BpeTopK
+       |), wd40 AS (
+       |  SELECT doc_id, wi, toks[wi] AS w
+       |  FROM (SELECT doc_id, toks, unnest(generate_series(1, len(toks))) AS wi
+       |        FROM base) t
+       |  WHERE length(toks[wi]) >= 2
+       |), ps40 AS (
+       |  SELECT doc_id, wi, i, substr(w, CAST(i AS INT), 2) AS pair
+       |  FROM (SELECT doc_id, wi, w, unnest(generate_series(1, length(w) - 1)) AS i
+       |        FROM wd40) t
+       |), rn40 AS (
+       |  SELECT doc_id, wi, i - row_number() OVER (PARTITION BY doc_id, wi ORDER BY i) AS runk
+       |  FROM ps40 JOIN vb40 USING (pair)
+       |), runs40 AS (
+       |  SELECT doc_id, wi, runk, count(*) AS rl FROM rn40 GROUP BY 1, 2, 3
+       |), mrg40 AS (
+       |  SELECT doc_id, CAST(sum((rl + 1) // 2) AS BIGINT) AS n_merges
+       |  FROM runs40 GROUP BY 1
+       |), stat40 AS (
+       |  SELECT doc_id,
+       |    CAST(len(list_filter(toks, x -> length(x) >= 1)) AS BIGINT) AS n_words,
+       |    CAST(coalesce(list_sum(list_transform(toks, x -> length(x))), 0) AS BIGINT) AS n_chars_tok
+       |  FROM base
+       |)
+       |SELECT doc_id, n_words, n_chars_tok,
+       |  coalesce(n_merges, 0) AS n_merges,
+       |  n_chars_tok - coalesce(n_merges, 0) AS n_bpe_tokens
+       |FROM stat40 LEFT JOIN mrg40 USING (doc_id)""".stripMargin
+
+  // ---------------------------------------------------------------- d41
+  /** BIGRAM LM document scoring — d20's corpus-LM quality surrogate
+    * lifted from unigrams to token bigrams (one step toward the CCNet
+    * recipe's 5-gram KenLM: a higher-order model separates fluent text
+    * from shuffled-word soup, which unigram frequencies cannot see).
+    * Two signals per document, both exact:
+    *  - mean corpus probability of the doc's bigrams (the d20 form one
+    *    order up: Σ cf₂ / (n_bigrams · total_bigrams), exact integers
+    *    into one correctly-rounded double division);
+    *  - the NOVELTY counter: how many of the doc's bigram occurrences
+    *    are corpus-rare (cf₂ ≤ [[RareBigramMax]]) — the integer-exact
+    *    stand-in for an OOV/high-perplexity tail flag, with the keep
+    *    verdict as an exact cross-multiplication (rare occurrences are
+    *    a minority of the doc's bigrams).
+    * Docs with fewer than two tokens carry no bigram evidence and emit
+    * no row (a model-free score would be arbitrary; d27's word-count
+    * floor already rejects them upstream).
+    *
+    * Scale shape (d16/d20's): map-side bigram fan-out from the token
+    * array (no shuffle), corpus-frequency count (shuffle on bigram,
+    * zipf skew AQE-split at scale), tokens⋈cf join (shuffle on bigram),
+    * per-doc roll-up (shuffle on doc_id), 1-row total broadcast. */
+  final val RareBigramMax = 2L
+
+  def d41BigramLm(s: SparkSession, dir: String): DataFrame = {
+    val bg = base(s, dir)
+      .select(col("doc_id"), explode(shingles(col("toks"), 2)).as("bg"))
+    val cf = bg.groupBy(col("bg")).agg(count(lit(1)).as("cf"))
+    val total = cf.agg(sum(col("cf")).as("n_total"))
+    bg.join(cf, Seq("bg"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(when(col("cf") <= RareBigramMax, 1L).otherwise(0L)).as("n_rare"),
+        sum(col("cf")).as("cf_sum"))
+      .crossJoin(broadcast(total))
+      .select(col("doc_id"), col("n_bigrams"), col("n_rare"),
+        (col("cf_sum").cast("double") /
+          (col("n_bigrams") * col("n_total")).cast("double")).as("mean_prob"),
+        (col("n_rare") * 2 <= col("n_bigrams")).as("keep"))
+  }
+
+  val d41Sql: String =
+    s"""$baseSql, bg41 AS (
+       |  SELECT doc_id, unnest(${shinglesSql("toks", 2)}) AS bg FROM base
+       |), cf41 AS (
+       |  SELECT bg, count(*) AS cf FROM bg41 GROUP BY 1
+       |), tot41 AS (SELECT CAST(sum(cf) AS BIGINT) AS n_total FROM cf41)
+       |SELECT doc_id, n_bigrams, n_rare,
+       |  CAST(cf_sum AS DOUBLE) / CAST(n_bigrams * n_total AS DOUBLE) AS mean_prob,
+       |  n_rare * 2 <= n_bigrams AS keep
+       |FROM (SELECT doc_id, count(*) AS n_bigrams,
+       |        CAST(sum(CASE WHEN cf <= $RareBigramMax THEN 1 ELSE 0 END) AS BIGINT) AS n_rare,
+       |        CAST(sum(cf) AS BIGINT) AS cf_sum
+       |      FROM bg41 JOIN cf41 USING (bg) GROUP BY 1) d, tot41""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d41_bigram_lm" -> (d41BigramLm _),
+    "d40_bpe_encode" -> (d40BpeEncode _),
     "d39_anneal_schedule" -> (d39AnnealSchedule _),
     "d38_dsir_score" -> (d38DsirScore _),
     "d37_bpe_pairs" -> (d37BpePairs _),
@@ -2522,6 +2689,8 @@ object LlmText {
     * [[graft.tools.InitOrderCheck]]. Lazy = assembled on first use,
     * after both objects finish initializing. */
   lazy val oracleSql: Map[String, String] = Map(
+    "d41_bigram_lm" -> d41Sql,
+    "d40_bpe_encode" -> d40Sql,
     "d39_anneal_schedule" -> d39Sql,
     "d38_dsir_score" -> d38Sql,
     "d37_bpe_pairs" -> d37Sql,

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.Portable._
@@ -183,6 +183,124 @@ object Multimodal {
       |  CAST(size AS BIGINT) AS n_bytes
       |FROM read_blob('__SF_DIR__/*.parquet')""".stripMargin
 
+  // ---------------------------------------------------------------- mm06
+  /** Perceptual-hash media NEAR-dedup — the aHash recipe (sample a fixed
+    * grid of the decoded payload, threshold each sample to a bit, compare
+    * hashes by Hamming distance) applied to the media content: 64 bits,
+    * each sampled at a length-proportional stride so re-encodes that
+    * shift absolute offsets but preserve relative structure still
+    * collide. The SAMPLING step stands in for decode-then-downscale
+    * (codecs aren't in this environment — the mm01–mm04 stub discipline;
+    * sampling runs on the text, which carries the identical byte content
+    * for this corpus, because DuckDB cannot substring blobs); the hash /
+    * band / candidate-join / verify machinery is the real, scale-ready
+    * part.
+    *
+    * Candidate generation is d26's COMPLETE banding: [[PhashBands]]
+    * bands of 16 bits — any pair within Hamming ≤ [[PhashBands]]−1 must
+    * agree on a whole band (pigeonhole), so the band equi-join loses no
+    * recall at the emitted threshold. Same scale shape as d26/d03:
+    * map-only hash, posexplode ×4, ONE strategy-gated band self-join,
+    * popcount verify on candidates only — never all-pairs. */
+  final val PhashBands = 4
+  /** Pigeonhole-complete radius for 4×16-bit bands. */
+  final val PhashMaxHamming: Int = PhashBands - 1
+  private final val PhashStrideDiv = 64
+
+  /** The 64-bit hash column: the fused native
+    * [[graft.functions.PHash64Expr]] (one compiled scan per row) when the
+    * graft extensions are registered, else the composed-expression twin —
+    * the 64 sampled-parity bits materialized ONCE as an array column,
+    * folded into the packed long bitwise (shift-or, overflow-free under
+    * ANSI). Bit j = parity of the code point at 0-based character
+    * position j·stride — the stand-in for "pixel j brighter than the
+    * block mean". An earlier cut unrolled all 64 samples into inline
+    * per-band sums: the generated Java grew past Janino's 64 KB method
+    * limit (every run paid a failed codegen compile, then interpreted
+    * evaluation), and a HOF re-slicing `bits` per band re-evaluated the
+    * 64 dynamic substrs 4× per row — ~19 s at sf0.1 for a map-only
+    * projection. The native loop prices it like the d05 fuse. */
+  private def withPhash(s: SparkSession, docs: DataFrame): DataFrame = {
+    val src = docs.select(col("doc_id").as("media_id"), col("text"),
+      greatest(lit(1L), expr(s"length(text) div $PhashStrideDiv")).as("st"))
+    if (s.catalog.functionExists(graft.functions.PHash64Expr.Name))
+      src.select(col("media_id"),
+        call_function(graft.functions.PHash64Expr.Name,
+          coalesce(col("text"), lit("")), col("st")).as("phash"))
+    else phashComposed(src)
+  }
+
+  private def phashComposed(src: DataFrame): DataFrame = {
+    val bits = transform(sequence(lit(0), lit(PhashBands * 16 - 1)),
+      j => when(j * col("st") + 1 <= length(col("text")),
+        ascii(call_function("substr", col("text"),
+          (j * col("st") + 1).cast("int"), lit(1))) % 2)
+        .otherwise(lit(0)).cast("long"))
+    src.select(col("media_id"), bits.as("bits"))
+      .select(col("media_id"),
+        aggregate(reverse(col("bits")), lit(0L),
+          (acc, x) => shiftleft(acc, 1).bitwiseOR(x)).as("phash"))
+  }
+
+  def mm06PhashNeardup(s: SparkSession, dir: String): DataFrame = {
+    val bandWidth = 64 / PhashBands
+    val mask = (1L << bandWidth) - 1
+    val ph = withPhash(s, Tables.documents(s, dir))
+    val bandKeys = ph.select(col("media_id"), col("phash"),
+      posexplode(array((0 until PhashBands).map(i =>
+        shiftright(col("phash"), i * bandWidth).bitwiseAND(lit(mask))): _*))
+        .as(Seq("band", "band_key")))
+    val a = bandKeys.select(col("band"), col("band_key"),
+      col("media_id").as("id_a"), col("phash").as("ph_a"))
+    val bSide = bandKeys.select(col("band"), col("band_key"),
+      col("media_id").as("id_b"), col("phash").as("ph_b"))
+    SelfJoin.on(a, bSide, Seq("band", "band_key"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("ph_a").bitwiseXOR(col("ph_b"))).cast("long").as("hamming"))
+      .where(col("hamming") <= PhashMaxHamming)
+      .distinct()
+  }
+
+  /** The hash exactly as [[mm06PhashNeardup]] computes it (native when
+    * registered) — exposed for the native-vs-composed pin. */
+  private[graft] def withPhashForTest(s: SparkSession, dir: String): DataFrame =
+    withPhash(s, Tables.documents(s, dir))
+
+  /** Extension-less twin of [[mm06PhashNeardup]]'s hash for the
+    * native-vs-composed pin in MultimodalSpec. */
+  private[graft] def phashFallback(s: SparkSession, dir: String): DataFrame =
+    phashComposed(Tables.documents(s, dir)
+      .select(col("doc_id").as("media_id"), col("text"),
+        greatest(lit(1L), expr(s"length(text) div $PhashStrideDiv")).as("st")))
+
+  val mm06Sql: String = {
+    def bitSql(j: Int): String =
+      s"(CASE WHEN $j*st+1 <= length(text) THEN ascii(substr(text, CAST($j*st+1 AS INT), 1)) % 2 ELSE 0 END)"
+    val bandsSql = (0 until PhashBands).map { b =>
+      "CAST(" + (0 until 16).map(k => s"${bitSql(16 * b + k)} * ${1L << k}")
+        .mkString(" + ") + " AS BIGINT)"
+    }.mkString("[", ", ", "]")
+    s"""WITH ph AS (
+       |  SELECT media_id, $bandsSql AS bands
+       |  FROM (SELECT doc_id AS media_id, text,
+       |          greatest(1, length(text) // $PhashStrideDiv) AS st
+       |        FROM documents) t
+       |), bx AS (
+       |  SELECT media_id, bands, unnest(generate_series(1, $PhashBands)) AS b FROM ph
+       |), cnd AS (
+       |  SELECT DISTINCT a.media_id AS id_a, b.media_id AS id_b,
+       |    a.bands AS ab, b.bands AS bb
+       |  FROM bx a JOIN bx b
+       |    ON a.b = b.b AND a.bands[a.b] = b.bands[b.b] AND a.media_id < b.media_id
+       |)
+       |SELECT id_a, id_b, hamming FROM (
+       |  SELECT id_a, id_b, CAST(${(1 to PhashBands).map(i =>
+            s"bit_count(xor(ab[$i], bb[$i]))").mkString(" + ")} AS BIGINT) AS hamming
+       |  FROM cnd) h
+       |WHERE hamming <= $PhashMaxHamming""".stripMargin
+  }
+
   // ------------------------------------------------------- decode stub
   final case class MediaFrame(media_id: Long, frame_idx: Int, payload: Array[Byte])
   final case class DecodedFrame(media_id: Long, frame_idx: Int, feature: Double)
@@ -213,12 +331,14 @@ object Multimodal {
     "mm02_frame_sample" -> (mm02FrameSample _),
     "mm03_feature_stub" -> (mm03FeatureStub _),
     "mm04_resize_stub" -> (mm04ResizeStub _),
-    "mm05_binary_ingest" -> (mm05BinaryIngest _))
+    "mm05_binary_ingest" -> (mm05BinaryIngest _),
+    "mm06_phash_neardup" -> (mm06PhashNeardup _))
 
   val oracleSql: Map[String, String] = Map(
     "mm01_media_meta" -> mm01Sql,
     "mm02_frame_sample" -> mm02Sql,
     "mm03_feature_stub" -> mm03Sql,
     "mm04_resize_stub" -> mm04Sql,
-    "mm05_binary_ingest" -> mm05Sql)
+    "mm05_binary_ingest" -> mm05Sql,
+    "mm06_phash_neardup" -> mm06Sql)
 }

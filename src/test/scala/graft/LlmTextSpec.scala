@@ -1148,6 +1148,66 @@ class LlmTextSpec extends GraftSuite {
     }
   }
 
+  test("d40: gaps-and-islands encode equals the sequential greedy scan on every document") {
+    val got = LlmText.d40BpeEncode(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    // brute-force vocab: d37's weighted pair counts, top-K by (cnt desc, pair asc)
+    val texts = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val wf = scala.collection.mutable.Map.empty[String, Long]
+    for ((_, t) <- texts; w <- jvmToks(t) if w.length >= 2)
+      wf(w) = wf.getOrElse(w, 0L) + 1L
+    val pc = scala.collection.mutable.Map.empty[String, Long]
+    for ((w, f) <- wf; i <- 0 until w.length - 1) {
+      val p = w.substring(i, i + 2)
+      pc(p) = pc.getOrElse(p, 0L) + f
+    }
+    val vocab = pc.toSeq.sortBy { case (p, c) => (-c, p) }
+      .take(LlmText.BpeTopK).map(_._1).toSet
+    // sequential greedy reference: scan each word once, left to right
+    val want = texts.map { case (id, t) =>
+      var words = 0L; var chars = 0L; var merges = 0L
+      for (w <- jvmToks(t)) {
+        if (w.nonEmpty) words += 1
+        chars += w.length
+        var i = 0
+        while (i < w.length - 1) {
+          if (vocab.contains(w.substring(i, i + 2))) { merges += 1; i += 2 }
+          else i += 1
+        }
+      }
+      id -> ((words, chars, merges, chars - merges))
+    }.toMap
+    assert(got.length === texts.length, "every document encoded once")
+    got.foreach { case (id, nw, nc, nm, nt) =>
+      assert((nw, nc, nm, nt) === want(id), s"doc $id encode mismatch")
+      assert(nt >= nw, "each word is at least one token")
+    }
+  }
+
+  test("d41: bigram scores equal a brute-force recomputation") {
+    val got = LlmText.d41BigramLm(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getBoolean(4)))
+    val texts = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val docBigrams = texts.map { case (id, t) =>
+      id -> jvmToks(t).sliding(2).filter(_.length == 2).map(_.mkString(" ")).toSeq
+    }.filter(_._2.nonEmpty)
+    val cf = scala.collection.mutable.Map.empty[String, Long]
+    for ((_, bgs) <- docBigrams; b <- bgs) cf(b) = cf.getOrElse(b, 0L) + 1L
+    val nTotal = cf.values.sum
+    assert(got.length === docBigrams.length, "one row per doc with >= 2 tokens")
+    val want = docBigrams.map { case (id, bgs) =>
+      val rare = bgs.count(b => cf(b) <= LlmText.RareBigramMax).toLong
+      val cfSum = bgs.map(cf).sum
+      id -> ((bgs.length.toLong, rare,
+        cfSum.toDouble / (bgs.length.toLong * nTotal).toDouble, rare * 2 <= bgs.length))
+    }.toMap
+    got.foreach { case (id, nb, nr, mp, keep) =>
+      assert((nb, nr, mp, keep) === want(id), s"doc $id bigram score mismatch")
+    }
+  }
+
   test("e14: SQ8 rerank keeps exact cosines, dense ranks, and high recall vs brute force") {
     val got = Embeddings.e14SqRerank(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))

@@ -31,6 +31,49 @@ class MultimodalSpec extends GraftSuite {
     assert(frames === expected)
   }
 
+  test("mm06: banded phash join is COMPLETE at its radius — equals the all-pairs brute force") {
+    val got = Multimodal.mm06PhashNeardup(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.forall(p => p._1 < p._2), "ordered pairs")
+    assert(got.distinct.length === got.length, "no duplicate pairs")
+    // JVM twin of the 64-bit sampled-parity hash
+    val hashes = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map { r =>
+        val id = r.getLong(0); val t = r.getString(1)
+        val st = math.max(1, t.length / 64)
+        var h = 0L
+        for (j <- 0 until 64) {
+          val pos = j * st
+          val bit = if (pos < t.length) t.charAt(pos).toInt % 2 else 0
+          h |= bit.toLong << j
+        }
+        id -> h
+      }
+    // all-pairs brute force at the pigeonhole-complete radius
+    val want = (for {
+      (ia, ha) <- hashes; (ib, hb) <- hashes if ia < ib
+      d = java.lang.Long.bitCount(ha ^ hb) if d <= Multimodal.PhashMaxHamming
+    } yield (ia, ib, d.toLong)).toSet
+    assert(got.toSet === want,
+      "banding must find EXACTLY the all-pairs Hamming neighborhood at radius bands-1")
+    assert(got.nonEmpty, "fixture near-duplicates must surface")
+  }
+
+  test("mm06: native p_hash64 equals the composed-expression fallback row-for-row") {
+    assert(spark.catalog.functionExists(graft.functions.PHash64Expr.Name),
+      "test session must register the graft extensions")
+    val native = Multimodal.mm06PhashNeardup(spark, sf) // native path via functionExists
+    val nat = native.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+    val fb = Multimodal.phashFallback(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // the fallback hash feeds the same downstream algebra; comparing the
+    // hashes themselves is the strongest pin
+    val natHash = Multimodal.withPhashForTest(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(natHash === fb, "native and composed 64-bit hashes must be identical")
+    assert(nat.nonEmpty)
+  }
+
   test("decode plumbing: mapPartitions batches flow through the stub decoder") {
     import spark.implicits._
     val frames = Seq(
