@@ -1774,7 +1774,142 @@ object Embeddings {
        |  FROM rr15) t
        |WHERE rank <= $TopK""".stripMargin
 
+  // ---------------------------------------------------------------- e16
+  /** MMR-DIVERSIFIED top-k (Carbonell & Goldstein 1998, maximal marginal
+    * relevance): retrieval for training-data sampling wants k results
+    * that are relevant AND mutually diverse — near-duplicate neighbors
+    * waste the slot budget. From each query's top-[[MmrPoolN]] relevance
+    * pool, greedily select [[MmrK]]: the first pick is the most relevant;
+    * each later pick maximizes `rel − max_sim_to_selected` (MMR at
+    * λ = 1/2, the score scaled by 2 — the λ-weighted difference with
+    * both weights equal). Ties break on neighbor_id. All inputs to every
+    * comparison are the suite's bit-exact cosines, so the greedy
+    * trajectory is engine-independent.
+    *
+    * Scale shape: the relevance pool is an e01-style scored window cut
+    * (at production scale the pool comes from an ANN path — any of
+    * e02/e05/e10/e15 drops in; brute keeps the oracle exact); the
+    * candidate-pair sims are pool×pool per query, bounded by
+    * [[MmrPoolN]]² — never corpus-pairs. The greedy loop is [[MmrK]]−1
+    * BOUNDED rounds, each one join + one per-query window over ≤ Q·N
+    * rows (both frames localCheckpointed once, so each round's plan is
+    * flat); per-query state never exceeds the pool. A mapGroups form
+    * (one shuffle, per-query in-memory greedy) is the imperative
+    * alternative; the round form stays declarative and the rounds are
+    * O(k), not O(corpus). */
+  final val MmrPoolN = 20
+  final val MmrK = 5
+
+  def e16MmrDiversify(s: SparkSession, dir: String): DataFrame = {
+    val dot = dotQ(s) _
+    val v = quantized(s, dir)
+    val qs = v.where(col("vec_id") % 5 === 0)
+      .select(col("vec_id").as("query_id"), col("q").as("qa"), col("nq").as("na"))
+    val cs = v.select(col("vec_id").as("neighbor_id"), col("q").as("qb"), col("nq").as("nb"))
+    val wRel = Window.partitionBy(col("query_id"))
+      .orderBy(col("rel").desc, col("neighbor_id").asc)
+    val cand = qs.join(broadcast(cs), col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), col("qb"), col("nb"),
+        (dot(col("qa"), col("qb")).cast("double") /
+          (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double")))).as("rel"))
+      .withColumn("rn", row_number().over(wRel)).where(col("rn") <= MmrPoolN)
+      .select(col("query_id"), col("neighbor_id"), col("qb"), col("nb"), col("rel"))
+      .localCheckpoint()
+    // pool-internal pairwise cosines: N² per query, bounded by the pool
+    val ps = cand.select(col("query_id"), col("neighbor_id").as("pa"),
+        col("qb").as("va"), col("nb").as("wa"))
+      .join(cand.select(col("query_id"), col("neighbor_id").as("pb"),
+        col("qb").as("vb"), col("nb").as("wb")), Seq("query_id"))
+      .where(col("pa") =!= col("pb"))
+      .select(col("query_id"), col("pa"), col("pb"),
+        (dot(col("va"), col("vb")).cast("double") /
+          (sqrt(col("wa").cast("double")) * sqrt(col("wb").cast("double")))).as("sim"))
+      .localCheckpoint()
+    val pool = cand.select(col("query_id"), col("neighbor_id"), col("rel"))
+    var selected = pool
+      .withColumn("rn", row_number().over(wRel)).where(col("rn") === 1)
+      .select(col("query_id"), col("neighbor_id"), col("rel"),
+        col("rel").as("score"), lit(1).as("mmr_rank"))
+    for (r <- 2 to MmrK) {
+      val selIds = selected.select(col("query_id"), col("neighbor_id"))
+      val pick = pool
+        .join(selIds, Seq("query_id", "neighbor_id"), "left_anti")
+        .join(ps.join(selIds.withColumnRenamed("neighbor_id", "pb"),
+            Seq("query_id", "pb"))
+          .groupBy(col("query_id"), col("pa").as("neighbor_id"))
+          .agg(max(col("sim")).as("maxsim")),
+          Seq("query_id", "neighbor_id"))
+        .withColumn("score", col("rel") - col("maxsim"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("query_id"))
+            .orderBy(col("score").desc, col("neighbor_id").asc)))
+        .where(col("rn") === 1)
+        .select(col("query_id"), col("neighbor_id"), col("rel"),
+          col("score"), lit(r).as("mmr_rank"))
+        // one row per query; without this, round r's anti-join re-derives
+        // every earlier round's pick (O(k²) recompute of the same plans)
+        .localCheckpoint()
+      selected = selected.unionByName(pick)
+    }
+    selected
+  }
+
+  /** One greedy round as SQL — round r picks the argmax of
+    * rel − max(sim to sel{r−1}) among unselected pool members. */
+  private def mmrRoundSql(r: Int): String =
+    s""", p$r AS (
+       |  SELECT c.query_id, c.neighbor_id, c.rel, max(p.sim) AS maxsim
+       |  FROM pool16 c
+       |  JOIN sel${r - 1} s ON s.query_id = c.query_id
+       |  JOIN ps16 p ON p.query_id = c.query_id
+       |    AND p.pa = c.neighbor_id AND p.pb = s.neighbor_id
+       |  WHERE NOT EXISTS (SELECT 1 FROM sel${r - 1} s2
+       |    WHERE s2.query_id = c.query_id AND s2.neighbor_id = c.neighbor_id)
+       |  GROUP BY 1, 2, 3
+       |), s$r AS (
+       |  SELECT query_id, neighbor_id, rel, rel - maxsim AS score, $r AS mmr_rank
+       |  FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+       |          ORDER BY rel - maxsim DESC, neighbor_id ASC) AS rn
+       |        FROM p$r) t
+       |  WHERE rn = 1
+       |), sel$r AS (
+       |  SELECT query_id, neighbor_id FROM sel${r - 1}
+       |  UNION ALL SELECT query_id, neighbor_id FROM s$r
+       |)""".stripMargin
+
+  val e16Sql: String =
+    s"""$quantSql, cand16 AS (
+       |  SELECT query_id, neighbor_id, qb, nb, rel FROM (
+       |    SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, b.q AS qb,
+       |      list_dot_product(b.q, b.q) AS nb,
+       |      CAST(list_dot_product(a.q, b.q) AS DOUBLE) /
+       |        (sqrt(CAST(list_dot_product(a.q, a.q) AS DOUBLE)) *
+       |         sqrt(CAST(list_dot_product(b.q, b.q) AS DOUBLE))) AS rel,
+       |      row_number() OVER (PARTITION BY a.vec_id
+       |        ORDER BY CAST(list_dot_product(a.q, b.q) AS DOUBLE) /
+       |          (sqrt(CAST(list_dot_product(a.q, a.q) AS DOUBLE)) *
+       |           sqrt(CAST(list_dot_product(b.q, b.q) AS DOUBLE))) DESC,
+       |        b.vec_id ASC) AS rn
+       |    FROM qv a JOIN qv b ON a.vec_id % 5 = 0 AND a.vec_id <> b.vec_id) t
+       |  WHERE rn <= $MmrPoolN
+       |), pool16 AS (SELECT query_id, neighbor_id, rel FROM cand16
+       |), ps16 AS (
+       |  SELECT x.query_id, x.neighbor_id AS pa, y.neighbor_id AS pb,
+       |    CAST(list_dot_product(x.qb, y.qb) AS DOUBLE) /
+       |      (sqrt(CAST(x.nb AS DOUBLE)) * sqrt(CAST(y.nb AS DOUBLE))) AS sim
+       |  FROM cand16 x JOIN cand16 y
+       |    ON x.query_id = y.query_id AND x.neighbor_id <> y.neighbor_id
+       |), s1 AS (
+       |  SELECT query_id, neighbor_id, rel, rel AS score, 1 AS mmr_rank
+       |  FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+       |          ORDER BY rel DESC, neighbor_id ASC) AS rn FROM pool16) t
+       |  WHERE rn = 1
+       |), sel1 AS (SELECT query_id, neighbor_id FROM s1)
+       |${(2 to MmrK).map(mmrRoundSql).mkString}
+       |${(1 to MmrK).map(r => s"SELECT * FROM s$r").mkString("\n UNION ALL ")}""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e16_mmr_diversify" -> (e16MmrDiversify _),
     "e15_ivf_sq_rerank" -> (e15IvfSqRerank _),
     "e14_sq8_rerank" -> (e14SqRerank _),
     "e13_residual_pq" -> (e13ResidualPq _),
@@ -1797,6 +1932,7 @@ object Embeddings {
     * map keeps any future cross-reference out of static init — the
     * cross-object RerankC trap ([[graft.tools.InitOrderCheck]]). */
   lazy val oracleSql: Map[String, String] = Map(
+    "e16_mmr_diversify" -> e16Sql,
     "e15_ivf_sq_rerank" -> e15Sql,
     "e14_sq8_rerank" -> e14Sql,
     "e13_residual_pq" -> e13Sql,

@@ -1258,6 +1258,45 @@ class LlmTextSpec extends GraftSuite {
     } finally spark.conf.unset(Embeddings.RerankCConf)
   }
 
+  test("e16: round-based MMR equals the sequential greedy reference; rank 1 is e01's top hit") {
+    import graft.operators.Embeddings
+    val got = Embeddings.e16MmrDiversify(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3), r.getInt(4)))
+    val byQuery = got.groupBy(_._1)
+    byQuery.values.foreach(rows =>
+      assert(rows.map(_._5).sorted.toSeq === (1 to Embeddings.MmrK), "dense mmr ranks"))
+    // JVM reference: greedy MMR over the collected exact-cosine pool
+    val vecs = Tables.embeddings(spark, sf).collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Float](1).map(x => math.round(x.toDouble * 10000).toDouble).toArray)
+      .toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i) }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val e01Top = Embeddings.e01KnnBrute(spark, sf).collect()
+      .filter(_.getInt(3) == 1).map(r => r.getLong(0) -> r.getLong(1)).toMap
+    byQuery.foreach { case (qid, rows) =>
+      val qv = vecs(qid)
+      val pool = vecs.keys.filter(_ != qid).toSeq
+        .map(n => n -> cos(qv, vecs(n)))
+        .sortBy { case (n, c) => (-c, n) }.take(Embeddings.MmrPoolN)
+      val rel = pool.toMap
+      var sel = List(pool.head._1)
+      assert(rows.find(_._5 == 1).get._2 === pool.head._1, s"rank 1 must be pure relevance for $qid")
+      assert(e01Top(qid) === pool.head._1, "rank 1 agrees with e01's top hit")
+      for (r <- 2 to Embeddings.MmrK) {
+        val pick = pool.filterNot(p => sel.contains(p._1)).map { case (n, c) =>
+          (n, c - sel.map(s0 => cos(vecs(n), vecs(s0))).max)
+        }.minBy { case (n, sc) => (-sc, n) }
+        val gotR = rows.find(_._5 == r).get
+        assert(gotR._2 === pick._1, s"greedy pick $r for query $qid")
+        sel = sel :+ pick._1
+      }
+    }
+  }
+
   test("e06: every vector flagged once; dropped ⊆ cell-mates of an earlier near-dup") {
     import graft.operators.Embeddings
     val rows = Embeddings.e06SemDedup(spark, sf).collect()
