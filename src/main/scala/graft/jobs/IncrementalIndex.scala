@@ -68,6 +68,7 @@ object IncrementalIndex {
   val PqCodes = "pq_codes"
   val SqQuantizer = "sq_quantizer"
   val SqCodes = "sq_codes"
+  val MediaBands = "media_bands"
 
   private def p(indexDir: String, table: String): String = s"$indexDir/$table"
 
@@ -344,6 +345,55 @@ object IncrementalIndex {
       .select(col("cell"), col("vec_id"),
         coalesce(col("n_matches"), lit(0L)).as("n_matches"))
       .withColumn("kept", col("n_matches") === 0)
+  }
+
+  /** Write the MEDIA half of the index: every row's 64-bit perceptual
+    * hash with its band keys — (band, band_key, media_id, phash), mm06's
+    * banding verbatim ([[graft.operators.Multimodal.phashBandKeys]]), so
+    * stored entries and a recompute can never band differently. `Append`
+    * is the ingest fold (st16's census form — the full batch lands, as
+    * probeText/probeCells). The phash is 8 bytes/row ×
+    * [[graft.operators.Multimodal.PhashBands]] band rows — the media
+    * corpus itself (the binary payloads) is never re-read after its
+    * hash lands. */
+  def writeMediaIndex(s: SparkSession, docs: DataFrame, indexDir: String,
+                      mode: SaveMode = SaveMode.Overwrite): Unit =
+    graft.operators.Multimodal.phashBandKeys(
+        graft.operators.Multimodal.withPhash(s, docs))
+      .write.mode(mode).parquet(p(indexDir, MediaBands))
+
+  /** mm06's near-dup verdicts for a batch against the STORED media
+    * index: batch rows hash + band map-side, candidates come from the
+    * bipartite band join against the store plus intra-batch keep-first
+    * (old < new), the popcount verify runs on candidates only, and the
+    * banding is pigeonhole-COMPLETE at the emitted radius — so verdicts
+    * equal the all-pairs recompute restricted to (stored ∪ earlier
+    * batch) partners. Returns the materialized batch-sized frame. */
+  def probeMedia(s: SparkSession, batchDocs: DataFrame, indexDir: String): DataFrame = {
+    import graft.operators.Multimodal
+    val ph = Multimodal.withPhash(s, batchDocs)
+    val bandsB = Multimodal.phashBandKeys(ph)
+    val probe = bandsB.select(col("band"), col("band_key"),
+      col("media_id").as("new_id"), col("phash").as("ph_n"))
+    val stored = s.read.parquet(p(indexDir, MediaBands))
+      .select(col("band"), col("band_key"),
+        col("media_id").as("old_id"), col("phash").as("ph_o"))
+    val intra = bandsB.select(col("band"), col("band_key"),
+      col("media_id").as("old_id"), col("phash").as("ph_o"))
+    val candStored = SelfJoin.on(probe, stored, Seq("band", "band_key"))
+    val candIntra = SelfJoin.on(probe, intra, Seq("band", "band_key"))
+      .where(col("old_id") < col("new_id"))
+    val matches = candStored.unionByName(candIntra)
+      .select(col("new_id"), col("old_id"), col("ph_n"), col("ph_o"))
+      .distinct() // a pair may agree on several bands — count it once
+      .where(bit_count(col("ph_n").bitwiseXOR(col("ph_o"))) <=
+        Multimodal.PhashMaxHamming)
+      .groupBy(col("new_id")).agg(count(lit(1)).as("n_matches"))
+    ph.select(col("media_id"))
+      .join(matches.withColumnRenamed("new_id", "media_id"), Seq("media_id"), "left")
+      .select(col("media_id"), coalesce(col("n_matches"), lit(0L)).as("n_matches"))
+      .withColumn("is_dup", col("n_matches") > 0)
+      .localCheckpoint(true)
   }
 
   /** d33's ranking for a batch of queries against the STORED postings:

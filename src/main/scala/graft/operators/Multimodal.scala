@@ -220,7 +220,7 @@ object Multimodal {
     * evaluation), and a HOF re-slicing `bits` per band re-evaluated the
     * 64 dynamic substrs 4× per row — ~19 s at sf0.1 for a map-only
     * projection. The native loop prices it like the d05 fuse. */
-  private def withPhash(s: SparkSession, docs: DataFrame): DataFrame = {
+  private[graft] def withPhash(s: SparkSession, docs: DataFrame): DataFrame = {
     val src = docs.select(col("doc_id").as("media_id"), col("text"),
       greatest(lit(1L), expr(s"length(text) div $PhashStrideDiv")).as("st"))
     if (s.catalog.functionExists(graft.functions.PHash64Expr.Name))
@@ -242,14 +242,21 @@ object Multimodal {
           (acc, x) => shiftleft(acc, 1).bitwiseOR(x)).as("phash"))
   }
 
-  def mm06PhashNeardup(s: SparkSession, dir: String): DataFrame = {
+  /** (band, band_key, media_id, phash) rows — d26's shift-mask band
+    * derivation off the packed long; shared with the persisted media
+    * index ([[graft.jobs.IncrementalIndex]]) so a stored index and a
+    * recompute can never disagree on the banding. */
+  private[graft] def phashBandKeys(ph: DataFrame): DataFrame = {
     val bandWidth = 64 / PhashBands
     val mask = (1L << bandWidth) - 1
-    val ph = withPhash(s, Tables.documents(s, dir))
-    val bandKeys = ph.select(col("media_id"), col("phash"),
+    ph.select(col("media_id"), col("phash"),
       posexplode(array((0 until PhashBands).map(i =>
         shiftright(col("phash"), i * bandWidth).bitwiseAND(lit(mask))): _*))
         .as(Seq("band", "band_key")))
+  }
+
+  def mm06PhashNeardup(s: SparkSession, dir: String): DataFrame = {
+    val bandKeys = phashBandKeys(withPhash(s, Tables.documents(s, dir)))
     val a = bandKeys.select(col("band"), col("band_key"),
       col("media_id").as("id_a"), col("phash").as("ph_a"))
     val bSide = bandKeys.select(col("band"), col("band_key"),

@@ -683,7 +683,84 @@ object AdAnalytics {
        |FROM qv, lohi15 WHERE vec_id % $IncrementalBatchModE = 0""".stripMargin
   }
 
+  // ---------------------------------------------------------------- st16
+  /** st13's MEDIA twin — mm06's perceptual-hash dedup running
+    * continuously against the persisted media index
+    * ([[graft.jobs.IncrementalIndex.writeMediaIndex]]): the history's
+    * phash band table is bootstrapped once, then each arriving
+    * micro-batch (1) hashes itself map-side (the fused `p_hash64`
+    * scan), (2) PROBES the store with the bipartite band join plus
+    * intra-batch keep-first — pigeonhole-complete at the radius, so
+    * probe verdicts equal the all-pairs recompute against everything
+    * that arrived earlier — and (3) APPENDS its own band rows for later
+    * arrivals. Census-form append (the full batch, not survivors),
+    * matching st13/st14.
+    *
+    * Same equivalence contract: ascending media_id arrivals ⇒ the final
+    * verdict table equals the batch recompute for ANY micro-batch split
+    * (pinned in StreamingSpec); the oracle is the all-pairs brute force
+    * over (history ∪ lower-id) partners, exact because the banding is
+    * complete. State = the lake table (8 bytes/row × 4 band rows);
+    * per-batch work ∝ batch × band collisions at any corpus size —
+    * the media payloads are never re-read after their hash lands. */
+  def st16StreamingPhashIngest(s: SparkSession, dir: String): DataFrame = {
+    import graft.jobs.IncrementalIndex
+    val mod = graft.operators.LlmText.IncrementalBatchMod
+    val indexDir = java.nio.file.Files.createTempDirectory("graft-st16-idx-").toString
+    try {
+      IncrementalIndex.writeMediaIndex(s,
+        graft.Tables.documents(s, dir).where(col("doc_id") % mod =!= 0), indexDir)
+      val empty = graft.Tables.documents(s, dir).limit(0)
+        .select(col("doc_id").as("media_id"), lit(0L).as("n_matches"),
+          lit(false).as("is_dup"))
+      Streams.runForeachBatch(s, "append", empty)(
+        ss => Streams.tableStream(ss, dir, "documents")
+          .where(col("doc_id") % mod === 0)) { (store, batch) =>
+        val verdicts = IncrementalIndex.probeMedia(s, batch, indexDir)
+        IncrementalIndex.writeMediaIndex(s, batch, indexDir,
+          org.apache.spark.sql.SaveMode.Append)
+        store.unionByName(verdicts)
+      }
+    } finally {
+      val root = java.nio.file.Paths.get(indexDir)
+      if (java.nio.file.Files.exists(root)) {
+        val it = java.nio.file.Files.walk(root)
+          .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        try it.forEach(pp => { java.nio.file.Files.deleteIfExists(pp); () })
+        finally it.close()
+      }
+    }
+  }
+
+  lazy val st16Sql: String = {
+    import graft.operators.Multimodal.{PhashBands, PhashMaxHamming}
+    val mod = graft.operators.LlmText.IncrementalBatchMod
+    def bitSql(j: Int): String =
+      s"(CASE WHEN $j*st+1 <= length(text) THEN ascii(substr(text, CAST($j*st+1 AS INT), 1)) % 2 ELSE 0 END)"
+    val bandsSql = (0 until PhashBands).map { b =>
+      "CAST(" + (0 until 16).map(k => s"${bitSql(16 * b + k)} * ${1L << k}")
+        .mkString(" + ") + " AS BIGINT)"
+    }.mkString("[", ", ", "]")
+    val hamSql = (1 to PhashBands).map(i =>
+      s"bit_count(xor(a.bands[$i], b.bands[$i]))").mkString(" + ")
+    s"""WITH ph AS (
+       |  SELECT media_id, $bandsSql AS bands
+       |  FROM (SELECT doc_id AS media_id, text,
+       |          greatest(1, length(text) // 64) AS st
+       |        FROM documents) t
+       |)
+       |SELECT a.media_id,
+       |  CAST(sum(CASE WHEN $hamSql <= $PhashMaxHamming THEN 1 ELSE 0 END) AS BIGINT) AS n_matches,
+       |  CAST(sum(CASE WHEN $hamSql <= $PhashMaxHamming THEN 1 ELSE 0 END) AS BIGINT) > 0 AS is_dup
+       |FROM ph a JOIN ph b
+       |  ON a.media_id % $mod = 0
+       |  AND (b.media_id % $mod <> 0 OR b.media_id < a.media_id)
+       |  AND b.media_id <> a.media_id
+       |GROUP BY 1""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "st16_streaming_phash_ingest" -> (st16StreamingPhashIngest _),
     "st15_streaming_sq_ingest" -> (st15StreamingSqIngest _),
     "st14_streaming_sem_ingest" -> (st14StreamingSemIngest _),
     "st13_streaming_ingest" -> (st13StreamingIngest _),
@@ -705,6 +782,7 @@ object AdAnalytics {
     * if either operator object's init re-entered this one — the
     * cross-object RerankC trap ([[graft.tools.InitOrderCheck]]). */
   lazy val oracleSql: Map[String, String] = Map(
+    "st16_streaming_phash_ingest" -> st16Sql,
     "st15_streaming_sq_ingest" -> st15Sql,
     "st14_streaming_sem_ingest" -> st14Sql,
     "st13_streaming_ingest" -> st13Sql,

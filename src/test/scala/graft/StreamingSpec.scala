@@ -484,6 +484,63 @@ class StreamingSpec extends GraftSuite {
       "8-batch ascending split diverged from d30")
   }
 
+  test("st16: every ascending micro-batch split reproduces the all-pairs phash verdicts") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import graft.jobs.IncrementalIndex
+    val mod = graft.operators.LlmText.IncrementalBatchMod
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id", "text", "lang", "source", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3), r.getLong(4)))
+    val corpusDf = docs.filter(_._1 % mod != 0).toSeq
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val arrivals = docs.filter(_._1 % mod == 0).sortBy(_._1).toSeq
+    // truth: all-pairs brute force over (history ∪ lower-id) partners —
+    // exact because the banding is pigeonhole-complete at the radius
+    def jvmPhash(t: String): Long = {
+      val st = math.max(1, t.length / 64)
+      var h = 0L
+      for (j <- 0 until 64) {
+        val pos = j * st
+        if (pos < t.length && t.codePointAt(pos) % 2 == 1) h |= 1L << j
+      }
+      h
+    }
+    val hashes = docs.map(d => d._1 -> jvmPhash(d._2)).toMap
+    val expected = arrivals.map { case (id, _, _, _, _) =>
+      val n = docs.count { case (o, _, _, _, _) =>
+        o != id && (o % mod != 0 || o < id) &&
+          java.lang.Long.bitCount(hashes(o) ^ hashes(id)) <=
+            graft.operators.Multimodal.PhashMaxHamming
+      }
+      (id, n.toLong, n > 0)
+    }.toSet
+
+    def run(chunks: Seq[Seq[(Long, String, String, String, Long)]]): Set[(Long, Long, Boolean)] = {
+      val indexDir = java.nio.file.Files.createTempDirectory("st16-spec-idx-").toString
+      IncrementalIndex.writeMediaIndex(spark, corpusDf, indexDir)
+      val ms = MemoryStream[(Long, String, String, String, Long)]
+      val got = scala.collection.mutable.Set.empty[(Long, Long, Boolean)]
+      val q = ms.toDF().toDF("doc_id", "text", "lang", "source", "n_chars")
+        .writeStream.outputMode("append")
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          val v = IncrementalIndex.probeMedia(spark, batch, indexDir)
+          IncrementalIndex.writeMediaIndex(spark, batch, indexDir,
+            org.apache.spark.sql.SaveMode.Append)
+          got ++= v.collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+          ()
+        }
+        .option("checkpointLocation", ckpt()).start()
+      chunks.foreach { c => ms.addData(c: _*); q.processAllAvailable() }
+      q.stop()
+      got.toSet
+    }
+
+    assert(run(Seq(arrivals)) === expected, "single-batch stream diverged from brute force")
+    assert(run(arrivals.grouped(13).toSeq) === expected,
+      "4-batch ascending split diverged from brute force")
+  }
+
   /** Non-hidden data files under a store dir → (path, size, mtime).
     * `_SUCCESS` markers are excluded: parquet append jobs rewrite them
     * at the root, which is metadata churn, not data rewrite. */
