@@ -69,6 +69,7 @@ object IncrementalIndex {
   val SqQuantizer = "sq_quantizer"
   val SqCodes = "sq_codes"
   val MediaBands = "media_bands"
+  val BpeMerges = "bpe_merges"
 
   private def p(indexDir: String, table: String): String = s"$indexDir/$table"
 
@@ -394,6 +395,55 @@ object IncrementalIndex {
       .select(col("media_id"), coalesce(col("n_matches"), lit(0L)).as("n_matches"))
       .withColumn("is_dup", col("n_matches") > 0)
       .localCheckpoint(true)
+  }
+
+  /** Train the TOKENIZER half and freeze it: `rounds` full BPE
+    * merge-selection iterations over `trainDocs`
+    * ([[graft.operators.LlmText.bpeTrainMergesFrom]] — the canonical
+    * rank-ordered algorithm, not d40's single-pass approximation) and
+    * persist the learned merge table (round, left, right, cnt) — the
+    * artifact a tokenizer ships. Frozen like the centroids/codebook:
+    * token ids under different merge tables are not comparable, so
+    * re-training is the explicit refresh event. */
+  def writeBpeIndex(s: SparkSession, trainDocs: DataFrame, indexDir: String,
+                    rounds: Int): Unit =
+    LlmText.bpeTrainMergesFrom(s, LlmText.baseFrom(trainDocs), rounds)
+      .write.mode(SaveMode.Overwrite).parquet(p(indexDir, BpeMerges))
+
+  /** Encode a batch of documents with the STORED tokenizer: per-doc
+    * subword token counts under the frozen merge table, applied in
+    * RANK ORDER (true BPE — each merge rewrites the word's symbol
+    * string left-to-right non-overlapping, the same boundary-exact
+    * regex the training loop used, one map-only pass over the
+    * DISTINCT-WORD table per merge). The corpus fans back in through
+    * one word-keyed join — the batch's text is read once however many
+    * merges the tokenizer carries; lineage is checkpointed every few
+    * rounds (the d14/d17 iteration discipline). The merge table itself
+    * is a scalar-sized artifact (its length is the vocabulary budget),
+    * collected like the training argmax — never the corpus. */
+  def encodeBpe(s: SparkSession, batchDocs: DataFrame, indexDir: String): DataFrame = {
+    val merges = s.read.parquet(p(indexDir, BpeMerges))
+      .orderBy(col("round"))
+      .select(col("left"), col("right")).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val baseDf = LlmText.baseFrom(batchDocs)
+    val perDocWord = baseDf
+      .select(col("doc_id"), explode(col("toks")).as("w"))
+      .where(length(col("w")) >= 1)
+      .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("n"))
+    var words = perDocWord.select(col("w")).distinct()
+      .select(col("w"), concat_ws(" ", split(col("w"), "")).as("syms"))
+    merges.zipWithIndex.foreach { case ((a, b), i) =>
+      words = words.withColumn("syms",
+        graft.operators.LlmText.bpeMergeApply(col("syms"), a, b))
+      if ((i + 1) % 8 == 0) words = words.localCheckpoint()
+    }
+    val tokensPerWord = words
+      .select(col("w"), size(split(col("syms"), " ")).cast("long").as("w_tokens"))
+    perDocWord.join(tokensPerWord, Seq("w"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("n")).as("n_words"),
+        sum(col("n") * col("w_tokens")).as("n_bpe_tokens"))
   }
 
   /** d33's ranking for a batch of queries against the STORED postings:

@@ -2305,9 +2305,26 @@ object LlmText {
     * list-based reference implementation of the algorithm. Not a
     * registry query: the per-round argmax is not expressible as one
     * non-recursive SQL statement; d37 (one round) carries the oracle. */
-  def bpeTrainMerges(s: SparkSession, dir: String, rounds: Int): DataFrame = {
+  def bpeTrainMerges(s: SparkSession, dir: String, rounds: Int): DataFrame =
+    bpeTrainMergesFrom(s, base(s, dir), rounds)
+
+  /** Left-to-right non-overlapping merge-apply of ONE learned pair over
+    * a space-joined symbol string — the boundary-exact regex both the
+    * training loop and the stored-tokenizer encode
+    * ([[graft.jobs.IncrementalIndex.encodeBpe]]) replace with: symbols
+    * never contain spaces, so the lookarounds are exact symbol
+    * boundaries. */
+  private[graft] def bpeMergeApply(syms: Column, a: String, b: String): Column = {
     import java.util.regex.{Matcher, Pattern}
-    var vocab = base(s, dir).select(explode(col("toks")).as("w"))
+    regexp_replace(syms,
+      lit("(?<=^| )" + Pattern.quote(a + " " + b) + "(?= |$)"),
+      lit(Matcher.quoteReplacement(a + b)))
+  }
+
+  /** [[bpeTrainMerges]] over an arbitrary documents-shaped frame (the
+    * persisted-tokenizer lifecycle feeds its history slice through). */
+  def bpeTrainMergesFrom(s: SparkSession, baseDf: DataFrame, rounds: Int): DataFrame = {
+    var vocab = baseDf.select(explode(col("toks")).as("w"))
       .where(length(col("w")) >= 2)
       .groupBy(col("w")).agg(count(lit(1)).as("wf"))
       .select(concat_ws(" ", split(col("w"), "")).as("syms"), col("wf"))
@@ -2332,9 +2349,7 @@ object LlmText {
         val cnt = top(0).getLong(1)
         val Array(a, b) = pair.split(" ", 2)
         merges += ((r, a, b, cnt))
-        vocab = vocab.withColumn("syms", regexp_replace(col("syms"),
-            lit("(?<=^| )" + Pattern.quote(pair) + "(?= |$)"),
-            lit(Matcher.quoteReplacement(a + b))))
+        vocab = vocab.withColumn("syms", bpeMergeApply(col("syms"), a, b))
           .localCheckpoint()
         r += 1
       }

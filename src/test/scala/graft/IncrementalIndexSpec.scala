@@ -147,6 +147,46 @@ class IncrementalIndexSpec extends GraftSuite {
     assert(storedVecIds === day1VecIds ++ keptVecIds)
   }
 
+  test("stored tokenizer: encodeBpe under the frozen merges equals the canonical per-word tokenizer") {
+    val rounds = 6
+    val idx = Files.createTempDirectory("graft-bpe-idx-").toString
+    val day1 = spark.read.parquet(env._1)
+      .where(col("ingest_day") === 1).drop("ingest_day")
+    IncrementalIndex.writeBpeIndex(spark, day1, idx, rounds)
+    val stored = spark.read.parquet(s"$idx/${IncrementalIndex.BpeMerges}")
+      .orderBy("round").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2)))
+    assert(stored.map(_._1).toSeq === (1 to rounds), "one stored merge per round")
+    // encode day 2 against the stored tokenizer; the reference is the
+    // canonical list-merge tokenizer applying the STORED merges in rank
+    // order (the bpeTrainMerges-spec algorithm, apply side)
+    def jvmToks(text: String): Array[String] =
+      text.replaceAll("^ +| +$", "").toLowerCase(java.util.Locale.ROOT)
+        .replaceAll("\\s+", " ").split(" ", -1)
+    def encodeWord(w: String): Int = {
+      var syms = w.map(_.toString).toList
+      for ((_, a, b) <- stored) {
+        def merge(l: List[String]): List[String] = l match {
+          case `a` :: `b` :: rest => (a + b) :: merge(rest)
+          case h :: rest => h :: merge(rest)
+          case Nil => Nil
+        }
+        syms = merge(syms)
+      }
+      syms.length
+    }
+    val want = day2Docs.select("doc_id", "text").collect().map { r =>
+      val toks = jvmToks(r.getString(1)).filter(_.nonEmpty)
+      r.getLong(0) -> ((toks.length.toLong, toks.map(encodeWord(_).toLong).sum))
+    }.toMap
+    val got = IncrementalIndex.encodeBpe(spark, day2Docs, idx).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.length === want.size, "every day-2 document encoded once")
+    got.foreach { case (id, nw, nt) =>
+      assert((nw, nt) === want(id), s"doc $id stored-tokenizer encode mismatch")
+    }
+  }
+
   test("retrain swaps the frozen centroids via e11's Lloyd step and rebuilds the members") {
     val all = Tables.embeddings(spark, sf)
     val q = Embeddings.quantizedFrom(spark, all)
