@@ -2653,7 +2653,58 @@ object LlmText {
        |        CAST(sum(cf) AS BIGINT) AS cf_sum
        |      FROM bg41 JOIN cf41 USING (bg) GROUP BY 1) d, tot41""".stripMargin
 
+  // ---------------------------------------------------------------- d42
+  /** WITHIN-document repeated-span STRIP — the self-repetition half of
+    * the line-level cleanup (Gopher/RefinedWeb drop or trim pages that
+    * loop the same span; d12 FLAGS the repetition ratio, this applies
+    * the transform): every fixed [[LineTokens]]-token segment that
+    * already occurred EARLIER IN THE SAME DOCUMENT is removed, and the
+    * surviving segments reassemble in original order. Complements d28
+    * exactly — d28 strips segments duplicated ACROSS documents
+    * (boilerplate), d42 strips segments duplicated WITHIN one (loops);
+    * the segmentation arithmetic is shared so the two transforms can't
+    * drift.
+    *
+    * Scale shape: segment map-side with a position index, ONE window
+    * keyed by (doc, segment) to find first occurrences (state = one
+    * doc's copies of one segment), one per-doc fold for the reassembly
+    * (bounded by doc length, never corpus-wide). No corpus-keyed
+    * shuffle at all — this transform never even needs to see another
+    * document. */
+  def d42StripSelfRepeats(s: SparkSession, dir: String): DataFrame = {
+    val seg = base(s, dir).select(col("doc_id"),
+      posexplode(transform(
+        sequence(lit(0), expr(s"(size(toks) - 1) div $LineTokens")),
+        i => array_join(slice(col("toks"), i * LineTokens + 1, lit(LineTokens)), " "))))
+      .toDF("doc_id", "idx", "line")
+    seg
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("doc_id"), col("line")).orderBy(col("idx"))))
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(when(col("rn") === 1, 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("rn") > 1, 1L).otherwise(0L)).as("n_dropped"),
+        array_join(
+          transform(
+            array_sort(collect_list(
+              when(col("rn") === 1, struct(col("idx"), col("line"))))),
+            x => x.getField("line")),
+          " ").as("clean_text"))
+  }
+
+  val d42Sql: String =
+    s"""$baseSql$segSqlCte
+       |SELECT doc_id,
+       |  CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       |  CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+       |  array_to_string(list(line ORDER BY idx) FILTER (WHERE rn = 1), ' ') AS clean_text
+       |FROM (SELECT doc_id, idx, line,
+       |        row_number() OVER (PARTITION BY doc_id, line ORDER BY idx) AS rn
+       |      FROM seg) t
+       |GROUP BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d42_strip_self_repeats" -> (d42StripSelfRepeats _),
     "d41_bigram_lm" -> (d41BigramLm _),
     "d40_bpe_encode" -> (d40BpeEncode _),
     "d39_anneal_schedule" -> (d39AnnealSchedule _),
@@ -2704,6 +2755,7 @@ object LlmText {
     * [[graft.tools.InitOrderCheck]]. Lazy = assembled on first use,
     * after both objects finish initializing. */
   lazy val oracleSql: Map[String, String] = Map(
+    "d42_strip_self_repeats" -> d42Sql,
     "d41_bigram_lm" -> d41Sql,
     "d40_bpe_encode" -> d40Sql,
     "d39_anneal_schedule" -> d39Sql,

@@ -1208,6 +1208,28 @@ class LlmTextSpec extends GraftSuite {
     }
   }
 
+  test("d42: self-repeat strip equals the per-doc keep-first reference; clean docs round-trip") {
+    val got = LlmText.d42StripSelfRepeats(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val texts = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(got.length === texts.length, "every document transformed once")
+    val L = LlmText.LineTokens
+    val want = texts.map { case (id, t) =>
+      val toks = jvmToks(t)
+      val blocks = toks.grouped(L).map(_.mkString(" ")).toSeq
+      val seen = scala.collection.mutable.Set.empty[String]
+      val kept = blocks.filter(seen.add)
+      id -> ((kept.length.toLong, (blocks.length - kept.length).toLong,
+        kept.mkString(" "), toks.mkString(" ")))
+    }.toMap
+    got.foreach { case (id, nk, nd, clean) =>
+      val (wk, wd, wClean, norm) = want(id)
+      assert((nk, nd, clean) === ((wk, wd, wClean)), s"doc $id strip mismatch")
+      if (nd == 0L) assert(clean === norm, "repeat-free docs must round-trip verbatim")
+    }
+  }
+
   test("e14: SQ8 rerank keeps exact cosines, dense ranks, and high recall vs brute force") {
     val got = Embeddings.e14SqRerank(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
