@@ -1774,6 +1774,72 @@ object Embeddings {
        |  FROM rr15) t
        |WHERE rank <= $TopK""".stripMargin
 
+  // ---------------------------------------------------------------- e17
+  /** FILTERED ANN — metadata-constrained similarity search (the
+    * faiss-IDSelector / vector-DB "filtered search" capability): each
+    * query retrieves its top-3 only among candidates satisfying a
+    * metadata predicate, here the multi-tenant equi-filter
+    * tenant(candidate) = tenant(query) with tenant = vec_id mod
+    * [[FilterTenants]]. The at-scale decision this operator
+    * demonstrates is PRE-filtering: the predicate joins INTO the index
+    * key — the cell equi-join becomes a (cell, tenant) equi-join, so
+    * filtered-out candidates never reach the scorer and per-bucket
+    * candidate volume SHRINKS with filter selectivity. Post-filtering
+    * (rank first, filter the top-k after) returns short or empty lists
+    * whenever the unfiltered top-k is dominated by other tenants —
+    * recall loss the keyed form cannot have: within the probed cells
+    * the keyed join is exhaustive over the tenant's members.
+    *
+    * Same IVF machinery as e05 (primary-cell index side, nprobe
+    * query-side fan-out, exact cosine, ties on neighbor id); the
+    * tenant column is derived map-side on both sides. At 100 TB a
+    * high-cardinality filter key is exactly a partitioned index
+    * (per-tenant IVF lists); a low-selectivity predicate instead rides
+    * the candidate stream as a cheap residual filter — both shapes are
+    * this join with the key set chosen by selectivity. */
+  final val FilterTenants = 3L
+
+  def e17FilteredAnn(s: SparkSession, dir: String): DataFrame = {
+    val nprobe = s.conf.get(NprobeConf, "1").toInt
+    val dot = dotQ(s) _
+    val ranked = cellRanked(s, dir)
+      .withColumn("tenant", col("vec_id") % FilterTenants)
+    val a = ranked.where(col("rn") <= nprobe)
+      .select(col("cell"), col("tenant"), col("vec_id").as("query_id"),
+        col("q").as("qa"), col("nq").as("na"))
+    val b = ranked.where(col("rn") === 1)
+      .select(col("cell"), col("tenant"), col("vec_id").as("neighbor_id"),
+        col("q").as("qb"), col("nq").as("nb"))
+    SelfJoin.on(a, b, Seq("cell", "tenant"))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos",
+        dot(col("qa"), col("qb")).cast("double") /
+          (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("cos").desc, col("neighbor_id").asc)))
+      .where(col("rank") <= 3)
+      .select(col("cell"), col("tenant"), col("query_id"),
+        col("neighbor_id"), col("cos"), col("rank"))
+  }
+
+  val e17Sql: String =
+    s"""$quantSql$assignedSqlCtes, scored17 AS (
+       |  SELECT a.cell, a.vec_id % $FilterTenants AS tenant,
+       |    a.vec_id AS query_id, b.vec_id AS neighbor_id,
+       |    CAST(list_dot_product(a.q, b.q) AS DOUBLE) /
+       |      (sqrt(CAST(list_dot_product(a.q, a.q) AS DOUBLE)) *
+       |       sqrt(CAST(list_dot_product(b.q, b.q) AS DOUBLE))) AS cos
+       |  FROM assigned a JOIN assigned b
+       |    ON a.cell = b.cell
+       |    AND a.vec_id % $FilterTenants = b.vec_id % $FilterTenants
+       |    AND a.vec_id <> b.vec_id
+       |)
+       |SELECT cell, tenant, query_id, neighbor_id, cos, rank FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+       |  FROM scored17) t
+       |WHERE rank <= 3""".stripMargin
+
   // ---------------------------------------------------------------- e16
   /** MMR-DIVERSIFIED top-k (Carbonell & Goldstein 1998, maximal marginal
     * relevance): retrieval for training-data sampling wants k results
@@ -1909,6 +1975,7 @@ object Embeddings {
        |${(1 to MmrK).map(r => s"SELECT * FROM s$r").mkString("\n UNION ALL ")}""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e17_filtered_ann" -> (e17FilteredAnn _),
     "e16_mmr_diversify" -> (e16MmrDiversify _),
     "e15_ivf_sq_rerank" -> (e15IvfSqRerank _),
     "e14_sq8_rerank" -> (e14SqRerank _),
@@ -1932,6 +1999,7 @@ object Embeddings {
     * map keeps any future cross-reference out of static init — the
     * cross-object RerankC trap ([[graft.tools.InitOrderCheck]]). */
   lazy val oracleSql: Map[String, String] = Map(
+    "e17_filtered_ann" -> e17Sql,
     "e16_mmr_diversify" -> e16Sql,
     "e15_ivf_sq_rerank" -> e15Sql,
     "e14_sq8_rerank" -> e14Sql,

@@ -1319,6 +1319,43 @@ class LlmTextSpec extends GraftSuite {
     }
   }
 
+  test("e17: pre-filtered ANN is exhaustive within (cell ∩ tenant); post-filtering e05 is not") {
+    import graft.operators.Embeddings
+    val got = Embeddings.e17FilteredAnn(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4), r.getInt(5)))
+    // every emitted pair shares the tenant; ranks dense per query
+    got.foreach { case (_, tenant, q, n, _, _) =>
+      assert(q % Embeddings.FilterTenants === tenant)
+      assert(n % Embeddings.FilterTenants === tenant, s"cross-tenant leak: $q -> $n")
+    }
+    got.groupBy(_._3).foreach { case (_, rows) =>
+      assert(rows.map(_._6).sorted.toSeq === (1 to rows.length), "dense ranks")
+      assert(rows.length <= 3)
+    }
+    // exhaustiveness: per query, the result count is min(3, |cell ∩ tenant| − 1)
+    val cells = Embeddings.e06SemDedup(spark, sf).collect()
+      .map(r => (r.getLong(1), r.getInt(0))).toMap // vec_id -> cell
+    val byQuery = got.groupBy(_._3)
+    cells.keys.foreach { q =>
+      val mates = cells.count { case (v, c) =>
+        v != q && c == cells(q) && v % Embeddings.FilterTenants == q % Embeddings.FilterTenants }
+      val emitted = byQuery.get(q).map(_.length).getOrElse(0)
+      assert(emitted === math.min(3, mates),
+        s"query $q: emitted $emitted of $mates same-tenant cell-mates")
+    }
+    // the recall property pre-filtering buys: post-filtering e05's
+    // unfiltered top-3 by tenant must lose results somewhere
+    val e05Post = Embeddings.e05IvfAnn(spark, sf).collect()
+      .map(r => (r.getLong(1), r.getLong(2)))
+      .filter { case (q, n) => q % Embeddings.FilterTenants == n % Embeddings.FilterTenants }
+    assert(e05Post.length < got.length,
+      "post-filtering the unfiltered top-3 must return fewer filtered results")
+    // and nothing post-filter finds is missing from the keyed form
+    val gotPairs = got.map(r => (r._3, r._4)).toSet
+    e05Post.foreach(p => assert(gotPairs.contains(p),
+      s"pair $p survived post-filtering but is absent from the pre-filtered form"))
+  }
+
   test("e06: every vector flagged once; dropped ⊆ cell-mates of an earlier near-dup") {
     import graft.operators.Embeddings
     val rows = Embeddings.e06SemDedup(spark, sf).collect()
