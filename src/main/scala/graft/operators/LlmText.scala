@@ -2703,7 +2703,105 @@ object LlmText {
        |      FROM seg) t
        |GROUP BY 1""".stripMargin
 
+  // ---------------------------------------------------------------- d43
+  /** Cross-document duplicated-SPAN coverage — the ExactSubstr
+    * measurement of Lee et al. 2021 ("Deduplicating Training Data Makes
+    * Language Models Better"): for each document, what fraction of its
+    * tokens sits inside a ≥[[SpanTokens]]-token contiguous span that
+    * also appears verbatim in ANOTHER document, at ANY alignment. This
+    * is the signal the segment-aligned passes (d19/d28) structurally
+    * miss: a copied paragraph that starts mid-segment straddles two
+    * fixed segments and matches neither, but every interior
+    * [[SpanTokens]]-gram of it still collides here. [[SpanTokens]] =
+    * [[LineTokens]] deliberately, so d43-vs-d19 on the same corpus
+    * isolates exactly the alignment-sensitivity difference.
+    *
+    * Mechanics: overlapping [[SpanTokens]]-token shingles with their
+    * 0-based start position; a position is DUPLICATED when its shingle
+    * occurs in ≥2 distinct docs; a doc's covered-token count is the
+    * size of the UNION of the intervals [p, p+L-1] over its duplicated
+    * positions p. Because all intervals share length L, the union is
+    * gaps-and-islands on starts alone (a new island iff the gap to the
+    * previous start ≥ L — no running-max needed), and each island
+    * covers (last − first + L) tokens; adjacent-but-disjoint islands
+    * sum to the same total as a merged one, so only true overlap
+    * matters. All arithmetic is exact integers until the final
+    * coverage division.
+    *
+    * Scale shape: shingle fan-out map-side (no shuffle) → ONE
+    * df-count exchange keyed by the shingle (partial agg absorbs the
+    * Zipf head; at 100 TB the key is h64(shingle), 8 bytes, not the
+    * string) → join back on the same key → one doc-keyed window +
+    * roll-up (state bounded by doc length). Same exchange count as
+    * d19; never all-pairs. */
+  val SpanTokens: Int = LineTokens
+  val SpanMinDocs = 2L
+
+  def d43SpanCoverage(s: SparkSession, dir: String): DataFrame = {
+    val docs = base(s, dir)
+    val pos = docs.select(col("doc_id"),
+      posexplode(shingles(col("toks"), SpanTokens))).toDF("doc_id", "p", "sp")
+    val spanDf = pos.groupBy(col("sp"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .where(col("df") >= SpanMinDocs)
+    val dup = pos.join(spanDf, Seq("sp")).select(col("doc_id"), col("p"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("p"))
+    val islands = dup
+      .withColumn("newi",
+        when(lag(col("p"), 1).over(w).isNull
+          || col("p") - lag(col("p"), 1).over(w) >= SpanTokens, 1L).otherwise(0L))
+      .withColumn("island", sum(col("newi")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val perDoc = islands
+      .groupBy(col("doc_id"), col("island"))
+      .agg((max(col("p")) - min(col("p")) + SpanTokens).as("covered"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_dup_spans"), sum(col("covered")).as("covered_tokens"))
+    docs.select(col("doc_id"), size(col("toks")).cast("long").as("n_toks"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_toks"),
+        coalesce(col("n_dup_spans"), lit(0L)).as("n_dup_spans"),
+        coalesce(col("covered_tokens"), lit(0L)).as("covered_tokens"),
+        (coalesce(col("covered_tokens"), lit(0L)).cast("double") /
+          col("n_toks").cast("double")).as("dup_frac"))
+  }
+
+  val d43Sql: String =
+    s"""$baseSql, pos43 AS (
+       |  SELECT doc_id,
+       |    unnest(generate_series(0, len(toks) - $SpanTokens)) AS p,
+       |    unnest(${shinglesSql("toks", SpanTokens)}) AS sp
+       |  FROM base WHERE len(toks) >= $SpanTokens
+       |), df43 AS (
+       |  SELECT sp FROM pos43 GROUP BY sp
+       |  HAVING count(DISTINCT doc_id) >= $SpanMinDocs
+       |), isl43 AS (
+       |  SELECT doc_id, p,
+       |    CASE WHEN lag(p) OVER w IS NULL OR p - lag(p) OVER w >= $SpanTokens
+       |         THEN 1 ELSE 0 END AS newi
+       |  FROM pos43 JOIN df43 USING (sp)
+       |  WINDOW w AS (PARTITION BY doc_id ORDER BY p)
+       |), cov43 AS (
+       |  SELECT doc_id, count(*) AS n_dup_spans,
+       |    CAST(sum(covered) AS BIGINT) AS covered_tokens
+       |  FROM (
+       |    SELECT doc_id, island, max(p) - min(p) + $SpanTokens AS covered
+       |    FROM (SELECT doc_id, p,
+       |            sum(newi) OVER (PARTITION BY doc_id ORDER BY p
+       |              ROWS UNBOUNDED PRECEDING) AS island
+       |          FROM isl43) t
+       |    GROUP BY doc_id, island) g
+       |  GROUP BY doc_id
+       |)
+       |SELECT b.doc_id, CAST(len(b.toks) AS BIGINT) AS n_toks,
+       |  coalesce(c.n_dup_spans, 0) AS n_dup_spans,
+       |  coalesce(c.covered_tokens, 0) AS covered_tokens,
+       |  CAST(coalesce(c.covered_tokens, 0) AS DOUBLE) / CAST(len(b.toks) AS DOUBLE)
+       |    AS dup_frac
+       |FROM base b LEFT JOIN cov43 c USING (doc_id)""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d43_span_coverage" -> (d43SpanCoverage _),
     "d42_strip_self_repeats" -> (d42StripSelfRepeats _),
     "d41_bigram_lm" -> (d41BigramLm _),
     "d40_bpe_encode" -> (d40BpeEncode _),
@@ -2755,6 +2853,7 @@ object LlmText {
     * [[graft.tools.InitOrderCheck]]. Lazy = assembled on first use,
     * after both objects finish initializing. */
   lazy val oracleSql: Map[String, String] = Map(
+    "d43_span_coverage" -> d43Sql,
     "d42_strip_self_repeats" -> d42Sql,
     "d41_bigram_lm" -> d41Sql,
     "d40_bpe_encode" -> d40Sql,

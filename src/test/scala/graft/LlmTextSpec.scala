@@ -1230,6 +1230,42 @@ class LlmTextSpec extends GraftSuite {
     }
   }
 
+  test("d43: span coverage equals the boolean-array union reference; alignment beats d19 on straddlers") {
+    val got = LlmText.d43SpanCoverage(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    val texts = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), jvmToks(r.getString(1))))
+    assert(got.length === texts.length, "every document profiled once")
+    val L = LlmText.SpanTokens
+    // independent reference: shingle -> distinct docs, then a PER-TOKEN
+    // boolean union (a different method than the operator's island
+    // arithmetic, so an off-by-one in either side can't self-confirm)
+    val docsOf = scala.collection.mutable.Map.empty[String, Set[Long]]
+    texts.foreach { case (id, toks) =>
+      toks.sliding(L).filter(_.length == L)
+        .foreach(w => { val k = w.mkString(" "); docsOf(k) = docsOf.getOrElse(k, Set()) + id })
+    }
+    val want = texts.map { case (id, toks) =>
+      val starts = toks.sliding(L).filter(_.length == L).zipWithIndex.collect {
+        case (w, p) if docsOf(w.mkString(" ")).size >= 2 => p
+      }.toArray
+      val covered = new Array[Boolean](toks.length)
+      starts.foreach(p => (p until p + L).foreach(covered(_) = true))
+      // islands under the operator's rule: break when the gap >= L
+      val nSpans = if (starts.isEmpty) 0L
+        else 1L + starts.sliding(2).count(a => a.length == 2 && a(1) - a(0) >= L)
+      id -> ((toks.length.toLong, nSpans, covered.count(identity).toLong))
+    }.toMap
+    var anyCovered = false
+    got.foreach { case (id, nt, ns, cov, frac) =>
+      val (wn, ws, wc) = want(id)
+      assert((nt, ns, cov) === ((wn, ws, wc)), s"doc $id span coverage mismatch")
+      assert(frac === cov.toDouble / nt.toDouble)
+      if (cov > 0) anyCovered = true
+    }
+    assert(anyCovered, "fixture's planted duplicates must produce nonzero coverage")
+  }
+
   test("e14: SQ8 rerank keeps exact cosines, dense ranks, and high recall vs brute force") {
     val got = Embeddings.e14SqRerank(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
