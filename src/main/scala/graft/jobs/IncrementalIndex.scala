@@ -70,6 +70,7 @@ object IncrementalIndex {
   val SqCodes = "sq_codes"
   val MediaBands = "media_bands"
   val BpeMerges = "bpe_merges"
+  val BenchShingles = "bench_shingles"
 
   private def p(indexDir: String, table: String): String = s"$indexDir/$table"
 
@@ -394,6 +395,44 @@ object IncrementalIndex {
       .join(matches.withColumnRenamed("new_id", "media_id"), Seq("media_id"), "left")
       .select(col("media_id"), coalesce(col("n_matches"), lit(0L)).as("n_matches"))
       .withColumn("is_dup", col("n_matches") > 0)
+      .localCheckpoint(true)
+  }
+
+  /** Freeze the DECONTAMINATION half: the benchmark suite's rare-shingle
+    * list (d18's bench side — exploded (bench_id, shingle) rows with the
+    * hot-shingle cap already applied, so boilerplate n-grams common
+    * across many benchmark docs never enter the store and can never fan
+    * a probe out). Built ONCE when the eval suite is frozen; a changed
+    * benchmark is the explicit rebuild event. Eval suites are bounded by
+    * construction (thousands of docs), so the stored table is
+    * broadcast-sized at any corpus scale. */
+  def writeBenchIndex(s: SparkSession, benchDocs: DataFrame, indexDir: String): Unit = {
+    val ex = LlmText.shingleSetsFrom(s, benchDocs)
+      .select(col("doc_id").as("bench_id"), explode(col("sh")).as("shingle"))
+    val rare = ex.groupBy(col("shingle"))
+      .agg(countDistinct(col("bench_id")).as("df"))
+      .where(col("df") <= LlmText.BenchHotShingleCap)
+      .select(col("shingle"))
+    ex.join(broadcast(rare), Seq("shingle"))
+      .select(col("bench_id"), col("shingle"))
+      .write.mode(SaveMode.Overwrite).parquet(p(indexDir, BenchShingles))
+  }
+
+  /** d18's contamination verdicts for a batch of training docs against
+    * the STORED benchmark list: batch shingles explode map-side, the
+    * broadcast bench join keys on the shingle, and the per-(doc, bench)
+    * distinct-shingle count applies d18's threshold. Verdicts depend
+    * only on (batch doc, frozen store) — no cross-batch state — so ANY
+    * micro-batch split of the training side reproduces the batch d18
+    * exactly (st17's contract). Returns the materialized frame. */
+  def probeBench(s: SparkSession, batchDocs: DataFrame, indexDir: String): DataFrame = {
+    val ex = LlmText.shingleSetsFrom(s, batchDocs)
+      .select(col("doc_id"), explode(col("sh")).as("shingle"))
+    val bench = s.read.parquet(p(indexDir, BenchShingles))
+    ex.join(broadcast(bench), Seq("shingle"))
+      .groupBy(col("doc_id"), col("bench_id"))
+      .agg(countDistinct(col("shingle")).as("n_shared"))
+      .where(col("n_shared") >= LlmText.ContaminationMinShared)
       .localCheckpoint(true)
   }
 

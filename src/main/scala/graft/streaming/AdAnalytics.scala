@@ -759,7 +759,56 @@ object AdAnalytics {
        |GROUP BY 1""".stripMargin
   }
 
+  // ---------------------------------------------------------------- st17
+  /** Streaming DECONTAMINATION — d18's benchmark n-gram-overlap check
+    * running continuously at ingest (the gate a production corpus
+    * pipeline applies as documents ARRIVE, not in a post-hoc sweep):
+    * the eval suite's rare-shingle list is frozen once into the
+    * persisted index ([[graft.jobs.IncrementalIndex.writeBenchIndex]] —
+    * hot-shingle cap applied at build, so boilerplate n-grams never
+    * enter the store), then every arriving micro-batch of training docs
+    * probes it with a broadcast shingle-keyed join and emits its
+    * (doc, bench, n_shared) contamination verdicts.
+    *
+    * STRONGER equivalence than st13/st14/st16: verdicts depend only on
+    * (batch doc, frozen store) — there is no cross-batch state and no
+    * append-back at all — so the final verdict table equals batch d18
+    * for ANY split in ANY order, not just ascending arrivals (pinned in
+    * StreamingSpec with a shuffled split). State = the one frozen
+    * broadcast-sized lake table; per-batch work ∝ batch × actual
+    * n-gram overlap with the benchmark, at any corpus size. */
+  def st17StreamingDecontamination(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.LlmText
+    import graft.jobs.IncrementalIndex
+    val mod = LlmText.ContaminationMod
+    val indexDir = java.nio.file.Files.createTempDirectory("graft-st17-idx-").toString
+    try {
+      val docs = graft.Tables.documents(s, dir)
+      IncrementalIndex.writeBenchIndex(s,
+        docs.where(col("doc_id") % mod === 0), indexDir)
+      val empty = docs.limit(0)
+        .select(col("doc_id"), col("doc_id").as("bench_id"),
+          lit(0L).as("n_shared"))
+      Streams.runForeachBatch(s, "append", empty)(
+        ss => Streams.tableStream(ss, dir, "documents")
+          .where(col("doc_id") % mod =!= 0)) { (store, batch) =>
+        store.unionByName(IncrementalIndex.probeBench(s, batch, indexDir))
+      }
+    } finally {
+      val root = java.nio.file.Paths.get(indexDir)
+      if (java.nio.file.Files.exists(root)) {
+        val it = java.nio.file.Files.walk(root)
+          .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        try it.forEach(pp => { java.nio.file.Files.deleteIfExists(pp); () })
+        finally it.close()
+      }
+    }
+  }
+
+  lazy val st17Sql: String = graft.operators.LlmText.d18Sql
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "st17_streaming_decontamination" -> (st17StreamingDecontamination _),
     "st16_streaming_phash_ingest" -> (st16StreamingPhashIngest _),
     "st15_streaming_sq_ingest" -> (st15StreamingSqIngest _),
     "st14_streaming_sem_ingest" -> (st14StreamingSemIngest _),
@@ -782,6 +831,7 @@ object AdAnalytics {
     * if either operator object's init re-entered this one — the
     * cross-object RerankC trap ([[graft.tools.InitOrderCheck]]). */
   lazy val oracleSql: Map[String, String] = Map(
+    "st17_streaming_decontamination" -> st17Sql,
     "st16_streaming_phash_ingest" -> st16Sql,
     "st15_streaming_sq_ingest" -> st15Sql,
     "st14_streaming_sem_ingest" -> st14Sql,
