@@ -1974,7 +1974,58 @@ object Embeddings {
        |${(2 to MmrK).map(mmrRoundSql).mkString}
        |${(1 to MmrK).map(r => s"SELECT * FROM s$r").mkString("\n UNION ALL ")}""".stripMargin
 
+  // ---------------------------------------------------------------- e18
+  /** RANGE search — faiss's `range_search` surface beside the top-k
+    * family: return EVERY neighbor whose cosine clears
+    * [[CosineThreshold]], not a fixed-k list. This is the retrieval
+    * form dedup thresholding and near-duplicate auditing actually
+    * consume (a query may legitimately have 0 or 40 matches; a top-k
+    * cut either truncates or pads). Same IVF machinery as e05: the
+    * query subsample fans out to its `nprobe` nearest cells, candidates
+    * come from the strategy-gated cell equi-join against primary-cell
+    * members, exact integer-quantized cosine on candidates only — but
+    * NO ranking window at all, so the per-query state is zero (the
+    * filter is a map-side predicate on the join output; top-k's
+    * row_number is the only part of e05 that needed per-query memory).
+    * Exhaustive within the probed cells by construction; `nprobe` is
+    * the recall lever (results grow monotonically with it, pinned).
+    * A pair can appear only once: the index side is primary-cell only,
+    * so even a multi-probed query meets each neighbor in exactly one
+    * cell. */
+  def e18RangeSearch(s: SparkSession, dir: String): DataFrame = {
+    val nprobe = s.conf.get(NprobeConf, "1").toInt
+    val dot = dotQ(s) _
+    val ranked = cellRanked(s, dir)
+    val a = ranked.where(col("rn") <= nprobe && col("vec_id") % 5 === 0)
+      .select(col("cell"), col("vec_id").as("query_id"),
+        col("q").as("qa"), col("nq").as("na"))
+    val b = ranked.where(col("rn") === 1)
+      .select(col("cell"), col("vec_id").as("neighbor_id"),
+        col("q").as("qb"), col("nq").as("nb"))
+    SelfJoin.on(a, b, Seq("cell"))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos",
+        dot(col("qa"), col("qb")).cast("double") /
+          (sqrt(col("na").cast("double")) *
+            sqrt(col("nb").cast("double"))))
+      .where(col("cos") >= CosineThreshold)
+      .select(col("query_id"), col("neighbor_id"), col("cos"))
+  }
+
+  val e18Sql: String =
+    s"""$quantSql$assignedSqlCtes
+       |SELECT query_id, neighbor_id, cos FROM (
+       |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+       |    CAST(list_dot_product(a.q, b.q) AS DOUBLE) /
+       |      (sqrt(CAST(list_dot_product(a.q, a.q) AS DOUBLE)) *
+       |       sqrt(CAST(list_dot_product(b.q, b.q) AS DOUBLE))) AS cos
+       |  FROM assigned a JOIN assigned b
+       |    ON a.cell = b.cell AND a.vec_id <> b.vec_id
+       |  WHERE a.vec_id % 5 = 0) t
+       |WHERE cos >= $CosineThreshold""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e18_range_search" -> (e18RangeSearch _),
     "e17_filtered_ann" -> (e17FilteredAnn _),
     "e16_mmr_diversify" -> (e16MmrDiversify _),
     "e15_ivf_sq_rerank" -> (e15IvfSqRerank _),
@@ -1999,6 +2050,7 @@ object Embeddings {
     * map keeps any future cross-reference out of static init — the
     * cross-object RerankC trap ([[graft.tools.InitOrderCheck]]). */
   lazy val oracleSql: Map[String, String] = Map(
+    "e18_range_search" -> e18Sql,
     "e17_filtered_ann" -> e17Sql,
     "e16_mmr_diversify" -> e16Sql,
     "e15_ivf_sq_rerank" -> e15Sql,

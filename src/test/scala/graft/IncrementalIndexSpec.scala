@@ -213,4 +213,33 @@ class IncrementalIndexSpec extends GraftSuite {
     assert(members.select("cell", "vec_id").collect().map(_.toString).sorted.toSeq
       === expectAsg, "members must be the primary-cell assignment under the new centroids")
   }
+
+  test("compacting the stored text index collapses small files and keeps probe verdicts identical") {
+    // the maintenance pass an append-only index accrues toward: after
+    // enough ingest folds, rewrite each table to target-sized files.
+    // Correctness contract: a probe is a pure function of the store's
+    // ROWS, so compaction (row-preserving by SinksSpec) must leave
+    // verdicts bit-identical.
+    def files(table: String): Array[java.io.File] =
+      new java.io.File(s"${env._3}/$table")
+        .listFiles().filter(_.getName.endsWith(".parquet"))
+    // fragment the store the way a run of small ingests would
+    for (i <- 0 until 3) {
+      IncrementalIndex.writeTextIndex(spark,
+        day2Docs.where(col("doc_id") % 3 === i), env._3,
+        org.apache.spark.sql.SaveMode.Append)
+    }
+    val probe = day2Docs.limit(40)
+    val before = IncrementalIndex.probeText(spark, probe, env._3)
+      .collect().map(_.toString).sorted.toSeq
+    val nBefore = files(IncrementalIndex.TextBands).length
+    assert(nBefore > 1, "fixture must actually be fragmented before compaction")
+    Sinks.compact(spark, s"${env._3}/${IncrementalIndex.TextBands}")
+    Sinks.compact(spark, s"${env._3}/${IncrementalIndex.TextShingles}")
+    assert(files(IncrementalIndex.TextBands).length < nBefore,
+      "compaction must reduce the band table's file count")
+    val after = IncrementalIndex.probeText(spark, probe, env._3)
+      .collect().map(_.toString).sorted.toSeq
+    assert(after === before, "probe verdicts must be bit-identical across compaction")
+  }
 }

@@ -1266,6 +1266,47 @@ class LlmTextSpec extends GraftSuite {
     assert(anyCovered, "fixture's planted duplicates must produce nonzero coverage")
   }
 
+  test("e18: range search equals the exact cell-mate recomputation; nprobe grows it monotonically") {
+    import graft.operators.Embeddings
+    // cell assignment from e06 (same cellRanked stage), exact quantized
+    // vectors recomputed from the raw embeddings — the e09 reference recipe
+    val cells = Embeddings.e06SemDedup(spark, sf).collect()
+      .map(r => r.getLong(1) -> r.getInt(0)).toMap
+    val vecs = Tables.embeddings(spark, sf).collect().map { r =>
+      r.getAs[Long]("vec_id") ->
+        r.getAs[scala.collection.Seq[Float]]("embedding")
+          .map(x => BigDecimal(x.toDouble * 10000)
+            .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong).toArray
+    }.toMap
+    def cos(a: Array[Long], b: Array[Long]): Double = {
+      val dot = a.indices.map(i => a(i) * b(i)).sum
+      dot.toDouble / (math.sqrt(a.indices.map(i => a(i) * a(i)).sum.toDouble) *
+        math.sqrt(b.indices.map(i => b(i) * b(i)).sum.toDouble))
+    }
+    val want = (for {
+      q <- vecs.keys if q % 5 == 0
+      n <- vecs.keys if n != q && cells(n) == cells(q)
+      c = cos(vecs(q), vecs(n)) if c >= Embeddings.CosineThreshold
+    } yield (q, n, c)).toSet
+    val got = Embeddings.e18RangeSearch(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got === want, "range results diverged from the exact cell-mate recomputation")
+    assert(got.nonEmpty, "fixture must produce at least one in-range pair")
+    // variable result size is the point of range search: not all queries
+    // return the same count (a top-k surface can't express this)
+    val counts = got.groupBy(_._1).map(_._2.size).toSet
+    assert(counts.size > 1 || got.map(_._1).size < vecs.keys.count(_ % 5 == 0),
+      "fixture should exercise variable-size result lists")
+    spark.conf.set(Embeddings.NprobeConf, "3")
+    try {
+      val wide = Embeddings.e18RangeSearch(spark, sf).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(got.subsetOf(wide), "raising nprobe must never lose a match")
+      assert(wide.size > got.size,
+        "nprobe=3 should surface cross-cell matches on this fixture")
+    } finally spark.conf.unset(Embeddings.NprobeConf)
+  }
+
   test("e14: SQ8 rerank keeps exact cosines, dense ranks, and high recall vs brute force") {
     val got = Embeddings.e14SqRerank(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
