@@ -88,6 +88,25 @@ object PropertyChecks extends Properties("graft") {
       bl <= bp && bp <= bh
     }
 
+  // the algebraic identity d43's span coverage rests on: for EQUAL-length
+  // intervals [p, p+L-1], splitting islands on gap >= L and summing
+  // (last - first + L) per island equals the exact boolean union size —
+  // for arbitrary start sets, not just the fixture's
+  property("span coverage: equal-length island sum equals the boolean interval union") =
+    forAll(Gen.chooseNum(1, 12),
+      Gen.listOf(Gen.chooseNum(0, 200))) { (l, starts0) =>
+      val starts = starts0.distinct.sorted
+      val union = starts.flatMap(p => p until p + l).distinct.size
+      val islandSum =
+        if (starts.isEmpty) 0
+        else {
+          val breaks = starts.zip(starts.tail).map { case (a, b) => b - a >= l }
+          val bounds = (0 +: breaks.zipWithIndex.collect { case (true, i) => i + 1 }) :+ starts.length
+          bounds.zip(bounds.tail).map { case (s, e) => starts(e - 1) - starts(s) + l }.sum
+        }
+      islandSum == union
+    }
+
   property("decode stub: deterministic, bounded, total") =
     forAll(Gen.listOf(Gen.chooseNum(Byte.MinValue, Byte.MaxValue))) { bytes =>
       val payload = bytes.toArray
