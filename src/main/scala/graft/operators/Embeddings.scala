@@ -2024,7 +2024,166 @@ object Embeddings {
        |  WHERE a.vec_id % 5 = 0) t
        |WHERE cos >= $CosineThreshold""".stripMargin
 
+  // ---------------------------------------------------------------- e19
+  /** Quantization reconstruction-error audit — the second index-health
+    * loop beside e07's recall audit: per vector and per compression
+    * rung, the exact squared error between the stored code's
+    * reconstruction and the true (quantized) vector. faiss reports
+    * exactly this diagnostic when choosing a quantizer; recall tells
+    * you whether the SERVING path finds the neighbors, reconstruction
+    * error tells you how much GEOMETRY the stored bytes destroyed —
+    * the signal that says "move from PQ to SQ8" or "switch to residual
+    * encoding" before recall ever degrades.
+    *
+    * Three audited rungs, every error an exact integer identity
+    * ‖a−b‖² = ‖a‖² − 2a·b + ‖b‖² (no element-wise subtraction column):
+    *  - `sq8` (e14/e15's quantizer): error of the ×[[SqLevels]]-scaled
+    *    reconstruction against [[SqLevels]]·q, reported in q-units via
+    *    the exact /(Dim·255²) division;
+    *  - `pq` (e12's M=8×K=16 codebook over absolute vectors): per-
+    *    subspace chosen-codeword error summed, /(Dim);
+    *  - `residual_pq` (e13's codebook over cell-centered residuals):
+    *    same form over the residual column — the centroid part of the
+    *    reconstruction is exact, so this IS the vector's error. The
+    *    mean sitting BELOW `pq`'s is the measured reason faiss defaults
+    *    IVFPQ to residual encoding (spec-pinned on this fixture).
+    *
+    * Per-VECTOR rows (not one corpus aggregate): the per-vector sse
+    * stays inside exact-long range at any corpus size, where a corpus-
+    * wide integer sum would overflow (engines disagree on overflow);
+    * the corpus mean/histogram derives downstream. Map-shaped per rung
+    * (encode + join-back on the broadcast codebook); the codebooks come
+    * from the same memoized trainers the serving paths use, so the
+    * audit audits THE index, not a retrained twin. */
+  def e19QuantError(s: SparkSession, dir: String): DataFrame = {
+    val dot = dotQ(s) _
+    val v = quantized(s, dir)
+    val ranked = cellRanked(s, dir)
+    val absIdx = ranked.where(col("rn") === 1)
+      .select(col("cell"), col("vec_id"), col("q"))
+    val resIdx = residualIndexOf(ranked, cellMembersOf(ranked))
+    def pqErr(frame: DataFrame, vecCol: String, codebook: DataFrame,
+              method: String): DataFrame =
+      frame
+        .select(col("vec_id"), explode(sequence(lit(1), lit(PqM))).as("m"), col(vecCol))
+        .withColumn("sub", slice(col(vecCol), (col("m") - 1) * lit(PqSubDim) + 1, lit(PqSubDim)))
+        .withColumn("nsub", dot(col("sub"), col("sub")))
+        .join(broadcast(codebook), Seq("m"))
+        .withColumn("penalty", col("ncw") - lit(2L) * dot(col("sub"), col("cw")))
+        .withColumn("rn2", row_number().over(
+          Window.partitionBy(col("vec_id"), col("m"))
+            .orderBy(col("penalty").asc, col("code").asc)))
+        .where(col("rn2") === 1)
+        .groupBy(col("vec_id"))
+        .agg(sum(col("nsub") + col("penalty")).as("sse"))
+        .select(lit(method).as("method"), col("vec_id"), col("sse"),
+          (col("sse").cast("double") / lit(Dim.toDouble)).as("mse"))
+    val sq = sqEncode(v, sqLohiOf(v))
+      .select(col("vec_id"),
+        (lit(SqLevels.toLong * SqLevels) * dot(col("q"), col("q"))
+          - lit(2L * SqLevels) * dot(col("q"), col("r"))
+          + dot(col("r"), col("r"))).as("sse"))
+      .select(lit("sq8").as("method"), col("vec_id"), col("sse"),
+        (col("sse").cast("double") /
+          lit((Dim.toLong * SqLevels * SqLevels).toDouble)).as("mse"))
+    sq.unionByName(pqErr(absIdx, "q", pqCodebookOf(s, v, "q"), "pq"))
+      .unionByName(pqErr(resIdx, "r", pqCodebookOf(s, resIdx, "r"), "residual_pq"))
+  }
+
+  /** DuckDB twin of e19 — the SAME shared quantizer CTE generators as
+    * e12/e13/e14 (fresh suffixes so both PQ paths coexist in one
+    * statement), plus the ‖a−b‖² integer identity per rung. A `def`
+    * for init-order safety. */
+  private def e19SqlBuild: String = {
+    val resBlock =
+      s""", mem19 AS (
+         |  SELECT cell, count(*) AS m FROM assigned GROUP BY 1
+         |), res19 AS (
+         |  SELECT a.cell, a.vec_id,
+         |    list_transform(generate_series(1, $Dim),
+         |      i -> (a.q[i] * mem19.m - cents.cvec[i]) // mem19.m) AS r
+         |  FROM assigned a JOIN cents ON a.cell = cents.cell
+         |                 JOIN mem19 ON a.cell = mem19.cell
+         |)""".stripMargin
+    def errBlock(sfx: String, src: String, vc: String): String =
+      s""", sub$sfx AS (
+         |  SELECT vec_id, m, $vc[(m-1)*$PqSubDim+1:m*$PqSubDim] AS sub
+         |  FROM $src, generate_series(1, $PqM) g(m)
+         |), err$sfx AS (
+         |  SELECT e.vec_id,
+         |    CAST(sum(CAST(list_dot_product(s.sub, s.sub) AS BIGINT)
+         |      - 2 * CAST(list_dot_product(s.sub, c.cw) AS BIGINT) + c.ncw)
+         |      AS BIGINT) AS sse
+         |  FROM enc$sfx e
+         |  JOIN cbn$sfx c ON c.m = e.m AND c.code = e.code
+         |  JOIN sub$sfx s ON s.vec_id = e.vec_id AND s.m = e.m
+         |  GROUP BY 1
+         |)""".stripMargin
+    quantSql + assignedSqlCtes + sqSqlCtes + resBlock +
+      pqQuantizerSqlCtes("19a", "qv", "assigned", "q") +
+      pqQuantizerSqlCtes("19r", "res19", "res19", "r") +
+      errBlock("19a", "assigned", "q") +
+      errBlock("19r", "res19", "r") +
+      s""", errsq AS (
+         |  SELECT v.vec_id,
+         |    CAST($SqLevels AS BIGINT) * $SqLevels * CAST(list_dot_product(v.q, v.q) AS BIGINT)
+         |      - 2 * $SqLevels * CAST(list_dot_product(v.q, r.r) AS BIGINT)
+         |      + CAST(list_dot_product(r.r, r.r) AS BIGINT) AS sse
+         |  FROM qv v JOIN rec14 r USING (vec_id)
+         |)
+         |SELECT 'sq8' AS method, vec_id, sse,
+         |  CAST(sse AS DOUBLE) / ${Dim.toLong * SqLevels * SqLevels} AS mse FROM errsq
+         |UNION ALL SELECT 'pq', vec_id, sse, CAST(sse AS DOUBLE) / $Dim FROM err19a
+         |UNION ALL SELECT 'residual_pq', vec_id, sse, CAST(sse AS DOUBLE) / $Dim FROM err19r""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- e20
+  /** IVF cell-BALANCE audit — faiss's `imbalance_factor` diagnostic as
+    * the third index-health loop (e07 = does the serving path FIND the
+    * neighbors, e19 = what did the stored bytes DESTROY, e20 = is the
+    * partition SKEWED): per cell its member count and corpus share,
+    * plus the scalar C·Σn²/N² (1.0 = perfectly balanced; k = all mass
+    * in 1/k of the cells). This is the number that decides whether to
+    * retrain ([[e11KmeansStep]] / IncrementalIndex.retrain), raise
+    * nprobe, or re-seed empty cells — a skewed cell list is ALSO the
+    * query-time skew surface of every cell equi-join in the e-suite,
+    * so the audit doubles as the AQE-skew early warning.
+    *
+    * All exact: counts are integers, share and the imbalance factor
+    * are single divisions of exact integer products. One count
+    * exchange on the cell key + a 3-field 1-row broadcast — scale-free
+    * (output is #cells rows, a driver-scale table by construction). */
+  def e20CellStats(s: SparkSession, dir: String): DataFrame = {
+    val counts = cellRanked(s, dir).where(col("rn") === 1)
+      .groupBy(col("cell")).agg(count(lit(1)).as("members"))
+    val tot = counts.agg(
+      sum(col("members")).as("n_total"),
+      count(lit(1)).as("n_cells"),
+      sum(col("members") * col("members")).as("sum_sq"))
+    counts.crossJoin(broadcast(tot))
+      .select(col("cell"), col("members"),
+        (col("members").cast("double") / col("n_total").cast("double")).as("share"),
+        ((col("n_cells") * col("sum_sq")).cast("double") /
+          (col("n_total") * col("n_total")).cast("double")).as("imbalance"))
+  }
+
+  val e20Sql: String =
+    s"""$quantSql$assignedSqlCtes, counts20 AS (
+       |  SELECT cell, count(*) AS members FROM assigned GROUP BY 1
+       |), tot20 AS (
+       |  SELECT CAST(sum(members) AS BIGINT) AS n_total,
+       |    count(*) AS n_cells,
+       |    CAST(sum(members * members) AS BIGINT) AS sum_sq
+       |  FROM counts20
+       |)
+       |SELECT cell, members,
+       |  CAST(members AS DOUBLE) / CAST(n_total AS DOUBLE) AS share,
+       |  CAST(n_cells * sum_sq AS DOUBLE) / CAST(n_total * n_total AS DOUBLE) AS imbalance
+       |FROM counts20, tot20""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e20_cell_stats" -> (e20CellStats _),
+    "e19_quant_error" -> (e19QuantError _),
     "e18_range_search" -> (e18RangeSearch _),
     "e17_filtered_ann" -> (e17FilteredAnn _),
     "e16_mmr_diversify" -> (e16MmrDiversify _),
@@ -2050,6 +2209,8 @@ object Embeddings {
     * map keeps any future cross-reference out of static init — the
     * cross-object RerankC trap ([[graft.tools.InitOrderCheck]]). */
   lazy val oracleSql: Map[String, String] = Map(
+    "e20_cell_stats" -> e20Sql,
+    "e19_quant_error" -> e19SqlBuild,
     "e18_range_search" -> e18Sql,
     "e17_filtered_ann" -> e17Sql,
     "e16_mmr_diversify" -> e16Sql,

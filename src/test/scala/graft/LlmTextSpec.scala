@@ -1307,6 +1307,76 @@ class LlmTextSpec extends GraftSuite {
     } finally spark.conf.unset(Embeddings.NprobeConf)
   }
 
+  test("e19: quant-error audit covers every vector per rung; sq8 matches JVM; residual beats plain PQ") {
+    import graft.operators.Embeddings
+    val got = Embeddings.e19QuantError(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val vecs = Tables.embeddings(spark, sf).collect().map { r =>
+      r.getAs[Long]("vec_id") ->
+        r.getAs[scala.collection.Seq[Float]]("embedding")
+          .map(x => BigDecimal(x.toDouble * 10000)
+            .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong).toArray
+    }.toMap
+    val byMethod = got.groupBy(_._1)
+    assert(byMethod.keySet === Set("sq8", "pq", "residual_pq"))
+    byMethod.values.foreach { rows =>
+      assert(rows.map(_._2).toSet === vecs.keySet, "every vector audited once per rung")
+      rows.foreach { case (_, _, sse, _) => assert(sse >= 0L, "squared error is nonnegative") }
+    }
+    // sq8 pinned against an independent JVM re-encode (same clamp formula)
+    val dim = Embeddings.Dim
+    val lo = (0 until dim).map(d => vecs.values.map(_(d)).min).toArray
+    val hi = (0 until dim).map(d => vecs.values.map(_(d)).max).toArray
+    val wantSq = vecs.map { case (id, q) =>
+      id -> (0 until dim).map { d =>
+        val span = hi(d) - lo(d)
+        val code = if (span == 0L) 0L
+          else math.max(0L, math.min(255L,
+            math.floor(((q(d) - lo(d)) * 510.0 + span) / (2.0 * span)).toLong))
+        val r = lo(d) * 255L + code * span
+        val e = 255L * q(d) - r
+        e * e
+      }.sum
+    }
+    byMethod("sq8").foreach { case (_, id, sse, mse) =>
+      assert(sse === wantSq(id), s"vec $id sq8 sse mismatch")
+      assert(mse === sse.toDouble / (dim.toLong * 255 * 255).toDouble)
+    }
+    // the measured reason faiss defaults IVFPQ to residual encoding:
+    // centering against the cell centroid shrinks what the codebook
+    // must express, so reconstruction error drops at equal bytes
+    def mean(m: String): Double = {
+      val rows = byMethod(m); rows.map(_._4).sum / rows.length
+    }
+    assert(mean("residual_pq") < mean("pq"),
+      s"residual encoding should reduce error: ${mean("residual_pq")} vs ${mean("pq")}")
+    // 8 bits per DIMENSION is a far finer grid than 4 bits per 8-dim
+    // subspace — the rung ordering the byte budget predicts
+    assert(mean("sq8") < mean("residual_pq"),
+      s"sq8 should sit far below any PQ rung: ${mean("sq8")}")
+  }
+
+  test("e20: cell-balance audit matches the e06 assignment; imbalance factor exact and >= 1") {
+    import graft.operators.Embeddings
+    val got = Embeddings.e20CellStats(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    // reference assignment from e06 (the same cellRanked stage)
+    val cells = Embeddings.e06SemDedup(spark, sf).collect()
+      .map(r => r.getLong(1) -> r.getInt(0))
+    val wantCounts = cells.groupBy(_._2).map { case (c, m) => c -> m.length.toLong }
+    assert(got.map(g => g._1 -> g._2).toMap === wantCounts, "per-cell member counts")
+    val n = cells.length.toLong
+    val c = wantCounts.size.toLong
+    val sumSq = wantCounts.values.map(m => m * m).sum
+    val wantImb = (c * sumSq).toDouble / (n * n).toDouble
+    got.foreach { case (cell, members, share, imb) =>
+      assert(share === members.toDouble / n.toDouble, s"cell $cell share")
+      assert(imb === wantImb, s"cell $cell imbalance constant")
+    }
+    assert(wantImb >= 1.0, "imbalance factor is bounded below by perfect balance")
+    assert(math.abs(got.map(_._3).sum - 1.0) < 1e-9, "shares partition the corpus")
+  }
+
   test("e14: SQ8 rerank keeps exact cosines, dense ranks, and high recall vs brute force") {
     val got = Embeddings.e14SqRerank(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
