@@ -531,7 +531,146 @@ object Misc {
        |  len(regexp_extract_all(c_name, '[0-9]{6,}')) > 0 AS has_pii
        |FROM customer""".stripMargin
 
+  // ---------------------------------------------------------------- m15
+  /** Z-ORDER clustered layout + file-level min/max skipping — the
+    * data-skipping stack (Delta `OPTIMIZE ZORDER BY`, Iceberg sort
+    * orders) re-expressed with nothing but builtins. Three stages:
+    *
+    *  - CLUSTER: interleave the bits of the two filter dims
+    *    (ship-day, part key) into one Morton key — a pure
+    *    shiftleft/OR/AND chain of codegen'd builtins
+    *    ([[zorderKey]], the classic bit-spread with magic masks) —
+    *    and `repartitionByRange` + `sortWithinPartitions` on it at
+    *    write time, so every output FILE covers a small RECTANGLE of
+    *    (day, part) space instead of a stripe of one dim;
+    *  - INDEX: one pass computes per-file min/max of both dims —
+    *    the file-stats table a lakehouse maintains at ingest (it
+    *    summarizes exactly what the parquet footers already store);
+    *    at 100 TB this is written once by the ingest job, not per
+    *    query;
+    *  - SKIP: a 2-D box predicate consults the index and reads ONLY
+    *    the files whose rectangle intersects the box. The collected
+    *    file list is metadata-scale (one row per FILE, not per row).
+    *
+    * Why not just sort by day: a single-dim sort gives tight file
+    * ranges on day and the FULL range of part in every file, so a
+    * part-constrained query reads the whole table. The z-curve bounds
+    * BOTH dims per file — the 2-D box here reads ~3/32 files at every
+    * fixture SF, and a part-only box still skips most files where the
+    * linear layout skips none (both pinned in ZorderSpec, plus
+    * bit-equality of the skipped result vs the plain scan). The part
+    * bounds are FRACTIONS of max(l_partkey) (the key range grows with
+    * SF); the 1-row bounds lookup is a scalar-aggregate collect. */
+  val M15Files = 32
+  val M15Epoch = "1992-01-01"
+  /** Day offsets of 1995-01-01 / 1995-07-01 from [[M15Epoch]]. */
+  val M15DayLo = 1096
+  val M15DayHi = 1277
+
+  /** Morton bit-spread: the low 32 bits of `c` moved to the even bit
+    * positions of a long (x | x<<16 .. masked — five steps, all
+    * codegen'd builtins, no UDF). */
+  private[graft] def zspread(c: Column): Column = {
+    val steps = Seq(
+      16 -> 0x0000FFFF0000FFFFL, 8 -> 0x00FF00FF00FF00FFL,
+      4 -> 0x0F0F0F0F0F0F0F0FL, 2 -> 0x3333333333333333L,
+      1 -> 0x5555555555555555L)
+    steps.foldLeft(c.cast("long").bitwiseAND(lit(0xFFFFFFFFL))) {
+      case (x, (sh, m)) => x.bitwiseOR(shiftleft(x, sh)).bitwiseAND(lit(m))
+    }
+  }
+
+  /** 2-D Morton (z-order) key: bits of `x` on even positions, `y` on
+    * odd — locality-preserving in both dims. */
+  private[graft] def zorderKey(x: Column, y: Column): Column =
+    zspread(x).bitwiseOR(shiftleft(zspread(y), 1))
+
+  /** Part-key box bounds as fractions of the key range:
+    * [ (max+1)/8, (max+1)/4 ) — a 12.5%-wide slab at any SF. */
+  private[graft] def m15PartBounds(s: SparkSession, dir: String): (Long, Long) = {
+    val r = Tables.lineitem(s, dir).agg(max(col("l_partkey")).as("mx"))
+      .select(
+        ((col("mx") + 1) / 8).cast("long").as("lo"),
+        ((col("mx") + 1) / 4).cast("long").as("hi"))
+      .first()
+    (r.getLong(0), r.getLong(1))
+  }
+
+  /** Write lineitem clustered by `key` into the session warehouse as
+    * `name` (overwrite — reruns are idempotent); returns the path.
+    * `ship_day` (days since [[M15Epoch]]) is materialized so the file
+    * index and the box predicate share one integer column. */
+  private[graft] def m15WriteClustered(
+      s: SparkSession, dir: String, name: String, key: Column): String = {
+    val path = s"${s.conf.get("spark.sql.warehouse.dir")}/$name"
+    Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_partkey"), col("l_shipdate"),
+        col("l_quantity"), col("l_extendedprice"))
+      .withColumn("ship_day",
+        datediff(col("l_shipdate").cast("date"), lit(M15Epoch).cast("date")))
+      .withColumn("ckey", key)
+      .repartitionByRange(M15Files, col("ckey"))
+      .sortWithinPartitions(col("ckey"))
+      .drop("ckey")
+      .write.mode("overwrite").parquet(path)
+    path
+  }
+
+  /** The per-file min/max stats index (what Delta keeps in its log /
+    * Iceberg in manifest files). One row per FILE. */
+  private[graft] def m15FileIndex(s: SparkSession, path: String): DataFrame =
+    s.read.parquet(path)
+      .groupBy(input_file_name().as("file"))
+      .agg(
+        min("ship_day").as("d_lo"), max("ship_day").as("d_hi"),
+        min("l_partkey").as("p_lo"), max("l_partkey").as("p_hi"))
+
+  /** Files whose stats rectangle intersects the (optional) day / part
+    * boxes. Metadata-scale collect: one string per surviving file. */
+  private[graft] def m15PruneFiles(
+      idx: DataFrame,
+      day: Option[(Int, Int)], part: Option[(Long, Long)]): Array[String] = {
+    val dayPred = day.map { case (lo, hi) =>
+      col("d_hi") >= lo && col("d_lo") < hi }.getOrElse(lit(true))
+    val partPred = part.map { case (lo, hi) =>
+      col("p_hi") >= lo && col("p_lo") < hi }.getOrElse(lit(true))
+    idx.where(dayPred && partPred).select("file")
+      .collect().map(_.getString(0)).sorted
+  }
+
+  def m15ZorderSkip(s: SparkSession, dir: String): DataFrame = {
+    val (pLo, pHi) = m15PartBounds(s, dir)
+    val path = m15WriteClustered(s, dir, "graft_m15_lineitem_z",
+      zorderKey(col("ship_day"), col("l_partkey")))
+    val files = m15PruneFiles(m15FileIndex(s, path),
+      Some((M15DayLo, M15DayHi)), Some((pLo, pHi)))
+    val pruned =
+      if (files.isEmpty) s.read.parquet(path).where(lit(false))
+      else s.read.parquet(files.toIndexedSeq: _*)
+    pruned
+      .where(col("ship_day") >= M15DayLo && col("ship_day") < M15DayHi
+        && col("l_partkey") >= pLo && col("l_partkey") < pHi)
+      .groupBy(date_format(col("l_shipdate"), "yyyy-MM").as("month"))
+      .agg(
+        count(lit(1)).as("n_items"),
+        round(sum(col("l_extendedprice").cast("decimal(18,2)")), 2)
+          .cast("double").as("revenue"))
+  }
+
+  /** Oracle reads the ORIGINAL table — skipping is a physical layout
+    * move, value-neutral by construction. Box boundaries are midnight
+    * timestamps, so day-granularity and timestamp comparisons agree. */
+  val m15Sql: String =
+    """SELECT strftime(l_shipdate, '%Y-%m') AS month, count(*) AS n_items,
+      |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS revenue
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1995-01-01' AND l_shipdate < TIMESTAMP '1995-07-01'
+      |  AND l_partkey >= (SELECT (max(l_partkey)+1)//8 FROM lineitem)
+      |  AND l_partkey <  (SELECT (max(l_partkey)+1)//4 FROM lineitem)
+      |GROUP BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m15_zorder_skip" -> (m15ZorderSkip _),
     "m14_pii_scrub" -> (m14PiiScrub _),
     "m13_range_join" -> (m13RangeJoin _),
     "m12_incremental_rollup" -> (m12IncrementalRollup _),
@@ -548,6 +687,7 @@ object Misc {
     "m06_salted_agg" -> (m06SaltedAgg _))
 
   val oracleSql: Map[String, String] = Map(
+    "m15_zorder_skip" -> m15Sql,
     "m14_pii_scrub" -> m14Sql,
     "m13_range_join" -> m13Sql,
     "m12_incremental_rollup" -> m12Sql,
