@@ -2014,7 +2014,20 @@ object LlmText {
     w.groupBy(col("doc_id")).agg(sum(col("w") * col("w")).as("nw"))
       .where(col("nw") > 0)
 
-  def d33SparseCosine(s: SparkSession, dir: String): DataFrame = {
+  def d33SparseCosine(s: SparkSession, dir: String): DataFrame =
+    d33SparseCosineQ(s, dir, SparseQMod)
+
+  /** d33 with a caller-chosen query subsample (`doc_id % qMod == 0`).
+    * Per-query independence makes the restriction EXACT at any stage:
+    * each query's candidate list, scores, and ranks depend only on its
+    * own postings (norms and weights are corpus-global either way), so
+    * restricting the query side BEFORE the postings join ≡ filtering
+    * the finished ranking — but skips the join work for every dropped
+    * query (d34 fuses only `% HybridQMod` queries; running the lex leg
+    * at mod 13 and discarding 4/5 of it priced the fusion at the full
+    * retrieval's cost). Equivalence is pinned in LlmTextSpec. */
+  private[graft] def d33SparseCosineQ(s: SparkSession, dir: String,
+                                      qMod: Long): DataFrame = {
     val docs = base(s, dir)
     val tf = tfOf(docs)
     // materialize the weighted postings ONCE (eager localCheckpoint —
@@ -2028,7 +2041,7 @@ object LlmText {
     val wts = weightedPostingsOf(tf, termStatsOf(s, docs, tf))
       .localCheckpoint()
     val nrm = sparseNormsOf(wts)
-    val qw = wts.where(col("doc_id") % SparseQMod === 0)
+    val qw = wts.where(col("doc_id") % qMod === 0)
       .select(col("term"), col("doc_id").as("query_id"), col("w").as("wq"))
     val cw = wts.select(col("term"), col("doc_id").as("cand_id"), col("w").as("wc"))
     val dots = SelfJoin.on(qw, cw, Seq("term"))
@@ -2100,8 +2113,7 @@ object LlmText {
   final val HybridQMod = 65 // = lcm(SparseQMod = 13, e-suite query mod 5)
 
   def d34HybridRrf(s: SparkSession, dir: String): DataFrame = {
-    val lex = d33SparseCosine(s, dir)
-      .where(col("query_id") % HybridQMod === 0)
+    val lex = d33SparseCosineQ(s, dir, HybridQMod)
       .select(col("query_id"), col("cand_id"), col("rnk").as("lex_rank"))
     val den = graft.operators.Embeddings.e10IvfSketchRerank(s, dir)
       .where(col("query_id") % HybridQMod === 0)
