@@ -669,7 +669,61 @@ object Misc {
       |  AND l_partkey <  (SELECT (max(l_partkey)+1)//4 FROM lineitem)
       |GROUP BY 1""".stripMargin
 
+  // ---------------------------------------------------------------- m16
+  /** DRIVER-FREE GLOBAL ROW-NUMBER — the scalable rewrite of
+    * `row_number() OVER (ORDER BY …)` with no PARTITION BY, which
+    * Catalyst plans as `Exchange SinglePartition` + one Window: every
+    * row of the corpus funnels through ONE task — the canonical 100 TB
+    * choke (it "works" at any fixture SF and dies on the first real
+    * table). The rewrite is the terasort shape plus an index attach:
+    *
+    *  1. `repartitionByRange` on the full sort key — partition i holds
+    *     a contiguous key range, all ranges ordered (one shuffle, the
+    *     same one any global sort pays);
+    *  2. `sortWithinPartitions` — now the corpus is totally ordered
+    *     across partition boundaries;
+    *  3. `zipWithIndex` — a COUNT of each partition (cheap metadata
+    *     job) gives each partition its rank offset; attaching
+    *     offset+position is narrow, per-partition, driver-free.
+    *
+    * Step 3 is the repo's one deliberate RDD drop-down (SURVEY §7.3
+    * case d): the offsets+position attach is genuine per-partition
+    * imperative logic with no declarative equivalent that doesn't pay
+    * a SECOND full shuffle (a window over `spark_partition_id()`
+    * re-exchanges every row; zipWithIndex's count job reads cached
+    * partition sizes). The sort key is made UNIQUE by the
+    * (l_orderkey, l_linenumber) tie-break, so the total order — and
+    * therefore every rank — is deterministic and engine-independent.
+    * GlobalRankSpec pins rank density, agreement with the
+    * single-partition window form, and that the plan contains no
+    * SinglePartition exchange. */
+  val M16Parts = 32
+
+  def m16GlobalRank(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.LongType
+    val keys = Seq(
+      col("l_extendedprice").desc, col("l_orderkey").asc, col("l_linenumber").asc)
+    val sorted = Tables.lineitem(s, dir)
+      .where(col("l_shipdate") >= lit("2001-01-01").cast("timestamp"))
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+      .repartitionByRange(M16Parts, keys: _*)
+      .sortWithinPartitions(keys: _*)
+    val schema = sorted.schema.add("global_rank", LongType, nullable = false)
+    val ranked = sorted.rdd.zipWithIndex().map { case (r, i) =>
+      Row.fromSeq(r.toSeq :+ (i + 1L))
+    }
+    s.createDataFrame(ranked, schema)
+  }
+
+  val m16Sql: String =
+    """SELECT l_orderkey, l_linenumber, l_extendedprice,
+      |  row_number() OVER (ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS global_rank
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '2001-01-01'""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m16_global_rank" -> (m16GlobalRank _),
     "m15_zorder_skip" -> (m15ZorderSkip _),
     "m14_pii_scrub" -> (m14PiiScrub _),
     "m13_range_join" -> (m13RangeJoin _),
@@ -687,6 +741,7 @@ object Misc {
     "m06_salted_agg" -> (m06SaltedAgg _))
 
   val oracleSql: Map[String, String] = Map(
+    "m16_global_rank" -> m16Sql,
     "m15_zorder_skip" -> m15Sql,
     "m14_pii_scrub" -> m14Sql,
     "m13_range_join" -> m13Sql,
