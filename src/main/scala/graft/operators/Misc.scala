@@ -699,7 +699,15 @@ object Misc {
     * SinglePartition exchange. */
   val M16Parts = 32
 
-  def m16GlobalRank(s: SparkSession, dir: String): DataFrame = {
+  def m16GlobalRank(s: SparkSession, dir: String): DataFrame =
+    m16GlobalRankP(s, dir, M16Parts)
+
+  /** Partition count is a TUNING knob, not a semantic one: the total
+    * order is unique (tie-broken), so ranks are identical for any
+    * `parts` — a cluster re-size or AQE re-plan cannot change answers
+    * (pinned in GlobalRankSpec). */
+  private[graft] def m16GlobalRankP(s: SparkSession, dir: String,
+                                    parts: Int): DataFrame = {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types.LongType
     val keys = Seq(
@@ -707,7 +715,7 @@ object Misc {
     val sorted = Tables.lineitem(s, dir)
       .where(col("l_shipdate") >= lit("2001-01-01").cast("timestamp"))
       .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
-      .repartitionByRange(M16Parts, keys: _*)
+      .repartitionByRange(parts, keys: _*)
       .sortWithinPartitions(keys: _*)
     val schema = sorted.schema.add("global_rank", LongType, nullable = false)
     val ranked = sorted.rdd.zipWithIndex().map { case (r, i) =>

@@ -41,6 +41,14 @@ class GlobalRankSpec extends GraftSuite {
     }
   }
 
+  test("m16: ranks are invariant to the partition count (re-size/re-plan safe)") {
+    def ranks(parts: Int) = Misc.m16GlobalRankP(spark, sf, parts).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(3)).toMap
+    val at32 = ranks(32)
+    assert(ranks(3) === at32)
+    assert(ranks(7) === at32)
+  }
+
   test("m16: no SinglePartition exchange in the distributed plan (naive form has one)") {
     // the ranked frame is RDD-backed; the plan that must stay clean is
     // the sorted input the ranks are attached to
