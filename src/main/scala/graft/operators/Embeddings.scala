@@ -2181,7 +2181,137 @@ object Embeddings {
        |  CAST(n_cells * sum_sq AS DOUBLE) / CAST(n_total * n_total AS DOUBLE) AS imbalance
        |FROM counts20, tot20""".stripMargin
 
+  // ---------------------------------------------------------------- e21
+  /** K-MEANS|| SCALABLE SEEDING (Bahmani, Moseley, Vattani, Kumar,
+    * Vassilvitskii — "Scalable K-Means++", VLDB 2012): the piece of the
+    * index lifecycle the suite still assumed away. e11/IncrementalIndex
+    * RETRAIN from existing centroids and e20 tells you WHEN to reseed —
+    * this is the reseed itself. Classic k-means++ is inherently
+    * sequential (k passes, each conditioned on the last pick — a
+    * non-starter when one corpus pass is hours); k-means|| replaces it
+    * with [[KmppRounds]] passes that each sample an EXPECTED
+    * [[KmppOversample]] points with probability ∝ d²(x, C) (distance to
+    * the current center set), then weights the ~ℓ·R+1 candidates by how
+    * many points they'd absorb and keeps the top [[KmppSeeds]].
+    *
+    * Determinism (the paper samples randomly; a rerun must not reseed
+    * differently): the coin for (x, round r) is the portable 60-bit
+    * hash of "kmpp:r:vec_id" — x is selected iff
+    * h·φ < d²(x)·ℓ·2^60, i.e. P[select] = min(1, ℓ·d²/φ) with h as the
+    * uniform draw. Both sides are exact integer products (≤ 2^108),
+    * compared as decimal(38,0) in Spark and HUGEINT in DuckDB — the
+    * oracle unrolls the same [[KmppRounds]] rounds as CTEs and cannot
+    * diverge at a rounding boundary. A point already chosen has d² = 0
+    * and can never be re-drawn. Squared distance is the exact-integer
+    * ‖x−c‖² = nq + nc − 2·dot (the e-suite quantization).
+    *
+    * Scale shape, per round: one broadcast of the center set (≤ ℓ·R+1
+    * rows by construction), one map-shaped min-distance pass, one
+    * scalar φ aggregate (1-row broadcast), one filter. No driver loop
+    * over the corpus, no k sequential passes, no shuffle beyond the
+    * per-vec_id min. The final weighting is one more broadcast-assign
+    * pass; the closing top-[[KmppSeeds]] window runs over ≤ ℓ·R+1
+    * candidate rows (bounded, not corpus-scale — the m16 caveat does
+    * not apply). Output: (seed_rank, cid, weight). */
+  final val KmppRounds = 2
+  final val KmppOversample = 8
+  final val KmppSeeds = 8
+  private val Two60 = "1152921504606846976" // 2^60, the h64 range
+
+  /** Exact squared distance ‖q−cvec‖² over the quantized ints. */
+  private def sqDist(s: SparkSession): Column =
+    col("nq") + col("ncv") - lit(2L) * dotQ(s)(col("q"), col("cvec"))
+
+  /** One k-means|| round: min-distance to `centers`, scalar φ, and the
+    * hash-coin selection — returns `centers` grown by this round's
+    * picks. */
+  private def kmppRound(s: SparkSession, v: DataFrame, centers: DataFrame,
+                        round: Int): DataFrame = {
+    val d2 = v.crossJoin(broadcast(centers))
+      .select(col("vec_id"), sqDist(s).as("dist"))
+      .groupBy(col("vec_id")).agg(min(col("dist")).as("d2"))
+    val phi = d2.agg(sum(col("d2")).as("phi"))
+    val coin = graft.functions.Portable.h64(
+      concat(lit(s"kmpp:$round:"), col("vec_id").cast("string")))
+    val sel = d2.crossJoin(broadcast(phi))
+      .where(coin.cast("decimal(38,0)") * col("phi").cast("decimal(38,0)") <
+        col("d2").cast("decimal(38,0)") *
+          lit(KmppOversample).cast("decimal(38,0)") *
+          lit(Two60).cast("decimal(38,0)"))
+      .select(col("vec_id"))
+    centers.unionByName(v.join(sel, Seq("vec_id"))
+      .select(col("vec_id").as("cid"), col("q").as("cvec"), col("nq").as("ncv")))
+  }
+
+  def e21KmppSeed(s: SparkSession, dir: String): DataFrame = {
+    // materialized once (the d33/s08 discipline): the corpus frame is
+    // probed by every round plus the final weighting pass
+    val v = quantized(s, dir).select(col("vec_id"), col("q"), col("nq"))
+      .localCheckpoint()
+    val minId = v.agg(min(col("vec_id")).as("mid"))
+    val c0 = v.join(broadcast(minId), col("vec_id") === col("mid"))
+      .select(col("vec_id").as("cid"), col("q").as("cvec"), col("nq").as("ncv"))
+    val cands = (1 to KmppRounds).foldLeft(c0)((c, r) => kmppRound(s, v, c, r))
+    val asg = v.crossJoin(broadcast(cands))
+      .withColumn("dist", sqDist(s))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("vec_id")).orderBy(col("dist").asc, col("cid").asc)))
+      .where(col("rn") === 1)
+    asg.groupBy(col("cid")).agg(count(lit(1)).as("weight"))
+      .withColumn("seed_rank", row_number().over(
+        Window.orderBy(col("weight").desc, col("cid").asc)))
+      .where(col("seed_rank") <= KmppSeeds)
+      .select(col("seed_rank"), col("cid"), col("weight"))
+  }
+
+  /** The oracle unrolls the same [[KmppRounds]] rounds as CTEs. */
+  val e21Sql: String = {
+    val h = (r: Int) => graft.functions.Portable.h64Sql(
+      s"concat('kmpp:$r:', CAST(vec_id AS VARCHAR))")
+    def d2Cte(name: String, from: String) =
+      s"""$name AS (
+         |  SELECT v.vec_id, min(CAST(list_dot_product(v.q, v.q)
+         |      + list_dot_product(c.cvec, c.cvec)
+         |      - 2 * list_dot_product(v.q, c.cvec) AS BIGINT)) AS d2
+         |  FROM qv v, $from c GROUP BY 1
+         |)""".stripMargin
+    s"""$quantSql, c21_0 AS (
+       |  SELECT vec_id AS cid, q AS cvec FROM qv
+       |  WHERE vec_id = (SELECT min(vec_id) FROM qv)
+       |), ${d2Cte("d21_1", "c21_0")}, phi21_1 AS (
+       |  SELECT CAST(sum(d2) AS BIGINT) AS phi FROM d21_1
+       |), sel21_1 AS (
+       |  SELECT vec_id FROM d21_1, phi21_1
+       |  WHERE CAST(${h(1)} AS HUGEINT) * phi
+       |      < CAST(d2 AS HUGEINT) * $KmppOversample * $Two60
+       |), c21_1 AS (
+       |  SELECT cid, cvec FROM c21_0
+       |  UNION ALL SELECT v.vec_id, v.q FROM qv v JOIN sel21_1 s USING (vec_id)
+       |), ${d2Cte("d21_2", "c21_1")}, phi21_2 AS (
+       |  SELECT CAST(sum(d2) AS BIGINT) AS phi FROM d21_2
+       |), sel21_2 AS (
+       |  SELECT vec_id FROM d21_2, phi21_2
+       |  WHERE CAST(${h(2)} AS HUGEINT) * phi
+       |      < CAST(d2 AS HUGEINT) * $KmppOversample * $Two60
+       |), cands21 AS (
+       |  SELECT cid, cvec FROM c21_1
+       |  UNION ALL SELECT v.vec_id, v.q FROM qv v JOIN sel21_2 s USING (vec_id)
+       |), asg21 AS (
+       |  SELECT vec_id, cid FROM (
+       |    SELECT v.vec_id, c.cid, row_number() OVER (PARTITION BY v.vec_id ORDER BY
+       |      CAST(list_dot_product(v.q, v.q) + list_dot_product(c.cvec, c.cvec)
+       |        - 2 * list_dot_product(v.q, c.cvec) AS BIGINT) ASC, c.cid ASC) AS rn
+       |    FROM qv v, cands21 c) t
+       |  WHERE rn = 1
+       |), w21 AS (SELECT cid, count(*) AS weight FROM asg21 GROUP BY 1)
+       |SELECT seed_rank, cid, weight FROM (
+       |  SELECT *, row_number() OVER (ORDER BY weight DESC, cid ASC) AS seed_rank
+       |  FROM w21) t
+       |WHERE seed_rank <= $KmppSeeds""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e21_kmpp_seed" -> (e21KmppSeed _),
     "e20_cell_stats" -> (e20CellStats _),
     "e19_quant_error" -> (e19QuantError _),
     "e18_range_search" -> (e18RangeSearch _),
@@ -2209,6 +2339,7 @@ object Embeddings {
     * map keeps any future cross-reference out of static init — the
     * cross-object RerankC trap ([[graft.tools.InitOrderCheck]]). */
   lazy val oracleSql: Map[String, String] = Map(
+    "e21_kmpp_seed" -> e21Sql,
     "e20_cell_stats" -> e20Sql,
     "e19_quant_error" -> e19SqlBuild,
     "e18_range_search" -> e18Sql,
