@@ -151,7 +151,7 @@ object IncrementalIndex {
     * the expensive half, one broadcast-join pass over the members. */
   def writePqIndex(s: SparkSession, trainVecs: DataFrame, allVecs: DataFrame,
                    indexDir: String): Unit = {
-    Embeddings.pqCodebookOf(s, Embeddings.quantizedFrom(s, trainVecs), "q")
+    Embeddings.pqCodebookFresh(s, Embeddings.quantizedFrom(s, trainVecs), "q")
       .write.mode(SaveMode.Overwrite).parquet(p(indexDir, PqCodebook))
     encodePqMembers(s, allVecs, indexDir, SaveMode.Overwrite)
   }
@@ -179,7 +179,7 @@ object IncrementalIndex {
     * bit-identical to the in-query quantizer. */
   def writeSqIndex(s: SparkSession, trainVecs: DataFrame, allVecs: DataFrame,
                    indexDir: String): Unit = {
-    Embeddings.sqLohiOf(Embeddings.quantizedFrom(s, trainVecs))
+    Embeddings.sqLohiFresh(Embeddings.quantizedFrom(s, trainVecs))
       .write.mode(SaveMode.Overwrite).parquet(p(indexDir, SqQuantizer))
     encodeSqMembers(s, allVecs, indexDir, SaveMode.Overwrite)
   }

@@ -1153,13 +1153,26 @@ object Embeddings {
   private[graft] def pqCodebookOf(s: SparkSession, frame: DataFrame, vecCol: String): DataFrame = {
     // canonicalized-plan key: structural equality, so two frames compare
     // equal iff they compute the same relation (no hash-collision risk).
-    // Frames built over a localCheckpoint (e07's shared stages) get a
-    // FRESH plan per invocation and never re-hit — bound the cache so
-    // those one-shot entries cannot accumulate in a long-lived session.
+    // Only SERVING paths (e12/e13/e19 over the stable fixture plans) go
+    // through this memo, so it holds a handful of hot keys; store
+    // builders train via [[pqCodebookFresh]] (the persisted parquet is
+    // their memo), so one-shot keys never accumulate here. The bound is
+    // a pure safety valve — in round 9 it actually tripped (incremental-
+    // index temp frames flooded the map) and the clear() evicted the hot
+    // codebooks mid-sweep, which was e19's first-sweep 3.5× spike.
     if (pqCbCache.size > 64) pqCbCache.clear()
     val key = (frame.queryExecution.analyzed.canonicalized, vecCol)
     pqCbCache.computeIfAbsent(key, _ => pqTrain(s, frame, vecCol))
   }
+
+  /** Memo-BYPASS trainer for store builds ([[graft.jobs
+    * .IncrementalIndex]]): the trained table is immediately persisted
+    * to parquet — the store IS the memo — so caching the in-JVM frame
+    * under a one-shot temp-frame key would only pollute [[pqCbCache]]
+    * toward its clear() bound (evicting the serving paths' hot
+    * codebooks — the measured e19 cold-sweep regression). */
+  private[graft] def pqCodebookFresh(s: SparkSession, frame: DataFrame,
+      vecCol: String): DataFrame = pqTrain(s, frame, vecCol)
 
   private def pqTrain(s: SparkSession, frame: DataFrame, vecCol: String): DataFrame = {
     val dot = dotQ(s) _
@@ -1563,15 +1576,23 @@ object Embeddings {
   private[graft] def sqLohiOf(v: DataFrame): DataFrame = {
     if (sqLohiCache.size > 64) sqLohiCache.clear()
     sqLohiCache.computeIfAbsent(v.queryExecution.analyzed.canonicalized, _ =>
-      v.select(posexplode(col("q")).as(Seq("d", "x")))
-        .groupBy(col("d")).agg(min(col("x")).as("lo"), max(col("x")).as("hi"))
-        .agg(
-          transform(array_sort(collect_list(struct(col("d"), col("lo")))),
-            p => p.getField("lo")).as("los"),
-          transform(array_sort(collect_list(struct(col("d"), col("hi")))),
-            p => p.getField("hi")).as("his"))
-        .localCheckpoint())
+      sqLohiTrain(v))
   }
+
+  /** Memo-BYPASS quantizer trainer for store builds (the
+    * [[pqCodebookFresh]] discipline — persisted-to-parquet trainers
+    * must not pollute the serving memo with one-shot keys). */
+  private[graft] def sqLohiFresh(v: DataFrame): DataFrame = sqLohiTrain(v)
+
+  private def sqLohiTrain(v: DataFrame): DataFrame =
+    v.select(posexplode(col("q")).as(Seq("d", "x")))
+      .groupBy(col("d")).agg(min(col("x")).as("lo"), max(col("x")).as("hi"))
+      .agg(
+        transform(array_sort(collect_list(struct(col("d"), col("lo")))),
+          p => p.getField("lo")).as("los"),
+        transform(array_sort(collect_list(struct(col("d"), col("hi")))),
+          p => p.getField("hi")).as("his"))
+      .localCheckpoint()
 
   /** SQ8 encode of `frame` (any frame carrying `q`) against quantizer
     * `lohi`: appends `codes` (the 8-bit levels — the 64-byte stored

@@ -645,12 +645,18 @@ object AdAnalytics {
       IncrementalIndex.writeSqIndex(s, hist, hist, indexDir)
       val empty = graft.operators.Embeddings.quantizedFrom(s, vecs.limit(0))
         .select(col("vec_id"), array().cast("array<long>").as("codes"))
-      Streams.runForeachBatch(s, "append", empty)(
+      val coded = Streams.runForeachBatch(s, "append", empty)(
         ss => Streams.tableStream(ss, dir, "embeddings")
           .where(col("vec_id") % mod === 0)) { (store, batch) =>
         store.unionByName(
           IncrementalIndex.encodeSqMembers(s, batch, indexDir))
       }
+      // Comparator-safe scalar shape: the 64 per-dim codes as one CSV
+      // string (array/map/struct output columns break the driver's
+      // pandas canonicalization; pinned registry-wide in
+      // OutputSchemaSpec).
+      coded.select(col("vec_id"),
+        concat_ws(",", col("codes").cast("array<string>")).as("codes_csv"))
     } finally {
       val root = java.nio.file.Paths.get(indexDir)
       if (java.nio.file.Files.exists(root)) {
@@ -675,11 +681,11 @@ object AdAnalytics {
        |), lohi15 AS (
        |  SELECT list(lo ORDER BY i) AS los, list(hi ORDER BY i) AS his FROM dims15
        |)
-       |SELECT vec_id, list_transform(generate_series(1, $Dim), d ->
+       |SELECT vec_id, array_to_string(list_transform(generate_series(1, $Dim), d ->
        |  CASE WHEN his[d] = los[d] THEN 0
        |       ELSE greatest(0, least($SqLevels,
        |            ((q[d] - los[d]) * ${2 * SqLevels} + (his[d] - los[d]))
-       |            // (2 * (his[d] - los[d])))) END) AS codes
+       |            // (2 * (his[d] - los[d])))) END), ',') AS codes_csv
        |FROM qv, lohi15 WHERE vec_id % $IncrementalBatchModE = 0""".stripMargin
   }
 
