@@ -143,9 +143,15 @@ object Embeddings {
     * index via the struct sort). Probe buckets are pairwise distinct,
     * and a neighbor lives in exactly one bucket, so no (query,
     * neighbor) pair can arise twice — no dedup stage needed. */
-  private def probeBuckets(s: SparkSession, q: Column, probes: Int): Column = {
+  private def probeBuckets(s: SparkSession, q: Column, probes: Int): Column =
+    probeBucketsFrom(s, q, bucketCol(s, q), probes)
+
+  /** [[probeBuckets]] over an already-materialized base bucket (the
+    * stored LSH index column from [[bucketedOf]]) — only the flip
+    * margins recompute from q; the 16-plane base hash reads stored. */
+  private def probeBucketsFrom(s: SparkSession, q: Column, base: Column,
+      probes: Int): Column = {
     val dot = dotQ(s) _
-    val base = bucketCol(s, q)
     if (probes <= 0) array(base)
     else {
       val ranked = array_sort(array((0 until NumPlanes).map { p =>
@@ -160,14 +166,32 @@ object Embeddings {
     }
   }
 
+  /** The LSH index TABLE: quantized vectors with their stored 16-plane
+    * bucket hash, materialized once per (JVM, dir) — e02/e04 (and e07's
+    * lsh leg through them) serve from the SAME stored bucket table
+    * instead of each re-hashing the corpus, exactly as a persisted LSH
+    * index would at scale ([[graft.jobs.IncrementalIndex]]'s
+    * store-and-freeze discipline; localCheckpoint is its single-JVM
+    * analogue). Sound for the same reason as [[graft.Tables
+    * .spreadIfNarrow]]'s cache: fixture inputs are immutable within a
+    * JVM, and the bucket hash is a pure function of q. */
+  private val bucketedCache =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
+  private[graft] def bucketedOf(s: SparkSession, dir: String): DataFrame =
+    bucketedCache.computeIfAbsent(dir, _ =>
+      quantized(s, dir).withColumn("bucket", bucketCol(s, col("q")))
+        .localCheckpoint())
+
   def e02AnnBucketed(s: SparkSession, dir: String): DataFrame = {
     val dot = dotQ(s) _
     val probes = s.conf.get(MultiProbeConf, "0").toInt
-    val v = quantized(s, dir)
-    val a = v.withColumn("bucket", explode(probeBuckets(s, col("q"), probes)))
-      .select(col("bucket"), col("vec_id").as("query_id"),
+    val v = bucketedOf(s, dir)
+    val a = v.withColumn("pbucket",
+        explode(probeBucketsFrom(s, col("q"), col("bucket"), probes)))
+      .select(col("pbucket").as("bucket"), col("vec_id").as("query_id"),
         col("q").as("qa"), col("nq").as("na"))
-    val b = v.withColumn("bucket", bucketCol(s, col("q")))
+    val b = v
       .select(col("bucket"), col("vec_id").as("neighbor_id"),
         col("q").as("qb"), col("nq").as("nb"))
     // strategy-gated ([[SelfJoin]]): broadcast locally (bucket keys are
@@ -247,7 +271,7 @@ object Embeddings {
 
   def e04CosineNeardup(s: SparkSession, dir: String): DataFrame = {
     val dot = dotQ(s) _
-    val v = quantized(s, dir).withColumn("bucket", bucketCol(s, col("q")))
+    val v = bucketedOf(s, dir)
     val a = v.select(col("bucket"), col("vec_id").as("vec_a"),
       col("q").as("qa"), col("nq").as("na"))
     val b = v.select(col("bucket"), col("vec_id").as("vec_b"),
