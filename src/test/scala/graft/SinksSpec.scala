@@ -116,6 +116,34 @@ class SinksSpec extends GraftSuite {
     }
   }
 
+  test("S9 hive-metastore variant: saveTable persists across contexts (forked JVM)") {
+    // spark.sql.catalogImplementation is a static conf baked into the
+    // first SharedState of a SparkContext — the shared test session
+    // owns this JVM's in-memory catalog, so the hive-catalog round-trip
+    // (graft.tools.HiveCatalogCheck: saveTable → stop the context →
+    // fresh context over the same Derby metastore → table still there)
+    // runs in a forked JVM, like the driver's SmokeCheck.
+    val javaBin = s"${sys.props("java.home")}/bin/java"
+    val addOpens = Seq(
+      "java.base/java.lang", "java.base/java.lang.invoke",
+      "java.base/java.lang.reflect", "java.base/java.io",
+      "java.base/java.net", "java.base/java.nio",
+      "java.base/java.util", "java.base/java.util.concurrent",
+      "java.base/java.util.concurrent.atomic",
+      "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+      "java.base/sun.security.action", "java.base/sun.util.calendar",
+    ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+    val cmd = Seq(javaBin) ++ addOpens ++ Seq("-Xmx2g",
+      "-Dspark.ui.enabled=false", "-Dspark.sql.session.timeZone=UTC",
+      "-cp", sys.props("java.class.path"),
+      "graft.tools.HiveCatalogCheck", sf)
+    val proc = new ProcessBuilder(cmd: _*).redirectErrorStream(true).start()
+    val out = new String(proc.getInputStream.readAllBytes())
+    val code = proc.waitFor()
+    assert(code === 0, s"HiveCatalogCheck exited $code:\n${out.takeRight(4000)}")
+    assert(out.contains("hive-catalog OK rows=25"), out.takeRight(2000))
+  }
+
   test("S11: console sink runs to completion (dev surface)") {
     val q = Sinks.streamToConsole(
       graft.streaming.Streams.tableStream(spark, sf, "events")
