@@ -567,31 +567,46 @@ object Misc {
   val M15DayLo = 1096
   val M15DayHi = 1277
 
-  /** Morton bit-spread: the low 32 bits of `c` moved to the even bit
+  /** Morton bit-spread: the low 31 bits of `c` moved to the even bit
     * positions of a long (x | x<<16 .. masked — five steps, all
-    * codegen'd builtins, no UDF). */
+    * codegen'd builtins, no UDF). 31 bits per dim, not 32: spread bits
+    * land on positions 0..60, so after [[zorderKey]] shifts y's spread
+    * left by 1 the top bit is 61 — the key can never reach the long
+    * sign bit, keeping the Morton ORDER monotone at any input.
+    * Degradation mode above 2^31 per dim: the high bits are masked
+    * off, so keys ALIAS across 2^31-wide stripes — clustering quality
+    * (and therefore pruning selectivity) degrades, but never
+    * correctness: skipping is decided by the per-file min/max STATS of
+    * the real columns, not the key. At 100 TB, dims wider than 31 bits
+    * should be bucketed/rescaled into the 31-bit range first (day
+    * offsets and part keys are far inside it). */
   private[graft] def zspread(c: Column): Column = {
     val steps = Seq(
       16 -> 0x0000FFFF0000FFFFL, 8 -> 0x00FF00FF00FF00FFL,
       4 -> 0x0F0F0F0F0F0F0F0FL, 2 -> 0x3333333333333333L,
       1 -> 0x5555555555555555L)
-    steps.foldLeft(c.cast("long").bitwiseAND(lit(0xFFFFFFFFL))) {
+    steps.foldLeft(c.cast("long").bitwiseAND(lit(0x7FFFFFFFL))) {
       case (x, (sh, m)) => x.bitwiseOR(shiftleft(x, sh)).bitwiseAND(lit(m))
     }
   }
 
   /** 2-D Morton (z-order) key: bits of `x` on even positions, `y` on
-    * odd — locality-preserving in both dims. */
+    * odd — locality-preserving in both dims, non-negative by the
+    * 31-bit-per-dim contract above. */
   private[graft] def zorderKey(x: Column, y: Column): Column =
     zspread(x).bitwiseOR(shiftleft(zspread(y), 1))
 
   /** Part-key box bounds as fractions of the key range:
     * [ (max+1)/8, (max+1)/4 ) — a 12.5%-wide slab at any SF. */
   private[graft] def m15PartBounds(s: SparkSession, dir: String): (Long, Long) = {
+    // integer `div`, not double `/`+cast: the oracle uses DuckDB's
+    // floor-div `//` — these agree at ANY magnitude, where the double
+    // round-trip only agrees below 2^53 (the cross-engine
+    // floor-div-exact discipline, graft.functions.Portable)
     val r = Tables.lineitem(s, dir).agg(max(col("l_partkey")).as("mx"))
       .select(
-        ((col("mx") + 1) / 8).cast("long").as("lo"),
-        ((col("mx") + 1) / 4).cast("long").as("hi"))
+        expr("(mx + 1) div 8").as("lo"),
+        expr("(mx + 1) div 4").as("hi"))
       .first()
     (r.getLong(0), r.getLong(1))
   }
@@ -706,17 +721,27 @@ object Misc {
     * order is unique (tie-broken), so ranks are identical for any
     * `parts` — a cluster re-size or AQE re-plan cannot change answers
     * (pinned in GlobalRankSpec). */
-  private[graft] def m16GlobalRankP(s: SparkSession, dir: String,
-                                    parts: Int): DataFrame = {
-    import org.apache.spark.sql.Row
-    import org.apache.spark.sql.types.LongType
+  /** The sorted pre-zipWithIndex stage of m16 — the DataFrame whose
+    * PHYSICAL plan carries the whole distributed pipeline (range
+    * exchange + in-partition sort, no SinglePartition). Exposed so
+    * GlobalRankSpec asserts on the OPERATOR's actual plan instead of a
+    * hand-rebuilt twin that could drift from it. */
+  private[graft] def m16Sorted(s: SparkSession, dir: String,
+                               parts: Int): DataFrame = {
     val keys = Seq(
       col("l_extendedprice").desc, col("l_orderkey").asc, col("l_linenumber").asc)
-    val sorted = Tables.lineitem(s, dir)
+    Tables.lineitem(s, dir)
       .where(col("l_shipdate") >= lit("2001-01-01").cast("timestamp"))
       .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
       .repartitionByRange(parts, keys: _*)
       .sortWithinPartitions(keys: _*)
+  }
+
+  private[graft] def m16GlobalRankP(s: SparkSession, dir: String,
+                                    parts: Int): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.LongType
+    val sorted = m16Sorted(s, dir, parts)
     val schema = sorted.schema.add("global_rank", LongType, nullable = false)
     val ranked = sorted.rdd.zipWithIndex().map { case (r, i) =>
       Row.fromSeq(r.toSeq :+ (i + 1L))

@@ -51,12 +51,11 @@ class GlobalRankSpec extends GraftSuite {
 
   test("m16: no SinglePartition exchange in the distributed plan (naive form has one)") {
     // the ranked frame is RDD-backed; the plan that must stay clean is
-    // the sorted input the ranks are attached to
-    val sortedPlan = Tables.lineitem(spark, sf)
-      .where(col("l_shipdate") >= lit("2001-01-01").cast("timestamp"))
-      .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
-      .repartitionByRange(Misc.M16Parts, col("l_extendedprice").desc,
-        col("l_orderkey").asc, col("l_linenumber").asc)
+    // the sorted input the ranks are attached to — taken from the
+    // OPERATOR's own pre-zipWithIndex stage (Misc.m16Sorted, the frame
+    // m16GlobalRankP actually ranks), so an edit to the operator's
+    // plan shape is caught here rather than asserted on a hand-built twin
+    val sortedPlan = Misc.m16Sorted(spark, sf, Misc.M16Parts)
       .queryExecution.executedPlan.toString
     assert(!sortedPlan.contains("SinglePartition"),
       "distributed form unexpectedly plans a SinglePartition exchange")
