@@ -755,7 +755,103 @@ object Misc {
       |FROM lineitem
       |WHERE l_shipdate >= TIMESTAMP '2001-01-01'""".stripMargin
 
+  // ---------------------------------------------------------------- m17
+  /** DISTRIBUTED EXACT QUANTILES by rank selection — the scalable form
+    * of `percentile_disc` over a 100 TB column. Spark's exact
+    * percentile aggregates (`percentile`, `percentile_disc`,
+    * `PERCENTILE_DISC ... WITHIN GROUP`) buffer every value of the
+    * group in ONE aggregation buffer — for a global quantile that is
+    * the whole column in one task's memory, the same choke m16 retires
+    * for row_number. The selection algorithm instead:
+    *
+    *  1. range-partition + in-partition sort on the value (the m16
+    *     terasort shape — one shuffle, the same one any global sort
+    *     pays; ties broken by (l_orderkey, l_linenumber) for a unique
+    *     total order);
+    *  2. count each partition (one metadata-scale collect: a long per
+    *     partition) and prefix-sum into global offsets;
+    *  3. map each target rank ceil(p·n/100) — EXACT integer math,
+    *     (n·p + 99) div 100, the cross-engine floor-div discipline —
+    *     to its (partition, local offset), and a second narrow pass
+    *     emits ONLY those rows (5 rows out, nothing else moves).
+    *
+    * The RDD drop-down is justified exactly as m16's (SURVEY §7.3 case
+    * d): per-partition positional selection has no declarative
+    * equivalent that doesn't re-shuffle or single-task the corpus.
+    * Oracle: row_number over the same total order joined on the same
+    * integer rank formula. */
+  val M17Percents: Seq[Int] = Seq(25, 50, 75, 90, 99)
+
+  def m17GlobalQuantiles(s: SparkSession, dir: String): DataFrame =
+    m17GlobalQuantilesP(s, dir, M16Parts)
+
+  /** Partition count is a tuning knob, not a semantic one (the m16
+    * contract): the total order is unique, so every rank selects the
+    * same value at any `parts` — pinned in QuantilesSpec. */
+  private[graft] def m17GlobalQuantilesP(s: SparkSession, dir: String,
+                                         parts: Int): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{DoubleType, IntegerType, StructField, StructType}
+    val keys = Seq(
+      col("l_extendedprice").asc, col("l_orderkey").asc, col("l_linenumber").asc)
+    val sorted = Tables.lineitem(s, dir)
+      .select(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))
+      .repartitionByRange(parts, keys: _*)
+      .sortWithinPartitions(keys: _*)
+      .select(col("l_extendedprice"))
+    val rdd = sorted.rdd.map(_.getDouble(0))
+    rdd.cache() // two passes: sizes, then the positional pick
+    try {
+      val sizes = rdd
+        .mapPartitionsWithIndex((i, it) =>
+          Iterator((i, it.foldLeft(0L)((c, _) => c + 1))))
+        .collect().sortBy(_._1).map(_._2)
+      val n = sizes.sum
+      val offsets = sizes.scanLeft(0L)(_ + _) // offsets(i) = rows before partition i
+      // (partition -> local 1-based rank -> percentiles landing there);
+      // two percentiles can share a rank at tiny n
+      val wanted: Map[Int, Map[Long, Seq[Int]]] = M17Percents
+        .map(p => (p, (n * p + 99) / 100))
+        .filter(_._2 >= 1)
+        .map { case (p, r) =>
+          val part = offsets.lastIndexWhere(_ < r)
+          (p, part, r - offsets(part))
+        }
+        .groupBy(_._2)
+        .map { case (part, ts) =>
+          part -> ts.groupBy(_._3).map { case (lr, g) => lr -> g.map(_._1) }
+        }
+      val bc = s.sparkContext.broadcast(wanted)
+      val rows = rdd.mapPartitionsWithIndex { (i, it) =>
+        bc.value.get(i) match {
+          case None => Iterator.empty[Row]
+          case Some(m) =>
+            var k = 0L
+            it.flatMap { v => k += 1
+              m.getOrElse(k, Nil).map(p => Row(p, v)) }
+        }
+      }
+      val schema = StructType(Seq(
+        StructField("pct", IntegerType, nullable = false),
+        StructField("value", DoubleType, nullable = false)))
+      // materialize before unpersisting the 2-pass cache
+      s.createDataFrame(rows, schema).localCheckpoint()
+    } finally rdd.unpersist()
+  }
+
+  val m17Sql: String =
+    """WITH s AS (
+      |  SELECT l_extendedprice AS v,
+      |    row_number() OVER (ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS rn,
+      |    count(*) OVER () AS n
+      |  FROM lineitem
+      |)
+      |SELECT p.pct AS pct, s.v AS value
+      |FROM (VALUES (25), (50), (75), (90), (99)) p(pct)
+      |JOIN s ON s.rn = (s.n * p.pct + 99) // 100""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m17_global_quantiles" -> (m17GlobalQuantiles _),
     "m16_global_rank" -> (m16GlobalRank _),
     "m15_zorder_skip" -> (m15ZorderSkip _),
     "m14_pii_scrub" -> (m14PiiScrub _),
@@ -774,6 +870,7 @@ object Misc {
     "m06_salted_agg" -> (m06SaltedAgg _))
 
   val oracleSql: Map[String, String] = Map(
+    "m17_global_quantiles" -> m17Sql,
     "m16_global_rank" -> m16Sql,
     "m15_zorder_skip" -> m15Sql,
     "m14_pii_scrub" -> m14Sql,

@@ -268,13 +268,19 @@ object AdAnalytics {
   // ---------------------------------------------------------------- st08
   /** STREAMING sessionization via `session_window` — the state-store
     * equivalent of the batch lag+cumsum sessionizer (Sessions.sessionized):
-    * per (user, session) event counts with a 30-minute gap. Semantics
-    * note pinned by the oracle: session_window closes at `t + gap`, so an
-    * event at EXACTLY the gap boundary starts a NEW session (`>=`), and
-    * it compares full microsecond timestamps — the oracle mirrors both
-    * (the batch sessionizer deliberately keeps the reference-style
-    * whole-second `>` rule; the two agree everywhere except exact-boundary
-    * events, absent from the fixture but pinned separately anyway). */
+    * per (user, session) event counts with a 30-minute gap. Boundary
+    * semantics, measured and spec-pinned (StreamingSpec "boundary"):
+    * Spark MERGES an event arriving at EXACTLY `last + gap` into the
+    * running session (touching windows coalesce — the merge condition
+    * is `start <= end`, inclusive), so a new session needs a gap
+    * STRICTLY greater than 1800 s; the oracle mirrors that with `>` on
+    * the microsecond gap. This matches the batch sessionizer's
+    * reference-style `gap > 1800` rule (at second granularity), so the
+    * two sessionizers agree on the boundary; session_window is still
+    * finer-grained in comparing full microsecond timestamps. Round-10
+    * note: the oracle previously used `>=` (boundary-wrong, untriggered
+    * — the fixture has no exact-microsecond 1800 s gap); the empirical
+    * pin caught it. */
   def st08SessionWindow(s: SparkSession, dir: String): DataFrame =
     Streams.runComplete(s) { ss =>
       Streams.tableStream(ss, dir, "events")
@@ -293,7 +299,7 @@ object AdAnalytics {
       |  SELECT user_id, epoch_ns(ts) // 1000 AS us FROM events
       |), lagged AS (
       |  SELECT *, CASE WHEN lag(us) OVER w IS NULL
-      |                   OR us - lag(us) OVER w >= 1800000000 THEN 1 ELSE 0 END AS new_sess
+      |                   OR us - lag(us) OVER w > 1800000000 THEN 1 ELSE 0 END AS new_sess
       |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY us)
       |), sess AS (
       |  SELECT user_id, us,

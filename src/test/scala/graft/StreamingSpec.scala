@@ -114,6 +114,42 @@ class StreamingSpec extends GraftSuite {
     assert(st04.agg(sum("total")).collect()(0).getLong(0) === total)
   }
 
+  test("st08: session_window boundary semantics — a gap of exactly the duration still merges") {
+    import spark.implicits._
+    // user 1: two events exactly 1800 s apart -> ONE session (touching
+    // windows coalesce: Spark's merge condition is inclusive); user 2:
+    // 1801 s apart -> TWO. This pins the `>`-on-the-gap contract
+    // st08's oracle encodes — measured, not assumed (the oracle
+    // originally said `>=`, which this test refuted) — so a Spark-side
+    // semantics change in session_window surfaces as a test failure,
+    // not as silent oracle drift.
+    val base = 1700000000L
+    val ev = Seq(
+      (1L, base), (1L, base + 1800L),
+      (2L, base), (2L, base + 1801L)).toDF("user_id", "sec")
+      .withColumn("t", col("sec").cast("timestamp"))
+    val sess = ev.groupBy(col("user_id"), session_window(col("t"), "30 minutes"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("user_id")).agg(count(lit(1)).as("n_sessions"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sess === Map(1L -> 1L, 2L -> 2L))
+  }
+
+  test("st08: streamed final state equals the batch session_window recompute") {
+    val streamed = AdAnalytics.st08SessionWindow(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val batch = Tables.events(spark, sf)
+      .withColumn("t", expr("timestamp_micros(ts div 1000)"))
+      .groupBy(col("user_id"), session_window(col("t"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        col("session_window.start").cast("long"),
+        col("n_events"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(streamed === batch)
+    assert(streamed.nonEmpty)
+  }
+
   test("st11: streaming CMS grid is bounded and conserves every increment") {
     import graft.operators.Misc.{CmsRows, CmsWidth}
     val cells = AdAnalytics.st11CmsCells(spark, sf).collect()
