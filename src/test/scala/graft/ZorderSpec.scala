@@ -29,6 +29,30 @@ class ZorderSpec extends GraftSuite {
     assert(rows.getLong(3) === 4294967296L)
   }
 
+  test("m15: zorder key is non-negative and bit-exact across the full 31-bit range") {
+    // the 31-bit-per-dim contract (round-10 advisor fix): spread bits
+    // land on 0..60, y's shift tops out at 61 — never the sign bit —
+    // so the Morton order stays monotone at any input; inputs >= 2^31
+    // alias (mask) rather than corrupt the order. Checked against a
+    // reference interleave on driver-side longs across the range.
+    def refSpread(v: Long): Long = {
+      val c = v & 0x7FFFFFFFL
+      (0 until 31).foldLeft(0L)((acc, i) => acc | (((c >> i) & 1L) << (2 * i)))
+    }
+    val rnd = new scala.util.Random(42)
+    val samples = Seq(0L, 1L, 2L, (1L << 31) - 1, 1L << 31, (1L << 32) + 7) ++
+      Seq.fill(40)(rnd.nextLong().abs % (1L << 33))
+    import spark.implicits._
+    val got = samples.toDF("v")
+      .select(Misc.zorderKey(col("v"), col("v") + 1).as("k"), col("v"))
+      .collect().map(r => r.getLong(1) -> r.getLong(0)).toMap
+    samples.foreach { v =>
+      val expect = refSpread(v) | (refSpread(v + 1) << 1)
+      assert(got(v) === expect, s"v=$v")
+      assert(got(v) >= 0L, s"negative key for v=$v")
+    }
+  }
+
   test("m15: skipped-scan result equals the plain full-scan aggregate") {
     val (pLo, pHi) = Misc.m15PartBounds(spark, sf)
     val direct = Tables.lineitem(spark, sf)
