@@ -352,10 +352,24 @@ object Embeddings {
     * the query-side fan-out). Centroid directions are the per-label
     * component sums — a trained index would swap k-means centroids in
     * at the same shape. */
-  private def cellRanked(s: SparkSession, dir: String): DataFrame = {
-    val v = quantized(s, dir)
-    assignRanked(s, v, centroidsOf(s, v))
-  }
+  /** In-JVM memo of the assignment table — the IVF index's STORED
+    * artifact ([[graft.jobs.IncrementalIndex.writeCellIndex]] persists
+    * exactly this as `cell_members`): built once per (JVM, dir),
+    * localCheckpoint as the single-JVM analogue of the persisted
+    * index, and every serving path reads the stored table instead of
+    * re-running quantize + centroid + rank per query (the
+    * [[bucketedOf]] / d03 pair-table discipline). A welcome
+    * second-order effect: frames derived from this ONE checkpoint have
+    * stable canonicalized plans, so the codebook/quantizer memos keyed
+    * on them re-hit across queries instead of retraining. */
+  private val rankedCache =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
+  private def cellRanked(s: SparkSession, dir: String): DataFrame =
+    rankedCache.computeIfAbsent(dir, _ => {
+      val v = quantized(s, dir)
+      assignRanked(s, v, centroidsOf(s, v)).localCheckpoint()
+    })
 
   /** (cell, cvec, ncv) centroid-sum directions per label over a
     * quantized frame — the table an IVF index TRAINS once and then
@@ -547,19 +561,21 @@ object Embeddings {
     // changes no arithmetic), roughly half the audit's work. cvec rides
     // along for e13's residual re-centering.
     val v = quantized(s, dir).localCheckpoint()
-    val ranked = assignRanked(s, v, centroidsOf(s, v))
-      .select(col("cell"), col("vec_id"), col("q"), col("nq"), col("cvec"), col("rn"))
-      .localCheckpoint()
-    // PQ codebooks come from the STABLE (un-checkpointed) input plans —
-    // identical values, but the memo keys match the standalone e12/e13
-    // entries, so the audit reuses the index's trained codebooks
-    // instead of retraining against checkpoint-fresh plans every call
-    // (the operational semantics too: an audit measures THE index).
+    // the STORED assignment table ([[cellRanked]]'s per-JVM index
+    // artifact) — shared with every standalone IVF entry, so the audit
+    // audits THE index rather than a rebuilt twin
+    val ranked = cellRanked(s, dir)
+    // PQ codebooks come from STABLE input plans — identical values,
+    // but the memo keys match the standalone e12/e13 entries, so the
+    // audit reuses the index's trained codebooks instead of retraining
+    // against the audit's own checkpoint-fresh `v` every call (the
+    // operational semantics too: an audit measures THE index). cb13's
+    // key derives from the SHARED stored assignment, the same frames
+    // e13's default path trains from.
     val stableV = quantized(s, dir)
-    val stableRanked = assignRanked(s, stableV, centroidsOf(s, stableV))
     val cb12 = pqCodebookOf(s, stableV, "q")
     val cb13 = pqCodebookOf(s,
-      residualIndexOf(stableRanked, cellMembersOf(stableRanked)), "r")
+      residualIndexOf(ranked, cellMembersOf(ranked)), "r")
     val ivf = e05From(s, ranked).where(col("query_id") % 5 === 0)
       .select(lit("ivf_nprobe").as("method"), col("query_id"), col("neighbor_id"))
     val sketch = e08SketchRerank(s, dir).where(col("rank") <= RecallK)
@@ -1284,10 +1300,8 @@ object Embeddings {
   /** Raw-vector IVF-PQ: [[pqCodebookOf]] over the corpus, [[pqEncode]]
     * of the cell members, per-QUERY [[pqLut]], cosine-estimate ADC
     * ranking in the strategy-gated cell join, exact rerank. */
-  def e12IvfPqAdc(s: SparkSession, dir: String): DataFrame = {
-    val v = quantized(s, dir)
-    e12From(s, v, assignRanked(s, v, centroidsOf(s, v)))
-  }
+  def e12IvfPqAdc(s: SparkSession, dir: String): DataFrame =
+    e12From(s, quantized(s, dir), cellRanked(s, dir))
 
   /** e12's body over caller-supplied quantized + assignment frames (the
     * e07 shared-stage form; [[e05From]]'s convention). `codebook` lets a
@@ -1452,10 +1466,8 @@ object Embeddings {
     * and e13 collapses to exactly e10's and e12's answer (spec-pinned):
     * all three compressions change candidate SELECTION, never the
     * final exact scores. */
-  def e13ResidualPq(s: SparkSession, dir: String): DataFrame = {
-    val v = quantized(s, dir)
-    e13From(s, v, assignRanked(s, v, centroidsOf(s, v)))
-  }
+  def e13ResidualPq(s: SparkSession, dir: String): DataFrame =
+    e13From(s, quantized(s, dir), cellRanked(s, dir))
 
   /** e13's body over caller-supplied quantized + assignment frames —
     * `ranked` must carry `cvec` (the residual re-centers against it);
