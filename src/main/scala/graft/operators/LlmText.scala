@@ -2046,20 +2046,28 @@ object LlmText {
     * query (d34 fuses only `% HybridQMod` queries; running the lex leg
     * at mod 13 and discarding 4/5 of it priced the fusion at the full
     * retrieval's cost). Equivalence is pinned in LlmTextSpec. */
+  /** Per-(JVM, dir, maxDfPermille) memo of the WEIGHTED POSTINGS table
+    * — the inverted index a search deployment persists (and since r8,
+    * [[graft.jobs.IncrementalIndex]] does persist). Previously each
+    * d33/d34 invocation rebuilt and checkpointed it fresh; the memo is
+    * the stored-index discipline (docs/SCALE.md round-10 section) —
+    * the serving queries read the one stored table. Keyed on the
+    * pruning lever, the only conf that changes the table's content. */
+  private val wtsCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Int), DataFrame]()
+
   private[graft] def d33SparseCosineQ(s: SparkSession, dir: String,
                                       qMod: Long): DataFrame = {
-    val docs = base(s, dir)
-    val tf = tfOf(docs)
-    // materialize the weighted postings ONCE (eager localCheckpoint —
-    // the s08/d03 discipline): the table is probed three ways below
-    // (query postings, candidate postings, self-norms), and per-branch
-    // column pruning makes the subtrees differ, so ReuseExchange cannot
-    // dedup them — without the materialization the tokenize+count
-    // pipeline runs once per branch. A search deployment PERSISTS this
-    // table anyway: the weighted postings ARE the inverted index
-    // (and since r8, [[graft.jobs.IncrementalIndex]] does persist it).
-    val wts = weightedPostingsOf(tf, termStatsOf(s, docs, tf))
-      .localCheckpoint()
+    // the table is probed three ways below (query postings, candidate
+    // postings, self-norms), and per-branch column pruning makes the
+    // subtrees differ, so ReuseExchange cannot dedup them — the
+    // materialization is what lets all three read one artifact.
+    val wts = wtsCache.computeIfAbsent(
+      (dir, s.conf.get(SparseMaxDfConf, "1000").toInt), _ => {
+        val docs = base(s, dir)
+        val tf = tfOf(docs)
+        weightedPostingsOf(tf, termStatsOf(s, docs, tf)).localCheckpoint()
+      })
     val nrm = sparseNormsOf(wts)
     val qw = wts.where(col("doc_id") % qMod === 0)
       .select(col("term"), col("doc_id").as("query_id"), col("w").as("wq"))
