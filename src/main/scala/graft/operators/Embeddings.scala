@@ -87,7 +87,8 @@ object Embeddings {
   private val bruteCache =
     new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
 
-  private def bruteRankedOf(s: SparkSession, dir: String): DataFrame =
+  private def bruteRankedOf(s: SparkSession, dir: String): DataFrame = {
+    graft.StoredMemo.guard(bruteCache, "brute-truth")
     bruteCache.computeIfAbsent(dir, _ => {
       val v = quantized(s, dir)
       val queries = v.where(col("vec_id") % 5 === 0)
@@ -108,6 +109,7 @@ object Embeddings {
         .where(col("rank") <= MmrPoolN)
         .localCheckpoint()
     })
+  }
 
   def e01KnnBrute(s: SparkSession, dir: String): DataFrame =
     bruteRankedOf(s, dir).where(col("rank") <= TopK)
@@ -163,10 +165,7 @@ object Embeddings {
     * index via the struct sort). Probe buckets are pairwise distinct,
     * and a neighbor lives in exactly one bucket, so no (query,
     * neighbor) pair can arise twice — no dedup stage needed. */
-  private def probeBuckets(s: SparkSession, q: Column, probes: Int): Column =
-    probeBucketsFrom(s, q, bucketCol(s, q), probes)
-
-  /** [[probeBuckets]] over an already-materialized base bucket (the
+  /** Probe-bucket list over an already-materialized base bucket (the
     * stored LSH index column from [[bucketedOf]]) — only the flip
     * margins recompute from q; the 16-plane base hash reads stored. */
   private def probeBucketsFrom(s: SparkSession, q: Column, base: Column,
@@ -198,10 +197,12 @@ object Embeddings {
   private val bucketedCache =
     new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
 
-  private[graft] def bucketedOf(s: SparkSession, dir: String): DataFrame =
+  private[graft] def bucketedOf(s: SparkSession, dir: String): DataFrame = {
+    graft.StoredMemo.guard(bucketedCache, "lsh-bucketed")
     bucketedCache.computeIfAbsent(dir, _ =>
       quantized(s, dir).withColumn("bucket", bucketCol(s, col("q")))
         .localCheckpoint())
+  }
 
   def e02AnnBucketed(s: SparkSession, dir: String): DataFrame = {
     val dot = dotQ(s) _
@@ -385,11 +386,13 @@ object Embeddings {
   private val rankedCache =
     new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
 
-  private def cellRanked(s: SparkSession, dir: String): DataFrame =
+  private def cellRanked(s: SparkSession, dir: String): DataFrame = {
+    graft.StoredMemo.guard(rankedCache, "ivf-assignment")
     rankedCache.computeIfAbsent(dir, _ => {
       val v = quantized(s, dir)
       assignRanked(s, v, centroidsOf(s, v)).localCheckpoint()
     })
+  }
 
   /** (cell, cvec, ncv) centroid-sum directions per label over a
     * quantized frame — the table an IVF index TRAINS once and then
@@ -1220,7 +1223,7 @@ object Embeddings {
     // a pure safety valve — in round 9 it actually tripped (incremental-
     // index temp frames flooded the map) and the clear() evicted the hot
     // codebooks mid-sweep, which was e19's first-sweep 3.5× spike.
-    if (pqCbCache.size > 64) pqCbCache.clear()
+    graft.StoredMemo.guard(pqCbCache, "pq-codebooks", bound = 64)
     val key = (frame.queryExecution.analyzed.canonicalized, vecCol)
     pqCbCache.computeIfAbsent(key, _ => pqTrain(s, frame, vecCol))
   }
@@ -1630,7 +1633,7 @@ object Embeddings {
     new java.util.concurrent.ConcurrentHashMap[org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, DataFrame]()
 
   private[graft] def sqLohiOf(v: DataFrame): DataFrame = {
-    if (sqLohiCache.size > 64) sqLohiCache.clear()
+    graft.StoredMemo.guard(sqLohiCache, "sq-lohi", bound = 64)
     sqLohiCache.computeIfAbsent(v.queryExecution.analyzed.canonicalized, _ =>
       sqLohiTrain(v))
   }

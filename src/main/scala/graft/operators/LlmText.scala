@@ -193,6 +193,7 @@ object LlmText {
     new java.util.concurrent.ConcurrentHashMap[(String, Int, Long, String), DataFrame]()
 
   def d03LshNeardup(s: SparkSession, dir: String): DataFrame = {
+    graft.StoredMemo.guard(d03Cache, "lsh-pairs")
     val key = (dir,
       s.conf.get(BandRowsConf, "1").toInt,
       s.conf.get(MaxBucketConf, "0").toLong,
@@ -2062,6 +2063,7 @@ object LlmText {
     // postings, self-norms), and per-branch column pruning makes the
     // subtrees differ, so ReuseExchange cannot dedup them — the
     // materialization is what lets all three read one artifact.
+    graft.StoredMemo.guard(wtsCache, "sparse-postings")
     val wts = wtsCache.computeIfAbsent(
       (dir, s.conf.get(SparseMaxDfConf, "1000").toInt), _ => {
         val docs = base(s, dir)

@@ -800,7 +800,12 @@ object Misc {
       .sortWithinPartitions(keys: _*)
       .select(col("l_extendedprice"))
     val rdd = sorted.rdd.map(_.getDouble(0))
-    rdd.cache() // two passes: sizes, then the positional pick
+    // two passes (sizes, then the positional pick): MEMORY_AND_DISK_SER,
+    // not MEMORY_ONLY — at the 100 TB scope this operator targets, an
+    // on-heap-only cache of the sorted column silently drops partitions
+    // and re-sorts them in pass 2; serialized-with-spill keeps both
+    // passes reading materialized data at any scale
+    rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     try {
       val sizes = rdd
         .mapPartitionsWithIndex((i, it) =>
