@@ -107,6 +107,14 @@ object PropertyChecks extends Properties("graft") {
       islandSum == union
     }
 
+  property("m17 rank formula: (n*p+99) div 100 is exactly ceil(n*p/100)") =
+    forAll(Gen.chooseNum(1L, 1000000000000L), Gen.oneOf(25, 50, 75, 90, 99)) {
+      (n, p) =>
+        val got = (n * p + 99) / 100
+        val expect = BigInt(n) * p / 100 + (if ((BigInt(n) * p) % 100 == 0) 0 else 1)
+        BigInt(got) == expect && got >= 1 && got <= n
+    }
+
   property("decode stub: deterministic, bounded, total") =
     forAll(Gen.listOf(Gen.chooseNum(Byte.MinValue, Byte.MaxValue))) { bytes =>
       val payload = bytes.toArray

@@ -29,4 +29,27 @@ class StoredMemoSpec extends AnyFunSuite {
     m.computeIfAbsent(1, _ => "rebuilt")
     assert(m.get(1) === "rebuilt")
   }
+
+  test("stored-index serving paths return the SAME artifact across calls") {
+    // identity (eq), not equality: a regression that silently rebuilds
+    // the stored table per call is value-neutral and invisible to the
+    // oracle gate — only the memo identity catches it
+    val spark = SparkTestBase.spark
+    val sf = SparkTestBase.sf
+    assert(graft.operators.LlmText.d03LshNeardup(spark, sf)
+      eq graft.operators.LlmText.d03LshNeardup(spark, sf))
+    assert(graft.operators.Embeddings.bucketedOf(spark, sf)
+      eq graft.operators.Embeddings.bucketedOf(spark, sf))
+  }
+
+  test("d03 memo keys on the result-changing levers (A/B recomputes)") {
+    val spark = SparkTestBase.spark
+    val sf = SparkTestBase.sf
+    val base = graft.operators.LlmText.d03LshNeardup(spark, sf)
+    spark.conf.set(graft.operators.LlmText.BandRowsConf, "2")
+    try {
+      val r2 = graft.operators.LlmText.d03LshNeardup(spark, sf)
+      assert(!(r2 eq base), "a changed lever must not serve the stale artifact")
+    } finally spark.conf.unset(graft.operators.LlmText.BandRowsConf)
+  }
 }
