@@ -40,8 +40,14 @@ object RangeJoin {
     * bucket. Truncating integer DIV corrected toward −∞ stays in
     * integer arithmetic with no intermediate that can overflow (the
     * earlier `(a - pmod(a, w)) div w` form wrapped for a within
-    * pmod(a,w) of Long.MinValue), matching DuckDB's integer `//` for
-    * the whole long domain. Requires w > 0 (enforced by the caller). */
+    * pmod(a,w) of Long.MinValue). Floor (not truncation) keeps bucket
+    * ids MONOTONE in `a` across zero, so consecutive keys share or
+    * neighbor buckets. NOTE this is an internal candidate-generation
+    * key only — results come from the exact containment filter after
+    * the bucket join, so no oracle depends on it (DuckDB's `//`, for
+    * the record, TRUNCATES toward zero: −7 // 2 = −3, measured round
+    * 10 — earlier wording here claimed the two match domain-wide).
+    * Requires w > 0 (enforced by the caller). */
   private def floorDiv(a: Column, w: Long): Column =
     call_function("div", a, lit(w)) -
       when(a % lit(w) < 0, lit(1L)).otherwise(lit(0L))
