@@ -52,8 +52,24 @@ object LlmText {
     * fixture yields one input split, which would run every per-row hash
     * single-threaded; a 100 TB scan already has thousands of splits and
     * skips the shuffle — [[graft.Tables.spreadIfNarrow]]). */
-  private def base(s: SparkSession, dir: String): DataFrame =
-    baseFrom(Tables.spreadIfNarrow(Tables.documents(s, dir), s"$dir/documents"))
+  /** Memoized per (JVM, dir) as a localCheckpoint: the normalized +
+    * tokenized corpus IS the stored table a curation pipeline reads —
+    * nobody re-tokenizes 100 TB per query; the tokenize job runs once
+    * at ingest and every downstream stage reads its output (the
+    * stored-index discipline, docs/SCALE.md). Trade-off, documented:
+    * an ExistingRDD scan does not column-prune, so a lang-only query
+    * reads the full tokenized rows — at the stored-table operating
+    * point that is exactly what the persisted layout costs too, and
+    * the tokenize+normalize work it replaces dominates. */
+  private val baseCache =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
+  private def base(s: SparkSession, dir: String): DataFrame = {
+    graft.StoredMemo.guard(baseCache, "tokenized-docs")
+    baseCache.computeIfAbsent(dir, _ =>
+      baseFrom(Tables.spreadIfNarrow(Tables.documents(s, dir), s"$dir/documents"))
+        .localCheckpoint())
+  }
 
   private val baseSql: String =
     s"""WITH base AS (
