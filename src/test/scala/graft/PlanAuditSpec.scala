@@ -17,7 +17,9 @@ class PlanAuditSpec extends GraftSuite {
   }
 
   test("sessionize shuffles exactly once (on user_id)") {
-    val p = plan(Sessions.sessionized(spark, sf))
+    // the BUILD pipeline's plan — the public sessionized() serves the
+    // stored (checkpointed) table, whose plan is just the RDD scan
+    val p = plan(Sessions.sessionizedPlan(spark, sf))
     val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
     assert(exchanges === 1, s"expected 1 exchange:\n$p")
   }
