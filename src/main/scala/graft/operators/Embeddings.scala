@@ -53,12 +53,12 @@ object Embeddings {
   private val quantizedCache =
     new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
 
-  private def quantized(s: SparkSession, dir: String): DataFrame = {
-    graft.StoredMemo.guard(quantizedCache, "quantized-vectors")
-    quantizedCache.computeIfAbsent(dir, _ =>
+  private def quantized(s: SparkSession, dir: String): DataFrame =
+    graft.StoredMemo.stored(s, quantizedCache, "quantized-vectors",
+        graft.StoredMemo.dirKey(s, dir)) {
       quantizedFrom(s, Tables.spreadIfNarrow(Tables.embeddings(s, dir), s"$dir/embeddings"))
-        .localCheckpoint())
-  }
+        .localCheckpoint()
+    }
 
   /** The quantization core over an arbitrary embeddings-shaped frame —
     * shared with the persisted-index lifecycle
@@ -102,9 +102,9 @@ object Embeddings {
   private val bruteCache =
     new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
 
-  private def bruteRankedOf(s: SparkSession, dir: String): DataFrame = {
-    graft.StoredMemo.guard(bruteCache, "brute-truth")
-    bruteCache.computeIfAbsent(dir, _ => {
+  private def bruteRankedOf(s: SparkSession, dir: String): DataFrame =
+    graft.StoredMemo.stored(s, bruteCache, "brute-truth",
+        graft.StoredMemo.dirKey(s, dir)) {
       val v = quantized(s, dir)
       val queries = v.where(col("vec_id") % 5 === 0)
         .select(col("vec_id").as("query_id"), col("q").as("qa"), col("nq").as("na"))
@@ -123,8 +123,7 @@ object Embeddings {
       scored.withColumn("rank", row_number().over(w))
         .where(col("rank") <= MmrPoolN)
         .localCheckpoint()
-    })
-  }
+    }
 
   def e01KnnBrute(s: SparkSession, dir: String): DataFrame =
     bruteRankedOf(s, dir).where(col("rank") <= TopK)
@@ -212,12 +211,12 @@ object Embeddings {
   private val bucketedCache =
     new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
 
-  private[graft] def bucketedOf(s: SparkSession, dir: String): DataFrame = {
-    graft.StoredMemo.guard(bucketedCache, "lsh-bucketed")
-    bucketedCache.computeIfAbsent(dir, _ =>
+  private[graft] def bucketedOf(s: SparkSession, dir: String): DataFrame =
+    graft.StoredMemo.stored(s, bucketedCache, "lsh-bucketed",
+        graft.StoredMemo.dirKey(s, dir)) {
       quantized(s, dir).withColumn("bucket", bucketCol(s, col("q")))
-        .localCheckpoint())
-  }
+        .localCheckpoint()
+    }
 
   def e02AnnBucketed(s: SparkSession, dir: String): DataFrame = {
     val dot = dotQ(s) _
@@ -401,13 +400,12 @@ object Embeddings {
   private val rankedCache =
     new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
 
-  private def cellRanked(s: SparkSession, dir: String): DataFrame = {
-    graft.StoredMemo.guard(rankedCache, "ivf-assignment")
-    rankedCache.computeIfAbsent(dir, _ => {
+  private[graft] def cellRanked(s: SparkSession, dir: String): DataFrame =
+    graft.StoredMemo.stored(s, rankedCache, "ivf-assignment",
+        graft.StoredMemo.dirKey(s, dir)) {
       val v = quantized(s, dir)
       assignRanked(s, v, centroidsOf(s, v)).localCheckpoint()
-    })
-  }
+    }
 
   /** (cell, cvec, ncv) centroid-sum directions per label over a
     * quantized frame — the table an IVF index TRAINS once and then
@@ -1221,7 +1219,7 @@ object Embeddings {
     * JVM, the same contract as [[graft.Tables.spreadIfNarrow]]'s cache;
     * the canonical-plan key distinguishes dirs/frames). */
   private val pqCbCache =
-    new java.util.concurrent.ConcurrentHashMap[(org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, String), DataFrame]()
+    new java.util.concurrent.ConcurrentHashMap[(String, org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, String), DataFrame]()
 
   private[graft] def pqCodebookOf(s: SparkSession, frame: DataFrame, vecCol: String): DataFrame = {
     // canonicalized-plan key: structural equality, so two frames compare
@@ -1233,9 +1231,10 @@ object Embeddings {
     // a pure safety valve — in round 9 it actually tripped (incremental-
     // index temp frames flooded the map) and the clear() evicted the hot
     // codebooks mid-sweep, which was e19's first-sweep 3.5× spike.
-    graft.StoredMemo.guard(pqCbCache, "pq-codebooks", bound = 64)
-    val key = (frame.queryExecution.analyzed.canonicalized, vecCol)
-    pqCbCache.computeIfAbsent(key, _ => pqTrain(s, frame, vecCol))
+    val key = (s.sparkContext.applicationId,
+      frame.queryExecution.analyzed.canonicalized, vecCol)
+    graft.StoredMemo.stored(s, pqCbCache, "pq-codebooks", key, bound = 64)(
+      pqTrain(s, frame, vecCol))
   }
 
   /** Memo-BYPASS trainer for store builds ([[graft.jobs
@@ -1640,11 +1639,12 @@ object Embeddings {
     * store-and-freeze beside the PQ halves in
     * [[graft.jobs.IncrementalIndex]]. */
   private val sqLohiCache =
-    new java.util.concurrent.ConcurrentHashMap[org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, DataFrame]()
+    new java.util.concurrent.ConcurrentHashMap[(String, org.apache.spark.sql.catalyst.plans.logical.LogicalPlan), DataFrame]()
 
   private[graft] def sqLohiOf(v: DataFrame): DataFrame = {
-    graft.StoredMemo.guard(sqLohiCache, "sq-lohi", bound = 64)
-    sqLohiCache.computeIfAbsent(v.queryExecution.analyzed.canonicalized, _ =>
+    val s = v.sparkSession
+    val key = (s.sparkContext.applicationId, v.queryExecution.analyzed.canonicalized)
+    graft.StoredMemo.stored(s, sqLohiCache, "sq-lohi", key, bound = 64)(
       sqLohiTrain(v))
   }
 

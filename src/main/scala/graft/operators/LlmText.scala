@@ -64,12 +64,12 @@ object LlmText {
   private val baseCache =
     new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
 
-  private def base(s: SparkSession, dir: String): DataFrame = {
-    graft.StoredMemo.guard(baseCache, "tokenized-docs")
-    baseCache.computeIfAbsent(dir, _ =>
+  private def base(s: SparkSession, dir: String): DataFrame =
+    graft.StoredMemo.stored(s, baseCache, "tokenized-docs",
+        graft.StoredMemo.dirKey(s, dir)) {
       baseFrom(Tables.spreadIfNarrow(Tables.documents(s, dir), s"$dir/documents"))
-        .localCheckpoint())
-  }
+        .localCheckpoint()
+    }
 
   private val baseSql: String =
     s"""WITH base AS (
@@ -209,12 +209,11 @@ object LlmText {
     new java.util.concurrent.ConcurrentHashMap[(String, Int, Long, String), DataFrame]()
 
   def d03LshNeardup(s: SparkSession, dir: String): DataFrame = {
-    graft.StoredMemo.guard(d03Cache, "lsh-pairs")
-    val key = (dir,
+    val key = (graft.StoredMemo.dirKey(s, dir),
       s.conf.get(BandRowsConf, "1").toInt,
       s.conf.get(MaxBucketConf, "0").toLong,
       s.conf.get(SelfJoin.StrategyConf, "broadcast"))
-    d03Cache.computeIfAbsent(key, _ => {
+    graft.StoredMemo.stored(s, d03Cache, "lsh-pairs", key) {
       val (verified, caches) = d03Lazy(s, dir)
       // materialize the verified pairs (candidate pairs ≪ corpus — the
       // whole point of LSH) and release the shingle/signature caches: a
@@ -225,7 +224,7 @@ object LlmText {
       val out = verified.localCheckpoint(eager = true)
       caches.foreach(_.unpersist())
       out
-    })
+    }
   }
 
   /** The un-materialized d03 plan + the caches it persists — the form
@@ -2073,19 +2072,25 @@ object LlmText {
   private val wtsCache =
     new java.util.concurrent.ConcurrentHashMap[(String, Int), DataFrame]()
 
+  /** The stored weighted-postings artifact d33/d34 serve from —
+    * exposed package-private so StoredParitySpec can diff it against
+    * [[graft.jobs.IncrementalIndex]]'s persisted `postings` parquet
+    * (the discipline's rule 3: in-JVM memo ≡ persisted store). */
+  private[graft] def storedPostings(s: SparkSession, dir: String): DataFrame =
+    graft.StoredMemo.stored(s, wtsCache, "sparse-postings",
+        (graft.StoredMemo.dirKey(s, dir), s.conf.get(SparseMaxDfConf, "1000").toInt)) {
+      val docs = base(s, dir)
+      val tf = tfOf(docs)
+      weightedPostingsOf(tf, termStatsOf(s, docs, tf)).localCheckpoint()
+    }
+
   private[graft] def d33SparseCosineQ(s: SparkSession, dir: String,
                                       qMod: Long): DataFrame = {
     // the table is probed three ways below (query postings, candidate
     // postings, self-norms), and per-branch column pruning makes the
     // subtrees differ, so ReuseExchange cannot dedup them — the
     // materialization is what lets all three read one artifact.
-    graft.StoredMemo.guard(wtsCache, "sparse-postings")
-    val wts = wtsCache.computeIfAbsent(
-      (dir, s.conf.get(SparseMaxDfConf, "1000").toInt), _ => {
-        val docs = base(s, dir)
-        val tf = tfOf(docs)
-        weightedPostingsOf(tf, termStatsOf(s, docs, tf)).localCheckpoint()
-      })
+    val wts = storedPostings(s, dir)
     val nrm = sparseNormsOf(wts)
     val qw = wts.where(col("doc_id") % qMod === 0)
       .select(col("term"), col("doc_id").as("query_id"), col("w").as("wq"))
@@ -2858,7 +2863,114 @@ object LlmText {
        |    AS dup_frac
        |FROM base b LEFT JOIN cov43 c USING (doc_id)""".stripMargin
 
+  // ---------------------------------------------------------------- d44
+  /** Cross-document duplicated-SPAN EXTRACTION — the transform half of
+    * the ExactSubstr dedup (Lee et al. 2022, "Deduplicating Training
+    * Data Makes Language Models Better" / deduplicate-text-datasets):
+    * where d43 MEASURES per-doc coverage, d44 EMITS the maximal spans
+    * themselves — one row per (doc, span) with its char extent — the
+    * worklist a dedup pass cuts out of the training corpus. Built on
+    * the character-level rolling-hash postings (the d10
+    * [[graft.functions.RollingHash]] machinery): a [[D44Window]]-byte
+    * window is DUPLICATED when its hash occurs in ≥[[D44MinDocs]]
+    * distinct docs; per doc, overlapping duplicated windows (start gap
+    * < [[D44Window]]) merge gaps-and-islands into one maximal span.
+    * Abutting-but-disjoint runs (gap exactly = window) stay separate —
+    * the same island arithmetic as d43, so the two agree on totals.
+    *
+    * Scale shape — and why this is NOT the suffix-array build: the
+    * postings table (doc, pos, hash) is the stored index artifact
+    * ([[rhPostings]], the substring-dedup analogue of the inverted
+    * index); serving is one df-count aggregate keyed by the 8-byte
+    * hash (partial agg absorbs the boilerplate head — per-key state is
+    * ONE counter, the Zipf-hot hash never materializes its posting
+    * list anywhere), a hash semi-join back on the same key, then a
+    * doc-keyed window whose state is bounded by doc length. NO
+    * pairwise stage exists at all: output is at worst one row per
+    * posting (every window duplicated), i.e. linear in corpus bytes —
+    * the bucket bound is the absence of a bucket join (docs/SCALE.md).
+    * Hash collisions (P = 2^31−1) can mark a window spuriously; the
+    * oracle computes the identical arithmetic, so the check is exact. */
+  val D44Window = 32
+  val D44MinDocs = 2L
+
+  /** The stored rolling-hash POSTINGS table (doc_id, p, h) — one row
+    * per byte window. Built once per (session, dir) like every index
+    * artifact; a deployment persists it bucketed by h. */
+  private val rhPostingsCache =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
+  private def rhPostings(s: SparkSession, dir: String): DataFrame =
+    graft.StoredMemo.stored(s, rhPostingsCache, "rh-postings",
+        graft.StoredMemo.dirKey(s, dir)) {
+      base(s, dir)
+        .select(col("doc_id"),
+          posexplode(graft.functions.ArrayOps.rollingHash(s, col("norm"), D44Window)))
+        .toDF("doc_id", "p", "h")
+        .localCheckpoint()
+    }
+
+  def d44CrossdocSpans(s: SparkSession, dir: String): DataFrame = {
+    val pos = rhPostings(s, dir)
+    val dupHashes = pos.groupBy(col("h"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .where(col("df") >= D44MinDocs)
+      .select(col("h"))
+    val dup = pos.join(dupHashes, Seq("h")).select(col("doc_id"), col("p"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("p"))
+    val islands = dup
+      .withColumn("newi",
+        when(lag(col("p"), 1).over(w).isNull
+          || col("p") - lag(col("p"), 1).over(w) >= D44Window, 1L).otherwise(0L))
+      .withColumn("island", sum(col("newi")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    islands.groupBy(col("doc_id"), col("island"))
+      .agg(
+        min(col("p")).cast("long").as("span_start"),
+        (max(col("p")) + D44Window).cast("long").as("span_end"),
+        count(lit(1)).as("n_windows"))
+      .select(col("doc_id"), col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start")).as("span_chars"),
+        col("n_windows"))
+  }
+
+  val d44Sql: String = {
+    val P = graft.functions.RollingHash.P
+    val B = graft.functions.RollingHash.B
+    s"""$baseSql, ap44 AS (
+       |  SELECT doc_id, regexp_replace(norm, '[^ -~]', '', 'g') AS a FROM base
+       |), pos44 AS (
+       |  SELECT doc_id,
+       |    unnest(generate_series(0, length(a) - $D44Window)) AS p,
+       |    unnest(list_transform(generate_series(0, length(a) - $D44Window), i ->
+       |      list_reduce(
+       |        list_transform(generate_series(i + 1, i + $D44Window),
+       |                       j -> CAST(ascii(substring(a, CAST(j AS INT), 1)) AS BIGINT)),
+       |        (x, y) -> (x * $B + y) % $P))) AS h
+       |  FROM ap44 WHERE length(a) >= $D44Window
+       |), df44 AS (
+       |  SELECT h FROM pos44 GROUP BY h HAVING count(DISTINCT doc_id) >= $D44MinDocs
+       |), isl44 AS (
+       |  SELECT doc_id, p,
+       |    CASE WHEN lag(p) OVER w IS NULL OR p - lag(p) OVER w >= $D44Window
+       |         THEN 1 ELSE 0 END AS newi
+       |  FROM pos44 JOIN df44 USING (h)
+       |  WINDOW w AS (PARTITION BY doc_id ORDER BY p)
+       |)
+       |SELECT doc_id, span_start, span_end,
+       |  span_end - span_start AS span_chars, n_windows
+       |FROM (
+       |  SELECT doc_id, island, CAST(min(p) AS BIGINT) AS span_start,
+       |    CAST(max(p) + $D44Window AS BIGINT) AS span_end, count(*) AS n_windows
+       |  FROM (SELECT doc_id, p,
+       |          sum(newi) OVER (PARTITION BY doc_id ORDER BY p
+       |            ROWS UNBOUNDED PRECEDING) AS island
+       |        FROM isl44) t
+       |  GROUP BY doc_id, island) g""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d44_crossdoc_spans" -> (d44CrossdocSpans _),
     "d43_span_coverage" -> (d43SpanCoverage _),
     "d42_strip_self_repeats" -> (d42StripSelfRepeats _),
     "d41_bigram_lm" -> (d41BigramLm _),
@@ -2911,6 +3023,7 @@ object LlmText {
     * [[graft.tools.InitOrderCheck]]. Lazy = assembled on first use,
     * after both objects finish initializing. */
   lazy val oracleSql: Map[String, String] = Map(
+    "d44_crossdoc_spans" -> d44Sql,
     "d43_span_coverage" -> d43Sql,
     "d42_strip_self_repeats" -> d42Sql,
     "d41_bigram_lm" -> d41Sql,

@@ -250,8 +250,9 @@ object Misc {
     new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
 
   def m09BucketedJoin(s: SparkSession, dir: String): DataFrame = {
-    val (ordersT, customerT) = m09Written.computeIfAbsent(dir, _ => {
-      val sfx = math.abs(dir.hashCode).toString
+    val (ordersT, customerT) = graft.StoredMemo.stored(s, m09Written,
+        "m09-bucketed-tables", graft.StoredMemo.dirKey(s, dir)) {
+      val sfx = graft.StoredMemo.dirTag(dir)
       val (o, c) = (s"graft_m09_orders_$sfx", s"graft_m09_customer_$sfx")
       graft.etl.Sinks.writeBucketed(
         Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey"), col("o_totalprice")),
@@ -261,7 +262,7 @@ object Misc {
           .select(col("c_custkey").as("o_custkey"), col("c_mktsegment")),
         c, "o_custkey", 8)
       (o, c)
-    })
+    }
     s.table(ordersT)
       .join(s.table(customerT), Seq("o_custkey"))
       .groupBy(col("c_mktsegment"))
@@ -676,9 +677,10 @@ object Misc {
 
   def m15ZorderSkip(s: SparkSession, dir: String): DataFrame = {
     val (pLo, pHi) = m15PartBounds(s, dir)
-    val path = m15Written.computeIfAbsent(dir, _ =>
+    val path = graft.StoredMemo.stored(s, m15Written, "m15-zclustered-files",
+      graft.StoredMemo.dirKey(s, dir))(
       m15WriteClustered(s, dir,
-        s"graft_m15_lineitem_z_${math.abs(dir.hashCode)}",
+        s"graft_m15_lineitem_z_${graft.StoredMemo.dirTag(dir)}",
         zorderKey(col("ship_day"), col("l_partkey"))))
     val files = m15PruneFiles(m15FileIndex(s, path),
       Some((M15DayLo, M15DayHi)), Some((pLo, pHi)))

@@ -52,10 +52,9 @@ object Sessions {
   private val sessCache =
     new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
 
-  def sessionized(s: SparkSession, dir: String): DataFrame = {
-    graft.StoredMemo.guard(sessCache, "sessionized-events")
-    sessCache.computeIfAbsent(dir, _ => sessionizedPlan(s, dir).localCheckpoint())
-  }
+  def sessionized(s: SparkSession, dir: String): DataFrame =
+    graft.StoredMemo.stored(s, sessCache, "sessionized-events",
+      graft.StoredMemo.dirKey(s, dir))(sessionizedPlan(s, dir).localCheckpoint())
 
   /** The un-materialized build pipeline — the form whose physical plan
     * (one user_id exchange) PlanAuditSpec pins. */

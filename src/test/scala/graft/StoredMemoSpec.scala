@@ -2,10 +2,11 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 
-/** The stored-index memo overflow guard: under the bound the map is
-  * untouched; over it, the guard clears (bounded memory over a silent
-  * leak) — the failure mode it defends against is a caller keying a
-  * memo on one-shot frames (the r9 e19 regression class).
+/** The stored-index memo machinery: overflow guard (bounded memory,
+  * partial eviction so hot serving keys usually survive a one-shot-key
+  * flood — the r9 e19 regression class), cold bypass
+  * ([[StoredMemo.DisableConf]] — the measured-cold-bench switch),
+  * session-scoped keys, and collision-proof dir tags.
   */
 class StoredMemoSpec extends AnyFunSuite {
 
@@ -21,13 +22,47 @@ class StoredMemoSpec extends AnyFunSuite {
     assert(m.size === 16)
   }
 
-  test("guard clears a flooded memo instead of letting it grow") {
-    val m = mapOf(17)
+  test("guard evicts only the overflow, not the whole memo") {
+    val m = mapOf(20)
     StoredMemo.guard(m, "t", bound = 16)
-    assert(m.isEmpty, "over-bound memo must be cleared")
-    // and the next computeIfAbsent simply rebuilds
-    m.computeIfAbsent(1, _ => "rebuilt")
-    assert(m.get(1) === "rebuilt")
+    assert(m.size === 16,
+      "guard must evict down to the bound, not clear every hot key")
+    // and the next computeIfAbsent simply rebuilds an evicted entry
+    m.computeIfAbsent(999, _ => "rebuilt")
+    assert(m.get(999) === "rebuilt")
+  }
+
+  test("dirTag is filesystem/table-safe and collision-resistant") {
+    val a = StoredMemo.dirTag("/root/testdata/sf0.01")
+    val b = StoredMemo.dirTag("/root/testdata/sf0.1")
+    assert(a.matches("[A-Za-z0-9_]+"), s"tag must be identifier-safe: $a")
+    assert(a !== b)
+    // dirs that sanitize identically still get distinct tags (the MD5
+    // suffix disambiguates — the math.abs(hashCode) scheme could not)
+    assert(StoredMemo.dirTag("a/b") !== StoredMemo.dirTag("a_b"))
+  }
+
+  test("stored() bypasses the memo when the cold conf is set") {
+    val spark = SparkTestBase.spark
+    val m = new java.util.concurrent.ConcurrentHashMap[String, String]()
+    var builds = 0
+    def build(): String = { builds += 1; s"b$builds" }
+    assert(StoredMemo.stored(spark, m, "t", "k")(build()) === "b1")
+    assert(StoredMemo.stored(spark, m, "t", "k")(build()) === "b1", "warm: memo hit")
+    spark.conf.set(StoredMemo.DisableConf, "true")
+    try {
+      assert(StoredMemo.stored(spark, m, "t", "k")(build()) === "b2", "cold: fresh build")
+      assert(StoredMemo.stored(spark, m, "t", "k")(build()) === "b3", "cold: every call builds")
+      assert(m.size === 1, "cold builds must not pollute the memo")
+    } finally spark.conf.unset(StoredMemo.DisableConf)
+    assert(StoredMemo.stored(spark, m, "t", "k")(build()) === "b1", "warm again: memo intact")
+  }
+
+  test("dirKey is session-scoped (applicationId rides in the key)") {
+    val spark = SparkTestBase.spark
+    val k = StoredMemo.dirKey(spark, "/some/dir")
+    assert(k.contains(spark.sparkContext.applicationId))
+    assert(k.endsWith("|/some/dir"))
   }
 
   test("stored-index serving paths return the SAME artifact across calls") {
@@ -51,5 +86,18 @@ class StoredMemoSpec extends AnyFunSuite {
       val r2 = graft.operators.LlmText.d03LshNeardup(spark, sf)
       assert(!(r2 eq base), "a changed lever must not serve the stale artifact")
     } finally spark.conf.unset(graft.operators.LlmText.BandRowsConf)
+  }
+
+  test("cold conf makes a serving path rebuild (and warm serves the stored one)") {
+    val spark = SparkTestBase.spark
+    val sf = SparkTestBase.sf
+    val warm = graft.operators.Embeddings.bucketedOf(spark, sf)
+    spark.conf.set(StoredMemo.DisableConf, "true")
+    try {
+      val cold = graft.operators.Embeddings.bucketedOf(spark, sf)
+      assert(!(cold eq warm), "cold mode must build fresh")
+    } finally spark.conf.unset(StoredMemo.DisableConf)
+    assert(graft.operators.Embeddings.bucketedOf(spark, sf) eq warm,
+      "warm path must still serve the stored artifact after a cold probe")
   }
 }

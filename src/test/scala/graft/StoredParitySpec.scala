@@ -1,0 +1,61 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.jobs.IncrementalIndex
+import graft.operators.{Embeddings, LlmText}
+
+/** Stored-vs-persisted PARITY — the test the stored-index discipline's
+  * rule 3 leans on (docs/SCALE.md): the in-JVM memoized artifact and
+  * the persisted-parquet form of the SAME index must be value-identical
+  * for the same corpus, and a memo-served result must equal a fresh
+  * recompute. Asserted by construction until now; diffed by frames
+  * here (round-10 verdict item 4): weighted postings, IVF cell
+  * members, and the d03 verified-pair table.
+  */
+class StoredParitySpec extends GraftSuite {
+
+  /** Bag-semantics frame diff over a canonical column order. */
+  private def assertSameRows(a: DataFrame, b: DataFrame, what: String): Unit = {
+    val cols = a.columns.sorted.toIndexedSeq.map(col)
+    val (x, y) = (a.select(cols: _*), b.select(cols: _*))
+    val (nx, ny) = (x.count(), y.count())
+    assert(nx === ny, s"$what: row counts differ ($nx stored vs $ny persisted)")
+    assert(x.exceptAll(y).isEmpty, s"$what: stored rows missing from persisted form")
+    assert(y.exceptAll(x).isEmpty, s"$what: persisted rows missing from stored form")
+  }
+
+  private lazy val indexDir: String = {
+    val tmp = Files.createTempDirectory("graft-parity-").toString
+    IncrementalIndex.writeSparseIndex(spark, Tables.documents(spark, sf), tmp)
+    IncrementalIndex.writeCellIndex(spark, Tables.embeddings(spark, sf), tmp)
+    tmp
+  }
+
+  test("weighted postings: in-JVM memo ≡ persisted parquet") {
+    val stored = LlmText.storedPostings(spark, sf)
+    val persisted = spark.read.parquet(s"$indexDir/${IncrementalIndex.Postings}")
+    assertSameRows(stored, persisted, "postings")
+  }
+
+  test("IVF cell assignment: in-JVM memo ≡ persisted cell_members") {
+    val stored = Embeddings.cellRanked(spark, sf)
+      .where(col("rn") === 1)
+      .select(col("cell"), col("vec_id"), col("q"), col("nq"))
+    val persisted = spark.read.parquet(s"$indexDir/${IncrementalIndex.CellMembers}")
+    assertSameRows(stored, persisted, "cell members")
+  }
+
+  test("d03 verified pairs: memo-served ≡ fresh recompute (cold conf)") {
+    val warm = LlmText.d03LshNeardup(spark, sf)
+    spark.conf.set(StoredMemo.DisableConf, "true")
+    try {
+      val cold = LlmText.d03LshNeardup(spark, sf)
+      assert(!(cold eq warm), "cold conf must force a fresh build")
+      assertSameRows(warm, cold, "d03 pairs")
+    } finally spark.conf.unset(StoredMemo.DisableConf)
+  }
+}
