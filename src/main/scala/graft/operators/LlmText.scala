@@ -2934,7 +2934,11 @@ object LlmText {
         col("n_windows"))
   }
 
-  val d44Sql: String = {
+  /** Shared CTE chain ending in `spans44` (one row per maximal
+    * cross-doc duplicated span) — d44 selects it verbatim, d45 rewrites
+    * the corpus against it. `ap44` is the printable-ASCII projection
+    * both the hash positions and the d45 cuts index into. */
+  private val spans44Cte: String = {
     val P = graft.functions.RollingHash.P
     val B = graft.functions.RollingHash.B
     s"""$baseSql, ap44 AS (
@@ -2956,20 +2960,103 @@ object LlmText {
        |         THEN 1 ELSE 0 END AS newi
        |  FROM pos44 JOIN df44 USING (h)
        |  WINDOW w AS (PARTITION BY doc_id ORDER BY p)
-       |)
-       |SELECT doc_id, span_start, span_end,
-       |  span_end - span_start AS span_chars, n_windows
-       |FROM (
+       |), spans44 AS (
        |  SELECT doc_id, island, CAST(min(p) AS BIGINT) AS span_start,
        |    CAST(max(p) + $D44Window AS BIGINT) AS span_end, count(*) AS n_windows
        |  FROM (SELECT doc_id, p,
        |          sum(newi) OVER (PARTITION BY doc_id ORDER BY p
        |            ROWS UNBOUNDED PRECEDING) AS island
        |        FROM isl44) t
-       |  GROUP BY doc_id, island) g""".stripMargin
+       |  GROUP BY doc_id, island
+       |)""".stripMargin
   }
 
+  val d44Sql: String =
+    s"""$spans44Cte
+       |SELECT doc_id, span_start, span_end,
+       |  span_end - span_start AS span_chars, n_windows
+       |FROM spans44""".stripMargin
+
+  // ---------------------------------------------------------------- d45
+  /** Cross-document duplicated-span REMOVAL — the rewrite half of
+    * ExactSubstr dedup (Lee et al. 2022: cut the duplicated span, keep
+    * the remainder): d44 EMITS the maximal spans, d45 APPLIES them,
+    * producing each doc's cleaned text plus cut accounting. Docs with
+    * no duplicated span pass through whole (left join onto the corpus).
+    *
+    * Scale shape: the span worklist rides d44's stored rolling-hash
+    * postings (no pairwise stage anywhere); the rewrite is one
+    * groupBy(doc_id) packing a doc's spans into a sorted array (state
+    * bounded by spans-per-doc, itself bounded by doc length / window),
+    * one equi-join back to the corpus on doc_id, and a single-pass
+    * higher-order `aggregate` stitching the kept gaps in one
+    * codegen'd projection — no per-row UDF, no explode of document
+    * text, no driver collect. Spans are pairwise disjoint by
+    * construction (the island merge closes any gap < window), so the
+    * cut needs no overlap handling — pinned in LlmTextSpec.
+    * Reference anchor: the dedup family's survivor rewrite (d09/d28)
+    * at character-span granularity. */
+  def d45RemoveDupSpans(s: SparkSession, dir: String): DataFrame = {
+    val spans = d44CrossdocSpans(s, dir)
+    val perDoc = spans.groupBy(col("doc_id")).agg(
+      sort_array(collect_list(struct(col("span_start"), col("span_end")))).as("sp"),
+      count(lit(1)).as("n_spans"),
+      sum(col("span_end") - col("span_start")).as("removed_chars"))
+    base(s, dir).select(col("doc_id"), col("norm"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("removed_chars"), lit(0L)).as("removed_chars"),
+        (length(col("norm")).cast("long") - coalesce(col("removed_chars"), lit(0L)))
+          .as("kept_chars"),
+        when(col("sp").isNull, col("norm")).otherwise(
+          aggregate(col("sp"),
+            struct(lit(0L).as("pos"), lit("").as("acc")),
+            (st, x) => struct(
+              x.getField("span_end").as("pos"),
+              concat(st.getField("acc"),
+                col("norm").substr((st.getField("pos") + 1).cast("int"),
+                  (x.getField("span_start") - st.getField("pos")).cast("int")))
+                .as("acc")),
+            st => concat(st.getField("acc"),
+              col("norm").substr((st.getField("pos") + 1).cast("int"),
+                (length(col("norm")).cast("long") - st.getField("pos")).cast("int")))))
+          .as("clean_text"))
+  }
+
+  val d45Sql: String =
+    s"""$spans44Cte, perdoc45 AS (
+       |  SELECT doc_id, count(*) AS n_spans,
+       |    CAST(sum(span_end - span_start) AS BIGINT) AS removed_chars,
+       |    max(span_end) AS last_end
+       |  FROM spans44 GROUP BY doc_id
+       |), gaps45 AS (
+       |  SELECT doc_id, span_start, span_end,
+       |    lag(span_end, 1, CAST(0 AS BIGINT))
+       |      OVER (PARTITION BY doc_id ORDER BY span_start) AS prev_end
+       |  FROM spans44
+       |), heads45 AS (
+       |  SELECT g.doc_id,
+       |    string_agg(substring(a, CAST(prev_end + 1 AS INT),
+       |                         CAST(span_start - prev_end AS INT)),
+       |               '' ORDER BY span_start) AS head
+       |  FROM gaps45 g JOIN ap44 USING (doc_id)
+       |  GROUP BY g.doc_id
+       |)
+       |SELECT b.doc_id,
+       |  coalesce(p.n_spans, 0) AS n_spans,
+       |  coalesce(p.removed_chars, 0) AS removed_chars,
+       |  CAST(length(b.a) AS BIGINT) - coalesce(p.removed_chars, 0) AS kept_chars,
+       |  CASE WHEN p.doc_id IS NULL THEN b.a
+       |       ELSE coalesce(h.head, '') || substring(b.a, CAST(p.last_end + 1 AS INT))
+       |  END AS clean_text
+       |FROM ap44 b
+       |LEFT JOIN perdoc45 p USING (doc_id)
+       |LEFT JOIN heads45 h USING (doc_id)""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d45_remove_dup_spans" -> (d45RemoveDupSpans _),
     "d44_crossdoc_spans" -> (d44CrossdocSpans _),
     "d43_span_coverage" -> (d43SpanCoverage _),
     "d42_strip_self_repeats" -> (d42StripSelfRepeats _),
@@ -3023,6 +3110,7 @@ object LlmText {
     * [[graft.tools.InitOrderCheck]]. Lazy = assembled on first use,
     * after both objects finish initializing. */
   lazy val oracleSql: Map[String, String] = Map(
+    "d45_remove_dup_spans" -> d45Sql,
     "d44_crossdoc_spans" -> d44Sql,
     "d43_span_coverage" -> d43Sql,
     "d42_strip_self_repeats" -> d42Sql,

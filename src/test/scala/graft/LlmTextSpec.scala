@@ -1514,4 +1514,55 @@ class LlmTextSpec extends GraftSuite {
     for (r <- dropped)
       assert(r.getLong(1) > minByCell(r.getInt(0)), "cell minimum must survive")
   }
+
+  test("d44: maximal spans are pairwise disjoint, window-valid, and cross-doc duplicated") {
+    val spans = LlmText.d44CrossdocSpans(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(spans.nonEmpty, "fixture plants cross-doc duplicate text; d44 must find spans")
+    val W = LlmText.D44Window
+    spans.foreach { case (_, s0, e0, chars, nWin) =>
+      assert(chars === e0 - s0)
+      assert(chars >= W, "a span covers at least one full window")
+      // n windows with consecutive gaps < W merged: chars <= nWin*W exactly
+      // when windows tile without overlap; always chars <= nWin - 1 + W
+      assert(chars <= nWin - 1 + W, "span longer than its windows can cover")
+    }
+    // disjointness: islands split when the start gap >= W, so span_end(i) <= span_start(i+1)
+    spans.groupBy(_._1).foreach { case (doc, ss) =>
+      val sorted = ss.sortBy(_._2)
+      sorted.sliding(2).foreach {
+        case Array((_, _, e1, _, _), (_, s2, _, _, _)) =>
+          assert(e1 <= s2, s"doc $doc: overlapping maximal spans")
+        case _ =>
+      }
+    }
+  }
+
+  test("d45: rewrite arithmetic — clean_text length == kept_chars; span-free docs round-trip") {
+    val got = LlmText.d45RemoveDupSpans(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
+    val norm = Tables.documents(spark, sf)
+      .select(col("doc_id"), graft.functions.Portable.normText(col("text")).as("n"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(got.length === norm.size, "every document rewritten exactly once")
+    val spanDocs = LlmText.d44CrossdocSpans(spark, sf).select("doc_id")
+      .distinct().collect().map(_.getLong(0)).toSet
+    got.foreach { case (id, nSpans, removed, kept, clean) =>
+      assert(clean.length.toLong === kept, s"doc $id: clean_text length != kept_chars")
+      assert(kept + removed === norm(id).length.toLong, s"doc $id: cut accounting")
+      if (nSpans == 0L) {
+        assert(clean === norm(id), s"doc $id: span-free doc must round-trip verbatim")
+        assert(!spanDocs.contains(id))
+      } else {
+        assert(spanDocs.contains(id))
+        // the kept text is a subsequence of the original formed by cutting
+        // whole ranges: every kept char appears in order in the original
+        assert(clean.length < norm(id).length)
+      }
+    }
+    // cut totals agree with d44's span inventory
+    val wantRemoved = LlmText.d44CrossdocSpans(spark, sf)
+      .agg(sum(col("span_chars"))).collect()(0).getLong(0)
+    assert(got.map(_._3).sum === wantRemoved, "total removed == total span chars")
+  }
 }
