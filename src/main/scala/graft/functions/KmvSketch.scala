@@ -29,52 +29,53 @@ object KmvSketch {
     * the largest retained value (the k-th minimum when full). */
   final case class Kmv(m: Long, kth: Long)
 
+  /** Sorted-insert keeping the array ascending, distinct, ≤ k long. */
+  private[functions] def kInsert(k: Int, b: Array[Long], h: Long): Array[Long] = {
+    val pos = java.util.Arrays.binarySearch(b, h)
+    if (pos >= 0) b // already present — distinct semantics
+    else {
+      val ins = -pos - 1
+      if (b.length < k) {
+        val out = new Array[Long](b.length + 1)
+        System.arraycopy(b, 0, out, 0, ins)
+        out(ins) = h
+        System.arraycopy(b, ins, out, ins + 1, b.length - ins)
+        out
+      } else if (ins < k) { // displaces the current max
+        val out = new Array[Long](k)
+        System.arraycopy(b, 0, out, 0, ins)
+        out(ins) = h
+        System.arraycopy(b, ins, out, ins + 1, k - ins - 1)
+        out
+      } else b // larger than the k-th min of a full sketch
+    }
+  }
+
+  /** k smallest of the distinct union of two sorted distinct arrays. */
+  private[functions] def kUnion(k: Int, b1: Array[Long], b2: Array[Long]): Array[Long] = {
+    val bound = math.min(k, b1.length + b2.length)
+    val out = new Array[Long](bound)
+    var i = 0
+    var j = 0
+    var n = 0
+    while (n < bound && (i < b1.length || j < b2.length)) {
+      val v =
+        if (j >= b2.length) { i += 1; b1(i - 1) }
+        else if (i >= b1.length) { j += 1; b2(j - 1) }
+        else if (b1(i) < b2(j)) { i += 1; b1(i - 1) }
+        else if (b1(i) > b2(j)) { j += 1; b2(j - 1) }
+        else { i += 1; j += 1; b1(i - 1) } // equal: consume both once
+      out(n) = v
+      n += 1
+    }
+    if (n == bound) out else java.util.Arrays.copyOf(out, n)
+  }
+
   private[graft] final class KmvAgg(k: Int) extends Aggregator[Long, Array[Long], Kmv] {
     require(k >= 1, s"kmv sketch size must be >= 1, got $k")
-
     override def zero: Array[Long] = Array.emptyLongArray
-
-    /** Sorted-insert keeping the array ascending, distinct, ≤ k long. */
-    override def reduce(b: Array[Long], h: Long): Array[Long] = {
-      val pos = java.util.Arrays.binarySearch(b, h)
-      if (pos >= 0) b // already present — distinct semantics
-      else {
-        val ins = -pos - 1
-        if (b.length < k) {
-          val out = new Array[Long](b.length + 1)
-          System.arraycopy(b, 0, out, 0, ins)
-          out(ins) = h
-          System.arraycopy(b, ins, out, ins + 1, b.length - ins)
-          out
-        } else if (ins < k) { // displaces the current max
-          val out = new Array[Long](k)
-          System.arraycopy(b, 0, out, 0, ins)
-          out(ins) = h
-          System.arraycopy(b, ins, out, ins + 1, k - ins - 1)
-          out
-        } else b // larger than the k-th min of a full sketch
-      }
-    }
-
-    /** k smallest of the distinct union of two sorted distinct arrays. */
-    override def merge(b1: Array[Long], b2: Array[Long]): Array[Long] = {
-      val bound = math.min(k, b1.length + b2.length)
-      val out = new Array[Long](bound)
-      var i = 0
-      var j = 0
-      var n = 0
-      while (n < bound && (i < b1.length || j < b2.length)) {
-        val v =
-          if (j >= b2.length) { i += 1; b1(i - 1) }
-          else if (i >= b1.length) { j += 1; b2(j - 1) }
-          else if (b1(i) < b2(j)) { i += 1; b1(i - 1) }
-          else if (b1(i) > b2(j)) { j += 1; b2(j - 1) }
-          else { i += 1; j += 1; b1(i - 1) } // equal: consume both once
-        out(n) = v
-        n += 1
-      }
-      if (n == bound) out else java.util.Arrays.copyOf(out, n)
-    }
+    override def reduce(b: Array[Long], h: Long): Array[Long] = kInsert(k, b, h)
+    override def merge(b1: Array[Long], b2: Array[Long]): Array[Long] = kUnion(k, b1, b2)
 
     override def finish(b: Array[Long]): Kmv =
       Kmv(b.length.toLong, if (b.isEmpty) 0L else b(b.length - 1))
@@ -83,10 +84,28 @@ object KmvSketch {
     override def outputEncoder: Encoder[Kmv] = Encoders.product[Kmv]
   }
 
+  /** Same sketch, but the readout is the retained k-min VALUE SET itself
+    * (ascending array) — the form sketch SET ALGEBRA needs (m18):
+    * theta-style intersection/union estimates work on the retained
+    * values below the pair's common threshold, not just (m, kth). */
+  private[graft] final class KmvValuesAgg(k: Int)
+      extends Aggregator[Long, Array[Long], Array[Long]] {
+    require(k >= 1, s"kmv sketch size must be >= 1, got $k")
+    override def zero: Array[Long] = Array.emptyLongArray
+    override def reduce(b: Array[Long], h: Long): Array[Long] = kInsert(k, b, h)
+    override def merge(b1: Array[Long], b2: Array[Long]): Array[Long] = kUnion(k, b1, b2)
+    override def finish(b: Array[Long]): Array[Long] = b
+    override def bufferEncoder: Encoder[Array[Long]] = ExpressionEncoder[Array[Long]]()
+    override def outputEncoder: Encoder[Array[Long]] = ExpressionEncoder[Array[Long]]()
+  }
+
   /** Column-API handle: `df.agg(KmvSketch.kmv(64)(col("h")))` → struct
     * (m, kth). Input must already be the portable hash (the caller owns
     * the hash so the DuckDB oracle can reproduce it). */
   def kmv(k: Int): UserDefinedFunction = functions.udaf(new KmvAgg(k))
+
+  /** Column-API handle returning the retained k-min values (ascending). */
+  def kmvValues(k: Int): UserDefinedFunction = functions.udaf(new KmvValuesAgg(k))
 
   /** Test handle for the law checks (reduce/merge as pure functions). */
   private[graft] def agg(k: Int): KmvAgg = new KmvAgg(k)

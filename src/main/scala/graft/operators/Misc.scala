@@ -880,7 +880,119 @@ object Misc {
       |FROM (VALUES (25), (50), (75), (90), (99)) p(pct)
       |JOIN s ON s.rn = (s.n * p.pct + 99) // 100""".stripMargin
 
+  // ---------------------------------------------------------------- m18
+  /** KMV sketch SET ALGEBRA — theta-sketch-style intersection / union /
+    * Jaccard estimates between audience sketches (Bar-Yossef et al.
+    * 2002; the Apache DataSketches theta-sketch operation set), the
+    * capability that makes cardinality sketches composable: "how many
+    * distinct users did BOTH X and Y" answered from two k-row sketches,
+    * never re-scanning either side. m10 builds the cardinality sketch;
+    * m18 operates on sketches as SETS.
+    *
+    * Method: per event_type, retain the k smallest distinct h64(user)
+    * values ([[graft.functions.KmvSketch.kmvValues]] — bounded k-element
+    * buffer, map-side partial). For a pair (A, B), theta = min over both
+    * sketches of (k-th min if full else 2^60); every retained value
+    * below theta is a uniform sample of the hash space at rate
+    * theta/2^60, so |retained(A) ∩ retained(B) below theta| / rate
+    * estimates |A ∩ B|, and the k-min of the merged sketches re-reads
+    * as the union estimate. When NEITHER sketch is full, theta = 2^60
+    * and every estimate degenerates to the exact count — the formulas
+    * below need no special-casing (64·2^60 is exact in a double, the
+    * one division is one correctly-rounded op, identical in DuckDB).
+    *
+    * Scale shape: ONE pass over events (partial agg bounded at k rows
+    * per group per partition), then all pair arithmetic happens on the
+    * aggregated sketch table — |event_types|² struct rows, metadata
+    * scale, joined via a broadcast nested loop on the tiny side. The
+    * exact pair counts ride along as the audit readout (m10/m11
+    * precedent) — they are NOT part of the serving cost story; the
+    * error bound (RSE ≈ 1/√(k−1)) is pinned in KmvAggregatorSpec. */
+  def m18SketchSetOps(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.{KmvSketch, Portable}
+    val kmvV = KmvSketch.kmvValues(KmvK)
+    val two60d = 1152921504606846976.0
+    val two60 = 1152921504606846976L
+    val ev = Tables.events(s, dir).select(col("event_type"), col("user_id"))
+    val sk = ev.select(col("event_type"), Portable.h64(col("user_id")).as("h"))
+      .groupBy(col("event_type")).agg(kmvV(col("h")).as("sk"))
+    val a = sk.select(col("event_type").as("type_a"), col("sk").as("sa"))
+    val b = sk.select(col("event_type").as("type_b"), col("sk").as("sb"))
+    def thetaOf(arr: Column): Column =
+      when(size(arr) === KmvK, element_at(arr, KmvK)).otherwise(lit(two60))
+    def estOf(arr: Column): Column =
+      when(size(arr) < KmvK, size(arr).cast("double"))
+        .otherwise(lit((KmvK - 1).toDouble) * lit(two60d) /
+          element_at(arr, KmvK).cast("double"))
+    val du = ev.distinct()
+    val exact = du.toDF("type_a", "u")
+      .join(du.toDF("type_b", "u2"),
+        col("u") === col("u2") && col("type_a") < col("type_b"))
+      .groupBy(col("type_a"), col("type_b"))
+      .agg(count(lit(1)).as("n_exact_common"))
+    a.join(broadcast(b), col("type_a") < col("type_b"))
+      .withColumn("theta", least(thetaOf(col("sa")), thetaOf(col("sb"))))
+      .withColumn("n_common",
+        size(filter(array_intersect(col("sa"), col("sb")),
+          h => h < col("theta"))).cast("long"))
+      .withColumn("ku", slice(array_sort(array_union(col("sa"), col("sb"))), 1, KmvK))
+      .join(exact, Seq("type_a", "type_b"), "left")
+      .select(
+        col("type_a"), col("type_b"), col("n_common"), col("theta"),
+        estOf(col("sa")).as("est_a"),
+        estOf(col("sb")).as("est_b"),
+        (col("n_common").cast("double") * lit(two60d) /
+          col("theta").cast("double")).as("est_intersection"),
+        estOf(col("ku")).as("est_union"),
+        (col("n_common").cast("double") * lit(two60d) /
+          col("theta").cast("double") / estOf(col("ku"))).as("est_jaccard"),
+        coalesce(col("n_exact_common"), lit(0L)).as("n_exact_common"))
+  }
+
+  val m18Sql: String = {
+    val h = graft.functions.Portable.h64Sql("user_id")
+    val K = KmvK
+    val estA = s"CASE WHEN len(sa) < $K THEN CAST(len(sa) AS DOUBLE) " +
+      s"ELSE ${(K - 1).toDouble} * 1152921504606846976.0 / CAST(sa[$K] AS DOUBLE) END"
+    val estB = s"CASE WHEN len(sb) < $K THEN CAST(len(sb) AS DOUBLE) " +
+      s"ELSE ${(K - 1).toDouble} * 1152921504606846976.0 / CAST(sb[$K] AS DOUBLE) END"
+    val estU = s"CASE WHEN len(ku) < $K THEN CAST(len(ku) AS DOUBLE) " +
+      s"ELSE ${(K - 1).toDouble} * 1152921504606846976.0 / CAST(ku[$K] AS DOUBLE) END"
+    s"""WITH hs AS (
+       |  SELECT DISTINCT event_type, $h AS h FROM events
+       |), sk AS (
+       |  SELECT event_type, (list_sort(list(h)))[1:$K] AS sk FROM hs GROUP BY 1
+       |), du AS (
+       |  SELECT DISTINCT event_type, user_id FROM events
+       |), exact AS (
+       |  SELECT x.event_type AS type_a, y.event_type AS type_b, count(*) AS n
+       |  FROM du x JOIN du y ON x.user_id = y.user_id AND x.event_type < y.event_type
+       |  GROUP BY 1, 2
+       |), pairs AS (
+       |  SELECT a.event_type AS type_a, b.event_type AS type_b, a.sk AS sa, b.sk AS sb,
+       |    least(CASE WHEN len(a.sk) = $K THEN a.sk[$K] ELSE 1152921504606846976 END,
+       |          CASE WHEN len(b.sk) = $K THEN b.sk[$K] ELSE 1152921504606846976 END) AS theta
+       |  FROM sk a JOIN sk b ON a.event_type < b.event_type
+       |), calc AS (
+       |  SELECT type_a, type_b, sa, sb, theta,
+       |    CAST(len(list_filter(list_intersect(sa, sb), x -> x < theta)) AS BIGINT) AS n_common,
+       |    (list_sort(list_distinct(list_concat(sa, sb))))[1:$K] AS ku
+       |  FROM pairs
+       |)
+       |SELECT c.type_a, c.type_b, n_common, theta,
+       |  $estA AS est_a, $estB AS est_b,
+       |  CAST(n_common AS DOUBLE) * 1152921504606846976.0 / CAST(theta AS DOUBLE)
+       |    AS est_intersection,
+       |  $estU AS est_union,
+       |  CAST(n_common AS DOUBLE) * 1152921504606846976.0 / CAST(theta AS DOUBLE)
+       |    / ($estU) AS est_jaccard,
+       |  coalesce(e.n, 0) AS n_exact_common
+       |FROM calc c LEFT JOIN exact e
+       |  ON c.type_a = e.type_a AND c.type_b = e.type_b""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m18_sketch_set_ops" -> (m18SketchSetOps _),
     "m17_global_quantiles" -> (m17GlobalQuantiles _),
     "m16_global_rank" -> (m16GlobalRank _),
     "m15_zorder_skip" -> (m15ZorderSkip _),
@@ -900,6 +1012,7 @@ object Misc {
     "m06_salted_agg" -> (m06SaltedAgg _))
 
   val oracleSql: Map[String, String] = Map(
+    "m18_sketch_set_ops" -> m18Sql,
     "m17_global_quantiles" -> m17Sql,
     "m16_global_rank" -> m16Sql,
     "m15_zorder_skip" -> m15Sql,

@@ -80,4 +80,39 @@ class KmvAggregatorSpec extends GraftSuite {
     val est = 63.0 * 1152921504606846976.0 / kth.toDouble
     assert(est > 6300 && est < 13700, s"estimate $est too far from 10000")
   }
+
+  test("m18: sketch set ops — pair grid complete, exact degeneracy, estimator accuracy") {
+    val rows = Misc.m18SketchSetOps(spark, sf).collect().map { r =>
+      (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5), r.getDouble(6), r.getDouble(7),
+        r.getDouble(8), r.getLong(9))
+    }
+    val types = Tables.events(spark, sf).select("event_type").distinct().count().toInt
+    assert(rows.length === types * (types - 1) / 2, "one row per unordered type pair")
+    rows.foreach { case (ta, tb, nCommon, theta, estA, estB, estI, estU, estJ, exact) =>
+      assert(ta < tb, "pairs are canonically ordered")
+      assert(nCommon >= 0 && nCommon <= Misc.KmvK)
+      assert(theta > 0)
+      assert(estI >= 0.0 && estU > 0.0)
+      assert(estJ >= 0.0 && estJ <= 1.0 + 1e-9, s"jaccard estimate $estJ out of range")
+      // inclusion-exclusion sanity on the estimates themselves
+      assert(estU <= estA + estB + 1e-6, s"union estimate above est_a+est_b")
+      // theta = 2^60 means neither retained set was truncated below the
+      // threshold: the intersection estimate degenerates to the exact count
+      if (theta == 1152921504606846976L)
+        assert(estI === exact.toDouble, "untruncated sketches must read exact")
+      // accuracy: KMV RSE is 1/sqrt(k-1) ≈ 12.6%; allow 5 sigma on
+      // intersections large enough for the bound to be meaningful
+      if (exact >= 200)
+        assert(math.abs(estI - exact) / exact < 0.63,
+          s"pair ($ta,$tb): est $estI vs exact $exact beyond 5x RSE")
+    }
+  }
+
+  test("m18: plan — one bounded partial aggregate over events, pair math on sketches") {
+    val p = Misc.m18SketchSetOps(spark, sf).queryExecution.executedPlan.toString
+    assert(p.toLowerCase.contains("partial_kmvvaluesagg"),
+      s"sketch build must partially aggregate map-side:\n$p")
+    assert(!p.contains("CartesianProduct"), s"bare cartesian in m18:\n$p")
+  }
 }
