@@ -150,19 +150,27 @@ object Embeddings {
   val Dim = 64
 
   /** Deterministic ±1 hyperplanes (Knuth-multiplicative bit spread) —
-    * the same literals are embedded in the oracle SQL. */
-  private[operators] val planes: IndexedSeq[IndexedSeq[Int]] =
+    * the same literals are embedded in the oracle SQL. `table` selects
+    * an INDEPENDENT hash table (multi-table LSH): table t's plane p
+    * draws its bits from generator index t·NumPlanes + p, so distinct
+    * tables partition the corpus along unrelated hyperplane sets. */
+  private[operators] def planesFor(table: Int): IndexedSeq[IndexedSeq[Int]] =
     (0 until NumPlanes).map { p =>
+      val g = table * NumPlanes + p
       (0 until Dim).map { d =>
-        if ((((p * Dim + d) * 2654435761L) >>> 16 & 1L) == 1L) 1 else -1
+        if ((((g * Dim + d) * 2654435761L) >>> 16 & 1L) == 1L) 1 else -1
       }
     }
 
-  private def bucketCol(s: SparkSession, q: Column): Column =
+  private[operators] val planes: IndexedSeq[IndexedSeq[Int]] = planesFor(0)
+
+  private def bucketCol(s: SparkSession, q: Column, table: Int = 0): Column = {
+    val ps = planesFor(table)
     (0 until NumPlanes).map { p =>
-      val plane = array(planes(p).map(v => lit(v.toLong)): _*)
+      val plane = array(ps(p).map(v => lit(v.toLong)): _*)
       when(dotQ(s)(q, plane) > 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
+  }
 
   /** Multi-probe lever (Lv et al., VLDB'07): besides its own bucket,
     * the QUERY side probes the buckets reached by flipping its t
@@ -215,6 +223,7 @@ object Embeddings {
     graft.StoredMemo.stored(s, bucketedCache, "lsh-bucketed",
         graft.StoredMemo.dirKey(s, dir)) {
       quantized(s, dir).withColumn("bucket", bucketCol(s, col("q")))
+        .withColumn("bucket_b", bucketCol(s, col("q"), table = 1))
         .localCheckpoint()
     }
 
@@ -565,12 +574,12 @@ object Embeddings {
        |FROM assigned""".stripMargin
 
   // ---------------------------------------------------------------- e07
-  /** Recall audit: recall@k of the eight ANN serving paths (e02
+  /** Recall audit: recall@k of the nine ANN serving paths (e02
     * hyperplane-LSH, e05 IVF at its oracle formulation nprobe = 1, e08
     * sketch-then-rerank at its default depth, e10 composed
     * IVF-cells × sketch-rerank, e12 IVF-PQ with ADC scoring, e13
     * residual IVF-PQ, e14 SQ8 scalar-quantized rerank, e15 composed
-    * IVF-cells × SQ8-ADC) against
+    * IVF-cells × SQ8-ADC, e22 NN-Descent graph round) against
     * the e01 brute-force ground truth, over the deterministic query
     * subsample.
     * This is the evaluation loop every production ANN deployment runs
@@ -625,18 +634,24 @@ object Embeddings {
     val ivfSq = e15From(s, v, ranked, Some(sqLohiOf(v)))
       .where(col("rank") <= RecallK)
       .select(lit("ivf_sq_rerank").as("method"), col("query_id"), col("neighbor_id"))
+    // ninth path: the graph round (e22) — seeds from the same stored
+    // two-table LSH index, so the audit measures THE graph build
+    val nnd = e22NnDescent(s, dir)
+      .where(col("query_id") % 5 === 0 && col("rank") <= RecallK)
+      .select(lit("nn_descent").as("method"), col("query_id"), col("neighbor_id"))
     // LEFT join from a fixed method spine: a path with ZERO truth hits
     // must report recall 0.0, not vanish from the audit — the failing
     // path is the one the audit exists to flag
     val spine = s.createDataFrame(
       Seq("lsh_bucketed", "ivf_nprobe", "sketch_rerank", "ivf_sketch_rerank",
-          "ivf_pq_adc", "residual_pq", "sq8_rerank", "ivf_sq_rerank")
+          "ivf_pq_adc", "residual_pq", "sq8_rerank", "ivf_sq_rerank",
+          "nn_descent")
         .map(Tuple1.apply))
       .toDF("method")
     val hits = spine.join(
       lsh.unionByName(ivf).unionByName(sketch).unionByName(ivfSketch)
         .unionByName(ivfPq).unionByName(resPq).unionByName(sq)
-        .unionByName(ivfSq)
+        .unionByName(ivfSq).unionByName(nnd)
         .join(truth, Seq("query_id", "neighbor_id"))
         .groupBy(col("method")).agg(count(lit(1)).as("raw_hits")),
       Seq("method"), "left")
@@ -662,6 +677,10 @@ object Embeddings {
     val bucketExpr = (0 until NumPlanes).map { p =>
       s"CASE WHEN list_dot_product(q, ${planeLits(p)}) > 0 THEN ${1L << p} ELSE 0 END"
     }.mkString(" + ")
+    val planesB = planesFor(1)
+    val bucketExprB = (0 until NumPlanes).map { p =>
+      s"CASE WHEN list_dot_product(q, [${planesB(p).mkString(", ")}]) > 0 THEN ${1L << p} ELSE 0 END"
+    }.mkString(" + ")
     s"""$quantSql, truth AS (
        |  SELECT query_id, neighbor_id FROM (
        |    SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
@@ -670,7 +689,7 @@ object Embeddings {
        |    FROM qv a JOIN qv b ON a.vec_id % 5 = 0 AND a.vec_id <> b.vec_id) t
        |  WHERE rank <= $RecallK
        |), bv AS (
-       |  SELECT vec_id, q, $bucketExpr AS bucket FROM qv
+       |  SELECT vec_id, q, $bucketExpr AS bucket, $bucketExprB AS bucket_b FROM qv
        |), lsh AS (
        |  SELECT query_id, neighbor_id FROM (
        |    SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
@@ -733,6 +752,43 @@ object Embeddings {
        |    FROM coarse15 c JOIN qv a ON c.query_id = a.vec_id
        |                   JOIN qv b ON c.neighbor_id = b.vec_id) t
        |  WHERE rank <= $RecallK
+       |), scnda AS (
+       |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, ${cos("a", "b")} AS cos
+       |  FROM bv a JOIN bv b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+       |), scndb AS (
+       |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, ${cos("a", "b")} AS cos
+       |  FROM bv a JOIN bv b ON a.bucket_b = b.bucket_b AND a.vec_id <> b.vec_id
+       |), e0nd AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT query_id, neighbor_id,
+       |      row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rnk
+       |    FROM scnda) t
+       |  WHERE rnk <= 3
+       |  UNION
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT query_id, neighbor_id,
+       |      row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rnk
+       |    FROM scndb) t
+       |  WHERE rnk <= 3
+       |), undnd AS (
+       |  SELECT query_id AS b, neighbor_id AS n FROM e0nd
+       |  UNION
+       |  SELECT neighbor_id AS b, query_id AS n FROM e0nd
+       |), candsnd AS (
+       |  SELECT query_id, neighbor_id FROM e0nd
+       |  UNION
+       |  SELECT neighbor_id AS query_id, query_id AS neighbor_id FROM e0nd
+       |  UNION
+       |  SELECT x.n AS query_id, y.n AS neighbor_id
+       |  FROM undnd x JOIN undnd y ON x.b = y.b AND x.n <> y.n
+       |), nnd AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT c.query_id, c.neighbor_id,
+       |      row_number() OVER (PARTITION BY c.query_id ORDER BY
+       |        ${cos("a", "b")} DESC, c.neighbor_id ASC) AS rank
+       |    FROM candsnd c JOIN qv a ON c.query_id = a.vec_id
+       |                  JOIN qv b ON c.neighbor_id = b.vec_id) t
+       |  WHERE rank <= $RecallK AND query_id % 5 = 0
        |), ann AS (
        |  SELECT 'lsh_bucketed' AS method, query_id, neighbor_id FROM lsh
        |  UNION ALL
@@ -749,6 +805,8 @@ object Embeddings {
        |  SELECT 'sq8_rerank' AS method, query_id, neighbor_id FROM sq14
        |  UNION ALL
        |  SELECT 'ivf_sq_rerank' AS method, query_id, neighbor_id FROM sq15
+       |  UNION ALL
+       |  SELECT 'nn_descent' AS method, query_id, neighbor_id FROM nnd
        |), raw AS (
        |  SELECT method, count(*) AS raw_hits
        |  FROM ann JOIN truth USING (query_id, neighbor_id) GROUP BY 1
@@ -756,7 +814,7 @@ object Embeddings {
        |  SELECT m.method, CAST(coalesce(r.raw_hits, 0) AS BIGINT) AS n_hits
        |  FROM (VALUES ('lsh_bucketed'), ('ivf_nprobe'), ('sketch_rerank'),
        |               ('ivf_sketch_rerank'), ('ivf_pq_adc'), ('residual_pq'),
-       |               ('sq8_rerank'), ('ivf_sq_rerank')) m(method)
+       |               ('sq8_rerank'), ('ivf_sq_rerank'), ('nn_descent')) m(method)
        |  LEFT JOIN raw r ON m.method = r.method
        |), tot AS (SELECT CAST(count(*) AS BIGINT) AS n_truth FROM truth)
        |SELECT method, n_truth, n_hits,
@@ -2395,7 +2453,139 @@ object Embeddings {
        |WHERE seed_rank <= $KmppSeeds""".stripMargin
   }
 
+  // ---------------------------------------------------------------- e22
+  /** One NN-DESCENT refinement round (Dong et al., WWW'11 — the
+    * graph-ANN family's construction primitive: HNSW/NSG base layers
+    * start from exactly this iterate) over the LSH-seeded kNN graph:
+    * "a neighbor of my neighbor is probably my neighbor". Seeds come
+    * from TWO independent hyperplane tables (the stored index carries
+    * both keys) — a single table's intra-bucket edges can never leave
+    * their bucket, so the union graph is what gives the local join
+    * cross-bucket reach. Candidates = the seed edges, their REVERSE
+    * edges, and the local join (pairs sharing an adjacent node in the
+    * undirected seed graph); rescore exactly, keep top-3 per query.
+    * Table A's seeds are exactly e02's top-3, and every seed edge stays
+    * a candidate, so e22 dominates e02 query-by-query and recall
+    * against the e01 truth can only improve (pinned in the spec).
+    *
+    * Scale shape: the local join is an equi-join of the EDGE LIST with
+    * itself on the shared node — O(N·k) rows joined on a key with ≤ 2k
+    * matches per node, so candidate volume is O(N·k²) with no corpus-
+    * pairs stage anywhere; it rides the [[SelfJoin]] strategy gate like
+    * every bucket join. Rescoring joins the stored quantized vector
+    * table twice on vec_id (the index-serving shape). A production
+    * build iterates this round to a fixpoint; one round is the honest
+    * unit — the iterate is stateless (edges in, edges out), so rounds
+    * compose by feeding the output back as seeds. */
+  /** Top-3 neighbors within the given hash-table key of the stored LSH
+    * index — the per-table seed graph (table A's edges are exactly
+    * e02's probes=0 result). */
+  private def bucketTop3(s: SparkSession, v: DataFrame, key: String): DataFrame = {
+    val dot = dotQ(s) _
+    val a = v.select(col(key).as("bk"), col("vec_id").as("query_id"),
+      col("q").as("qa"), col("nq").as("na"))
+    val b = v.select(col(key).as("bk"), col("vec_id").as("neighbor_id"),
+      col("q").as("qb"), col("nq").as("nb"))
+    val scored = SelfJoin.on(a, b, Seq("bk"))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        (dot(col("qa"), col("qb")).cast("double") /
+          (sqrt(col("na").cast("double")) *
+            sqrt(col("nb").cast("double")))).as("cos"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= 3)
+      .select(col("query_id"), col("neighbor_id"))
+  }
+
+  def e22NnDescent(s: SparkSession, dir: String): DataFrame = {
+    val dot = dotQ(s) _
+    val vb = bucketedOf(s, dir)
+    // seeds from TWO independent hash tables: intra-bucket edges alone
+    // can never leave their bucket (the whole candidate set would stay
+    // inside e02's), so the descent round needs a second table whose
+    // buckets cut across the first's — the multi-table LSH init
+    val e0 = bucketTop3(s, vb, "bucket").union(bucketTop3(s, vb, "bucket_b"))
+    val rev = e0.select(col("neighbor_id").as("query_id"),
+      col("query_id").as("neighbor_id"))
+    val und = e0.union(rev)
+    val localJoin = SelfJoin.on(
+        und.toDF("b", "qi"), und.toDF("b", "ni"), Seq("b"))
+      .select(col("qi").as("query_id"), col("ni").as("neighbor_id"))
+      .where(col("query_id") =!= col("neighbor_id"))
+    val cands = e0.union(rev).union(localJoin).distinct()
+    val v = quantized(s, dir)
+    val scored = cands
+      .join(v.select(col("vec_id").as("query_id"), col("q").as("qa"),
+        col("nq").as("na")), Seq("query_id"))
+      .join(v.select(col("vec_id").as("neighbor_id"), col("q").as("qb"),
+        col("nq").as("nb")), Seq("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        (dot(col("qa"), col("qb")).cast("double") /
+          (sqrt(col("na").cast("double")) *
+            sqrt(col("nb").cast("double")))).as("cos"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= 3)
+  }
+
+  val e22Sql: String = {
+    def bucketExprFor(table: Int): String = {
+      val ps = planesFor(table)
+      (0 until NumPlanes).map { p =>
+        s"CASE WHEN list_dot_product(q, [${ps(p).mkString(", ")}]) > 0 THEN ${1L << p} ELSE 0 END"
+      }.mkString(" + ")
+    }
+    val cosAb = "CAST(list_dot_product(a.q, b.q) AS DOUBLE) / " +
+      "(sqrt(CAST(list_dot_product(a.q, a.q) AS DOUBLE)) * " +
+      "sqrt(CAST(list_dot_product(b.q, b.q) AS DOUBLE)))"
+    s"""$quantSql, bv AS (
+       |  SELECT vec_id, q, ${bucketExprFor(0)} AS bucket,
+       |    ${bucketExprFor(1)} AS bucket_b
+       |  FROM qv
+       |), sc22a AS (
+       |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, $cosAb AS cos
+       |  FROM bv a JOIN bv b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+       |), sc22b AS (
+       |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, $cosAb AS cos
+       |  FROM bv a JOIN bv b ON a.bucket_b = b.bucket_b AND a.vec_id <> b.vec_id
+       |), e0 AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT query_id, neighbor_id,
+       |      row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rnk
+       |    FROM sc22a) t
+       |  WHERE rnk <= 3
+       |  UNION
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT query_id, neighbor_id,
+       |      row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rnk
+       |    FROM sc22b) t
+       |  WHERE rnk <= 3
+       |), und AS (
+       |  SELECT query_id AS b, neighbor_id AS n FROM e0
+       |  UNION
+       |  SELECT neighbor_id AS b, query_id AS n FROM e0
+       |), cands AS (
+       |  SELECT query_id, neighbor_id FROM e0
+       |  UNION
+       |  SELECT neighbor_id AS query_id, query_id AS neighbor_id FROM e0
+       |  UNION
+       |  SELECT x.n AS query_id, y.n AS neighbor_id
+       |  FROM und x JOIN und y ON x.b = y.b AND x.n <> y.n
+       |), resc AS (
+       |  SELECT c.query_id, c.neighbor_id, $cosAb AS cos
+       |  FROM cands c
+       |  JOIN qv a ON c.query_id = a.vec_id
+       |  JOIN qv b ON c.neighbor_id = b.vec_id
+       |)
+       |SELECT query_id, neighbor_id, cos, rank FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+       |  FROM resc) t
+       |WHERE rank <= 3""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e22_nn_descent" -> (e22NnDescent _),
     "e21_kmpp_seed" -> (e21KmppSeed _),
     "e20_cell_stats" -> (e20CellStats _),
     "e19_quant_error" -> (e19QuantError _),
@@ -2424,6 +2614,7 @@ object Embeddings {
     * map keeps any future cross-reference out of static init — the
     * cross-object RerankC trap ([[graft.tools.InitOrderCheck]]). */
   lazy val oracleSql: Map[String, String] = Map(
+    "e22_nn_descent" -> e22Sql,
     "e21_kmpp_seed" -> e21Sql,
     "e20_cell_stats" -> e20Sql,
     "e19_quant_error" -> e19SqlBuild,

@@ -504,7 +504,7 @@ class LlmTextSpec extends GraftSuite {
     val rows = Embeddings.e07RecallAudit(spark, sf).collect()
     // exactly one row per audited method — a zero-hit path must report
     // recall 0.0, never vanish
-    assert(rows.length === 8)
+    assert(rows.length === 9)
     val truthPairs = Embeddings.e01KnnBrute(spark, sf)
       .where(col("rank") <= Embeddings.RecallK).count()
     rows.foreach { r =>
@@ -525,10 +525,15 @@ class LlmTextSpec extends GraftSuite {
     assert(rows.map(_.getString(0)).contains("residual_pq"))
     assert(rows.map(_.getString(0)).contains("sq8_rerank"))
     assert(rows.map(_.getString(0)).contains("ivf_sq_rerank"))
+    assert(rows.map(_.getString(0)).contains("nn_descent"))
     // the 255-level SQ grid must not audit below the 1-bit sketch path
     val byM = rows.map(r => r.getString(0) -> r.getDouble(3)).toMap
     assert(byM("sq8_rerank") >= byM("sketch_rerank"),
       s"SQ8 recall ${byM("sq8_rerank")} below 1-bit sketch ${byM("sketch_rerank")}")
+    // the graph round keeps every table-A seed as a candidate, so it can
+    // never audit below the single-table LSH path it refines
+    assert(byM("nn_descent") >= byM("lsh_bucketed"),
+      s"NN-Descent ${byM("nn_descent")} below its LSH seed ${byM("lsh_bucketed")}")
   }
 
   test("d27: rule verdicts recompute, keep is the exact conjunction, stopword rule ties to the text") {
@@ -1513,6 +1518,40 @@ class LlmTextSpec extends GraftSuite {
     val minByCell = rows.groupBy(_.getInt(0)).view.mapValues(_.map(_.getLong(1)).min).toMap
     for (r <- dropped)
       assert(r.getLong(1) > minByCell(r.getInt(0)), "cell minimum must survive")
+  }
+
+  test("e22: NN-Descent round dominates the LSH seed graph query-by-query") {
+    val e02 = Embeddings.e02AnnBucketed(spark, sf).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val e22 = Embeddings.e22NnDescent(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(e22.nonEmpty)
+    // same query universe (every bucketed vector queries in both)
+    assert(e22.map(_._1).toSet === e02.map(_._1).toSet)
+    val sum02 = e02.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    val sum22 = e22.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    // every seed edge stays a candidate, so per-query top-3 quality is
+    // monotone non-decreasing after the refinement round
+    sum22.foreach { case (q, s22) =>
+      assert(s22 >= sum02(q) - 1e-9, s"query $q regressed: $s22 < ${sum02(q)}")
+    }
+    // and the round finds something the buckets alone missed
+    assert(sum22.exists { case (q, s22) => s22 > sum02(q) + 1e-9 },
+      "refinement round improved no query — expansion is dead code on this fixture")
+    // recall against the brute-force truth can only improve
+    val truth = Embeddings.e01KnnBrute(spark, sf).where(col("rank") <= 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1).view
+      .mapValues(_.map(_._2).toSet).toMap
+    def recall(edges: Array[(Long, Long, Double)]): Double = {
+      val by = edges.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      val hits = truth.toSeq.map { case (q, t) =>
+        by.get(q).map(n => (n & t).size).getOrElse(0)
+      }.sum
+      hits.toDouble / truth.values.map(_.size).sum
+    }
+    val r02 = recall(e02.map(t => (t._1, t._2, t._3)))
+    val r22 = recall(e22)
+    assert(r22 >= r02 - 1e-12, s"recall regressed: $r22 < $r02")
   }
 
   test("d44: maximal spans are pairwise disjoint, window-valid, and cross-doc duplicated") {
