@@ -2065,8 +2065,16 @@ object Embeddings {
 
   /** One greedy round as SQL — round r picks the argmax of
     * rel − max(sim to sel{r−1}) among unselected pool members. */
+  /** Every per-round CTE is AS MATERIALIZED (a DuckDB hint; the oracle
+    * runs only there): round r references sel(r−1) twice and s(r)
+    * references p(r)'s whole upstream — left to the inliner, the
+    * expansion is ~2^r copies of the pool/similarity stages, which at
+    * sf0.1 exhausted memory AND an 80 GB spill disk. Materialization
+    * makes each round read the previous round's (tiny) result once,
+    * the same shape the Spark side gets from its per-round
+    * localCheckpoint. */
   private def mmrRoundSql(r: Int): String =
-    s""", p$r AS (
+    s""", p$r AS MATERIALIZED (
        |  SELECT c.query_id, c.neighbor_id, c.rel, max(p.sim) AS maxsim
        |  FROM pool16 c
        |  JOIN sel${r - 1} s ON s.query_id = c.query_id
@@ -2075,22 +2083,25 @@ object Embeddings {
        |  WHERE NOT EXISTS (SELECT 1 FROM sel${r - 1} s2
        |    WHERE s2.query_id = c.query_id AND s2.neighbor_id = c.neighbor_id)
        |  GROUP BY 1, 2, 3
-       |), s$r AS (
+       |), s$r AS MATERIALIZED (
        |  SELECT query_id, neighbor_id, rel, rel - maxsim AS score, $r AS mmr_rank
        |  FROM (SELECT *, row_number() OVER (PARTITION BY query_id
        |          ORDER BY rel - maxsim DESC, neighbor_id ASC) AS rn
        |        FROM p$r) t
        |  WHERE rn = 1
-       |), sel$r AS (
+       |), sel$r AS MATERIALIZED (
        |  SELECT query_id, neighbor_id FROM sel${r - 1}
        |  UNION ALL SELECT query_id, neighbor_id FROM s$r
        |)""".stripMargin
 
   val e16Sql: String =
-    s"""$quantSql, cand16 AS (
-       |  SELECT query_id, neighbor_id, qb, nb, rel FROM (
-       |    SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, b.q AS qb,
-       |      list_dot_product(b.q, b.q) AS nb,
+    s"""$quantSql, cand0 AS (
+       |  -- payload-free ranking pass: carrying the 64-element vectors
+       |  -- through the all-pairs window made DuckDB materialize the
+       |  -- whole product with list payloads (an out-of-disk at sf0.1);
+       |  -- rank on scalars, re-join payloads for the top-N pool only
+       |  SELECT query_id, neighbor_id, rel FROM (
+       |    SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
        |      CAST(list_dot_product(a.q, b.q) AS DOUBLE) /
        |        (sqrt(CAST(list_dot_product(a.q, a.q) AS DOUBLE)) *
        |         sqrt(CAST(list_dot_product(b.q, b.q) AS DOUBLE))) AS rel,
@@ -2101,19 +2112,23 @@ object Embeddings {
        |        b.vec_id ASC) AS rn
        |    FROM qv a JOIN qv b ON a.vec_id % 5 = 0 AND a.vec_id <> b.vec_id) t
        |  WHERE rn <= $MmrPoolN
-       |), pool16 AS (SELECT query_id, neighbor_id, rel FROM cand16
-       |), ps16 AS (
+       |), cand16 AS MATERIALIZED (
+       |  SELECT c.query_id, c.neighbor_id, v.q AS qb,
+       |    list_dot_product(v.q, v.q) AS nb, c.rel
+       |  FROM cand0 c JOIN qv v ON c.neighbor_id = v.vec_id
+       |), pool16 AS MATERIALIZED (SELECT query_id, neighbor_id, rel FROM cand16
+       |), ps16 AS MATERIALIZED (
        |  SELECT x.query_id, x.neighbor_id AS pa, y.neighbor_id AS pb,
        |    CAST(list_dot_product(x.qb, y.qb) AS DOUBLE) /
        |      (sqrt(CAST(x.nb AS DOUBLE)) * sqrt(CAST(y.nb AS DOUBLE))) AS sim
        |  FROM cand16 x JOIN cand16 y
        |    ON x.query_id = y.query_id AND x.neighbor_id <> y.neighbor_id
-       |), s1 AS (
+       |), s1 AS MATERIALIZED (
        |  SELECT query_id, neighbor_id, rel, rel AS score, 1 AS mmr_rank
        |  FROM (SELECT *, row_number() OVER (PARTITION BY query_id
        |          ORDER BY rel DESC, neighbor_id ASC) AS rn FROM pool16) t
        |  WHERE rn = 1
-       |), sel1 AS (SELECT query_id, neighbor_id FROM s1)
+       |), sel1 AS MATERIALIZED (SELECT query_id, neighbor_id FROM s1)
        |${(2 to MmrK).map(mmrRoundSql).mkString}
        |${(1 to MmrK).map(r => s"SELECT * FROM s$r").mkString("\n UNION ALL ")}""".stripMargin
 
