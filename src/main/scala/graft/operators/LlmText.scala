@@ -64,7 +64,7 @@ object LlmText {
   private val baseCache =
     new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
 
-  private def base(s: SparkSession, dir: String): DataFrame =
+  private[graft] def base(s: SparkSession, dir: String): DataFrame =
     graft.StoredMemo.stored(s, baseCache, "tokenized-docs",
         graft.StoredMemo.dirKey(s, dir)) {
       baseFrom(Tables.spreadIfNarrow(Tables.documents(s, dir), s"$dir/documents"))
