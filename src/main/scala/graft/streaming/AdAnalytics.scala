@@ -819,7 +819,59 @@ object AdAnalytics {
 
   lazy val st17Sql: String = graft.operators.LlmText.d18Sql
 
+  // ---------------------------------------------------------------- st18
+  /** Streaming KMV cardinality-sketch maintenance — m10's k-minimum-
+    * values sketch kept as a RUNNING streaming aggregation, the third
+    * sketch deployment beside st11's counter grid and st12's mergeable
+    * rollup: each arriving event hashes into its group's sketch and the
+    * stateful agg holds the k-element retained set. The state store is
+    * bounded at k values per group REGARDLESS of user-id cardinality
+    * (contrast st04) — the reason a deployment streams a sketch instead
+    * of exact distinct state. The KMV merge is associative, commutative,
+    * and idempotent on duplicates, so the AvailableNow final sketch is
+    * identical to the batch sketch over the same rows for ANY
+    * micro-batch split (the m10 window form remains the oracle; split
+    * invariance follows from the merge law pinned in
+    * KmvAggregatorSpec). Readout = (retained count, k-th min, the m10
+    * estimate) — what a live distinct-users dashboard serves. */
+  def st18StreamingKmv(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Misc.KmvK
+    val sk = Streams.runComplete(s) { ss =>
+      Streams.tableStream(ss, dir, "events")
+        .select(col("event_type"),
+          graft.functions.Portable.h64(col("user_id")).as("h"))
+        .groupBy(col("event_type"))
+        .agg(graft.functions.KmvSketch.kmvValues(KmvK)(col("h")).as("sk"))
+    }
+    sk.select(col("event_type"),
+      size(col("sk")).cast("long").as("m"),
+      element_at(col("sk"), size(col("sk"))).as("kth"),
+      when(size(col("sk")) < KmvK, size(col("sk")).cast("double"))
+        .otherwise(lit((KmvK - 1).toDouble) * lit(1152921504606846976.0) /
+          element_at(col("sk"), KmvK).cast("double"))
+        .as("est_distinct"))
+  }
+
+  val st18Sql: String = {
+    import graft.operators.Misc.KmvK
+    val h = graft.functions.Portable.h64Sql("user_id")
+    s"""WITH du AS (
+       |  SELECT DISTINCT event_type, user_id FROM events
+       |), hashed AS (
+       |  SELECT event_type, user_id, $h AS h FROM du
+       |), ranked AS (
+       |  SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY h, user_id) AS rn
+       |  FROM hashed
+       |)
+       |SELECT event_type, count(*) AS m, max(h) AS kth,
+       |  CASE WHEN count(*) < $KmvK THEN CAST(count(*) AS DOUBLE)
+       |       ELSE ${(KmvK - 1).toDouble} * 1152921504606846976.0 / CAST(max(h) AS DOUBLE)
+       |  END AS est_distinct
+       |FROM ranked WHERE rn <= $KmvK GROUP BY 1""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "st18_streaming_kmv" -> (st18StreamingKmv _),
     "st17_streaming_decontamination" -> (st17StreamingDecontamination _),
     "st16_streaming_phash_ingest" -> (st16StreamingPhashIngest _),
     "st15_streaming_sq_ingest" -> (st15StreamingSqIngest _),
@@ -843,6 +895,7 @@ object AdAnalytics {
     * if either operator object's init re-entered this one — the
     * cross-object RerankC trap ([[graft.tools.InitOrderCheck]]). */
   lazy val oracleSql: Map[String, String] = Map(
+    "st18_streaming_kmv" -> st18Sql,
     "st17_streaming_decontamination" -> st17Sql,
     "st16_streaming_phash_ingest" -> st16Sql,
     "st15_streaming_sq_ingest" -> st15Sql,

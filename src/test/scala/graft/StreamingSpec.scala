@@ -43,6 +43,46 @@ class StreamingSpec extends GraftSuite {
     assert(got === Map(1L -> 3L, 2L -> 2L, 3L -> 1L))
   }
 
+  test("st18: streaming KMV sketch is micro-batch-split invariant and equals the batch sketch") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import graft.functions.{KmvSketch, Portable}
+    val rng = new scala.util.Random(11)
+    val rows = Seq.fill(300)(("t" + rng.nextInt(3), rng.nextInt(90).toLong))
+    val K = 8
+    def agg(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("k"), Portable.h64(col("u")).as("h"))
+        .groupBy(col("k")).agg(KmvSketch.kmvValues(K)(col("h")).as("sk"))
+    var n = 0
+    def run(chunks: Seq[Seq[(String, Long)]]): Map[String, Seq[Long]] = {
+      val ms = MemoryStream[(String, Long)]
+      n += 1
+      val qn = s"st18_split_$n"
+      val q = agg(ms.toDF().toDF("k", "u"))
+        .writeStream.outputMode("complete").format("memory").queryName(qn)
+        .option("checkpointLocation", ckpt()).start()
+      chunks.foreach { c => ms.addData(c: _*); q.processAllAvailable() }
+      q.stop()
+      val out = spark.table(qn).collect()
+        .map(r => r.getString(0) -> r.getSeq[Long](1).toSeq).toMap
+      spark.catalog.dropTempView(qn)
+      out
+    }
+    val oneBatch = run(Seq(rows))
+    val manyBatches = run(rows.grouped(17).toSeq)
+    assert(oneBatch === manyBatches,
+      "streaming KMV state must not depend on the micro-batch split")
+    // and the final streamed sketch IS the batch sketch over the same rows
+    val batch = agg(rows.toDF("k", "u")).collect()
+      .map(r => r.getString(0) -> r.getSeq[Long](1).toSeq).toMap
+    assert(oneBatch === batch, "streamed sketch diverged from the batch sketch")
+    // the retained set is bounded at K and sorted ascending (the state contract)
+    oneBatch.values.foreach { sk =>
+      assert(sk.length <= K)
+      assert(sk === sk.sorted)
+    }
+  }
+
   test("multi-metric accumulate fold is batch-split invariant (st12 shape)") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
