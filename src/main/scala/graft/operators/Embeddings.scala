@@ -2513,35 +2513,58 @@ object Embeddings {
       .select(col("query_id"), col("neighbor_id"))
   }
 
+  /** Iteration lever (the multiProbe/nprobe/rerank-depth house
+    * pattern): the descent iterate is stateless — edges in, refined
+    * edges out — so rounds compose by feeding the output back as the
+    * next round's seeds. Default 1 round = the oracle's formulation;
+    * each extra round widens reach by another graph hop (NN-Descent's
+    * convergence mechanism), with per-query quality monotone
+    * non-decreasing round over round (every current edge stays a
+    * candidate; pinned in the spec). Per-round localCheckpoint is the
+    * d14/e16 iteration discipline — bounded lineage, one plan per
+    * round, never a 2^rounds lineage tree. */
+  val NndRoundsConf = "spark.graft.nnd.rounds"
+
   def e22NnDescent(s: SparkSession, dir: String): DataFrame = {
+    val rounds = s.conf.get(NndRoundsConf, "1").toInt
+    require(rounds >= 1, s"$NndRoundsConf must be >= 1, got $rounds")
     val dot = dotQ(s) _
     val vb = bucketedOf(s, dir)
     // seeds from TWO independent hash tables: intra-bucket edges alone
     // can never leave their bucket (the whole candidate set would stay
     // inside e02's), so the descent round needs a second table whose
     // buckets cut across the first's — the multi-table LSH init
-    val e0 = bucketTop3(s, vb, "bucket").union(bucketTop3(s, vb, "bucket_b"))
-    val rev = e0.select(col("neighbor_id").as("query_id"),
-      col("query_id").as("neighbor_id"))
-    val und = e0.union(rev)
-    val localJoin = SelfJoin.on(
-        und.toDF("b", "qi"), und.toDF("b", "ni"), Seq("b"))
-      .select(col("qi").as("query_id"), col("ni").as("neighbor_id"))
-      .where(col("query_id") =!= col("neighbor_id"))
-    val cands = e0.union(rev).union(localJoin).distinct()
     val v = quantized(s, dir)
-    val scored = cands
-      .join(v.select(col("vec_id").as("query_id"), col("q").as("qa"),
-        col("nq").as("na")), Seq("query_id"))
-      .join(v.select(col("vec_id").as("neighbor_id"), col("q").as("qb"),
-        col("nq").as("nb")), Seq("neighbor_id"))
-      .select(col("query_id"), col("neighbor_id"),
-        (dot(col("qa"), col("qb")).cast("double") /
-          (sqrt(col("na").cast("double")) *
-            sqrt(col("nb").cast("double")))).as("cos"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= 3)
+    var edges = bucketTop3(s, vb, "bucket").union(bucketTop3(s, vb, "bucket_b"))
+    var result: DataFrame = null
+    for (r <- 1 to rounds) {
+      val rev = edges.select(col("neighbor_id").as("query_id"),
+        col("query_id").as("neighbor_id"))
+      val und = edges.union(rev)
+      val localJoin = SelfJoin.on(
+          und.toDF("b", "qi"), und.toDF("b", "ni"), Seq("b"))
+        .select(col("qi").as("query_id"), col("ni").as("neighbor_id"))
+        .where(col("query_id") =!= col("neighbor_id"))
+      val cands = edges.union(rev).union(localJoin).distinct()
+      val scored = cands
+        .join(v.select(col("vec_id").as("query_id"), col("q").as("qa"),
+          col("nq").as("na")), Seq("query_id"))
+        .join(v.select(col("vec_id").as("neighbor_id"), col("q").as("qb"),
+          col("nq").as("nb")), Seq("neighbor_id"))
+        .select(col("query_id"), col("neighbor_id"),
+          (dot(col("qa"), col("qb")).cast("double") /
+            (sqrt(col("na").cast("double")) *
+              sqrt(col("nb").cast("double")))).as("cos"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("cos").desc, col("neighbor_id").asc)
+      result = scored.withColumn("rank", row_number().over(w))
+        .where(col("rank") <= 3)
+      if (r < rounds) {
+        result = result.localCheckpoint()
+        edges = result.select(col("query_id"), col("neighbor_id"))
+      }
+    }
+    result
   }
 
   val e22Sql: String = {

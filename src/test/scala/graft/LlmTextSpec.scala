@@ -1554,6 +1554,22 @@ class LlmTextSpec extends GraftSuite {
     assert(r22 >= r02 - 1e-12, s"recall regressed: $r22 < $r02")
   }
 
+  test("e22: extra descent rounds are monotone non-decreasing (nnd.rounds lever)") {
+    def sums(df: org.apache.spark.sql.DataFrame): Map[Long, Double] =
+      df.collect().map(r => (r.getLong(0), r.getDouble(2)))
+        .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    val r1 = sums(Embeddings.e22NnDescent(spark, sf))
+    spark.conf.set(Embeddings.NndRoundsConf, "2")
+    val r2 = try sums(Embeddings.e22NnDescent(spark, sf))
+      finally spark.conf.unset(Embeddings.NndRoundsConf)
+    assert(r2.keySet === r1.keySet, "rounds must not change the query universe")
+    // round 2's candidates include every round-1 edge, so per-query
+    // top-3 quality can only improve
+    r2.foreach { case (q, s2) =>
+      assert(s2 >= r1(q) - 1e-9, s"query $q regressed with a second round")
+    }
+  }
+
   test("d44: maximal spans are pairwise disjoint, window-valid, and cross-doc duplicated") {
     val spans = LlmText.d44CrossdocSpans(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
