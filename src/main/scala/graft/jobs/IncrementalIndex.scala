@@ -71,6 +71,7 @@ object IncrementalIndex {
   val MediaBands = "media_bands"
   val BpeMerges = "bpe_merges"
   val BenchShingles = "bench_shingles"
+  val RhPostings = "rh_postings"
 
   private def p(indexDir: String, table: String): String = s"$indexDir/$table"
 
@@ -254,6 +255,25 @@ object IncrementalIndex {
     * of a daily ingest. */
   def reidf(s: SparkSession, allDocs: DataFrame, indexDir: String): Unit =
     writeSparseIndex(s, allDocs, indexDir)
+
+  /** Write the SUBSTRING-DEDUP half of the index: the rolling-hash
+    * postings table (doc_id, byte offset, window hash) — one row per
+    * [[LlmText.D44Window]]-byte window, the inverted index the
+    * ExactSubstr span family (d44/d45) serves from. `Append` is the
+    * day-N ingest: a new batch's windows fold in without the corpus
+    * ever being re-hashed; the serving df-filter recomputes over the
+    * store as it stands, so spans reflect every appended batch
+    * (cross-batch duplicates surface exactly like in-batch ones). */
+  def writeSubstrIndex(s: SparkSession, docs: DataFrame, indexDir: String,
+                       mode: SaveMode = SaveMode.Overwrite): Unit =
+    LlmText.rhPostingsFrom(s, docs)
+      .write.mode(mode).parquet(p(indexDir, RhPostings))
+
+  /** Serve d44's maximal duplicated spans from the PERSISTED postings
+    * store — the deployment twin of the in-JVM memo (frame parity
+    * pinned in StoredParitySpec). */
+  def probeSubstrSpans(s: SparkSession, indexDir: String): DataFrame =
+    LlmText.spansFromPostings(s.read.parquet(p(indexDir, RhPostings)))
 
   // ------------------------------------------------------------ probe
   /** d30's verdicts against the STORED index: every batch doc with its

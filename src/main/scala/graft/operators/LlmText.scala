@@ -2900,18 +2900,30 @@ object LlmText {
   private val rhPostingsCache =
     new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
 
+  /** (doc_id, p, h) rolling-hash postings for an arbitrary
+    * documents-shaped frame — the derivation the persisted lifecycle
+    * writes ([[graft.jobs.IncrementalIndex.writeSubstrIndex]]), so a
+    * stored index and a recompute can never disagree on the windows. */
+  private[graft] def rhPostingsFrom(s: SparkSession, docs: DataFrame): DataFrame =
+    rhPostingsOf(s, baseFrom(docs))
+
+  private def rhPostingsOf(s: SparkSession, baseDf: DataFrame): DataFrame =
+    baseDf
+      .select(col("doc_id"),
+        posexplode(graft.functions.ArrayOps.rollingHash(s, col("norm"), D44Window)))
+      .toDF("doc_id", "p", "h")
+
   private def rhPostings(s: SparkSession, dir: String): DataFrame =
     graft.StoredMemo.stored(s, rhPostingsCache, "rh-postings",
         graft.StoredMemo.dirKey(s, dir)) {
-      base(s, dir)
-        .select(col("doc_id"),
-          posexplode(graft.functions.ArrayOps.rollingHash(s, col("norm"), D44Window)))
-        .toDF("doc_id", "p", "h")
-        .localCheckpoint()
+      rhPostingsOf(s, base(s, dir)).localCheckpoint()
     }
 
-  def d44CrossdocSpans(s: SparkSession, dir: String): DataFrame = {
-    val pos = rhPostings(s, dir)
+  /** Maximal cross-doc duplicated spans from a postings table — shared
+    * by the in-JVM memo path (d44) and the persisted-store probe
+    * ([[graft.jobs.IncrementalIndex.probeSubstrSpans]]); parity pinned
+    * in StoredParitySpec. */
+  private[graft] def spansFromPostings(pos: DataFrame): DataFrame = {
     val dupHashes = pos.groupBy(col("h"))
       .agg(countDistinct(col("doc_id")).as("df"))
       .where(col("df") >= D44MinDocs)
@@ -2933,6 +2945,9 @@ object LlmText {
         (col("span_end") - col("span_start")).as("span_chars"),
         col("n_windows"))
   }
+
+  def d44CrossdocSpans(s: SparkSession, dir: String): DataFrame =
+    spansFromPostings(rhPostings(s, dir))
 
   /** Shared CTE chain ending in `spans44` (one row per maximal
     * cross-doc duplicated span) — d44 selects it verbatim, d45 rewrites

@@ -32,6 +32,7 @@ class StoredParitySpec extends GraftSuite {
     val tmp = Files.createTempDirectory("graft-parity-").toString
     IncrementalIndex.writeSparseIndex(spark, Tables.documents(spark, sf), tmp)
     IncrementalIndex.writeCellIndex(spark, Tables.embeddings(spark, sf), tmp)
+    IncrementalIndex.writeSubstrIndex(spark, Tables.documents(spark, sf), tmp)
     tmp
   }
 
@@ -47,6 +48,23 @@ class StoredParitySpec extends GraftSuite {
       .select(col("cell"), col("vec_id"), col("q"), col("nq"))
     val persisted = spark.read.parquet(s"$indexDir/${IncrementalIndex.CellMembers}")
     assertSameRows(stored, persisted, "cell members")
+  }
+
+  test("d44 spans: persisted-postings probe ≡ the memo-served query, and appends compose") {
+    // serving from the persisted store equals the in-JVM memo path
+    val stored = LlmText.d44CrossdocSpans(spark, sf)
+    val persisted = IncrementalIndex.probeSubstrSpans(spark, indexDir)
+    assertSameRows(stored, persisted, "d44 spans")
+    // day-N append: splitting the corpus into two writes serves the
+    // same spans as the one-shot build (the df filter recomputes over
+    // the store as it stands — cross-batch duplicates surface)
+    val docs = Tables.documents(spark, sf)
+    val tmp2 = Files.createTempDirectory("graft-parity-substr-").toString
+    IncrementalIndex.writeSubstrIndex(spark, docs.where(col("doc_id") % 2 === 0), tmp2)
+    IncrementalIndex.writeSubstrIndex(spark, docs.where(col("doc_id") % 2 =!= 0), tmp2,
+      org.apache.spark.sql.SaveMode.Append)
+    assertSameRows(stored, IncrementalIndex.probeSubstrSpans(spark, tmp2),
+      "d44 spans after split append")
   }
 
   test("d03 verified pairs: memo-served ≡ fresh recompute (cold conf)") {
