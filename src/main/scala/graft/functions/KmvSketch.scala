@@ -99,10 +99,32 @@ object KmvSketch {
     override def outputEncoder: Encoder[Array[Long]] = ExpressionEncoder[Array[Long]]()
   }
 
+  /** UNION of already-built sketches (the DataSketches "union
+    * operator"): inputs are retained k-min value arrays (ascending,
+    * distinct — the [[KmvValuesAgg]] output contract), the result is
+    * the k-min of their distinct union. This is what merges PERSISTED
+    * per-partition/per-day sketch partials at read time
+    * ([[graft.jobs.IncrementalIndex]]'s sketch store) without touching
+    * the base table. */
+  private[graft] final class KmvMergeAgg(k: Int)
+      extends Aggregator[Seq[Long], Array[Long], Array[Long]] {
+    require(k >= 1, s"kmv sketch size must be >= 1, got $k")
+    override def zero: Array[Long] = Array.emptyLongArray
+    override def reduce(b: Array[Long], sk: Seq[Long]): Array[Long] =
+      if (sk == null) b else kUnion(k, b, sk.toArray)
+    override def merge(b1: Array[Long], b2: Array[Long]): Array[Long] = kUnion(k, b1, b2)
+    override def finish(b: Array[Long]): Array[Long] = b
+    override def bufferEncoder: Encoder[Array[Long]] = ExpressionEncoder[Array[Long]]()
+    override def outputEncoder: Encoder[Array[Long]] = ExpressionEncoder[Array[Long]]()
+  }
+
   /** Column-API handle: `df.agg(KmvSketch.kmv(64)(col("h")))` → struct
     * (m, kth). Input must already be the portable hash (the caller owns
     * the hash so the DuckDB oracle can reproduce it). */
   def kmv(k: Int): UserDefinedFunction = functions.udaf(new KmvAgg(k))
+
+  /** Column-API handle merging stored sketch arrays: `kmvMerge(64)(col("sk"))`. */
+  def kmvMerge(k: Int): UserDefinedFunction = functions.udaf(new KmvMergeAgg(k))
 
   /** Column-API handle returning the retained k-min values (ascending). */
   def kmvValues(k: Int): UserDefinedFunction = functions.udaf(new KmvValuesAgg(k))

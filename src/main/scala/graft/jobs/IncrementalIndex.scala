@@ -3,7 +3,7 @@ package graft.jobs
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Embeddings, LlmText, SelfJoin}
+import graft.operators.{Embeddings, LlmText, Misc, SelfJoin}
 
 /** The PERSISTED incremental-dedup index — the store that turns d30/e09
   * from operators into a daily pipeline with a day 2.
@@ -72,6 +72,7 @@ object IncrementalIndex {
   val BpeMerges = "bpe_merges"
   val BenchShingles = "bench_shingles"
   val RhPostings = "rh_postings"
+  val KmvSketches = "kmv_sketches"
 
   private def p(indexDir: String, table: String): String = s"$indexDir/$table"
 
@@ -274,6 +275,44 @@ object IncrementalIndex {
     * pinned in StoredParitySpec). */
   def probeSubstrSpans(s: SparkSession, indexDir: String): DataFrame =
     LlmText.spansFromPostings(s.read.parquet(p(indexDir, RhPostings)))
+
+  /** Write the SKETCH STORE: one KMV cardinality sketch per
+    * (event_type, day) over the batch's events — the rollup-cube
+    * practice (Druid/Pinot sketch columns): the base table is read
+    * once per ingest day, every later distinct-count question is
+    * answered by MERGING the stored k-row partials. `Append` is the
+    * daily ingest; day boundaries are integer nanos arithmetic so the
+    * shard key is engine-independent. */
+  def writeSketchIndex(s: SparkSession, events: DataFrame, indexDir: String,
+                       mode: SaveMode = SaveMode.Overwrite): Unit =
+    events
+      .select(col("event_type"),
+        expr("ts div 86400000000000").as("day"),
+        graft.functions.Portable.h64(col("user_id")).as("h"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(graft.functions.KmvSketch.kmvValues(Misc.KmvK)(col("h")).as("sk"))
+      .write.mode(mode).parquet(p(indexDir, KmvSketches))
+
+  /** Distinct-users readout from the PERSISTED sketch partials alone —
+    * the k-min union of each type's stored day sketches
+    * ([[graft.functions.KmvSketch.kmvMerge]]), never re-reading events.
+    * Because the KMV union is associative/commutative/idempotent, this
+    * equals the one-shot sketch over all events for ANY day split and
+    * ANY append history (pinned in StoredParitySpec). Readout matches
+    * st18's (m, kth, est_distinct). */
+  def probeSketchDistinct(s: SparkSession, indexDir: String): DataFrame = {
+    import Misc.KmvK
+    s.read.parquet(p(indexDir, KmvSketches))
+      .groupBy(col("event_type"))
+      .agg(graft.functions.KmvSketch.kmvMerge(KmvK)(col("sk")).as("sk"))
+      .select(col("event_type"),
+        size(col("sk")).cast("long").as("m"),
+        element_at(col("sk"), size(col("sk"))).as("kth"),
+        when(size(col("sk")) < KmvK, size(col("sk")).cast("double"))
+          .otherwise(lit((KmvK - 1).toDouble) * lit(1152921504606846976.0) /
+            element_at(col("sk"), KmvK).cast("double"))
+          .as("est_distinct"))
+  }
 
   // ------------------------------------------------------------ probe
   /** d30's verdicts against the STORED index: every batch doc with its

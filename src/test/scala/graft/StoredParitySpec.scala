@@ -67,6 +67,31 @@ class StoredParitySpec extends GraftSuite {
       "d44 spans after split append")
   }
 
+  test("kmv sketch store: merged persisted day partials ≡ the one-shot sketch") {
+    import graft.functions.{KmvSketch, Portable}
+    import graft.operators.Misc.KmvK
+    val ev = Tables.events(spark, sf)
+    val dir1 = Files.createTempDirectory("graft-parity-sk1-").toString
+    IncrementalIndex.writeSketchIndex(spark, ev, dir1)
+    // two appends whose rows interleave within days AND overlap nothing:
+    // the probe-side union must land the identical merged sketch
+    val dir2 = Files.createTempDirectory("graft-parity-sk2-").toString
+    IncrementalIndex.writeSketchIndex(spark, ev.where(col("user_id") % 3 === 0), dir2)
+    IncrementalIndex.writeSketchIndex(spark, ev.where(col("user_id") % 3 =!= 0), dir2,
+      org.apache.spark.sql.SaveMode.Append)
+    val one = IncrementalIndex.probeSketchDistinct(spark, dir1)
+    val two = IncrementalIndex.probeSketchDistinct(spark, dir2)
+    assertSameRows(one, two, "sketch store split append")
+    // and the store's merged readout IS the sketch built in one pass
+    val direct = ev.select(col("event_type"), Portable.h64(col("user_id")).as("h"))
+      .groupBy(col("event_type"))
+      .agg(KmvSketch.kmvValues(KmvK)(col("h")).as("sk"))
+      .select(col("event_type"), size(col("sk")).cast("long").as("m"),
+        element_at(col("sk"), size(col("sk"))).as("kth"))
+    assertSameRows(one.select("event_type", "m", "kth"), direct,
+      "sketch store vs one-shot sketch")
+  }
+
   test("d03 verified pairs: memo-served ≡ fresh recompute (cold conf)") {
     val warm = LlmText.d03LshNeardup(spark, sf)
     spark.conf.set(StoredMemo.DisableConf, "true")
