@@ -2928,7 +2928,14 @@ object LlmText {
       .agg(countDistinct(col("doc_id")).as("df"))
       .where(col("df") >= D44MinDocs)
       .select(col("h"))
-    val dup = pos.join(dupHashes, Seq("h")).select(col("doc_id"), col("p"))
+    islandsFromPositions(
+      pos.join(dupHashes, Seq("h")).select(col("doc_id"), col("p")))
+  }
+
+  /** Gaps-and-islands merge of marked window positions into maximal
+    * spans — shared by d44 (all duplicated windows marked) and d46
+    * (only non-keeper occurrences marked). */
+  private def islandsFromPositions(dup: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("doc_id")).orderBy(col("p"))
     val islands = dup
       .withColumn("newi",
@@ -3011,8 +3018,14 @@ object LlmText {
     * cut needs no overlap handling — pinned in LlmTextSpec.
     * Reference anchor: the dedup family's survivor rewrite (d09/d28)
     * at character-span granularity. */
-  def d45RemoveDupSpans(s: SparkSession, dir: String): DataFrame = {
-    val spans = d44CrossdocSpans(s, dir)
+  def d45RemoveDupSpans(s: SparkSession, dir: String): DataFrame =
+    rewriteWithoutSpans(s, dir, d44CrossdocSpans(s, dir))
+
+  /** The span-cut rewrite core shared by d45 (cut every duplicated
+    * span) and d46 (cut only non-keeper occurrences): spans in, the
+    * cleaned corpus out. */
+  private def rewriteWithoutSpans(s: SparkSession, dir: String,
+      spans: DataFrame): DataFrame = {
     val perDoc = spans.groupBy(col("doc_id")).agg(
       sort_array(collect_list(struct(col("span_start"), col("span_end")))).as("sp"),
       count(lit(1)).as("n_spans"),
@@ -3040,23 +3053,25 @@ object LlmText {
           .as("clean_text"))
   }
 
-  val d45Sql: String =
-    s"""$spans44Cte, perdoc45 AS (
+  /** The SQL twin of [[rewriteWithoutSpans]], parameterized on the
+    * spans CTE it cuts against. */
+  private def rewriteSqlFrom(spansName: String, tag: String): String =
+    s""", perdoc$tag AS (
        |  SELECT doc_id, count(*) AS n_spans,
        |    CAST(sum(span_end - span_start) AS BIGINT) AS removed_chars,
        |    max(span_end) AS last_end
-       |  FROM spans44 GROUP BY doc_id
-       |), gaps45 AS (
+       |  FROM $spansName GROUP BY doc_id
+       |), gaps$tag AS (
        |  SELECT doc_id, span_start, span_end,
        |    lag(span_end, 1, CAST(0 AS BIGINT))
        |      OVER (PARTITION BY doc_id ORDER BY span_start) AS prev_end
-       |  FROM spans44
-       |), heads45 AS (
+       |  FROM $spansName
+       |), heads$tag AS (
        |  SELECT g.doc_id,
        |    string_agg(substring(a, CAST(prev_end + 1 AS INT),
        |                         CAST(span_start - prev_end AS INT)),
        |               '' ORDER BY span_start) AS head
-       |  FROM gaps45 g JOIN ap44 USING (doc_id)
+       |  FROM gaps$tag g JOIN ap44 USING (doc_id)
        |  GROUP BY g.doc_id
        |)
        |SELECT b.doc_id,
@@ -3067,10 +3082,66 @@ object LlmText {
        |       ELSE coalesce(h.head, '') || substring(b.a, CAST(p.last_end + 1 AS INT))
        |  END AS clean_text
        |FROM ap44 b
-       |LEFT JOIN perdoc45 p USING (doc_id)
-       |LEFT JOIN heads45 h USING (doc_id)""".stripMargin
+       |LEFT JOIN perdoc$tag p USING (doc_id)
+       |LEFT JOIN heads$tag h USING (doc_id)""".stripMargin
+
+  val d45Sql: String = spans44Cte + rewriteSqlFrom("spans44", "45")
+
+  // ---------------------------------------------------------------- d46
+  /** KEEP-FIRST span dedup — the deduplicate-text-datasets semantic
+    * proper: every duplicated span keeps exactly ONE occurrence in the
+    * corpus (its window-wise min-doc_id owner) and is cut everywhere
+    * else, where d45 cuts ALL occurrences (the text vanishes from the
+    * corpus entirely). Per duplicated window hash the keeper is
+    * min(doc_id); a doc's window is cut-marked only when the doc is
+    * not that window's keeper, then the marked positions merge
+    * gaps-and-islands and the d45 rewrite applies. Docs can be keeper
+    * for one span and cut another — ownership is per window, which is
+    * what makes the survivorship exact under partial overlaps.
+    *
+    * Scale shape: identical to d44/d45 (one df/min aggregate keyed by
+    * the 8-byte hash, a hash equi-join back, doc-keyed windows, no
+    * pairwise stage) — the keeper column rides the aggregate the df
+    * filter already pays. The corpus-wide guarantee — every duplicated
+    * window survives somewhere — is spec-pinned. */
+  private def d46Spans(s: SparkSession, dir: String): DataFrame = {
+    val pos = rhPostings(s, dir)
+    val owners = pos.groupBy(col("h"))
+      .agg(min(col("doc_id")).as("keeper"),
+        countDistinct(col("doc_id")).as("df"))
+      .where(col("df") >= D44MinDocs)
+      .select(col("h"), col("keeper"))
+    islandsFromPositions(
+      pos.join(owners, Seq("h")).where(col("doc_id") =!= col("keeper"))
+        .select(col("doc_id"), col("p")))
+  }
+
+  def d46KeepFirstSpans(s: SparkSession, dir: String): DataFrame =
+    rewriteWithoutSpans(s, dir, d46Spans(s, dir))
+
+  val d46Sql: String =
+    s"""$spans44Cte, owners46 AS (
+       |  SELECT h, min(doc_id) AS keeper FROM pos44
+       |  GROUP BY h HAVING count(DISTINCT doc_id) >= $D44MinDocs
+       |), isl46 AS (
+       |  SELECT doc_id, p,
+       |    CASE WHEN lag(p) OVER w IS NULL OR p - lag(p) OVER w >= $D44Window
+       |         THEN 1 ELSE 0 END AS newi
+       |  FROM (SELECT doc_id, p FROM pos44 JOIN owners46 USING (h)
+       |        WHERE doc_id <> keeper) m
+       |  WINDOW w AS (PARTITION BY doc_id ORDER BY p)
+       |), spans46 AS (
+       |  SELECT doc_id, island, CAST(min(p) AS BIGINT) AS span_start,
+       |    CAST(max(p) + $D44Window AS BIGINT) AS span_end, count(*) AS n_windows
+       |  FROM (SELECT doc_id, p,
+       |          sum(newi) OVER (PARTITION BY doc_id ORDER BY p
+       |            ROWS UNBOUNDED PRECEDING) AS island
+       |        FROM isl46) t
+       |  GROUP BY doc_id, island
+       |)""".stripMargin + rewriteSqlFrom("spans46", "46")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d46_keep_first_spans" -> (d46KeepFirstSpans _),
     "d45_remove_dup_spans" -> (d45RemoveDupSpans _),
     "d44_crossdoc_spans" -> (d44CrossdocSpans _),
     "d43_span_coverage" -> (d43SpanCoverage _),
@@ -3125,6 +3196,7 @@ object LlmText {
     * [[graft.tools.InitOrderCheck]]. Lazy = assembled on first use,
     * after both objects finish initializing. */
   lazy val oracleSql: Map[String, String] = Map(
+    "d46_keep_first_spans" -> d46Sql,
     "d45_remove_dup_spans" -> d45Sql,
     "d44_crossdoc_spans" -> d44Sql,
     "d43_span_coverage" -> d43Sql,

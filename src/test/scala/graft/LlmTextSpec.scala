@@ -1570,6 +1570,70 @@ class LlmTextSpec extends GraftSuite {
     }
   }
 
+  test("d46: keep-first span dedup matches an independent model; one copy always survives") {
+    val W = LlmText.D44Window
+    val P = graft.functions.RollingHash.P
+    val B = graft.functions.RollingHash.B
+    def norm(t: String): String = t.trim.toLowerCase.replaceAll("\\s+", " ")
+    def hashes(a: String): Array[Long] = {
+      val bs = a.getBytes("UTF-8")
+      if (bs.length < W) Array.emptyLongArray
+      else (0 to bs.length - W).map { i =>
+        var h = 0L
+        var j = i
+        while (j < i + W) { h = (h * B + (bs(j) & 0xff)) % P; j += 1 }
+        h
+      }.toArray
+    }
+    val texts = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), norm(r.getString(1))))
+    val hs = texts.map { case (id, a) => id -> hashes(a) }.toMap
+    val docsOf = scala.collection.mutable.Map.empty[Long, Set[Long]]
+    hs.foreach { case (id, arr) =>
+      arr.foreach(h => docsOf(h) = docsOf.getOrElse(h, Set()) + id)
+    }
+    val keeper = docsOf.collect { case (h, ds) if ds.size >= 2 => h -> ds.min }.toMap
+    // model: positions cut = dup windows whose doc is not the keeper,
+    // merged gaps-and-islands exactly like the operator's rule
+    val want = texts.map { case (id, a) =>
+      val marked = hs(id).zipWithIndex.collect {
+        case (h, p) if keeper.get(h).exists(_ != id) => p
+      }
+      var nSpans = 0L
+      var removed = 0L
+      if (marked.nonEmpty) {
+        nSpans = 1L + marked.sliding(2).count(x => x.length == 2 && x(1) - x(0) >= W)
+        // islands: chars = per island (last - first + W)
+        var start = marked.head
+        var prev = marked.head
+        marked.tail.foreach { p =>
+          if (p - prev >= W) { removed += prev + W - start; start = p }
+          prev = p
+        }
+        removed += prev + W - start
+      }
+      id -> ((nSpans, removed, a.length.toLong))
+    }.toMap
+    val got = LlmText.d46KeepFirstSpans(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
+    assert(got.length === texts.length)
+    got.foreach { case (id, nSpans, removed, kept, clean) =>
+      val (wn, wr, len) = want(id)
+      assert((nSpans, removed) === ((wn, wr)), s"doc $id: keep-first marking mismatch")
+      assert(kept === len - removed, s"doc $id: cut accounting")
+      assert(clean.length.toLong === kept)
+    }
+    // the semantic d45 cannot give: never cut MORE than d45, and the
+    // keeper's copy of every duplicated window survives in the corpus
+    val d45removed = LlmText.d45RemoveDupSpans(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toMap
+    got.foreach { case (id, _, removed, _, _) =>
+      assert(removed <= d45removed(id), s"doc $id: d46 cut more than d45")
+    }
+    assert(got.map(_._3).sum < got.map(d => d45removed(d._1)).sum,
+      "keep-first must retain strictly more text than cut-all on a fixture with duplicates")
+  }
+
   test("d44: maximal spans are pairwise disjoint, window-valid, and cross-doc duplicated") {
     val spans = LlmText.d44CrossdocSpans(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
