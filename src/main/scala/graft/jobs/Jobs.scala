@@ -261,12 +261,18 @@ object IngestJob {
                  indexDir: String, centroidTrain: Option[DataFrame] = None): Unit = {
     IncrementalIndex.writeTextIndex(s, corpusDocs, indexDir)
     IncrementalIndex.writeCellIndex(s, corpusVecs, indexDir, centroidTrain)
+    // the substring half (d44/d45/d46's rolling-hash postings) rides
+    // the same day-1 bootstrap — the span family then serves from the
+    // store like every other index probe
+    IncrementalIndex.writeSubstrIndex(s, corpusDocs, indexDir)
   }
 
   /** Day-N ingest: probe the STORED index with today's batch (no corpus
     * recompute, no day<N file read), append both verdict tables under
     * the task UUID, and fold the survivors' index entries into the
-    * store so day N+1 sees them as corpus. */
+    * store so day N+1 sees them as corpus. The batch's rolling-hash
+    * postings append too, so cross-day duplicated SPANS surface in the
+    * next substring probe exactly like in-corpus ones. */
   def ingestBatch(s: SparkSession, batchDocs: DataFrame, batchVecs: DataFrame,
                   indexDir: String, url: String, props: Properties,
                   taskUUID: String): Unit = {
@@ -276,6 +282,8 @@ object IngestJob {
     val cellV = IncrementalIndex.probeCells(s, batchVecs, indexDir)
     Jobs.appendKeyed(taskUUID, cellV, url, EmbeddingTable, props)
     IncrementalIndex.appendCellSurvivors(s, batchVecs, cellV, indexDir)
+    IncrementalIndex.writeSubstrIndex(s, batchDocs, indexDir,
+      org.apache.spark.sql.SaveMode.Append)
   }
 
   /** args: [sfDir] [jdbcUrl]. */

@@ -147,6 +147,19 @@ class IncrementalIndexSpec extends GraftSuite {
     assert(storedVecIds === day1VecIds ++ keptVecIds)
   }
 
+  test("ingestBatch lands the batch postings: substr probe serves full-corpus spans") {
+    // runs after the ingestBatch test (declaration order, like the rest
+    // of this lifecycle file): the store now holds day-1's bootstrap
+    // postings plus day-2's appended ones, so the persisted probe must
+    // equal d44's spans over the WHOLE corpus — cross-day duplicated
+    // spans surface exactly like in-corpus ones
+    val persisted = IncrementalIndex.probeSubstrSpans(spark, env._3)
+      .collect().map(_.toString).sorted.toSeq
+    val direct = LlmText.d44CrossdocSpans(spark, sf)
+      .collect().map(_.toString).sorted.toSeq
+    assert(persisted === direct, "two-day substr store diverged from the batch spans")
+  }
+
   test("stored tokenizer: encodeBpe under the frozen merges equals the canonical per-word tokenizer") {
     val rounds = 6
     val idx = Files.createTempDirectory("graft-bpe-idx-").toString
