@@ -870,7 +870,51 @@ object AdAnalytics {
        |FROM ranked WHERE rn <= $KmvK GROUP BY 1""".stripMargin
   }
 
+  // ---------------------------------------------------------------- st19
+  /** STREAMING SUBSTRING-DEDUP INGEST — the d44 span family's ingest
+    * twin (st13/st14/st16's pattern for the rolling-hash postings
+    * store): each arriving micro-batch of documents APPENDS its
+    * postings to the persisted substring index
+    * ([[graft.jobs.IncrementalIndex.writeSubstrIndex]] — the batch is
+    * hashed once, the corpus never re-hashed), and the span readout
+    * serves from the store once ingest completes.
+    *
+    * The equivalence contract is STRONGER than st13's: span extraction
+    * is a pure function of the final postings store and the postings
+    * append is commutative, so the readout equals d44's batch recompute
+    * for ANY micro-batch split in ANY arrival order — no ascending-id
+    * requirement (shuffled-split invariance pinned in StreamingSpec;
+    * the oracle is d44's SQL twin verbatim). Per-batch work ∝ batch
+    * bytes at any corpus size; the readout is the one df-aggregate +
+    * islands pass every substring probe pays. */
+  def st19StreamingSubstrIngest(s: SparkSession, dir: String): DataFrame = {
+    import graft.jobs.IncrementalIndex
+    val indexDir = java.nio.file.Files.createTempDirectory("graft-st19-idx-").toString
+    try {
+      val empty = graft.Tables.documents(s, dir).limit(0)
+      Streams.runForeachBatch(s, "append", empty)(
+        ss => Streams.tableStream(ss, dir, "documents")) { (store, batch) =>
+        IncrementalIndex.writeSubstrIndex(s, batch, indexDir,
+          org.apache.spark.sql.SaveMode.Append)
+        store
+      }
+      // materialize before dropping the temp store (the probe is lazy)
+      IncrementalIndex.probeSubstrSpans(s, indexDir).localCheckpoint(eager = true)
+    } finally {
+      val root = java.nio.file.Paths.get(indexDir)
+      if (java.nio.file.Files.exists(root)) {
+        val it = java.nio.file.Files.walk(root)
+          .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        try it.forEach(p => { java.nio.file.Files.deleteIfExists(p); () })
+        finally it.close()
+      }
+    }
+  }
+
+  lazy val st19Sql: String = graft.operators.LlmText.d44Sql
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "st19_streaming_substr_ingest" -> (st19StreamingSubstrIngest _),
     "st18_streaming_kmv" -> (st18StreamingKmv _),
     "st17_streaming_decontamination" -> (st17StreamingDecontamination _),
     "st16_streaming_phash_ingest" -> (st16StreamingPhashIngest _),
@@ -895,6 +939,7 @@ object AdAnalytics {
     * if either operator object's init re-entered this one — the
     * cross-object RerankC trap ([[graft.tools.InitOrderCheck]]). */
   lazy val oracleSql: Map[String, String] = Map(
+    "st19_streaming_substr_ingest" -> st19Sql,
     "st18_streaming_kmv" -> st18Sql,
     "st17_streaming_decontamination" -> st17Sql,
     "st16_streaming_phash_ingest" -> st16Sql,

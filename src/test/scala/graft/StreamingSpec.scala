@@ -83,6 +83,41 @@ class StreamingSpec extends GraftSuite {
     }
   }
 
+  test("st19: any micro-batch split in ANY order reproduces d44's batch spans") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import graft.jobs.IncrementalIndex
+    val arrivals = Tables.documents(spark, sf)
+      .select("doc_id", "text", "lang", "source", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3), r.getLong(4)))
+      .toSeq
+    def run(chunks: Seq[Seq[(Long, String, String, String, Long)]]): Seq[String] = {
+      val idx = java.nio.file.Files.createTempDirectory("graft-st19-test-").toString
+      val ms = MemoryStream[(Long, String, String, String, Long)]
+      val q = ms.toDF().toDF("doc_id", "text", "lang", "source", "n_chars")
+        .writeStream.outputMode("append")
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          IncrementalIndex.writeSubstrIndex(spark, batch, idx,
+            org.apache.spark.sql.SaveMode.Append)
+          ()
+        }
+        .option("checkpointLocation", ckpt()).start()
+      chunks.foreach { c => ms.addData(c: _*); q.processAllAvailable() }
+      q.stop()
+      IncrementalIndex.probeSubstrSpans(spark, idx)
+        .collect().map(_.toString).sorted.toSeq
+    }
+    val expected = graft.operators.LlmText.d44CrossdocSpans(spark, sf)
+      .collect().map(_.toString).sorted.toSeq
+    assert(expected.nonEmpty, "fixture plants cross-doc spans")
+    assert(run(arrivals.grouped(13).toSeq) === expected,
+      "ascending multi-batch split diverged from d44")
+    // postings appends commute, so even a SHUFFLED arrival order lands
+    // the identical span table — stronger than st13's ascending contract
+    val shuffled = new scala.util.Random(5).shuffle(arrivals).grouped(7).toSeq
+    assert(run(shuffled) === expected, "shuffled split diverged from d44")
+  }
+
   test("multi-metric accumulate fold is batch-split invariant (st12 shape)") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
