@@ -70,18 +70,40 @@ private[graft] object StoredMemo {
                    name: String, key: K, bound: Int = 16)(build: => V): V =
     if (disabled(s)) build
     else {
-      guard(cache, name, bound)
+      guard(cache, name, bound,
+        liveApp = Some(s.sparkContext.applicationId))
       cache.computeIfAbsent(key, _ => build)
     }
 
+  /** Evict down to the bound. Victim preference makes the "hot keys
+    * survive a flood" property actually hold instead of relying on
+    * hash-iteration luck: keys NOT belonging to the live session
+    * (dead-context leftovers and one-shot flood keys that embed another
+    * applicationId — every [[dirKey]] leads with it) go first; only if
+    * the overflow is entirely live-session keys does eviction fall back
+    * to arbitrary victims (at that point nothing distinguishes hot from
+    * flood, and the safety valve still bounds memory). */
   def guard(cache: java.util.concurrent.ConcurrentHashMap[_, _],
-            name: String, bound: Int = 16): Unit =
+            name: String, bound: Int = 16,
+            liveApp: Option[String] = None): Unit =
     if (cache.size > bound) {
       System.err.println(
         s"[graft] stored-index memo '$name' exceeded $bound entries — " +
           "evicting overflow; a flood here means some caller keys the memo " +
           "on one-shot frames (use the *Fresh bypass for store builds)")
-      val it = cache.keySet().iterator()
-      while (cache.size > bound && it.hasNext) { it.next(); it.remove() }
+      def evictWhere(victim: Any => Boolean): Unit = {
+        val it = cache.keySet().iterator()
+        while (cache.size > bound && it.hasNext) {
+          val k = it.next()
+          if (victim(k)) it.remove()
+        }
+      }
+      liveApp.foreach { app =>
+        evictWhere {
+          case s: String => !s.startsWith(app + "|")
+          case _ => false
+        }
+      }
+      evictWhere(_ => true)
     }
 }

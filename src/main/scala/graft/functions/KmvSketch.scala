@@ -126,6 +126,19 @@ object KmvSketch {
   /** Column-API handle merging stored sketch arrays: `kmvMerge(64)(col("sk"))`. */
   def kmvMerge(k: Int): UserDefinedFunction = functions.udaf(new KmvMergeAgg(k))
 
+  /** The KMV readout estimate over a retained k-min VALUE array column:
+    * exact count while the sketch isn't full, else (k−1)·2^60 / k-th
+    * min — (k−1)·2^60 is exact in a double and the division is one
+    * correctly-rounded op, identical in DuckDB. ONE definition for
+    * every array-form readout site (m18, st18, the persisted sketch
+    * store) so the estimator can never drift between them. */
+  def estDistinct(k: Int)(sk: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    when(size(sk) < k, size(sk).cast("double"))
+      .otherwise(lit((k - 1).toDouble) * lit(1152921504606846976.0) /
+        element_at(sk, k).cast("double"))
+  }
+
   /** Column-API handle returning the retained k-min values (ascending). */
   def kmvValues(k: Int): UserDefinedFunction = functions.udaf(new KmvValuesAgg(k))
 

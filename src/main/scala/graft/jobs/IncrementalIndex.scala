@@ -308,10 +308,7 @@ object IncrementalIndex {
       .select(col("event_type"),
         size(col("sk")).cast("long").as("m"),
         element_at(col("sk"), size(col("sk"))).as("kth"),
-        when(size(col("sk")) < KmvK, size(col("sk")).cast("double"))
-          .otherwise(lit((KmvK - 1).toDouble) * lit(1152921504606846976.0) /
-            element_at(col("sk"), KmvK).cast("double"))
-          .as("est_distinct"))
+        graft.functions.KmvSketch.estDistinct(KmvK)(col("sk")).as("est_distinct"))
   }
 
   // ------------------------------------------------------------ probe

@@ -677,10 +677,6 @@ object Embeddings {
     val bucketExpr = (0 until NumPlanes).map { p =>
       s"CASE WHEN list_dot_product(q, ${planeLits(p)}) > 0 THEN ${1L << p} ELSE 0 END"
     }.mkString(" + ")
-    val planesB = planesFor(1)
-    val bucketExprB = (0 until NumPlanes).map { p =>
-      s"CASE WHEN list_dot_product(q, [${planesB(p).mkString(", ")}]) > 0 THEN ${1L << p} ELSE 0 END"
-    }.mkString(" + ")
     s"""$quantSql, truth AS (
        |  SELECT query_id, neighbor_id FROM (
        |    SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
@@ -689,7 +685,7 @@ object Embeddings {
        |    FROM qv a JOIN qv b ON a.vec_id % 5 = 0 AND a.vec_id <> b.vec_id) t
        |  WHERE rank <= $RecallK
        |), bv AS (
-       |  SELECT vec_id, q, $bucketExpr AS bucket, $bucketExprB AS bucket_b FROM qv
+       |  SELECT vec_id, q, $bucketExpr AS bucket, ${bucketExprSqlFor(1)} AS bucket_b FROM qv
        |), lsh AS (
        |  SELECT query_id, neighbor_id FROM (
        |    SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
@@ -752,41 +748,12 @@ object Embeddings {
        |    FROM coarse15 c JOIN qv a ON c.query_id = a.vec_id
        |                   JOIN qv b ON c.neighbor_id = b.vec_id) t
        |  WHERE rank <= $RecallK
-       |), scnda AS (
-       |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, ${cos("a", "b")} AS cos
-       |  FROM bv a JOIN bv b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
-       |), scndb AS (
-       |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, ${cos("a", "b")} AS cos
-       |  FROM bv a JOIN bv b ON a.bucket_b = b.bucket_b AND a.vec_id <> b.vec_id
-       |), e0nd AS (
-       |  SELECT query_id, neighbor_id FROM (
-       |    SELECT query_id, neighbor_id,
-       |      row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rnk
-       |    FROM scnda) t
-       |  WHERE rnk <= 3
-       |  UNION
-       |  SELECT query_id, neighbor_id FROM (
-       |    SELECT query_id, neighbor_id,
-       |      row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rnk
-       |    FROM scndb) t
-       |  WHERE rnk <= 3
-       |), undnd AS (
-       |  SELECT query_id AS b, neighbor_id AS n FROM e0nd
-       |  UNION
-       |  SELECT neighbor_id AS b, query_id AS n FROM e0nd
-       |), candsnd AS (
-       |  SELECT query_id, neighbor_id FROM e0nd
-       |  UNION
-       |  SELECT neighbor_id AS query_id, query_id AS neighbor_id FROM e0nd
-       |  UNION
-       |  SELECT x.n AS query_id, y.n AS neighbor_id
-       |  FROM undnd x JOIN undnd y ON x.b = y.b AND x.n <> y.n
-       |), nnd AS (
+       |)${nndCandsCteSql("nd")}, nnd AS (
        |  SELECT query_id, neighbor_id FROM (
        |    SELECT c.query_id, c.neighbor_id,
        |      row_number() OVER (PARTITION BY c.query_id ORDER BY
        |        ${cos("a", "b")} DESC, c.neighbor_id ASC) AS rank
-       |    FROM candsnd c JOIN qv a ON c.query_id = a.vec_id
+       |    FROM ndcands c JOIN qv a ON c.query_id = a.vec_id
        |                  JOIN qv b ON c.neighbor_id = b.vec_id) t
        |  WHERE rank <= $RecallK AND query_id % 5 = 0
        |), ann AS (
@@ -2567,51 +2534,72 @@ object Embeddings {
     result
   }
 
-  val e22Sql: String = {
-    def bucketExprFor(table: Int): String = {
-      val ps = planesFor(table)
-      (0 until NumPlanes).map { p =>
-        s"CASE WHEN list_dot_product(q, [${ps(p).mkString(", ")}]) > 0 THEN ${1L << p} ELSE 0 END"
-      }.mkString(" + ")
-    }
-    val cosAb = "CAST(list_dot_product(a.q, b.q) AS DOUBLE) / " +
+  /** Hyperplane bucket expression for hash table `table` — shared by
+    * e22Sql and e07's nn_descent leg. */
+  private def bucketExprSqlFor(table: Int): String = {
+    val ps = planesFor(table)
+    (0 until NumPlanes).map { p =>
+      s"CASE WHEN list_dot_product(q, [${ps(p).mkString(", ")}]) > 0 THEN ${1L << p} ELSE 0 END"
+    }.mkString(" + ")
+  }
+
+  /** DEF, not val: e07Sql (declared earlier in this object) assembles
+    * during static init and interpolates this through
+    * [[nndCandsCteSql]] — a val declared later would still be null at
+    * that point, baking "null AS cos" into the audit's oracle (the
+    * intra-object form of the RerankC init-order trap; caught by the
+    * oracle gate, not InitOrderCheck, which only covers cross-object
+    * cycles). */
+  private def nndCosSql: String =
+    "CAST(list_dot_product(a.q, b.q) AS DOUBLE) / " +
       "(sqrt(CAST(list_dot_product(a.q, a.q) AS DOUBLE)) * " +
       "sqrt(CAST(list_dot_product(b.q, b.q) AS DOUBLE)))"
-    s"""$quantSql, bv AS (
-       |  SELECT vec_id, q, ${bucketExprFor(0)} AS bucket,
-       |    ${bucketExprFor(1)} AS bucket_b
-       |  FROM qv
-       |), sc22a AS (
-       |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, $cosAb AS cos
+
+  /** e22's candidate-generation CTE chain (two-table seeds + reverse +
+    * local join), parameterized by a name prefix so e22Sql and e07's
+    * nn_descent leg interpolate the SAME text — the audit's oracle
+    * cannot desynchronize from the audited operator's. Expects a `bv`
+    * CTE with (vec_id, q, bucket, bucket_b) in scope; emits
+    * `${p}cands`. */
+  private def nndCandsCteSql(p: String): String =
+    s""", ${p}sca AS (
+       |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, $nndCosSql AS cos
        |  FROM bv a JOIN bv b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
-       |), sc22b AS (
-       |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, $cosAb AS cos
+       |), ${p}scb AS (
+       |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, $nndCosSql AS cos
        |  FROM bv a JOIN bv b ON a.bucket_b = b.bucket_b AND a.vec_id <> b.vec_id
-       |), e0 AS (
+       |), ${p}e0 AS (
        |  SELECT query_id, neighbor_id FROM (
        |    SELECT query_id, neighbor_id,
        |      row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rnk
-       |    FROM sc22a) t
+       |    FROM ${p}sca) t
        |  WHERE rnk <= 3
        |  UNION
        |  SELECT query_id, neighbor_id FROM (
        |    SELECT query_id, neighbor_id,
        |      row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rnk
-       |    FROM sc22b) t
+       |    FROM ${p}scb) t
        |  WHERE rnk <= 3
-       |), und AS (
-       |  SELECT query_id AS b, neighbor_id AS n FROM e0
+       |), ${p}und AS (
+       |  SELECT query_id AS b, neighbor_id AS n FROM ${p}e0
        |  UNION
-       |  SELECT neighbor_id AS b, query_id AS n FROM e0
-       |), cands AS (
-       |  SELECT query_id, neighbor_id FROM e0
+       |  SELECT neighbor_id AS b, query_id AS n FROM ${p}e0
+       |), ${p}cands AS (
+       |  SELECT query_id, neighbor_id FROM ${p}e0
        |  UNION
-       |  SELECT neighbor_id AS query_id, query_id AS neighbor_id FROM e0
+       |  SELECT neighbor_id AS query_id, query_id AS neighbor_id FROM ${p}e0
        |  UNION
        |  SELECT x.n AS query_id, y.n AS neighbor_id
-       |  FROM und x JOIN und y ON x.b = y.b AND x.n <> y.n
-       |), resc AS (
-       |  SELECT c.query_id, c.neighbor_id, $cosAb AS cos
+       |  FROM ${p}und x JOIN ${p}und y ON x.b = y.b AND x.n <> y.n
+       |)""".stripMargin
+
+  val e22Sql: String =
+    s"""$quantSql, bv AS (
+       |  SELECT vec_id, q, ${bucketExprSqlFor(0)} AS bucket,
+       |    ${bucketExprSqlFor(1)} AS bucket_b
+       |  FROM qv
+       |)${nndCandsCteSql("")}, resc AS (
+       |  SELECT c.query_id, c.neighbor_id, $nndCosSql AS cos
        |  FROM cands c
        |  JOIN qv a ON c.query_id = a.vec_id
        |  JOIN qv b ON c.neighbor_id = b.vec_id
@@ -2620,7 +2608,6 @@ object Embeddings {
        |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
        |  FROM resc) t
        |WHERE rank <= 3""".stripMargin
-  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "e22_nn_descent" -> (e22NnDescent _),

@@ -3023,33 +3023,39 @@ object LlmText {
 
   /** The span-cut rewrite core shared by d45 (cut every duplicated
     * span) and d46 (cut only non-keeper occurrences): spans in, the
-    * cleaned corpus out. */
+    * cleaned corpus out. Cuts index into the SAME printable-ASCII
+    * projection the rolling hash positions were computed over
+    * ([[graft.functions.ArrayOps.rollingHash]] projects internally) —
+    * substr'ing into raw `norm` would shift every cut after the first
+    * non-ASCII code point; a no-op on the ASCII fixture but wrong in
+    * general, and the oracle rewrites the projection (`ap44`). */
   private def rewriteWithoutSpans(s: SparkSession, dir: String,
       spans: DataFrame): DataFrame = {
     val perDoc = spans.groupBy(col("doc_id")).agg(
       sort_array(collect_list(struct(col("span_start"), col("span_end")))).as("sp"),
       count(lit(1)).as("n_spans"),
       sum(col("span_end") - col("span_start")).as("removed_chars"))
-    base(s, dir).select(col("doc_id"), col("norm"))
+    base(s, dir)
+      .select(col("doc_id"), regexp_replace(col("norm"), "[^ -~]", "").as("a"))
       .join(perDoc, Seq("doc_id"), "left")
       .select(
         col("doc_id"),
         coalesce(col("n_spans"), lit(0L)).as("n_spans"),
         coalesce(col("removed_chars"), lit(0L)).as("removed_chars"),
-        (length(col("norm")).cast("long") - coalesce(col("removed_chars"), lit(0L)))
+        (length(col("a")).cast("long") - coalesce(col("removed_chars"), lit(0L)))
           .as("kept_chars"),
-        when(col("sp").isNull, col("norm")).otherwise(
+        when(col("sp").isNull, col("a")).otherwise(
           aggregate(col("sp"),
             struct(lit(0L).as("pos"), lit("").as("acc")),
             (st, x) => struct(
               x.getField("span_end").as("pos"),
               concat(st.getField("acc"),
-                col("norm").substr((st.getField("pos") + 1).cast("int"),
+                col("a").substr((st.getField("pos") + 1).cast("int"),
                   (x.getField("span_start") - st.getField("pos")).cast("int")))
                 .as("acc")),
             st => concat(st.getField("acc"),
-              col("norm").substr((st.getField("pos") + 1).cast("int"),
-                (length(col("norm")).cast("long") - st.getField("pos")).cast("int")))))
+              col("a").substr((st.getField("pos") + 1).cast("int"),
+                (length(col("a")).cast("long") - st.getField("pos")).cast("int")))))
           .as("clean_text"))
   }
 
@@ -3102,8 +3108,15 @@ object LlmText {
     * Scale shape: identical to d44/d45 (one df/min aggregate keyed by
     * the 8-byte hash, a hash equi-join back, doc-keyed windows, no
     * pairwise stage) — the keeper column rides the aggregate the df
-    * filter already pays. The corpus-wide guarantee — every duplicated
-    * window survives somewhere — is spec-pinned. */
+    * filter already pays. Survivorship, stated precisely: a keeper's
+    * occurrence is never cut-MARKED, so it survives unless it happens
+    * to sit strictly between two of the SAME doc's non-keeper windows
+    * closer than one window width — then the island closure cuts
+    * across it (the same closure d44/d45 apply; exact
+    * interval-subtraction around keeper windows would avoid even that
+    * corner at the cost of fragmenting cuts below the window size).
+    * The marking itself is pinned against an independent JVM model in
+    * the spec. */
   private def d46Spans(s: SparkSession, dir: String): DataFrame = {
     val pos = rhPostings(s, dir)
     val owners = pos.groupBy(col("h"))

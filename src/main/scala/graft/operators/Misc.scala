@@ -920,10 +920,7 @@ object Misc {
     val b = sk.select(col("event_type").as("type_b"), col("sk").as("sb"))
     def thetaOf(arr: Column): Column =
       when(size(arr) === KmvK, element_at(arr, KmvK)).otherwise(lit(two60))
-    def estOf(arr: Column): Column =
-      when(size(arr) < KmvK, size(arr).cast("double"))
-        .otherwise(lit((KmvK - 1).toDouble) * lit(two60d) /
-          element_at(arr, KmvK).cast("double"))
+    val estOf = KmvSketch.estDistinct(KmvK) _
     val du = ev.distinct()
     val exact = du.toDF("type_a", "u")
       .join(du.toDF("type_b", "u2"),

@@ -1570,7 +1570,7 @@ class LlmTextSpec extends GraftSuite {
     }
   }
 
-  test("d46: keep-first span dedup matches an independent model; one copy always survives") {
+  test("d46: keep-first marking matches an independent model; keepers are never cut-marked") {
     val W = LlmText.D44Window
     val P = graft.functions.RollingHash.P
     val B = graft.functions.RollingHash.B
