@@ -70,19 +70,28 @@ private[graft] object StoredMemo {
                    name: String, key: K, bound: Int = 16)(build: => V): V =
     if (disabled(s)) build
     else {
+      val v = cache.computeIfAbsent(key, _ => build)
+      // guard AFTER the insert so the cache steady-states at the bound,
+      // not bound+1; the just-inserted key is a live-session key, so the
+      // victim preference below never picks it while foreign keys exist
       guard(cache, name, bound,
         liveApp = Some(s.sparkContext.applicationId))
-      cache.computeIfAbsent(key, _ => build)
+      v
     }
 
   /** Evict down to the bound. Victim preference makes the "hot keys
     * survive a flood" property actually hold instead of relying on
     * hash-iteration luck: keys NOT belonging to the live session
     * (dead-context leftovers and one-shot flood keys that embed another
-    * applicationId — every [[dirKey]] leads with it) go first; only if
-    * the overflow is entirely live-session keys does eviction fall back
-    * to arbitrary victims (at that point nothing distinguishes hot from
-    * flood, and the safety valve still bounds memory). */
+    * applicationId) go first; only if the overflow is entirely
+    * live-session keys does eviction fall back to arbitrary victims (at
+    * that point nothing distinguishes hot from flood, and the safety
+    * valve still bounds memory). Every memo key carries the session
+    * identity in a recognized position: plain [[dirKey]] strings lead
+    * with `appId|`, and the composite tuple keys (codebook/lever memos)
+    * lead with either the bare applicationId or a dirKey — so tuple
+    * keys get the same live-session protection as string keys (the
+    * round-11 advisory gap). */
   def guard(cache: java.util.concurrent.ConcurrentHashMap[_, _],
             name: String, bound: Int = 16,
             liveApp: Option[String] = None): Unit =
@@ -99,8 +108,15 @@ private[graft] object StoredMemo {
         }
       }
       liveApp.foreach { app =>
+        def foreignTag(s: String): Boolean =
+          s != app && !s.startsWith(app + "|")
         evictWhere {
-          case s: String => !s.startsWith(app + "|")
+          case s: String => foreignTag(s)
+          case p: Product if p.productArity > 0 =>
+            p.productElement(0) match {
+              case s: String => foreignTag(s)
+              case _ => false
+            }
           case _ => false
         }
       }

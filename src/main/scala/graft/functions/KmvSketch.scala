@@ -99,19 +99,40 @@ object KmvSketch {
     override def outputEncoder: Encoder[Array[Long]] = ExpressionEncoder[Array[Long]]()
   }
 
+  /** Ascending-strict check — the [[kUnion]] input contract. O(n), one
+    * pass, no allocation: the price of never merging a corrupted or
+    * hand-written sketch row silently wrong. */
+  private[functions] def isAscendingDistinct(a: Array[Long]): Boolean = {
+    var i = 1
+    while (i < a.length) { if (a(i) <= a(i - 1)) return false; i += 1 }
+    true
+  }
+
   /** UNION of already-built sketches (the DataSketches "union
     * operator"): inputs are retained k-min value arrays (ascending,
     * distinct — the [[KmvValuesAgg]] output contract), the result is
     * the k-min of their distinct union. This is what merges PERSISTED
     * per-partition/per-day sketch partials at read time
     * ([[graft.jobs.IncrementalIndex]]'s sketch store) without touching
-    * the base table. */
+    * the base table. Stored rows are data, not code: a row that
+    * violates the ascending-distinct contract (hand-written, or
+    * corrupted at rest) is NORMALIZED (sort + dedup) before the union
+    * instead of merging silently wrong — the sketch a deployment reads
+    * back is then the sketch of whatever values the row actually held
+    * (round-11 advisory). */
   private[graft] final class KmvMergeAgg(k: Int)
       extends Aggregator[Seq[Long], Array[Long], Array[Long]] {
     require(k >= 1, s"kmv sketch size must be >= 1, got $k")
     override def zero: Array[Long] = Array.emptyLongArray
     override def reduce(b: Array[Long], sk: Seq[Long]): Array[Long] =
-      if (sk == null) b else kUnion(k, b, sk.toArray)
+      if (sk == null) b
+      else {
+        val arr = sk.toArray
+        val clean =
+          if (isAscendingDistinct(arr)) arr
+          else arr.toIndexedSeq.distinct.sorted.toArray
+        kUnion(k, b, clean)
+      }
     override def merge(b1: Array[Long], b2: Array[Long]): Array[Long] = kUnion(k, b1, b2)
     override def finish(b: Array[Long]): Array[Long] = b
     override def bufferEncoder: Encoder[Array[Long]] = ExpressionEncoder[Array[Long]]()

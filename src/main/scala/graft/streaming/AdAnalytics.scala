@@ -849,16 +849,20 @@ object AdAnalytics {
       graft.functions.KmvSketch.estDistinct(KmvK)(col("sk")).as("est_distinct"))
   }
 
+  /** Oracle ranks DISTINCT (event_type, h) — the m18Sql convention —
+    * not distinct (event_type, user_id): the Spark sketch retains
+    * distinct HASH VALUES, so two users colliding on h64 occupy one
+    * slot, and an oracle ranking user rows would keep both (round-11
+    * advisory — unreachable without a 60-bit collision, but the two
+    * sides should encode the same semantics, not coincide on fixtures). */
   val st18Sql: String = {
     import graft.operators.Misc.KmvK
     val h = graft.functions.Portable.h64Sql("user_id")
-    s"""WITH du AS (
-       |  SELECT DISTINCT event_type, user_id FROM events
-       |), hashed AS (
-       |  SELECT event_type, user_id, $h AS h FROM du
+    s"""WITH hs AS (
+       |  SELECT DISTINCT event_type, $h AS h FROM events
        |), ranked AS (
-       |  SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY h, user_id) AS rn
-       |  FROM hashed
+       |  SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+       |  FROM hs
        |)
        |SELECT event_type, count(*) AS m, max(h) AS kth,
        |  CASE WHEN count(*) < $KmvK THEN CAST(count(*) AS DOUBLE)

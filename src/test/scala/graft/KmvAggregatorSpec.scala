@@ -56,6 +56,19 @@ class KmvAggregatorSpec extends GraftSuite {
     }
   }
 
+  test("kmv store merge: a non-contract stored row (unsorted, dups) is normalized, not merged wrong") {
+    // KmvMergeAgg reads PERSISTED sketch rows — data, not code. A row
+    // violating the ascending-distinct contract must merge as the
+    // sketch of the values it actually holds (round-11 advisory).
+    val m = new KmvSketch.KmvMergeAgg(4)
+    val contract = m.reduce(m.zero, Seq(1L, 3L, 5L, 9L))
+    val corrupted = m.reduce(m.zero, Seq(9L, 3L, 5L, 1L, 3L, 9L))
+    assert(corrupted.toSeq === Seq(1L, 3L, 5L, 9L))
+    assert(m.merge(contract, corrupted).toSeq === contract.toSeq)
+    // and the normalization changes nothing for contract-abiding rows
+    assert(m.reduce(contract, Seq(2L, 4L)).toSeq === Seq(1L, 2L, 3L, 4L))
+  }
+
   test("kmv finish: readout matches (m, kth) semantics") {
     val a = KmvSketch.agg(3)
     assert(a.finish(a.zero) === KmvSketch.Kmv(0L, 0L))
