@@ -635,8 +635,11 @@ object Embeddings {
       .where(col("rank") <= RecallK)
       .select(lit("ivf_sq_rerank").as("method"), col("query_id"), col("neighbor_id"))
     // ninth path: the graph round (e22) — seeds from the same stored
-    // two-table LSH index, so the audit measures THE graph build
-    val nnd = e22NnDescent(s, dir)
+    // two-table LSH index, so the audit measures THE graph build. The
+    // PINNED one-round/default-cap form, NOT the conf-read entry: an
+    // engaged nnd.rounds/revCap lever must not desynchronize the audit
+    // from its one-round oracle leg (round-11 advisory)
+    val nnd = nnDescentRounds(s, dir, 1, DefaultNndRevCap)
       .where(col("query_id") % 5 === 0 && col("rank") <= RecallK)
       .select(lit("nn_descent").as("method"), col("query_id"), col("neighbor_id"))
     // LEFT join from a fixed method spine: a path with ZERO truth hits
@@ -2451,10 +2454,13 @@ object Embeddings {
     * against the e01 truth can only improve (pinned in the spec).
     *
     * Scale shape: the local join is an equi-join of the EDGE LIST with
-    * itself on the shared node — O(N·k) rows joined on a key with ≤ 2k
-    * matches per node, so candidate volume is O(N·k²) with no corpus-
-    * pairs stage anywhere; it rides the [[SelfJoin]] strategy gate like
-    * every bucket join. Rescoring joins the stored quantized vector
+    * itself on the shared node. Forward out-degree is ≤ k per hash
+    * table by construction, but reverse IN-degree is data-dependent
+    * (hub vectors), so the adjacency admitted into the join caps the
+    * reverse side at [[NndRevCapConf]] sampled partners per node —
+    * every node's join degree is then ≤ 2k + R and candidate volume is
+    * ≤ N·(2k+R)² (spec-pinned), with no corpus-pairs stage anywhere;
+    * it rides the [[SelfJoin]] strategy gate like every bucket join. Rescoring joins the stored quantized vector
     * table twice on vec_id (the index-serving shape). A production
     * build iterates this round to a fixpoint; one round is the honest
     * unit — the iterate is stateless (edges in, edges out), so rounds
@@ -2492,27 +2498,103 @@ object Embeddings {
     * round, never a 2^rounds lineage tree. */
   val NndRoundsConf = "spark.graft.nnd.rounds"
 
+  /** Reverse-neighbor sample bound (Dong et al. WWW'11's ρ-sampling,
+    * there a sampled fraction; here a deterministic per-node cap so the
+    * oracle can mirror it): the local join shares candidates through a
+    * node's UNDIRECTED adjacency, and while forward out-degree is ≤ 3
+    * per hash table by construction, REVERSE in-degree is unbounded — a
+    * hub vector sitting in thousands of queries' top-3 concentrates
+    * O(indeg²) candidate pairs onto one join key at scale. Capping the
+    * reverse edges admitted into the join at R per node bounds every
+    * node's join degree at 2·3 + R, so candidate volume is
+    * ≤ N·(2k+R)² with no data-dependent blowup (pinned in the spec).
+    * Which R reverse partners survive is decided by a PORTABLE
+    * pseudo-random order — ((id mod 1000003)·2654435761) mod 1000000007,
+    * exact int64 arithmetic in both engines (the inner mod keeps the
+    * product far from overflow, which DuckDB raises on and Spark wraps)
+    * — the deterministic stand-in for the paper's uniform sample.
+    * Forward edges and ALL reverse edges remain candidates themselves
+    * (they are linear in |edges|); the cap bounds only the quadratic
+    * local-join stage, so e22's dominance over the e02 seeds is
+    * unaffected. */
+  val NndRevCapConf = "spark.graft.nnd.revCap"
+  // final + literal = compile-time constant (the RecallK discipline):
+  // e07Sql, declared EARLIER in this object, interpolates this through
+  // [[nndCandsCteSql]] during static init — a plain val would still be
+  // 0 at that point, silently baking `rr <= 0` (reverse leg dead) into
+  // the audit's oracle only. Caught by the oracle gate.
+  final val DefaultNndRevCap = 8
+
+  /** Portable pseudo-random tie-break order for reverse-sample
+    * selection — see [[NndRevCapConf]]. */
+  private def revSampleOrder(n: Column): Column =
+    (n % lit(1000003L)) * lit(2654435761L) % lit(1000000007L)
+
+  /** The undirected adjacency admitted into the descent's local join:
+    * full forward edges (out-degree bounded by construction) + at most
+    * `revCap` sampled reverse edges per node — the degree cap that
+    * bounds the join's candidate volume under hub skew (see
+    * [[NndRevCapConf]]; bound pinned in the spec). Input must be a
+    * DISTINCT edge list (the oracle's UNION-deduped e0): duplicate
+    * edges would occupy multiple sample slots and skew both the bound
+    * and the oracle parity. */
+  private[graft] def nndAdjacency(edgesD: DataFrame, revCap: Int): DataFrame = {
+    val rev = edgesD.select(col("neighbor_id").as("query_id"),
+      col("query_id").as("neighbor_id"))
+    val wRev = Window.partitionBy(col("query_id"))
+      .orderBy(revSampleOrder(col("neighbor_id")).asc, col("neighbor_id").asc)
+    val revSampled = rev.withColumn("rr", row_number().over(wRev))
+      .where(col("rr") <= revCap).drop("rr")
+    edgesD.union(revSampled)
+  }
+
+  /** The two-table LSH seed edge list (NOT deduped — callers own the
+    * distinct; exposed for the spec's degree-bound pin). */
+  private[graft] def nndSeeds(s: SparkSession, dir: String): DataFrame = {
+    val vb = bucketedOf(s, dir)
+    bucketTop3(s, vb, "bucket").union(bucketTop3(s, vb, "bucket_b"))
+  }
+
   def e22NnDescent(s: SparkSession, dir: String): DataFrame = {
     val rounds = s.conf.get(NndRoundsConf, "1").toInt
     require(rounds >= 1, s"$NndRoundsConf must be >= 1, got $rounds")
+    val revCap = s.conf.get(NndRevCapConf, DefaultNndRevCap.toString).toInt
+    require(revCap >= 1, s"$NndRevCapConf must be >= 1, got $revCap")
+    nnDescentRounds(s, dir, rounds, revCap)
+  }
+
+  /** The descent iterate at PINNED levers — e07's nn_descent leg calls
+    * this with (1, [[DefaultNndRevCap]]) so the recall audit measures
+    * the oracle formulation regardless of session conf (an engaged
+    * rounds/revCap lever must not silently desynchronize the audit
+    * from its one-round oracle — round-11 advisory). */
+  private[graft] def nnDescentRounds(s: SparkSession, dir: String,
+                                     rounds: Int, revCap: Int): DataFrame = {
     val dot = dotQ(s) _
-    val vb = bucketedOf(s, dir)
-    // seeds from TWO independent hash tables: intra-bucket edges alone
-    // can never leave their bucket (the whole candidate set would stay
-    // inside e02's), so the descent round needs a second table whose
-    // buckets cut across the first's — the multi-table LSH init
+    // seeds from TWO independent hash tables ([[nndSeeds]]): intra-
+    // bucket edges alone can never leave their bucket (the whole
+    // candidate set would stay inside e02's), so the descent round
+    // needs a second table whose buckets cut across the first's — the
+    // multi-table LSH init
     val v = quantized(s, dir)
-    var edges = bucketTop3(s, vb, "bucket").union(bucketTop3(s, vb, "bucket_b"))
+    var edges = nndSeeds(s, dir)
     var result: DataFrame = null
     for (r <- 1 to rounds) {
-      val rev = edges.select(col("neighbor_id").as("query_id"),
+      // distinct BEFORE the reverse-sample rank: an edge found by both
+      // hash tables must occupy one sample slot, not two (the oracle's
+      // e0 is UNION-deduped) — and the join degree bound counts edges,
+      // not multiplicities
+      val edgesD = edges.distinct()
+      val rev = edgesD.select(col("neighbor_id").as("query_id"),
         col("query_id").as("neighbor_id"))
-      val und = edges.union(rev)
+      val und = nndAdjacency(edgesD, revCap)
       val localJoin = SelfJoin.on(
           und.toDF("b", "qi"), und.toDF("b", "ni"), Seq("b"))
         .select(col("qi").as("query_id"), col("ni").as("neighbor_id"))
         .where(col("query_id") =!= col("neighbor_id"))
-      val cands = edges.union(rev).union(localJoin).distinct()
+      // candidates: every edge, every reverse edge (both linear — the
+      // cap applies only to the quadratic join stage), the join pairs
+      val cands = edgesD.union(rev).union(localJoin).distinct()
       val scored = cands
         .join(v.select(col("vec_id").as("query_id"), col("q").as("qa"),
           col("nq").as("na")), Seq("query_id"))
@@ -2580,10 +2662,18 @@ object Embeddings {
        |      row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rnk
        |    FROM ${p}scb) t
        |  WHERE rnk <= 3
+       |), ${p}revs AS (
+       |  SELECT b, n FROM (
+       |    SELECT neighbor_id AS b, query_id AS n,
+       |      row_number() OVER (PARTITION BY neighbor_id
+       |        ORDER BY (query_id % 1000003) * 2654435761 % 1000000007 ASC,
+       |                 query_id ASC) AS rr
+       |    FROM ${p}e0) t
+       |  WHERE rr <= $DefaultNndRevCap
        |), ${p}und AS (
        |  SELECT query_id AS b, neighbor_id AS n FROM ${p}e0
        |  UNION
-       |  SELECT neighbor_id AS b, query_id AS n FROM ${p}e0
+       |  SELECT b, n FROM ${p}revs
        |), ${p}cands AS (
        |  SELECT query_id, neighbor_id FROM ${p}e0
        |  UNION

@@ -1570,6 +1570,47 @@ class LlmTextSpec extends GraftSuite {
     }
   }
 
+  test("e22: reverse-sample cap bounds the local join's candidate volume under hub skew") {
+    import spark.implicits._
+    val R = Embeddings.DefaultNndRevCap
+    // fixture adjacency: forward out-degree ≤ 2·3 (two hash tables,
+    // deduped), reverse admitted ≤ R — so no node's join degree exceeds
+    // 2k + R and candidate volume is ≤ N·(2k+R)², the Dong et al.
+    // ρ-sampling bound the 100 TB plan leans on
+    val seeds = Embeddings.nndSeeds(spark, sf).distinct().localCheckpoint()
+    val und = Embeddings.nndAdjacency(seeds, R)
+    val deg = und.groupBy(col("query_id")).count().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val maxDeg = deg.map(_._2).max
+    assert(maxDeg <= 6 + R, s"join degree $maxDeg exceeds 2k+R = ${6 + R}")
+    val volume = deg.map { case (_, d) => d * d }.sum
+    val n = seeds.select(col("query_id")).union(seeds.select(col("neighbor_id")))
+      .distinct().count()
+    assert(volume <= n * (6L + R) * (6L + R),
+      s"candidate volume $volume exceeds N·(2k+R)² = ${n * (6L + R) * (6L + R)}")
+    // adversarial hub: every query points at node 0 — without the cap
+    // its adjacency would be the whole corpus; with it, exactly R
+    // sampled partners (plus node 0's own forward edges: none here)
+    val hub = (1L to 100L).map(q => (q, 0L)).toDF("query_id", "neighbor_id")
+    val hubAdj = Embeddings.nndAdjacency(hub, R)
+    assert(hubAdj.where(col("query_id") === 0L).count() === R.toLong,
+      "hub node must admit exactly R sampled reverse partners")
+    // the sample choice is the portable pseudo-random order, not
+    // first-R-by-id: with 100 reverse partners and R=8, id-ascending
+    // would keep 1..8 — the hash order must differ (collision-free on
+    // this range, so a match would mean the order is id-ascending)
+    val kept = hubAdj.where(col("query_id") === 0L)
+      .select(col("neighbor_id")).collect().map(_.getLong(0)).toSet
+    assert(kept !== (1L to R.toLong).toSet,
+      "reverse sample must follow the portable hash order, not id order")
+    // and the fixture actually exercises the cap (a vacuous bound
+    // would pin nothing): some node's raw reverse in-degree exceeds R
+    val rawRev = seeds.groupBy(col("neighbor_id")).count()
+      .agg(max(col("count"))).collect()(0).getLong(0)
+    assert(rawRev > R,
+      s"fixture's max reverse in-degree $rawRev never engages the cap R=$R")
+  }
+
   test("d46: keep-first marking matches an independent model; keepers are never cut-marked") {
     val W = LlmText.D44Window
     val P = graft.functions.RollingHash.P
