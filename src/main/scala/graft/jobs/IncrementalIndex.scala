@@ -73,6 +73,7 @@ object IncrementalIndex {
   val BenchShingles = "bench_shingles"
   val RhPostings = "rh_postings"
   val KmvSketches = "kmv_sketches"
+  val GraphEdges = "graph_edges"
 
   private def p(indexDir: String, table: String): String = s"$indexDir/$table"
 
@@ -275,6 +276,31 @@ object IncrementalIndex {
     * pinned in StoredParitySpec). */
   def probeSubstrSpans(s: SparkSession, indexDir: String): DataFrame =
     LlmText.spansFromPostings(s.read.parquet(p(indexDir, RhPostings)))
+
+  /** Write the GRAPH half: the NN-Descent kNN graph (e22's iterate —
+    * Dong et al. WWW'11) run `rounds` times over the two-table LSH
+    * seeds of `vecs` and PERSISTED as the top-k edge table
+    * (query_id, neighbor_id, cos, rank) — the HNSW/NSG base layer a
+    * deployment builds once and serves many. The iterate is the SAME
+    * core the in-JVM memo path serves ([[graft.operators.Embeddings
+    * .nnDescentOver]]), so stored graph ≡ memo graph for the same
+    * corpus and levers (parity pinned in StoredParitySpec). A retrain
+    * (more rounds, new corpus snapshot) overwrites — edges from
+    * different builds are not comparable, the
+    * [[writeCellIndex]]/[[retrain]] freeze discipline. */
+  def writeGraphIndex(s: SparkSession, vecs: DataFrame, indexDir: String,
+                      rounds: Int = 1,
+                      revCap: Int = Embeddings.DefaultNndRevCap): Unit = {
+    val v = Embeddings.quantizedFrom(s, vecs)
+    Embeddings.nnDescentOver(s, Embeddings.bucketedFrom(s, v), v, rounds, revCap)
+      .write.mode(SaveMode.Overwrite).parquet(p(indexDir, GraphEdges))
+  }
+
+  /** The persisted kNN graph, served as e22 serves its memo: the graph
+    * IS the query result (top-k neighbors per vector) — a reader joins
+    * it on query_id, never touching vectors. */
+  def probeGraph(s: SparkSession, indexDir: String): DataFrame =
+    s.read.parquet(p(indexDir, GraphEdges))
 
   /** Write the SKETCH STORE: one KMV cardinality sketch per
     * (event_type, day) over the batch's events — the rollup-cube

@@ -222,10 +222,16 @@ object Embeddings {
   private[graft] def bucketedOf(s: SparkSession, dir: String): DataFrame =
     graft.StoredMemo.stored(s, bucketedCache, "lsh-bucketed",
         graft.StoredMemo.dirKey(s, dir)) {
-      quantized(s, dir).withColumn("bucket", bucketCol(s, col("q")))
-        .withColumn("bucket_b", bucketCol(s, col("q"), table = 1))
-        .localCheckpoint()
+      bucketedFrom(s, quantized(s, dir)).localCheckpoint()
     }
+
+  /** The two-table bucket projection over an arbitrary quantized frame
+    * — shared with the persisted-index lifecycle
+    * ([[graft.jobs.IncrementalIndex.writeGraphIndex]]) so a stored
+    * index and a recompute hash identically. */
+  private[graft] def bucketedFrom(s: SparkSession, v: DataFrame): DataFrame =
+    v.withColumn("bucket", bucketCol(s, col("q")))
+      .withColumn("bucket_b", bucketCol(s, col("q"), table = 1))
 
   def e02AnnBucketed(s: SparkSession, dir: String): DataFrame = {
     val dot = dotQ(s) _
@@ -634,12 +640,13 @@ object Embeddings {
     val ivfSq = e15From(s, v, ranked, Some(sqLohiOf(v)))
       .where(col("rank") <= RecallK)
       .select(lit("ivf_sq_rerank").as("method"), col("query_id"), col("neighbor_id"))
-    // ninth path: the graph round (e22) — seeds from the same stored
-    // two-table LSH index, so the audit measures THE graph build. The
-    // PINNED one-round/default-cap form, NOT the conf-read entry: an
-    // engaged nnd.rounds/revCap lever must not desynchronize the audit
-    // from its one-round oracle leg (round-11 advisory)
-    val nnd = nnDescentRounds(s, dir, 1, DefaultNndRevCap)
+    // ninth path: the graph round (e22) — served from the same stored
+    // graph index the standalone e22 default reads, so the audit
+    // measures THE index. The PINNED one-round/default-cap key, NOT
+    // the conf-read entry: an engaged nnd.rounds/revCap lever must not
+    // desynchronize the audit from its one-round oracle leg
+    // (round-11 advisory)
+    val nnd = graphOf(s, dir, 1, DefaultNndRevCap)
       .where(col("query_id") % 5 === 0 && col("rank") <= RecallK)
       .select(lit("nn_descent").as("method"), col("query_id"), col("neighbor_id"))
     // LEFT join from a fixed method spine: a path with ZERO truth hits
@@ -2550,34 +2557,63 @@ object Embeddings {
 
   /** The two-table LSH seed edge list (NOT deduped — callers own the
     * distinct; exposed for the spec's degree-bound pin). */
-  private[graft] def nndSeeds(s: SparkSession, dir: String): DataFrame = {
-    val vb = bucketedOf(s, dir)
+  private[graft] def nndSeeds(s: SparkSession, dir: String): DataFrame =
+    nndSeedsOver(s, bucketedOf(s, dir))
+
+  private[graft] def nndSeedsOver(s: SparkSession, vb: DataFrame): DataFrame =
     bucketTop3(s, vb, "bucket").union(bucketTop3(s, vb, "bucket_b"))
-  }
 
   def e22NnDescent(s: SparkSession, dir: String): DataFrame = {
     val rounds = s.conf.get(NndRoundsConf, "1").toInt
     require(rounds >= 1, s"$NndRoundsConf must be >= 1, got $rounds")
     val revCap = s.conf.get(NndRevCapConf, DefaultNndRevCap.toString).toInt
     require(revCap >= 1, s"$NndRevCapConf must be >= 1, got $revCap")
-    nnDescentRounds(s, dir, rounds, revCap)
+    graphOf(s, dir, rounds, revCap)
   }
 
-  /** The descent iterate at PINNED levers — e07's nn_descent leg calls
-    * this with (1, [[DefaultNndRevCap]]) so the recall audit measures
-    * the oracle formulation regardless of session conf (an engaged
-    * rounds/revCap lever must not silently desynchronize the audit
-    * from its one-round oracle — round-11 advisory). */
+  /** The stored kNN-GRAPH index (the HNSW/NSG base layer a deployment
+    * builds once and serves many): the round-`rounds` descent graph
+    * materialized once per (JVM, dir, rounds, revCap, join strategy)
+    * and served to every later query — e22 and e07's nn_descent leg
+    * read THE graph, not a rebuilt twin. Persisted twin:
+    * [[graft.jobs.IncrementalIndex.writeGraphIndex]]/[[graft.jobs
+    * .IncrementalIndex.probeGraph]] (parity pinned in
+    * StoredParitySpec). Keyed on the SelfJoin strategy like d03's
+    * pair memo — strategy is not result-changing, but the
+    * strategy-invariance gate must exercise a REBUILD under the
+    * alternate plan, not re-serve the broadcast-built frame. */
+  private val graphCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Int, Int, String), DataFrame]()
+
+  private[graft] def graphOf(s: SparkSession, dir: String,
+                             rounds: Int, revCap: Int): DataFrame =
+    graft.StoredMemo.stored(s, graphCache, "nnd-graph",
+        (graft.StoredMemo.dirKey(s, dir), rounds, revCap,
+          s.conf.get(SelfJoin.StrategyConf, "broadcast"))) {
+      nnDescentRounds(s, dir, rounds, revCap).localCheckpoint()
+    }
+
+  /** The descent iterate at PINNED levers over the stored fixture
+    * index — the FRESH builder ([[graphOf]] is its memo; [[graft.jobs
+    * .IncrementalIndex.writeGraphIndex]] persists the same iterate over
+    * an arbitrary frame via [[nnDescentOver]]). */
   private[graft] def nnDescentRounds(s: SparkSession, dir: String,
-                                     rounds: Int, revCap: Int): DataFrame = {
+                                     rounds: Int, revCap: Int): DataFrame =
+    nnDescentOver(s, bucketedOf(s, dir), quantized(s, dir), rounds, revCap)
+
+  /** The descent core over an arbitrary (bucketed, quantized) pair —
+    * shared by the in-JVM memo path and the persisted-index writer so
+    * a stored graph and a recompute iterate identically. */
+  private[graft] def nnDescentOver(s: SparkSession, vb: DataFrame,
+                                   v: DataFrame,
+                                   rounds: Int, revCap: Int): DataFrame = {
     val dot = dotQ(s) _
-    // seeds from TWO independent hash tables ([[nndSeeds]]): intra-
+    // seeds from TWO independent hash tables ([[nndSeedsOver]]): intra-
     // bucket edges alone can never leave their bucket (the whole
     // candidate set would stay inside e02's), so the descent round
     // needs a second table whose buckets cut across the first's — the
     // multi-table LSH init
-    val v = quantized(s, dir)
-    var edges = nndSeeds(s, dir)
+    var edges = nndSeedsOver(s, vb)
     var result: DataFrame = null
     for (r <- 1 to rounds) {
       // distinct BEFORE the reverse-sample rank: an edge found by both

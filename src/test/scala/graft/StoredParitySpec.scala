@@ -33,6 +33,7 @@ class StoredParitySpec extends GraftSuite {
     IncrementalIndex.writeSparseIndex(spark, Tables.documents(spark, sf), tmp)
     IncrementalIndex.writeCellIndex(spark, Tables.embeddings(spark, sf), tmp)
     IncrementalIndex.writeSubstrIndex(spark, Tables.documents(spark, sf), tmp)
+    IncrementalIndex.writeGraphIndex(spark, Tables.embeddings(spark, sf), tmp)
     tmp
   }
 
@@ -90,6 +91,23 @@ class StoredParitySpec extends GraftSuite {
         element_at(col("sk"), size(col("sk"))).as("kth"))
     assertSameRows(one.select("event_type", "m", "kth"), direct,
       "sketch store vs one-shot sketch")
+  }
+
+  test("kNN graph: in-JVM memo ≡ persisted graph_edges, and the rounds lever composes") {
+    // e22's default levers (rounds=1, revCap=8) serve the memoized
+    // graph; the persisted writer iterates the same core over the same
+    // corpus — THE graph, not a rebuilt twin
+    val stored = Embeddings.e22NnDescent(spark, sf)
+    val persisted = IncrementalIndex.probeGraph(spark, indexDir)
+    assertSameRows(stored, persisted, "graph edges")
+    // a deeper build (the deployment's iterate-to-R-rounds event)
+    // persists exactly the fresh R-round iterate
+    val tmp2 = Files.createTempDirectory("graft-parity-graph-").toString
+    IncrementalIndex.writeGraphIndex(spark, Tables.embeddings(spark, sf), tmp2,
+      rounds = 2)
+    assertSameRows(
+      Embeddings.nnDescentRounds(spark, sf, 2, Embeddings.DefaultNndRevCap),
+      IncrementalIndex.probeGraph(spark, tmp2), "graph edges rounds=2")
   }
 
   test("d03 verified pairs: memo-served ≡ fresh recompute (cold conf)") {
