@@ -139,6 +139,111 @@ object KmvSketch {
     override def outputEncoder: Encoder[Array[Long]] = ExpressionEncoder[Array[Long]]()
   }
 
+  // ------------------------------------------------------- rank sketch
+  /** Sorted-insert of a (hash, value) pair: ascending and distinct by
+    * hash, ≤ k long, MIN value on a hash tie — the structural
+    * determinism that makes the pair sketch a pure function of the
+    * input SET (which pair survives a 60-bit collision must not depend
+    * on arrival or merge order; min is commutative and idempotent, and
+    * the oracle's `min(v) GROUP BY h` mirrors it exactly). */
+  private[functions] def kInsertPair(k: Int, b: Array[(Long, Double)],
+                                     h: Long, v: Double): Array[(Long, Double)] = {
+    var lo = 0
+    var hi = b.length
+    while (lo < hi) { // binary search on the hash component
+      val mid = (lo + hi) >>> 1
+      if (b(mid)._1 < h) lo = mid + 1 else hi = mid
+    }
+    if (lo < b.length && b(lo)._1 == h) {
+      if (v < b(lo)._2) { val out = b.clone(); out(lo) = (h, v); out } else b
+    } else if (b.length < k) {
+      val out = new Array[(Long, Double)](b.length + 1)
+      System.arraycopy(b, 0, out, 0, lo)
+      out(lo) = (h, v)
+      System.arraycopy(b, lo, out, lo + 1, b.length - lo)
+      out
+    } else if (lo < k) { // displaces the current max hash
+      val out = new Array[(Long, Double)](k)
+      System.arraycopy(b, 0, out, 0, lo)
+      out(lo) = (h, v)
+      System.arraycopy(b, lo, out, lo + 1, k - lo - 1)
+      out
+    } else b
+  }
+
+  /** k smallest-by-hash of the union of two sorted pair arrays; equal
+    * hashes keep the MIN value (see [[kInsertPair]]). */
+  private[functions] def kUnionPair(k: Int, b1: Array[(Long, Double)],
+                                    b2: Array[(Long, Double)]): Array[(Long, Double)] = {
+    val bound = math.min(k, b1.length + b2.length)
+    val out = new Array[(Long, Double)](bound)
+    var i = 0
+    var j = 0
+    var n = 0
+    while (n < bound && (i < b1.length || j < b2.length)) {
+      val p =
+        if (j >= b2.length) { i += 1; b1(i - 1) }
+        else if (i >= b1.length) { j += 1; b2(j - 1) }
+        else if (b1(i)._1 < b2(j)._1) { i += 1; b1(i - 1) }
+        else if (b1(i)._1 > b2(j)._1) { j += 1; b2(j - 1) }
+        else { // equal hash: consume both once, keep the min value
+          val m = (b1(i)._1, math.min(b1(i)._2, b2(j)._2))
+          i += 1; j += 1; m
+        }
+      out(n) = p
+      n += 1
+    }
+    if (n == bound) out else java.util.Arrays.copyOf(out, n)
+  }
+
+  /** MERGEABLE RANK/QUANTILE SKETCH — the KMV bottom-k sample carrying
+    * value payloads: retain the (hash, value) pairs of the k smallest
+    * distinct hashes of a UNIQUE ROW KEY, i.e. a deterministic uniform
+    * row sample whose membership is a pure function of the input set.
+    * Quantile readout = `percentile_disc` over the retained values
+    * (rank error is the uniform-sampling bound, ~sqrt(ln(2/δ)/(2k))
+    * uniformly over all ranks by DKW — pinned against m17's exact
+    * selection in the spec).
+    *
+    * Why not KLL (Karnin-Lang-Liberty) or GK, the names usually reached
+    * for: KLL's compactors discard odd- or even-indexed survivors by
+    * coin flip, and even the deterministic MRL variant keeps a
+    * different set depending on the MERGE TREE SHAPE, which Spark's
+    * partial aggregation deliberately does not fix — the sketch would
+    * change across partitionings and runs, breaking both the bit-exact
+    * DuckDB oracle and this repo's partition/strategy invariance gates.
+    * The bottom-k row sample is the member of the mergeable-quantile
+    * family with a full merge LATTICE (associative, commutative,
+    * idempotent — the KMV union law on the hash component), trading a
+    * log(1/ε) factor of space for order-independence; the readout cost
+    * and deployment shape (per-partition sketch → merge → serve) are
+    * the DataSketches ones. Bar-Yossef et al. 2002's KMV with payloads;
+    * cf. Manku et al. SIGMOD'98/'99 sampling-based quantiles. */
+  private[graft] final class KmvPairsAgg(k: Int)
+      extends Aggregator[(Long, Double), Array[(Long, Double)], Array[(Long, Double)]] {
+    require(k >= 1, s"kmv sketch size must be >= 1, got $k")
+    override def zero: Array[(Long, Double)] = Array.empty[(Long, Double)]
+    override def reduce(b: Array[(Long, Double)], p: (Long, Double)): Array[(Long, Double)] =
+      kInsertPair(k, b, p._1, p._2)
+    override def merge(b1: Array[(Long, Double)],
+                       b2: Array[(Long, Double)]): Array[(Long, Double)] =
+      kUnionPair(k, b1, b2)
+    override def finish(b: Array[(Long, Double)]): Array[(Long, Double)] = b
+    override def bufferEncoder: Encoder[Array[(Long, Double)]] =
+      ExpressionEncoder[Array[(Long, Double)]]()
+    override def outputEncoder: Encoder[Array[(Long, Double)]] =
+      ExpressionEncoder[Array[(Long, Double)]]()
+  }
+
+  /** Column-API handle: `kmvPairs(256)(col("h"), col("v"))` → array of
+    * struct(_1 = hash, _2 = value), ascending by hash. The caller owns
+    * the hash (a portable h64 of a unique row key) so the DuckDB oracle
+    * reproduces membership exactly. */
+  def kmvPairs(k: Int): UserDefinedFunction = functions.udaf(new KmvPairsAgg(k))
+
+  /** Test handle for the pair-sketch law checks. */
+  private[graft] def pairsAgg(k: Int): KmvPairsAgg = new KmvPairsAgg(k)
+
   /** Column-API handle: `df.agg(KmvSketch.kmv(64)(col("h")))` → struct
     * (m, kth). Input must already be the portable hash (the caller owns
     * the hash so the DuckDB oracle can reproduce it). */

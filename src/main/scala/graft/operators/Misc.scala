@@ -988,7 +988,87 @@ object Misc {
        |  ON c.type_a = e.type_a AND c.type_b = e.type_b""".stripMargin
   }
 
+  // ---------------------------------------------------------------- m19
+  /** MERGEABLE APPROXIMATE QUANTILES — the sketch form beside m17's
+    * exact rank selection, completing the m10/m18 pattern for order
+    * statistics: per-partition bounded sketch → k-min merge → serve,
+    * the DataSketches deployment shape. The sketch is the KMV bottom-k
+    * ROW SAMPLE ([[graft.functions.KmvSketch.kmvPairs]]): retain the
+    * (h64(unique row key), value) pairs of the k smallest hashes — a
+    * deterministic uniform sample whose membership is a pure function
+    * of the input set, so the estimate is bit-exact reproducible at any
+    * partitioning (see the aggregator's scaladoc for why KLL/GK's
+    * randomized / merge-tree-dependent compaction is the wrong member
+    * of the family under this repo's oracle and invariance gates).
+    * Readout: `percentile_disc` over the retained sample at m17's exact
+    * integer rank formula. Rank error obeys the DKW sampling bound
+    * sup|F̂−F| ≤ sqrt(ln(2/δ)/(2k)) (≈ 0.102 at k=256, δ=1%) — pinned
+    * against m17's exact answers in QuantilesSpec.
+    *
+    * Scale shape: ONE pass over lineitem with map-side partial
+    * aggregation bounding every partition's state at k pairs (the m10
+    * plan contract — a PARTIAL ObjectHashAggregate before the
+    * exchange); the readout is arithmetic on one k-row array. Contrast
+    * m17: exact, but pays a full range-partition sort; the sketch
+    * answers the same question at any scale for one narrow scan —
+    * which is why a 100 TB pipeline keeps BOTH (exact for audits,
+    * sketch for serving). */
+  val QsK = 256
+
+  /** Quantile readout over a pair-sketch column `sk` (the
+    * [[graft.functions.KmvSketch.kmvPairs]] output): one row per
+    * (keep-columns, pct) with the sample's percentile_disc value and
+    * the retained count m. Shared with st20 so batch and streaming
+    * readouts cannot drift. */
+  private[graft] def sketchQuantiles(s: SparkSession, sk: DataFrame,
+                                     keep: Seq[String]): DataFrame = {
+    val percents = s.createDataFrame(M17Percents.map(Tuple1.apply)).toDF("pct")
+    val base = sk.select(keep.map(col) ++ Seq(
+      array_sort(col("sk._2")).as("vs"),
+      size(col("sk")).cast("long").as("m")): _*)
+    // broadcast the 5-row percent spine onto the sketch row(s) — the
+    // declared-broadcast crossJoin shape StrictPlanCheck admits
+    base.crossJoin(broadcast(percents))
+      .select(keep.map(col) ++ Seq(
+        col("pct"),
+        element_at(col("vs"),
+          floor((col("m") * col("pct") + lit(99)) / lit(100)).cast("int"))
+          .as("est_value"),
+        col("m")): _*)
+  }
+
+  def m19QuantileSketch(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.{KmvSketch, Portable}
+    val kp = KmvSketch.kmvPairs(QsK)
+    val sk = Tables.lineitem(s, dir)
+      .select(
+        Portable.h64(concat_ws("|", col("l_orderkey"), col("l_linenumber"))).as("h"),
+        col("l_extendedprice").as("v"))
+      .agg(kp(col("h"), col("v")).as("sk"))
+    sketchQuantiles(s, sk, Nil)
+  }
+
+  val m19Sql: String = {
+    val h = graft.functions.Portable.h64Sql("concat(l_orderkey, '|', l_linenumber)")
+    s"""WITH hv AS (
+       |  SELECT $h AS h, l_extendedprice AS v FROM lineitem
+       |), dh AS (
+       |  SELECT h, min(v) AS v FROM hv GROUP BY h
+       |), ranked AS (
+       |  SELECT h, v, row_number() OVER (ORDER BY h) AS rn FROM dh
+       |), samp AS (
+       |  SELECT v FROM ranked WHERE rn <= $QsK
+       |), sv AS (
+       |  SELECT v, row_number() OVER (ORDER BY v) AS vr, count(*) OVER () AS m
+       |  FROM samp
+       |)
+       |SELECT p.pct AS pct, sv.v AS est_value, CAST(sv.m AS BIGINT) AS m
+       |FROM (VALUES (25), (50), (75), (90), (99)) p(pct)
+       |JOIN sv ON sv.vr = (sv.m * p.pct + 99) // 100""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m19_quantile_sketch" -> (m19QuantileSketch _),
     "m18_sketch_set_ops" -> (m18SketchSetOps _),
     "m17_global_quantiles" -> (m17GlobalQuantiles _),
     "m16_global_rank" -> (m16GlobalRank _),
@@ -1009,6 +1089,7 @@ object Misc {
     "m06_salted_agg" -> (m06SaltedAgg _))
 
   val oracleSql: Map[String, String] = Map(
+    "m19_quantile_sketch" -> m19Sql,
     "m18_sketch_set_ops" -> m18Sql,
     "m17_global_quantiles" -> m17Sql,
     "m16_global_rank" -> m16Sql,

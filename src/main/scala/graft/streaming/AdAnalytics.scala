@@ -914,7 +914,61 @@ object AdAnalytics {
 
   lazy val st19Sql: String = graft.operators.LlmText.d44Sql
 
+  // ---------------------------------------------------------------- st20
+  /** Streaming QUANTILE-sketch maintenance — m19's mergeable rank
+    * sketch kept as a running streaming aggregation per event_type, the
+    * quantile analogue of st18's cardinality sketch: each arriving
+    * event offers its (h64(event_id), value) pair and the stateful agg
+    * holds the k-pair retained sample. State is bounded at k pairs per
+    * group REGARDLESS of event volume — the reason a live latency/price
+    * dashboard streams a sketch instead of sorting history — and the
+    * retained set is a pure function of the event SET (the KMV merge
+    * lattice on the hash component, [[graft.functions.KmvSketch
+    * .KmvPairsAgg]]), so the AvailableNow final sketch equals the batch
+    * sketch for ANY micro-batch split in ANY order (the merge law is
+    * pinned in KmvAggregatorSpec; KLL-style compaction would NOT give
+    * this — see the aggregator's scaladoc). Readout = m19's
+    * percentile_disc over the sample, shared through
+    * [[graft.operators.Misc.sketchQuantiles]] so batch and streaming
+    * readouts cannot drift. */
+  def st20StreamingQuantiles(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Misc
+    val sk = Streams.runComplete(s) { ss =>
+      Streams.tableStream(ss, dir, "events")
+        .select(col("event_type"),
+          graft.functions.Portable.h64(col("event_id")).as("h"),
+          col("value").as("v"))
+        .groupBy(col("event_type"))
+        .agg(graft.functions.KmvSketch.kmvPairs(Misc.QsK)(col("h"), col("v")).as("sk"))
+    }
+    Misc.sketchQuantiles(s, sk, Seq("event_type"))
+  }
+
+  val st20Sql: String = {
+    import graft.operators.Misc.QsK
+    val h = graft.functions.Portable.h64Sql("event_id")
+    s"""WITH hv AS (
+       |  SELECT event_type, $h AS h, value AS v FROM events
+       |), dh AS (
+       |  SELECT event_type, h, min(v) AS v FROM hv GROUP BY 1, 2
+       |), ranked AS (
+       |  SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+       |  FROM dh
+       |), samp AS (
+       |  SELECT event_type, v FROM ranked WHERE rn <= $QsK
+       |), sv AS (
+       |  SELECT event_type, v,
+       |    row_number() OVER (PARTITION BY event_type ORDER BY v) AS vr,
+       |    count(*) OVER (PARTITION BY event_type) AS m
+       |  FROM samp
+       |)
+       |SELECT sv.event_type, p.pct AS pct, sv.v AS est_value, CAST(sv.m AS BIGINT) AS m
+       |FROM (VALUES (25), (50), (75), (90), (99)) p(pct)
+       |JOIN sv ON sv.vr = (sv.m * p.pct + 99) // 100""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "st20_streaming_quantiles" -> (st20StreamingQuantiles _),
     "st19_streaming_substr_ingest" -> (st19StreamingSubstrIngest _),
     "st18_streaming_kmv" -> (st18StreamingKmv _),
     "st17_streaming_decontamination" -> (st17StreamingDecontamination _),
@@ -940,6 +994,7 @@ object AdAnalytics {
     * if either operator object's init re-entered this one — the
     * cross-object RerankC trap ([[graft.tools.InitOrderCheck]]). */
   lazy val oracleSql: Map[String, String] = Map(
+    "st20_streaming_quantiles" -> st20Sql,
     "st19_streaming_substr_ingest" -> st19Sql,
     "st18_streaming_kmv" -> st18Sql,
     "st17_streaming_decontamination" -> st17Sql,

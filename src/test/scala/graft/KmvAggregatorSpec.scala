@@ -69,6 +69,40 @@ class KmvAggregatorSpec extends GraftSuite {
     assert(m.reduce(contract, Seq(2L, 4L)).toSeq === Seq(1L, 2L, 3L, 4L))
   }
 
+  test("pair sketch: insert keeps k smallest by hash, min value on a hash tie") {
+    val a = KmvSketch.pairsAgg(3)
+    val buf = Seq((9L, 9.0), (3L, 3.0), (7L, 7.0), (1L, 1.0), (8L, 8.0))
+      .foldLeft(a.zero)(a.reduce)
+    assert(buf.toSeq === Seq((1L, 1.0), (3L, 3.0), (7L, 7.0)))
+    // hash tie: min value wins regardless of arrival order
+    assert(a.reduce(buf, (3L, 0.5)).toSeq === Seq((1L, 1.0), (3L, 0.5), (7L, 7.0)))
+    assert(a.reduce(buf, (3L, 9.9)).toSeq === buf.toSeq)
+    // above the k-th min of a full sketch: no-op; below: displaces max
+    assert(a.reduce(buf, (100L, 0.0)).toSeq === buf.toSeq)
+    assert(a.reduce(buf, (2L, 2.0)).toSeq === Seq((1L, 1.0), (2L, 2.0), (3L, 3.0)))
+  }
+
+  test("pair sketch merge law: any merge tree equals the global sketch (incl. value ties)") {
+    // the lattice property KLL does not have — membership AND payloads
+    // are a pure function of the input set, so partial aggregation may
+    // combine in any tree shape
+    val rng = new scala.util.Random(11)
+    for (_ <- 1 to 50) {
+      val k = 1 + rng.nextInt(12)
+      val a = KmvSketch.pairsAgg(k)
+      def gen(n: Int) = Seq.fill(n)((rng.nextInt(20).toLong, rng.nextInt(5).toDouble))
+      val (xs, ys, zs) = (gen(rng.nextInt(40)), gen(rng.nextInt(40)), gen(rng.nextInt(40)))
+      def sk(s: Seq[(Long, Double)]) = s.foldLeft(a.zero)(a.reduce)
+      val global = sk(xs ++ ys ++ zs)
+      val leftTree = a.merge(a.merge(sk(xs), sk(ys)), sk(zs))
+      val rightTree = a.merge(sk(xs), a.merge(sk(ys), sk(zs)))
+      assert(leftTree.toSeq === global.toSeq, s"k=$k left tree diverged")
+      assert(rightTree.toSeq === global.toSeq, s"k=$k right tree diverged")
+      // idempotence: re-merging a sketch with itself changes nothing
+      assert(a.merge(global, global).toSeq === global.toSeq)
+    }
+  }
+
   test("kmv finish: readout matches (m, kth) semantics") {
     val a = KmvSketch.agg(3)
     assert(a.finish(a.zero) === KmvSketch.Kmv(0L, 0L))
