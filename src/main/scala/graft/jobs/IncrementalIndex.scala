@@ -94,6 +94,53 @@ object IncrementalIndex {
     } finally { baseDf.unpersist(); () }
   }
 
+  /** IDEMPOTENT per-batch append for the streaming ingest twins: the
+    * batch's index rows land in a batch-id-keyed partition directory
+    * (`bid=<id>`, written with Overwrite). foreachBatch commits source
+    * offsets AFTER the callback returns, so a batch replayed after a
+    * crash arrives with the SAME id and overwrites its own partition
+    * instead of duplicating — the Structured Streaming idempotent-sink
+    * recipe that makes a parquet store exactly-once under recovery
+    * (crash-resume pinned in StreamingSpec). Bootstrap rows take
+    * bid = -1 so the whole store shares one partition-discovered
+    * layout (flat files and bid dirs must not mix under one root). */
+  def writeTextIndexBatch(s: SparkSession, docs: DataFrame, indexDir: String,
+                          batchId: Long): Unit = {
+    val baseDf = LlmText.baseFrom(docs).persist()
+    try {
+      LlmText.bandEntriesOf(s, LlmText.sigOf(s, baseDf))
+        .write.mode(SaveMode.Overwrite)
+        .parquet(s"${p(indexDir, TextBands)}/bid=$batchId")
+      LlmText.shingleSetsOf(s, baseDf)
+        .write.mode(SaveMode.Overwrite)
+        .parquet(s"${p(indexDir, TextShingles)}/bid=$batchId")
+    } finally { baseDf.unpersist(); () }
+  }
+
+  /** [[writeTextIndexBatch]]'s substring-postings twin (st19's append). */
+  def writeSubstrIndexBatch(s: SparkSession, docs: DataFrame, indexDir: String,
+                            batchId: Long): Unit =
+    LlmText.rhPostingsFrom(s, docs)
+      .write.mode(SaveMode.Overwrite)
+      .parquet(s"${p(indexDir, RhPostings)}/bid=$batchId")
+
+  /** Store-table read honoring the batch-keyed layout: optionally
+    * EXCLUDES one batch id — a crash-replayed batch must probe the
+    * store as of the last COMMITTED batch, not see its own crashed
+    * append (probe-before-append under recovery). Partition pruning
+    * drops the excluded directory at planning time. */
+  private def storeTable(s: SparkSession, indexDir: String, table: String,
+                         exceptBid: Option[Long]): DataFrame = {
+    val df = s.read.parquet(p(indexDir, table))
+    exceptBid match {
+      case None => df
+      case Some(b) =>
+        require(df.columns.contains("bid"),
+          s"store table '$table' is not batch-keyed; cannot exclude batch $b")
+        df.where(col("bid") =!= b)
+    }
+  }
+
   /** Write the embedding half: train (or adopt) the centroid table and
     * store every vector's primary-cell assignment. `centroidTrain`
     * defaults to `vecs` — pass a wider history to train the frozen
@@ -344,8 +391,9 @@ object IncrementalIndex {
     * corpus side is the two stored tables — no day-1 text is re-read,
     * no corpus signature recomputed. Returns the materialized verdict
     * frame (batch-sized). */
-  def probeText(s: SparkSession, batchDocs: DataFrame, indexDir: String): DataFrame = {
-    val (out, caches) = probeTextLazy(s, batchDocs, indexDir)
+  def probeText(s: SparkSession, batchDocs: DataFrame, indexDir: String,
+                exceptBid: Option[Long] = None): DataFrame = {
+    val (out, caches) = probeTextLazy(s, batchDocs, indexDir, exceptBid)
     val materialized = out.localCheckpoint(true)
     caches.foreach(_.unpersist())
     materialized
@@ -353,9 +401,11 @@ object IncrementalIndex {
 
   /** The un-materialized probe plan + its caches — the form the
     * lifecycle spec inspects for input files (the public entry
-    * checkpoints, which erases lineage). Callers own the unpersist. */
+    * checkpoints, which erases lineage). Callers own the unpersist.
+    * `exceptBid` serves the crash-replay contract ([[storeTable]]). */
   private[graft] def probeTextLazy(s: SparkSession, batchDocs: DataFrame,
-                                   indexDir: String): (DataFrame, Seq[DataFrame]) = {
+                                   indexDir: String,
+                                   exceptBid: Option[Long] = None): (DataFrame, Seq[DataFrame]) = {
     val baseB = LlmText.baseFrom(batchDocs).persist()
     val bandsB = LlmText.bandEntriesOf(s, LlmText.sigOf(s, baseB))
     val shB = LlmText.shingleSetsOf(s, baseB)
@@ -365,7 +415,7 @@ object IncrementalIndex {
     // intra-batch collisions add the keep-first (old < new) half —
     // together exactly d30's (not-batch OR earlier) candidate set
     val candStored = SelfJoin.on(probe,
-      s.read.parquet(p(indexDir, TextBands))
+      storeTable(s, indexDir, TextBands, exceptBid)
         .select(col("band"), col("band_key"), col("doc_id").as("old_id")),
       Seq("band", "band_key"))
     val candIntra = SelfJoin.on(probe,
@@ -378,7 +428,11 @@ object IncrementalIndex {
     // shingle lookups: batch docs resolve from the batch pass, index
     // docs from the store — keyed joins, so the union is never scanned
     // wider than the candidate list
-    val shAll = s.read.parquet(p(indexDir, TextShingles)).unionByName(shB)
+    // explicit projection: a batch-keyed store carries the bid
+    // partition column, which must not reach the unionByName
+    val shAll = storeTable(s, indexDir, TextShingles, exceptBid)
+      .select(col("doc_id"), col("sh"))
+      .unionByName(shB.select(col("doc_id"), col("sh")))
     val ver = SelfJoin.on(
       cand, shB.select(col("doc_id").as("new_id"), col("sh").as("sh_n")), Seq("new_id"))
     val matches = SelfJoin.on(

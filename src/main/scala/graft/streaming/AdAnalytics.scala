@@ -546,18 +546,24 @@ object AdAnalytics {
     val mod = LlmText.IncrementalBatchMod
     val indexDir = java.nio.file.Files.createTempDirectory("graft-st13-idx-").toString
     try {
-      IncrementalIndex.writeTextIndex(s,
-        graft.Tables.documents(s, dir).where(col("doc_id") % mod =!= 0), indexDir)
+      // batch-id-keyed store layout throughout (bootstrap = bid -1):
+      // appends are idempotent partition overwrites and the probe can
+      // exclude a crash-replayed batch's own append — the exactly-
+      // once-under-recovery shape StreamingSpec's crash case pins
+      IncrementalIndex.writeTextIndexBatch(s,
+        graft.Tables.documents(s, dir).where(col("doc_id") % mod =!= 0),
+        indexDir, batchId = -1L)
       val empty = graft.Tables.documents(s, dir).limit(0)
         .select(col("doc_id"), lit(0L).as("n_matches"), lit(false).as("is_dup"))
-      Streams.runForeachBatch(s, "append", empty)(
+      Streams.runForeachBatchWithId(s, "append", empty)(
         ss => Streams.tableStream(ss, dir, "documents")
-          .where(col("doc_id") % mod === 0)) { (store, batch) =>
-        // probe BEFORE appending: the store must hold only prior arrivals
-        // (intra-batch keep-first is the probe's own candIntra half)
-        val verdicts = IncrementalIndex.probeText(s, batch, indexDir)
-        IncrementalIndex.writeTextIndex(s, batch, indexDir,
-          org.apache.spark.sql.SaveMode.Append)
+          .where(col("doc_id") % mod === 0)) { (store, batch, bid) =>
+        // probe BEFORE appending: the store must hold only prior
+        // arrivals (intra-batch keep-first is the probe's own candIntra
+        // half); exceptBid makes that hold even on a crash replay
+        val verdicts = IncrementalIndex.probeText(s, batch, indexDir,
+          exceptBid = Some(bid))
+        IncrementalIndex.writeTextIndexBatch(s, batch, indexDir, bid)
         store.unionByName(verdicts)
       }
       // safe to drop the temp index: every batch's verdicts were
@@ -893,10 +899,12 @@ object AdAnalytics {
     val indexDir = java.nio.file.Files.createTempDirectory("graft-st19-idx-").toString
     try {
       val empty = graft.Tables.documents(s, dir).limit(0)
-      Streams.runForeachBatch(s, "append", empty)(
-        ss => Streams.tableStream(ss, dir, "documents")) { (store, batch) =>
-        IncrementalIndex.writeSubstrIndex(s, batch, indexDir,
-          org.apache.spark.sql.SaveMode.Append)
+      // batch-id-keyed appends: a crash-replayed batch overwrites its
+      // own partition (idempotent), so the postings store is exactly-
+      // once under recovery (StreamingSpec crash case)
+      Streams.runForeachBatchWithId(s, "append", empty)(
+        ss => Streams.tableStream(ss, dir, "documents")) { (store, batch, bid) =>
+        IncrementalIndex.writeSubstrIndexBatch(s, batch, indexDir, bid)
         store
       }
       // materialize before dropping the temp store (the probe is lazy)

@@ -166,14 +166,14 @@ object Streams {
 
   private[graft] final class StoreFold(
       initialStore: DataFrame,
-      merge: (DataFrame, DataFrame) => DataFrame,
+      merge: (DataFrame, DataFrame, Long) => DataFrame,
       checkpointEvery: Int = LineageCheckpointEvery) {
     private var batches = 0
     @volatile private[graft] var store: DataFrame = initialStore
 
-    def apply(batch: DataFrame): Unit = synchronized {
+    def apply(batch: DataFrame, id: Long): Unit = synchronized {
       batches += 1
-      val mergedRaw = merge(store, batch)
+      val mergedRaw = merge(store, batch, id)
       val merged =
         if (batches % checkpointEvery == 0) mergedRaw.localCheckpoint(eager = true)
         else { val m = mergedRaw.persist(); m.count(); m }
@@ -297,13 +297,29 @@ object Streams {
       outputMode: String,
       initialStore: DataFrame)(
       build: SparkSession => DataFrame)(
-      merge: (DataFrame, DataFrame) => DataFrame): DataFrame = {
+      merge: (DataFrame, DataFrame) => DataFrame): DataFrame =
+    runForeachBatchWithId(s, outputMode, initialStore)(build)(
+      (store, batch, _) => merge(store, batch))
+
+  /** [[runForeachBatch]] exposing the micro-batch id to the merge —
+    * what a crash-safe parquet ingest keys its idempotent appends on
+    * (offsets commit AFTER the callback, so a replayed batch arrives
+    * with the SAME id and an id-keyed partition overwrite makes the
+    * store exactly-once under recovery; [[graft.jobs.IncrementalIndex
+    * .writeTextIndexBatch]] / `writeSubstrIndexBatch`, crash-resume
+    * pinned in StreamingSpec). */
+  def runForeachBatchWithId(
+      s: SparkSession,
+      outputMode: String,
+      initialStore: DataFrame)(
+      build: SparkSession => DataFrame)(
+      merge: (DataFrame, DataFrame, Long) => DataFrame): DataFrame = {
     val fold = new StoreFold(initialStore, merge)
     val cp = ckpt()
     val child = streamSession(s)
     val q = build(child).writeStream
       .outputMode(outputMode)
-      .foreachBatch { (batch: DataFrame, _: Long) => fold(batch) }
+      .foreachBatch { (batch: DataFrame, id: Long) => fold(batch, id) }
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", cp)
       .start()

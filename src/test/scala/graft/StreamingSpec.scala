@@ -414,13 +414,13 @@ class StreamingSpec extends GraftSuite {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val ms = MemoryStream[Long]
     val empty = Seq.empty[(Long, Long)].toDF("user_id", "n")
-    val fold = new Streams.StoreFold(empty, (store, batch) => {
+    val fold = new Streams.StoreFold(empty, (store, batch, _) => {
       val delta = batch.groupBy(col("value")).agg(count(lit(1)).as("n"))
         .toDF("user_id", "n")
       Upsert.accumulate(store, delta, Seq("user_id"), "n")
     })
     val q = ms.toDF().writeStream.outputMode("append")
-      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) => fold(batch) }
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) => fold(batch, id) }
       .option("checkpointLocation", ckpt()).start()
     val nodeCounts = (1 to 50).map { i =>
       ms.addData(i.toLong % 7)
@@ -765,6 +765,145 @@ class StreamingSpec extends GraftSuite {
         s"resume rewrote an existing index file: $path")
     }
     assert(after.size > before.size, "run 2 must append its own index entries")
+  }
+
+  /** Walks the cause chain for the poison marker — the streaming
+    * wrapper buries the thrown exception a few levels deep. */
+  private def hasPoison(t: Throwable): Boolean =
+    t != null && (Option(t.getMessage).exists(_.contains("poison-after-append"))
+      || hasPoison(t.getCause))
+
+  test("st19: crash after an uncommitted append replays idempotently — store equals the one-shot build") {
+    // the exactly-once-under-recovery property a deployment leans on:
+    // foreachBatch commits offsets AFTER the callback, so a crash
+    // between append and commit re-delivers the batch with the SAME id;
+    // the bid-keyed partition overwrite absorbs the replay
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import graft.jobs.IncrementalIndex
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id", "text", "lang", "source", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3), r.getLong(4)))
+      .sortBy(_._1).toSeq
+    val chunks = docs.grouped((docs.length + 2) / 3).toSeq
+    val idx = java.nio.file.Files.createTempDirectory("st19-crash-idx-").toString
+    val cp = ckpt() // STABLE across runs — recovery reads it
+    val ms = MemoryStream[(Long, String, String, String, Long)]
+    @volatile var poison = false
+    def run(expectCrash: Boolean): Unit = {
+      val q = ms.toDF().toDF("doc_id", "text", "lang", "source", "n_chars")
+        .writeStream.outputMode("append")
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, bid: Long) =>
+          IncrementalIndex.writeSubstrIndexBatch(spark, batch, idx, bid)
+          // die AFTER the append, BEFORE the offset commit — the
+          // crash window that makes naive appends duplicate
+          if (poison && bid >= 1) throw new RuntimeException("poison-after-append")
+          ()
+        }
+        .option("checkpointLocation", cp)
+        .trigger(Trigger.AvailableNow()).start()
+      if (expectCrash) {
+        val e = intercept[Exception] { q.awaitTermination() }
+        assert(hasPoison(e), s"expected the poison crash, got $e")
+        poison = false
+      } else q.awaitTermination()
+    }
+    ms.addData(chunks(0): _*); run(expectCrash = false) // batch 0 commits
+    poison = true
+    ms.addData(chunks(1): _*); run(expectCrash = true) // batch 1 appended, then crash
+    val crashed = storeFiles(idx).filter(_._1.contains("bid=1"))
+    assert(crashed.nonEmpty, "the crashed run must have appended its partition")
+    run(expectCrash = false) // recovery: batch 1 REPLAYED (same id)
+    val replayed = storeFiles(idx).filter(_._1.contains("bid=1"))
+    assert(replayed.nonEmpty && replayed != crashed,
+      "recovery must rewrite the replayed batch's partition (offsets were uncommitted)")
+    ms.addData(chunks(2): _*); run(expectCrash = false) // post-recovery ingest continues
+    // the store equals the one-shot batch build: no duplicated postings
+    // (a naive append would double batch 1's), none lost
+    val oneShot = java.nio.file.Files.createTempDirectory("st19-crash-oneshot-").toString
+    IncrementalIndex.writeSubstrIndex(spark, Tables.documents(spark, sf), oneShot)
+    val pA = spark.read.parquet(s"$idx/${IncrementalIndex.RhPostings}").drop("bid")
+    val pB = spark.read.parquet(s"$oneShot/${IncrementalIndex.RhPostings}")
+    assert(pA.count() === pB.count(), "postings row count differs from the one-shot build")
+    assert(pA.exceptAll(pB).isEmpty && pB.exceptAll(pA).isEmpty,
+      "recovered store's postings differ from the one-shot build")
+    // and the serving readout agrees with the memo-path query
+    val spansGot = IncrementalIndex.probeSubstrSpans(spark, idx).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    val spansWant = graft.operators.LlmText.d44CrossdocSpans(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    assert(spansGot === spansWant, "span readout diverged after crash recovery")
+  }
+
+  test("st13: crash-replayed batch re-probes the pre-crash store (exceptBid) and re-appends idempotently") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import graft.jobs.IncrementalIndex
+    val mod = graft.operators.LlmText.IncrementalBatchMod
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id", "text", "lang", "source", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3), r.getLong(4)))
+    val corpusDf = docs.filter(_._1 % mod != 0).toSeq
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val arrivals = docs.filter(_._1 % mod == 0).sortBy(_._1).toSeq
+    val chunks = arrivals.grouped((arrivals.length + 2) / 3).toSeq
+    val expected = graft.operators.LlmText.d30IncrementalDedup(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    val idx = java.nio.file.Files.createTempDirectory("st13-crash-idx-").toString
+    IncrementalIndex.writeTextIndexBatch(spark, corpusDf, idx, batchId = -1L)
+    val cp = ckpt()
+    val ms = MemoryStream[(Long, String, String, String, Long)]
+    @volatile var poison = false
+    val got = scala.collection.mutable.Set.empty[(Long, Long, Boolean)]
+    var batch1Verdicts: Set[(Long, Long, Boolean)] = Set.empty
+    var batch1Replayed: Set[(Long, Long, Boolean)] = Set.empty
+    def run(expectCrash: Boolean): Unit = {
+      val q = ms.toDF().toDF("doc_id", "text", "lang", "source", "n_chars")
+        .writeStream.outputMode("append")
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, bid: Long) =>
+          // exceptBid: on a replay the store ALREADY holds this batch's
+          // crashed append — the probe must see the store as of the
+          // last COMMITTED batch or every doc would self-match
+          val v = IncrementalIndex.probeText(spark, batch, idx, exceptBid = Some(bid))
+            .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+          IncrementalIndex.writeTextIndexBatch(spark, batch, idx, bid)
+          if (bid == 1L) { if (poison) batch1Verdicts = v else batch1Replayed = v }
+          got ++= v
+          if (poison && bid >= 1) throw new RuntimeException("poison-after-append")
+          ()
+        }
+        .option("checkpointLocation", cp)
+        .trigger(Trigger.AvailableNow()).start()
+      if (expectCrash) {
+        val e = intercept[Exception] { q.awaitTermination() }
+        assert(hasPoison(e), s"expected the poison crash, got $e")
+        poison = false
+      } else q.awaitTermination()
+    }
+    ms.addData(chunks(0): _*); run(expectCrash = false)
+    poison = true
+    ms.addData(chunks(1): _*); run(expectCrash = true) // append landed, offsets did not
+    run(expectCrash = false) // replay of batch 1
+    ms.addData(chunks(2): _*); run(expectCrash = false)
+    // the replayed probe must be VALUE-IDENTICAL to the crashed one —
+    // at-least-once emission with identical values, which set-union
+    // absorbs into exactly-once verdicts
+    assert(batch1Verdicts.nonEmpty && batch1Replayed === batch1Verdicts,
+      "replayed batch's verdicts diverged from the original probe")
+    assert(got.toSet === expected,
+      "post-recovery verdicts must equal the one-shot d30 recompute")
+    // and the index store equals the one-shot build (bands/shingles are
+    // per-doc pure functions, so one write over all docs is the batch-
+    // composition-free reference)
+    val oneShot = java.nio.file.Files.createTempDirectory("st13-crash-oneshot-").toString
+    IncrementalIndex.writeTextIndex(spark, Tables.documents(spark, sf), oneShot)
+    for (t <- Seq(IncrementalIndex.TextBands, IncrementalIndex.TextShingles)) {
+      val a = spark.read.parquet(s"$idx/$t").drop("bid")
+      val b = spark.read.parquet(s"$oneShot/$t")
+      assert(a.count() === b.count(), s"$t row count differs from one-shot")
+      assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty,
+        s"$t rows differ from the one-shot build")
+    }
   }
 
   test("st14: a restart on the same checkpoint + index dir resumes — no refold, no index rewrite") {
