@@ -74,6 +74,8 @@ object IncrementalIndex {
   val RhPostings = "rh_postings"
   val KmvSketches = "kmv_sketches"
   val GraphEdges = "graph_edges"
+  val LshBuckets = "lsh_buckets"
+  val TruthTopK = "truth_topk"
 
   private def p(indexDir: String, table: String): String = s"$indexDir/$table"
 
@@ -323,6 +325,31 @@ object IncrementalIndex {
     * pinned in StoredParitySpec). */
   def probeSubstrSpans(s: SparkSession, indexDir: String): DataFrame =
     LlmText.spansFromPostings(s.read.parquet(p(indexDir, RhPostings)))
+
+  /** Write the LSH half: every vector with its quantized form and both
+    * hyperplane-table bucket hashes — the table e02/e04 (and the graph
+    * seeds) serve from. One hash pass at build; queries never re-hash
+    * the corpus (the in-JVM [[graft.operators.Embeddings.bucketedOf]]
+    * memo is this table's single-JVM analogue; parity pinned in
+    * StoredParitySpec). */
+  def writeLshIndex(s: SparkSession, vecs: DataFrame, indexDir: String): Unit =
+    Embeddings.bucketedFrom(s, Embeddings.quantizedFrom(s, vecs))
+      .write.mode(SaveMode.Overwrite).parquet(p(indexDir, LshBuckets))
+
+  def probeLshBuckets(s: SparkSession, indexDir: String): DataFrame =
+    s.read.parquet(p(indexDir, LshBuckets))
+
+  /** Write the GROUND-TRUTH table: the exhaustive top-[[graft.operators
+    * .Embeddings.MmrPoolN]] cosine ranking over the deterministic query
+    * sample — the most expensive artifact of an ANN eval, always
+    * precomputed and stored (faiss-bench practice) so every recall
+    * audit (e07) reads it instead of re-running brute force. */
+  def writeTruthIndex(s: SparkSession, vecs: DataFrame, indexDir: String): Unit =
+    Embeddings.bruteRankedFrom(s, Embeddings.quantizedFrom(s, vecs))
+      .write.mode(SaveMode.Overwrite).parquet(p(indexDir, TruthTopK))
+
+  def probeTruth(s: SparkSession, indexDir: String): DataFrame =
+    s.read.parquet(p(indexDir, TruthTopK))
 
   /** Write the GRAPH half: the NN-Descent kNN graph (e22's iterate —
     * Dong et al. WWW'11) run `rounds` times over the two-table LSH

@@ -53,7 +53,7 @@ object Embeddings {
   private val quantizedCache =
     new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
 
-  private def quantized(s: SparkSession, dir: String): DataFrame =
+  private[graft] def quantized(s: SparkSession, dir: String): DataFrame =
     graft.StoredMemo.stored(s, quantizedCache, "quantized-vectors",
         graft.StoredMemo.dirKey(s, dir)) {
       quantizedFrom(s, Tables.spreadIfNarrow(Tables.embeddings(s, dir), s"$dir/embeddings"))
@@ -102,10 +102,18 @@ object Embeddings {
   private val bruteCache =
     new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
 
-  private def bruteRankedOf(s: SparkSession, dir: String): DataFrame =
+  private[graft] def bruteRankedOf(s: SparkSession, dir: String): DataFrame =
     graft.StoredMemo.stored(s, bruteCache, "brute-truth",
         graft.StoredMemo.dirKey(s, dir)) {
-      val v = quantized(s, dir)
+      bruteRankedFrom(s, quantized(s, dir)).localCheckpoint()
+    }
+
+  /** The truth-table core over an arbitrary quantized frame — shared
+    * with the persisted-index writer ([[graft.jobs.IncrementalIndex
+    * .writeTruthIndex]]) so the stored ground-truth table and the
+    * in-JVM memo score identically (parity pinned in
+    * StoredParitySpec). */
+  private[graft] def bruteRankedFrom(s: SparkSession, v: DataFrame): DataFrame = {
       val queries = v.where(col("vec_id") % 5 === 0)
         .select(col("vec_id").as("query_id"), col("q").as("qa"), col("nq").as("na"))
       val cands = v.select(col("vec_id").as("neighbor_id"), col("q").as("qb"), col("nq").as("nb"))
@@ -122,8 +130,7 @@ object Embeddings {
         .orderBy(col("cos").desc, col("neighbor_id").asc)
       scored.withColumn("rank", row_number().over(w))
         .where(col("rank") <= MmrPoolN)
-        .localCheckpoint()
-    }
+  }
 
   def e01KnnBrute(s: SparkSession, dir: String): DataFrame =
     bruteRankedOf(s, dir).where(col("rank") <= TopK)

@@ -34,6 +34,12 @@ class StoredParitySpec extends GraftSuite {
     IncrementalIndex.writeCellIndex(spark, Tables.embeddings(spark, sf), tmp)
     IncrementalIndex.writeSubstrIndex(spark, Tables.documents(spark, sf), tmp)
     IncrementalIndex.writeGraphIndex(spark, Tables.embeddings(spark, sf), tmp)
+    IncrementalIndex.writePqIndex(spark, Tables.embeddings(spark, sf),
+      Tables.embeddings(spark, sf), tmp)
+    IncrementalIndex.writeSqIndex(spark, Tables.embeddings(spark, sf),
+      Tables.embeddings(spark, sf), tmp)
+    IncrementalIndex.writeLshIndex(spark, Tables.embeddings(spark, sf), tmp)
+    IncrementalIndex.writeTruthIndex(spark, Tables.embeddings(spark, sf), tmp)
     tmp
   }
 
@@ -108,6 +114,31 @@ class StoredParitySpec extends GraftSuite {
     assertSameRows(
       Embeddings.nnDescentRounds(spark, sf, 2, Embeddings.DefaultNndRevCap),
       IncrementalIndex.probeGraph(spark, tmp2), "graph edges rounds=2")
+  }
+
+  test("PQ codebook: serving memo ≡ persisted pq_codebook (same training input)") {
+    val stored = Embeddings.pqCodebookOf(spark,
+      Embeddings.quantized(spark, sf), "q")
+    val persisted = spark.read.parquet(s"$indexDir/${IncrementalIndex.PqCodebook}")
+    assertSameRows(stored, persisted, "pq codebook")
+  }
+
+  test("SQ quantizer: serving memo ≡ persisted sq_quantizer") {
+    val stored = Embeddings.sqLohiOf(Embeddings.quantized(spark, sf))
+    val persisted = spark.read.parquet(s"$indexDir/${IncrementalIndex.SqQuantizer}")
+    assertSameRows(stored, persisted, "sq quantizer")
+  }
+
+  test("LSH bucket table: in-JVM memo ≡ persisted lsh_buckets") {
+    val stored = Embeddings.bucketedOf(spark, sf)
+    val persisted = IncrementalIndex.probeLshBuckets(spark, indexDir)
+    assertSameRows(stored, persisted, "lsh buckets")
+  }
+
+  test("ground-truth table: in-JVM memo ≡ persisted truth_topk") {
+    val stored = Embeddings.bruteRankedOf(spark, sf)
+    val persisted = IncrementalIndex.probeTruth(spark, indexDir)
+    assertSameRows(stored, persisted, "ground truth")
   }
 
   test("d03 verified pairs: memo-served ≡ fresh recompute (cold conf)") {
