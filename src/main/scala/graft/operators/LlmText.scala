@@ -843,7 +843,10 @@ object LlmText {
            }.mkString("\n  UNION\n  ")}
        |)""".stripMargin
 
-  val d14Sql: String =
+  /** The full clustering CTE chain ending in `reach` — shared by
+    * [[d14Sql]] (cluster readout) and [[d47Sql]] (cluster-keyed split)
+    * so the two oracles derive components from ONE definition. */
+  private def clusterSqlCtes: String =
     s"""WITH RECURSIVE${candSqlCtes.stripPrefix("WITH")}, pairs AS (
        |  SELECT cand.doc_a, cand.doc_b
        |  FROM cand JOIN shd x ON cand.doc_a = x.doc_id
@@ -859,7 +862,10 @@ object LlmText {
        |  UNION
        |  SELECT e.doc_a AS doc_id, reach.r
        |  FROM edges e JOIN reach ON reach.doc_id = e.doc_b
-       |)
+       |)""".stripMargin
+
+  val d14Sql: String =
+    s"""$clusterSqlCtes
        |SELECT doc_id, min(r) AS cluster_id FROM reach GROUP BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------- d17
@@ -3153,7 +3159,63 @@ object LlmText {
        |  GROUP BY doc_id, island
        |)""".stripMargin + rewriteSqlFrom("spans46", "46")
 
+  // ---------------------------------------------------------------- d47
+  /** LEAKAGE-FREE train/val/test SPLIT — the assignment step every
+    * training-corpus pipeline runs after dedup, done at the granularity
+    * the dedup actually found: the SPLIT UNIT is the near-dup CLUSTER
+    * (d14's connected component), not the document. A per-document hash
+    * split leaks — two near-identical docs land in train and test and
+    * the eval measures memorization (the duplication-driven train/test
+    * overlap Lee et al. 2022 §4 measure in real corpora; the reason
+    * dedup pipelines split AFTER clustering). Assigning
+    * h64(cluster_id) mod 100 against fixed cut points puts every member
+    * of a component in the same split BY CONSTRUCTION — the no-leakage
+    * property is structural, not statistical (spec-pinned, plus the
+    * negative control that a doc-keyed hash DOES split clusters on this
+    * corpus). Singletons (no qualifying near-dup edge) are their own
+    * cluster.
+    *
+    * Scale shape: the expensive half IS d14's clustering, already
+    * priced and memoized (the d03 pair store); the assignment is a
+    * left join of the corpus spine against the (small) non-singleton
+    * label table plus a map-side hash — no new shuffle class. The
+    * hash-of-min-id keys keep assignments stable across corpus growth
+    * except where components genuinely merge (a re-cluster event —
+    * the same recompute boundary as d14's own labels). */
+  val D47TrainPct = 90
+  val D47ValPct = 5
+
+  def d47LeakageSplit(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Portable
+    val clusters = d14NeardupClusters(s, dir)
+    val full = Tables.documents(s, dir).select(col("doc_id"))
+      .join(clusters, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
+    val hmod = Portable.h64(col("cluster_id")) % 100
+    full.withColumn("split",
+      when(hmod < D47TrainPct, lit("train"))
+        .when(hmod < D47TrainPct + D47ValPct, lit("val"))
+        .otherwise(lit("test")))
+  }
+
+  val d47Sql: String = {
+    val h = graft.functions.Portable.h64Sql("cluster_id")
+    s"""$clusterSqlCtes, comp AS (
+       |  SELECT doc_id, min(r) AS cluster_id FROM reach GROUP BY doc_id
+       |), assigned AS (
+       |  SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS cluster_id
+       |  FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
+       |)
+       |SELECT doc_id, cluster_id,
+       |  CASE WHEN $h % 100 < $D47TrainPct THEN 'train'
+       |       WHEN $h % 100 < ${D47TrainPct + D47ValPct} THEN 'val'
+       |       ELSE 'test' END AS split
+       |FROM assigned""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d47_leakage_split" -> (d47LeakageSplit _),
     "d46_keep_first_spans" -> (d46KeepFirstSpans _),
     "d45_remove_dup_spans" -> (d45RemoveDupSpans _),
     "d44_crossdoc_spans" -> (d44CrossdocSpans _),
@@ -3209,6 +3271,7 @@ object LlmText {
     * [[graft.tools.InitOrderCheck]]. Lazy = assembled on first use,
     * after both objects finish initializing. */
   lazy val oracleSql: Map[String, String] = Map(
+    "d47_leakage_split" -> d47Sql,
     "d46_keep_first_spans" -> d46Sql,
     "d45_remove_dup_spans" -> d45Sql,
     "d44_crossdoc_spans" -> d44Sql,

@@ -1611,6 +1611,43 @@ class LlmTextSpec extends GraftSuite {
       s"fixture's max reverse in-degree $rawRev never engages the cap R=$R")
   }
 
+  test("d47: split is cluster-atomic (no leakage), covers every doc once; doc-keyed hashing would leak") {
+    val rows = LlmText.d47LeakageSplit(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val nDocs = Tables.documents(spark, sf).count()
+    assert(rows.length.toLong === nDocs, "every doc must be assigned exactly once")
+    assert(rows.map(_._1).distinct.length === rows.length, "duplicate assignments")
+    // the no-leakage property is STRUCTURAL: split is a function of
+    // cluster_id, so no cluster may span two splits
+    rows.groupBy(_._2).foreach { case (c, g) =>
+      assert(g.map(_._3).distinct.length === 1, s"cluster $c spans splits: $g")
+    }
+    // the corpus is large enough that all three splits materialize and
+    // the train share sits near its 90% cut (cluster-level hashing is
+    // uniform; loose bounds absorb cluster-size variance)
+    assert(rows.map(_._3).distinct.toSet === Set("train", "val", "test"))
+    val trainFrac = rows.count(_._3 == "train").toDouble / rows.length
+    assert(trainFrac > 0.8 && trainFrac < 0.97, s"train fraction $trainFrac")
+    // negative control: the naive doc-keyed hash split DOES separate
+    // members of a multi-doc near-dup cluster on this very corpus —
+    // the memorization leak d47 exists to prevent
+    def h64mod(id: Long): Long = {
+      val md5 = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+      java.lang.Long.parseLong(
+        md5.map(b => f"$b%02x").mkString.substring(0, 15), 16) % 100
+    }
+    def bucket(m: Long): String =
+      if (m < LlmText.D47TrainPct) "train"
+      else if (m < LlmText.D47TrainPct + LlmText.D47ValPct) "val" else "test"
+    val multi = rows.groupBy(_._2).filter(_._2.length > 1)
+    assert(multi.nonEmpty, "fixture must have multi-doc clusters")
+    val docKeyedLeaks = multi.values.exists(g =>
+      g.map(x => bucket(h64mod(x._1))).distinct.length > 1)
+    assert(docKeyedLeaks,
+      "doc-keyed hashing never split a cluster here — the negative control is vacuous")
+  }
+
   test("d46: keep-first marking matches an independent model; keepers are never cut-marked") {
     val W = LlmText.D44Window
     val P = graft.functions.RollingHash.P
