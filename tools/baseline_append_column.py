@@ -25,7 +25,9 @@ def main() -> None:
     total = float(bench["value"])
 
     lines = open("BASELINE.md").read().split("\n")
-    hdr = next(i for i, l in enumerate(lines) if l.startswith("| Query |"))
+    # the anchor table is the LAST '| Query |' table in the file (an
+    # e-suite forensics table earlier in the doc shares the header)
+    hdr = max(i for i, l in enumerate(lines) if l.startswith("| Query |"))
     sep = hdr + 1
     ncols = lines[hdr].count("|") - 1  # existing columns incl. Query
 
