@@ -241,6 +241,50 @@ object KmvSketch {
     * reproduces membership exactly. */
   def kmvPairs(k: Int): UserDefinedFunction = functions.udaf(new KmvPairsAgg(k))
 
+  /** Ascending-strict-by-hash check for pair arrays ([[kUnionPair]]'s
+    * input contract). */
+  private[functions] def isAscendingDistinctPairs(a: Array[(Long, Double)]): Boolean = {
+    var i = 1
+    while (i < a.length) { if (a(i)._1 <= a(i - 1)._1) return false; i += 1 }
+    true
+  }
+
+  /** UNION of already-built PAIR sketches — [[KmvMergeAgg]]'s rank-
+    * sketch twin: merges PERSISTED per-day pair-sketch partials at read
+    * time (the quantile store's probe) without touching the base
+    * table. Non-contract stored rows normalize (sort by hash, min
+    * value per hash) instead of merging silently wrong — the
+    * [[KmvMergeAgg]] discipline. */
+  private[graft] final class KmvPairsMergeAgg(k: Int)
+      extends Aggregator[Seq[(Long, Double)], Array[(Long, Double)], Array[(Long, Double)]] {
+    require(k >= 1, s"kmv sketch size must be >= 1, got $k")
+    override def zero: Array[(Long, Double)] = Array.empty[(Long, Double)]
+    override def reduce(b: Array[(Long, Double)],
+                        sk: Seq[(Long, Double)]): Array[(Long, Double)] =
+      if (sk == null) b
+      else {
+        val arr = sk.toArray
+        val clean =
+          if (isAscendingDistinctPairs(arr)) arr
+          else arr.groupBy(_._1).iterator
+            .map { case (h, g) => (h, g.iterator.map(_._2).min) }
+            .toArray.sortBy(_._1)
+        kUnionPair(k, b, clean)
+      }
+    override def merge(b1: Array[(Long, Double)],
+                       b2: Array[(Long, Double)]): Array[(Long, Double)] =
+      kUnionPair(k, b1, b2)
+    override def finish(b: Array[(Long, Double)]): Array[(Long, Double)] = b
+    override def bufferEncoder: Encoder[Array[(Long, Double)]] =
+      ExpressionEncoder[Array[(Long, Double)]]()
+    override def outputEncoder: Encoder[Array[(Long, Double)]] =
+      ExpressionEncoder[Array[(Long, Double)]]()
+  }
+
+  /** Column-API handle merging stored pair-sketch arrays. */
+  def kmvPairsMerge(k: Int): UserDefinedFunction =
+    functions.udaf(new KmvPairsMergeAgg(k))
+
   /** Test handle for the pair-sketch law checks. */
   private[graft] def pairsAgg(k: Int): KmvPairsAgg = new KmvPairsAgg(k)
 

@@ -76,6 +76,7 @@ object IncrementalIndex {
   val GraphEdges = "graph_edges"
   val LshBuckets = "lsh_buckets"
   val TruthTopK = "truth_topk"
+  val QuantSketches = "quant_sketches"
 
   private def p(indexDir: String, table: String): String = s"$indexDir/$table"
 
@@ -392,6 +393,37 @@ object IncrementalIndex {
       .groupBy(col("event_type"), col("day"))
       .agg(graft.functions.KmvSketch.kmvValues(Misc.KmvK)(col("h")).as("sk"))
       .write.mode(mode).parquet(p(indexDir, KmvSketches))
+
+  /** Write the QUANTILE-SKETCH STORE — the rank-statistics column of
+    * the rollup cube beside [[writeSketchIndex]]'s cardinality column:
+    * one m19 pair sketch per (event_type, day) over the batch's
+    * events. The base table is read once per ingest day; any later
+    * "p99 of value for type X (over any day range)" merges the stored
+    * k-pair partials ([[probeQuantiles]]) without a rescan — the KMV
+    * lattice on the hash component makes the merge split/order/append
+    * invariant (parity pinned in StoredParitySpec). */
+  def writeQuantileIndex(s: SparkSession, events: DataFrame, indexDir: String,
+                         mode: SaveMode = SaveMode.Overwrite): Unit =
+    events
+      .select(col("event_type"),
+        expr("ts div 86400000000000").as("day"),
+        graft.functions.Portable.h64(col("event_id")).as("h"),
+        col("value").as("v"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(graft.functions.KmvSketch.kmvPairs(Misc.QsK)(col("h"), col("v")).as("sk"))
+      .write.mode(mode).parquet(p(indexDir, QuantSketches))
+
+  /** Per-type quantile readout from the PERSISTED pair-sketch partials
+    * alone — k-min-by-hash union of each type's stored day sketches,
+    * then m19's shared percentile_disc readout (one definition with
+    * the batch/streaming forms, so the three surfaces cannot drift). */
+  def probeQuantiles(s: SparkSession, indexDir: String): DataFrame = {
+    import Misc.QsK
+    val sk = s.read.parquet(p(indexDir, QuantSketches))
+      .groupBy(col("event_type"))
+      .agg(graft.functions.KmvSketch.kmvPairsMerge(QsK)(col("sk")).as("sk"))
+    Misc.sketchQuantiles(s, sk, Seq("event_type"))
+  }
 
   /** Distinct-users readout from the PERSISTED sketch partials alone —
     * the k-min union of each type's stored day sketches

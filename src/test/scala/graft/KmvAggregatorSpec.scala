@@ -103,6 +103,14 @@ class KmvAggregatorSpec extends GraftSuite {
     }
   }
 
+  test("pair store merge: a non-contract stored row normalizes (sort, min value per hash)") {
+    val m = new KmvSketch.KmvPairsMergeAgg(4)
+    val contract = m.reduce(m.zero, Seq((1L, 1.0), (3L, 3.0), (5L, 5.0)))
+    val corrupted = m.reduce(m.zero, Seq((5L, 9.0), (3L, 0.5), (1L, 1.0), (3L, 3.0), (5L, 5.0)))
+    assert(corrupted.toSeq === Seq((1L, 1.0), (3L, 0.5), (5L, 5.0)))
+    assert(m.merge(contract, corrupted).toSeq === Seq((1L, 1.0), (3L, 0.5), (5L, 5.0)))
+  }
+
   test("kmv finish: readout matches (m, kth) semantics") {
     val a = KmvSketch.agg(3)
     assert(a.finish(a.zero) === KmvSketch.Kmv(0L, 0L))

@@ -141,6 +141,26 @@ class StoredParitySpec extends GraftSuite {
     assertSameRows(stored, persisted, "ground truth")
   }
 
+  test("quantile-sketch store: merged persisted day partials ≡ the streaming/batch sketch readout") {
+    import graft.streaming.AdAnalytics
+    val ev = Tables.events(spark, sf)
+    val dir1 = Files.createTempDirectory("graft-parity-qs1-").toString
+    IncrementalIndex.writeQuantileIndex(spark, ev, dir1)
+    // interleaved split-append must merge to the identical sketch (the
+    // kmv-sketch-store contract, here with value payloads riding along)
+    val dir2 = Files.createTempDirectory("graft-parity-qs2-").toString
+    IncrementalIndex.writeQuantileIndex(spark, ev.where(col("event_id") % 3 === 0), dir2)
+    IncrementalIndex.writeQuantileIndex(spark, ev.where(col("event_id") % 3 =!= 0), dir2,
+      org.apache.spark.sql.SaveMode.Append)
+    val one = IncrementalIndex.probeQuantiles(spark, dir1)
+    val two = IncrementalIndex.probeQuantiles(spark, dir2)
+    assertSameRows(one, two, "quantile store split append")
+    // and the store's merged readout IS st20's streaming readout (and
+    // thereby m19's batch form — all three ride sketchQuantiles)
+    assertSameRows(one, AdAnalytics.st20StreamingQuantiles(spark, sf),
+      "quantile store vs streaming readout")
+  }
+
   test("d03 verified pairs: memo-served ≡ fresh recompute (cold conf)") {
     val warm = LlmText.d03LshNeardup(spark, sf)
     spark.conf.set(StoredMemo.DisableConf, "true")
