@@ -587,12 +587,13 @@ object Embeddings {
        |FROM assigned""".stripMargin
 
   // ---------------------------------------------------------------- e07
-  /** Recall audit: recall@k of the nine ANN serving paths (e02
+  /** Recall audit: recall@k of the ten ANN serving paths (e02
     * hyperplane-LSH, e05 IVF at its oracle formulation nprobe = 1, e08
     * sketch-then-rerank at its default depth, e10 composed
     * IVF-cells × sketch-rerank, e12 IVF-PQ with ADC scoring, e13
     * residual IVF-PQ, e14 SQ8 scalar-quantized rerank, e15 composed
-    * IVF-cells × SQ8-ADC, e22 NN-Descent graph round) against
+    * IVF-cells × SQ8-ADC, e22 NN-Descent graph round, e23 graph-serve
+    * beam over the stored graph) against
     * the e01 brute-force ground truth, over the deterministic query
     * subsample.
     * This is the evaluation loop every production ANN deployment runs
@@ -601,7 +602,7 @@ object Embeddings {
     * (method, n_truth, n_hits, recall); recall is one division of two
     * exact integer counts, so it is bit-identical cross-engine.
     *
-    * Cost note: this intentionally embeds ALL EIGHT search paths (it IS
+    * Cost note: this intentionally embeds ALL the search paths (it IS
     * the comparison), so it prices as their sum — an audit query, not a
     * serving path. At 100 TB the truth side runs on a fixed small query
     * sample (here vec_id % 5, the e01 contract) — brute force over the
@@ -656,19 +657,23 @@ object Embeddings {
     val nnd = graphOf(s, dir, 1, DefaultNndRevCap)
       .where(col("query_id") % 5 === 0 && col("rank") <= RecallK)
       .select(lit("nn_descent").as("method"), col("query_id"), col("neighbor_id"))
+    // tenth path: the graph-SERVE beam (e23) — navigates the same
+    // stored graph the nn_descent leg reads; pinned one-hop form
+    val gsrv = graphServe(s, dir, 1).where(col("rank") <= RecallK)
+      .select(lit("graph_serve").as("method"), col("query_id"), col("neighbor_id"))
     // LEFT join from a fixed method spine: a path with ZERO truth hits
     // must report recall 0.0, not vanish from the audit — the failing
     // path is the one the audit exists to flag
     val spine = s.createDataFrame(
       Seq("lsh_bucketed", "ivf_nprobe", "sketch_rerank", "ivf_sketch_rerank",
           "ivf_pq_adc", "residual_pq", "sq8_rerank", "ivf_sq_rerank",
-          "nn_descent")
+          "nn_descent", "graph_serve")
         .map(Tuple1.apply))
       .toDF("method")
     val hits = spine.join(
       lsh.unionByName(ivf).unionByName(sketch).unionByName(ivfSketch)
         .unionByName(ivfPq).unionByName(resPq).unionByName(sq)
-        .unionByName(ivfSq).unionByName(nnd)
+        .unionByName(ivfSq).unionByName(nnd).unionByName(gsrv)
         .join(truth, Seq("query_id", "neighbor_id"))
         .groupBy(col("method")).agg(count(lit(1)).as("raw_hits")),
       Seq("method"), "left")
@@ -773,6 +778,12 @@ object Embeddings {
        |    FROM ndcands c JOIN qv a ON c.query_id = a.vec_id
        |                  JOIN qv b ON c.neighbor_id = b.vec_id) t
        |  WHERE rank <= $RecallK AND query_id % 5 = 0
+       |)${graphFromCandsSql("nd")}${serveFromGraphSql("gs", "ndgraph")}, gserve AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT query_id, neighbor_id,
+       |      row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+       |    FROM gsserve) t
+       |  WHERE rank <= $RecallK
        |), ann AS (
        |  SELECT 'lsh_bucketed' AS method, query_id, neighbor_id FROM lsh
        |  UNION ALL
@@ -791,6 +802,8 @@ object Embeddings {
        |  SELECT 'ivf_sq_rerank' AS method, query_id, neighbor_id FROM sq15
        |  UNION ALL
        |  SELECT 'nn_descent' AS method, query_id, neighbor_id FROM nnd
+       |  UNION ALL
+       |  SELECT 'graph_serve' AS method, query_id, neighbor_id FROM gserve
        |), raw AS (
        |  SELECT method, count(*) AS raw_hits
        |  FROM ann JOIN truth USING (query_id, neighbor_id) GROUP BY 1
@@ -798,7 +811,8 @@ object Embeddings {
        |  SELECT m.method, CAST(coalesce(r.raw_hits, 0) AS BIGINT) AS n_hits
        |  FROM (VALUES ('lsh_bucketed'), ('ivf_nprobe'), ('sketch_rerank'),
        |               ('ivf_sketch_rerank'), ('ivf_pq_adc'), ('residual_pq'),
-       |               ('sq8_rerank'), ('ivf_sq_rerank'), ('nn_descent')) m(method)
+       |               ('sq8_rerank'), ('ivf_sq_rerank'), ('nn_descent'),
+       |               ('graph_serve')) m(method)
        |  LEFT JOIN raw r ON m.method = r.method
        |), tot AS (SELECT CAST(count(*) AS BIGINT) AS n_truth FROM truth)
        |SELECT method, n_truth, n_hits,
@@ -2608,6 +2622,92 @@ object Embeddings {
                                      rounds: Int, revCap: Int): DataFrame =
     nnDescentOver(s, bucketedOf(s, dir), quantized(s, dir), rounds, revCap)
 
+  // ---------------------------------------------------------------- e23
+  /** GRAPH-SERVE — the reason a deployment PERSISTS the kNN graph
+    * (e22/writeGraphIndex): answer queries by NAVIGATING the stored
+    * edge list instead of scanning buckets wider, the HNSW/NSG/DiskANN
+    * serving shape reduced to its set-based core. Seed each query with
+    * its own LSH bucket's exact top-[[GraphBeam]] (the stored bucket
+    * table — e02's candidate generation, beam-wide), then each HOP
+    * expands the beam through the stored graph (candidates' top-3
+    * neighbors — "a neighbor of my candidate is probably closer"),
+    * exact-rescores, and keeps the best [[GraphBeam]]; readout is the
+    * final top-3. One hop = the oracle's formulation;
+    * `spark.graft.graph.hops` widens reach one stored edge at a time.
+    *
+    * Why it beats buckets: the graph edge (x → y) was found by the
+    * DESCENT (possibly through the second hash table or an earlier
+    * local join), so following it from a query whose bucket contains x
+    * reaches neighbors the query's own bucket never held — at the
+    * price of |beam|·k edge lookups instead of a wider bucket scan.
+    * Dominance over e02 is structural (the seed beam contains e02's
+    * top-3; rescoring a superset can only improve the final top-3) and
+    * per-query quality is monotone in hops (each hop's beam is the
+    * top-B of a superset of the previous beam) — both spec-pinned.
+    *
+    * Scale shape: every stage is a keyed equi-join — seeds ride the
+    * [[SelfJoin]] gate on the bucket key, expansion joins the beam
+    * (|queries|·B rows) against the graph on the candidate id (≤ k
+    * matches per key, a broadcast-able edge list at top-3 density),
+    * rescoring joins the stored vector table twice. No corpus-pairs
+    * stage, no data-dependent key concentration (the graph's
+    * out-degree is EXACTLY ≤ 3 by construction). */
+  val GraphHopsConf = "spark.graft.graph.hops"
+  // final + literal: e23Sql and e07Sql interpolate this during static
+  // init (the DefaultNndRevCap discipline)
+  final val GraphBeam = 8
+
+  def e23GraphServe(s: SparkSession, dir: String): DataFrame = {
+    val hops = s.conf.get(GraphHopsConf, "1").toInt
+    require(hops >= 1, s"$GraphHopsConf must be >= 1, got $hops")
+    graphServe(s, dir, hops)
+  }
+
+  /** The serve path at a PINNED hop count — e07's graph_serve leg
+    * calls (dir, 1) so the audit stays lever-independent. */
+  private[graft] def graphServe(s: SparkSession, dir: String, hops: Int): DataFrame = {
+    val dot = dotQ(s) _
+    val vb = bucketedOf(s, dir)
+    val v = quantized(s, dir)
+    val graph = graphOf(s, dir, 1, DefaultNndRevCap)
+      .select(col("neighbor_id").as("gn"), col("query_id").as("cand"))
+    def rescoreTop(cands: DataFrame, b: Int): DataFrame = {
+      val scored = cands
+        .join(v.select(col("vec_id").as("query_id"), col("q").as("qa"),
+          col("nq").as("na")), Seq("query_id"))
+        .join(v.select(col("vec_id").as("cand"), col("q").as("qb"),
+          col("nq").as("nb")), Seq("cand"))
+        .select(col("query_id"), col("cand"),
+          (dot(col("qa"), col("qb")).cast("double") /
+            (sqrt(col("na").cast("double")) *
+              sqrt(col("nb").cast("double")))).as("cos"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("cos").desc, col("cand").asc)
+      scored.withColumn("rank", row_number().over(w)).where(col("rank") <= b)
+    }
+    // seed: the query's own stored bucket, exact top-B (e02's candidate
+    // generation at beam width)
+    val qSide = vb.where(col("vec_id") % 5 === 0)
+      .select(col("bucket"), col("vec_id").as("query_id"))
+    val bSide = vb.select(col("bucket"), col("vec_id").as("cand"))
+    val seedCands = SelfJoin.on(qSide, bSide, Seq("bucket"))
+      .where(col("query_id") =!= col("cand"))
+      .select(col("query_id"), col("cand"))
+    var scored = rescoreTop(seedCands, GraphBeam)
+    for (h <- 1 to hops) {
+      val beam = scored.select(col("query_id"), col("cand"))
+      val expand = SelfJoin.on(beam, graph, Seq("cand"))
+        .select(col("query_id"), col("gn").as("cand"))
+      val cands = beam.union(expand)
+        .where(col("query_id") =!= col("cand")).distinct()
+      scored = rescoreTop(cands, GraphBeam)
+      if (h < hops) scored = scored.localCheckpoint()
+    }
+    scored.where(col("rank") <= 3)
+      .select(col("query_id"), col("cand").as("neighbor_id"),
+        col("cos"), col("rank"))
+  }
+
   /** The descent core over an arbitrary (bucketed, quantized) pair —
     * shared by the in-JVM memo path and the persisted-index writer so
     * a stored graph and a recompute iterate identically. */
@@ -2742,7 +2842,63 @@ object Embeddings {
        |  FROM resc) t
        |WHERE rank <= 3""".stripMargin
 
+  /** Graph readout from `${p}cands` (the stored graph's content — the
+    * e22 top-3 without the readout columns); emits `${p}graph`. */
+  private def graphFromCandsSql(p: String): String =
+    s""", ${p}gsc AS (
+       |  SELECT c.query_id, c.neighbor_id, $nndCosSql AS cos
+       |  FROM ${p}cands c
+       |  JOIN qv a ON c.query_id = a.vec_id
+       |  JOIN qv b ON c.neighbor_id = b.vec_id
+       |), ${p}graph AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT query_id, neighbor_id,
+       |      row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rnk
+       |    FROM ${p}gsc) t
+       |  WHERE rnk <= 3
+       |)""".stripMargin
+
+  /** One-hop beam serve over a graph CTE named `$graphCte` (seed =
+    * own-bucket exact top-[[GraphBeam]], expand through the graph,
+    * exact rescore); emits `${p}serve` (query_id, neighbor_id, cos) —
+    * e23Sql and e07's graph_serve leg interpolate the SAME text. */
+  private def serveFromGraphSql(p: String, graphCte: String): String =
+    s""", ${p}sc0 AS (
+       |  SELECT a.vec_id AS query_id, b.vec_id AS cand, $nndCosSql AS cos
+       |  FROM bv a JOIN bv b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+       |  WHERE a.vec_id % 5 = 0
+       |), ${p}beam0 AS (
+       |  SELECT query_id, cand FROM (
+       |    SELECT query_id, cand,
+       |      row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, cand ASC) AS rn
+       |    FROM ${p}sc0) t
+       |  WHERE rn <= $GraphBeam
+       |), ${p}cands1 AS (
+       |  SELECT query_id, cand FROM ${p}beam0
+       |  UNION
+       |  SELECT b0.query_id, g.neighbor_id AS cand
+       |  FROM ${p}beam0 b0 JOIN $graphCte g ON b0.cand = g.query_id
+       |), ${p}serve AS (
+       |  SELECT c.query_id, c.cand AS neighbor_id, $nndCosSql AS cos
+       |  FROM ${p}cands1 c
+       |  JOIN qv a ON c.query_id = a.vec_id
+       |  JOIN qv b ON c.cand = b.vec_id
+       |  WHERE c.query_id <> c.cand
+       |)""".stripMargin
+
+  val e23Sql: String =
+    s"""$quantSql, bv AS (
+       |  SELECT vec_id, q, ${bucketExprSqlFor(0)} AS bucket,
+       |    ${bucketExprSqlFor(1)} AS bucket_b
+       |  FROM qv
+       |)${nndCandsCteSql("")}${graphFromCandsSql("")}${serveFromGraphSql("", "graph")}
+       |SELECT query_id, neighbor_id, cos, rank FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+       |  FROM serve) t
+       |WHERE rank <= 3""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e23_graph_serve" -> (e23GraphServe _),
     "e22_nn_descent" -> (e22NnDescent _),
     "e21_kmpp_seed" -> (e21KmppSeed _),
     "e20_cell_stats" -> (e20CellStats _),
@@ -2772,6 +2928,7 @@ object Embeddings {
     * map keeps any future cross-reference out of static init — the
     * cross-object RerankC trap ([[graft.tools.InitOrderCheck]]). */
   lazy val oracleSql: Map[String, String] = Map(
+    "e23_graph_serve" -> e23Sql,
     "e22_nn_descent" -> e22Sql,
     "e21_kmpp_seed" -> e21Sql,
     "e20_cell_stats" -> e20Sql,

@@ -1570,6 +1570,37 @@ class LlmTextSpec extends GraftSuite {
     }
   }
 
+  test("e23: graph serve dominates the bucket path per query; quality monotone in hops") {
+    def sums(rows: Array[(Long, Long, Double)]): Map[Long, Double] =
+      rows.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    val e02 = Embeddings.e02AnnBucketed(spark, sf).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .filter(_._1 % 5 == 0)
+    val e23 = Embeddings.e23GraphServe(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(e23.nonEmpty)
+    assert(e23.map(_._1).toSet === e02.map(_._1).toSet,
+      "same query universe (the %5 sample)")
+    val s02 = sums(e02)
+    val s23 = sums(e23)
+    // the seed beam contains e02's top-3 (same bucket, same exact
+    // cosine, beam 8 > 3), so the final top-3 can only improve
+    s23.foreach { case (q, v) =>
+      assert(v >= s02(q) - 1e-9, s"query $q regressed vs the bucket path")
+    }
+    // and the stored graph's edges reach something the bucket missed
+    assert(s23.exists { case (q, v) => v > s02(q) + 1e-9 },
+      "graph expansion improved no query — the serve path is dead code here")
+    // hop lever: each hop's beam is the top-B of a superset of the
+    // previous beam, so per-query top-3 quality is monotone
+    val h2 = sums(Embeddings.graphServe(spark, sf, 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))))
+    assert(h2.keySet === s23.keySet)
+    h2.foreach { case (q, v) =>
+      assert(v >= s23(q) - 1e-9, s"query $q regressed with a second hop")
+    }
+  }
+
   test("e22: reverse-sample cap bounds the local join's candidate volume under hub skew") {
     import spark.implicits._
     val R = Embeddings.DefaultNndRevCap

@@ -34,6 +34,7 @@ class SelfJoinStrategySpec extends GraftSuite {
     "d30_incremental_dedup" -> (() => LlmText.d30IncrementalDedup(spark, sf)),
     "d33_sparse_cosine" -> (() => LlmText.d33SparseCosine(spark, sf)),
     "e22_nn_descent" -> (() => Embeddings.e22NnDescent(spark, sf)),
+    "e23_graph_serve" -> (() => Embeddings.e23GraphServe(spark, sf)),
     // m13's production ±60s window finds no pairs in the sparse sf0.001
     // fixture; the gate lives in RangeJoin.bucketed, so invariance is
     // pinned through it directly with a window wide enough to match
