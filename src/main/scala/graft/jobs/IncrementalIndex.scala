@@ -377,6 +377,21 @@ object IncrementalIndex {
   def probeGraph(s: SparkSession, indexDir: String): DataFrame =
     s.read.parquet(p(indexDir, GraphEdges))
 
+  /** e23's graph-serve beam for a BATCH of query vectors against the
+    * PERSISTED (lsh_buckets, graph_edges) pair — the online-ANN-serving
+    * probe (st21's per-batch form): the batch hashes its own buckets
+    * ([[graft.operators.Embeddings.bucketedFrom]] — identical to the
+    * build-side hash), seeds from the stored bucket table, expands one
+    * hop through the stored edges, exact-rescores. No cross-batch
+    * state; verdicts are a pure function of (batch, frozen store). */
+  def probeGraphServe(s: SparkSession, batchVecs: DataFrame,
+                      indexDir: String): DataFrame =
+    Embeddings.graphServeOver(s,
+      Embeddings.bucketedFrom(s, Embeddings.quantizedFrom(s, batchVecs)),
+      s.read.parquet(p(indexDir, LshBuckets)),
+      probeGraph(s, indexDir), hops = 1)
+      .localCheckpoint(true)
+
   /** Write the SKETCH STORE: one KMV cardinality sketch per
     * (event_type, day) over the batch's events — the rollup-cube
     * practice (Druid/Pinot sketch columns): the base table is read

@@ -2666,17 +2666,33 @@ object Embeddings {
   /** The serve path at a PINNED hop count — e07's graph_serve leg
     * calls (dir, 1) so the audit stays lever-independent. */
   private[graft] def graphServe(s: SparkSession, dir: String, hops: Int): DataFrame = {
-    val dot = dotQ(s) _
     val vb = bucketedOf(s, dir)
-    val v = quantized(s, dir)
-    val graph = graphOf(s, dir, 1, DefaultNndRevCap)
-      .select(col("neighbor_id").as("gn"), col("query_id").as("cand"))
+    graphServeOver(s,
+      vb.where(col("vec_id") % 5 === 0), vb,
+      graphOf(s, dir, 1, DefaultNndRevCap), hops)
+  }
+
+  /** The serve core over an arbitrary (queries, index) pair — shared
+    * by e23's in-JVM form and the persisted-store probe ([[graft.jobs
+    * .IncrementalIndex.probeGraphServe]], st21's per-batch serve), so
+    * a stored index and the memo path navigate identically. `queries`
+    * must carry (vec_id, q, nq, bucket) — the [[bucketedFrom]] shape;
+    * `index` is the corpus bucket table in the same shape; `graph` the
+    * (query_id, neighbor_id) edge list. */
+  private[graft] def graphServeOver(s: SparkSession, queries: DataFrame,
+                                    index: DataFrame, graph: DataFrame,
+                                    hops: Int): DataFrame = {
+    val dot = dotQ(s) _
+    val qv = queries.select(col("vec_id").as("query_id"), col("q").as("qa"),
+      col("nq").as("na"), col("bucket"))
+    val cv = index.select(col("vec_id").as("cand"), col("q").as("qb"),
+      col("nq").as("nb"))
+    val edges = graph.select(col("query_id").as("cand"),
+      col("neighbor_id").as("gn"))
     def rescoreTop(cands: DataFrame, b: Int): DataFrame = {
       val scored = cands
-        .join(v.select(col("vec_id").as("query_id"), col("q").as("qa"),
-          col("nq").as("na")), Seq("query_id"))
-        .join(v.select(col("vec_id").as("cand"), col("q").as("qb"),
-          col("nq").as("nb")), Seq("cand"))
+        .join(qv.select(col("query_id"), col("qa"), col("na")), Seq("query_id"))
+        .join(cv, Seq("cand"))
         .select(col("query_id"), col("cand"),
           (dot(col("qa"), col("qb")).cast("double") /
             (sqrt(col("na").cast("double")) *
@@ -2687,16 +2703,15 @@ object Embeddings {
     }
     // seed: the query's own stored bucket, exact top-B (e02's candidate
     // generation at beam width)
-    val qSide = vb.where(col("vec_id") % 5 === 0)
-      .select(col("bucket"), col("vec_id").as("query_id"))
-    val bSide = vb.select(col("bucket"), col("vec_id").as("cand"))
-    val seedCands = SelfJoin.on(qSide, bSide, Seq("bucket"))
+    val seedCands = SelfJoin.on(
+        qv.select(col("bucket"), col("query_id")),
+        index.select(col("bucket"), col("vec_id").as("cand")), Seq("bucket"))
       .where(col("query_id") =!= col("cand"))
       .select(col("query_id"), col("cand"))
     var scored = rescoreTop(seedCands, GraphBeam)
     for (h <- 1 to hops) {
       val beam = scored.select(col("query_id"), col("cand"))
-      val expand = SelfJoin.on(beam, graph, Seq("cand"))
+      val expand = SelfJoin.on(beam, edges, Seq("cand"))
         .select(col("query_id"), col("gn").as("cand"))
       val cands = beam.union(expand)
         .where(col("query_id") =!= col("cand")).distinct()

@@ -975,7 +975,52 @@ object AdAnalytics {
        |JOIN sv ON sv.vr = (sv.m * p.pct + 99) // 100""".stripMargin
   }
 
+  // ---------------------------------------------------------------- st21
+  /** STREAMING GRAPH-SERVE — e23 run as an online ANN service (st17's
+    * frozen-store class): the (lsh_buckets, graph_edges) index pair is
+    * built ONCE from the corpus ([[graft.jobs.IncrementalIndex
+    * .writeLshIndex]]/[[graft.jobs.IncrementalIndex.writeGraphIndex]] —
+    * e23's serving pair), then every arriving micro-batch of query
+    * vectors is answered from the frozen store
+    * ([[graft.jobs.IncrementalIndex.probeGraphServe]]: hash own
+    * buckets, seed from the stored bucket table, one stored-edge hop,
+    * exact rescore). No cross-batch state and no append-back — results
+    * are a pure function of (batch, frozen store), so the final answer
+    * table equals batch e23 for ANY split in ANY order (shuffled-split
+    * invariance pinned in StreamingSpec; the oracle is e23's SQL twin
+    * verbatim). Per-batch work ∝ |batch|·beam·k at any corpus size —
+    * the online vector-search deployment every RAG/retrieval stack
+    * runs. */
+  def st21StreamingGraphServe(s: SparkSession, dir: String): DataFrame = {
+    import graft.jobs.IncrementalIndex
+    val indexDir = java.nio.file.Files.createTempDirectory("graft-st21-idx-").toString
+    try {
+      val vecs = graft.Tables.embeddings(s, dir)
+      IncrementalIndex.writeLshIndex(s, vecs, indexDir)
+      IncrementalIndex.writeGraphIndex(s, vecs, indexDir)
+      val empty = vecs.limit(0)
+        .select(col("vec_id").as("query_id"), col("vec_id").as("neighbor_id"),
+          lit(0.0).as("cos"), lit(0).as("rank"))
+      Streams.runForeachBatch(s, "append", empty)(
+        ss => Streams.tableStream(ss, dir, "embeddings")
+          .where(col("vec_id") % 5 === 0)) { (store, batch) =>
+        store.unionByName(IncrementalIndex.probeGraphServe(s, batch, indexDir))
+      }
+    } finally {
+      val root = java.nio.file.Paths.get(indexDir)
+      if (java.nio.file.Files.exists(root)) {
+        val it = java.nio.file.Files.walk(root)
+          .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        try it.forEach(pp => { java.nio.file.Files.deleteIfExists(pp); () })
+        finally it.close()
+      }
+    }
+  }
+
+  lazy val st21Sql: String = graft.operators.Embeddings.e23Sql
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "st21_streaming_graph_serve" -> (st21StreamingGraphServe _),
     "st20_streaming_quantiles" -> (st20StreamingQuantiles _),
     "st19_streaming_substr_ingest" -> (st19StreamingSubstrIngest _),
     "st18_streaming_kmv" -> (st18StreamingKmv _),
@@ -1002,6 +1047,7 @@ object AdAnalytics {
     * if either operator object's init re-entered this one — the
     * cross-object RerankC trap ([[graft.tools.InitOrderCheck]]). */
   lazy val oracleSql: Map[String, String] = Map(
+    "st21_streaming_graph_serve" -> st21Sql,
     "st20_streaming_quantiles" -> st20Sql,
     "st19_streaming_substr_ingest" -> st19Sql,
     "st18_streaming_kmv" -> st18Sql,

@@ -767,6 +767,32 @@ class StreamingSpec extends GraftSuite {
     assert(after.size > before.size, "run 2 must append its own index entries")
   }
 
+  test("st21: any micro-batch split in ANY order reproduces e23's batch answers") {
+    // the st17 contract class: the probe is a pure function of (batch,
+    // frozen store) — no cross-batch state, no append-back — so any
+    // split in any order must land the identical answer table
+    import spark.implicits._
+    import graft.jobs.IncrementalIndex
+    val idx = java.nio.file.Files.createTempDirectory("st21-spec-idx-").toString
+    val all = Tables.embeddings(spark, sf)
+    IncrementalIndex.writeLshIndex(spark, all, idx)
+    IncrementalIndex.writeGraphIndex(spark, all, idx)
+    val queries = all.where(col("vec_id") % 5 === 0)
+      .select("vec_id", "embedding", "label").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1), r.getInt(2)))
+    val shuffled = new scala.util.Random(13).shuffle(queries.toSeq)
+    val chunks = shuffled.grouped(math.max(1, shuffled.length / 3 + 1)).toSeq
+    val got = chunks.flatMap { chunk =>
+      val batch = chunk.toDF("vec_id", "embedding", "label")
+      IncrementalIndex.probeGraphServe(spark, batch, idx).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(3)))
+    }.toSet
+    val expected = graft.operators.Embeddings.e23GraphServe(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    assert(got === expected,
+      "shuffled-split stored-store probes must equal the batch e23 answers")
+  }
+
   /** Walks the cause chain for the poison marker — the streaming
     * wrapper buries the thrown exception a few levels deep. */
   private def hasPoison(t: Throwable): Boolean =
