@@ -504,7 +504,7 @@ class LlmTextSpec extends GraftSuite {
     val rows = Embeddings.e07RecallAudit(spark, sf).collect()
     // exactly one row per audited method — a zero-hit path must report
     // recall 0.0, never vanish
-    assert(rows.length === 9)
+    assert(rows.length === 10)
     val truthPairs = Embeddings.e01KnnBrute(spark, sf)
       .where(col("rank") <= Embeddings.RecallK).count()
     rows.foreach { r =>
@@ -526,6 +526,7 @@ class LlmTextSpec extends GraftSuite {
     assert(rows.map(_.getString(0)).contains("sq8_rerank"))
     assert(rows.map(_.getString(0)).contains("ivf_sq_rerank"))
     assert(rows.map(_.getString(0)).contains("nn_descent"))
+    assert(rows.map(_.getString(0)).contains("graph_serve"))
     // the 255-level SQ grid must not audit below the 1-bit sketch path
     val byM = rows.map(r => r.getString(0) -> r.getDouble(3)).toMap
     assert(byM("sq8_rerank") >= byM("sketch_rerank"),
@@ -534,6 +535,10 @@ class LlmTextSpec extends GraftSuite {
     // never audit below the single-table LSH path it refines
     assert(byM("nn_descent") >= byM("lsh_bucketed"),
       s"NN-Descent ${byM("nn_descent")} below its LSH seed ${byM("lsh_bucketed")}")
+    // the serve beam's seed contains the bucket path's top-3, so the
+    // stored-graph navigation can never audit below the bucket path
+    assert(byM("graph_serve") >= byM("lsh_bucketed"),
+      s"graph serve ${byM("graph_serve")} below its bucket seed ${byM("lsh_bucketed")}")
   }
 
   test("d27: rule verdicts recompute, keep is the exact conjunction, stopword rule ties to the text") {
