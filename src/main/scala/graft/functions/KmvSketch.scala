@@ -146,6 +146,16 @@ object KmvSketch {
     * input SET (which pair survives a 60-bit collision must not depend
     * on arrival or merge order; min is commutative and idempotent, and
     * the oracle's `min(v) GROUP BY h` mirrors it exactly). */
+  /** Total-order "smaller" on doubles (java.lang.Double.compare: -0.0
+    * < 0.0 < NaN-greatest) — the tie-break MUST be a total order or the
+    * sketch stops being a pure function of the input set: IEEE `<` is
+    * false for every NaN comparison, so insert-path ties would keep the
+    * incumbent while math.min on the merge path would keep the NaN —
+    * same input set, different sketches depending on which path the
+    * pair travelled (round-12 review finding). */
+  private def pairLt(a: Double, b: Double): Boolean =
+    java.lang.Double.compare(a, b) < 0
+
   private[functions] def kInsertPair(k: Int, b: Array[(Long, Double)],
                                      h: Long, v: Double): Array[(Long, Double)] = {
     var lo = 0
@@ -155,7 +165,7 @@ object KmvSketch {
       if (b(mid)._1 < h) lo = mid + 1 else hi = mid
     }
     if (lo < b.length && b(lo)._1 == h) {
-      if (v < b(lo)._2) { val out = b.clone(); out(lo) = (h, v); out } else b
+      if (pairLt(v, b(lo)._2)) { val out = b.clone(); out(lo) = (h, v); out } else b
     } else if (b.length < k) {
       val out = new Array[(Long, Double)](b.length + 1)
       System.arraycopy(b, 0, out, 0, lo)
@@ -186,8 +196,9 @@ object KmvSketch {
         else if (i >= b1.length) { j += 1; b2(j - 1) }
         else if (b1(i)._1 < b2(j)._1) { i += 1; b1(i - 1) }
         else if (b1(i)._1 > b2(j)._1) { j += 1; b2(j - 1) }
-        else { // equal hash: consume both once, keep the min value
-          val m = (b1(i)._1, math.min(b1(i)._2, b2(j)._2))
+        else { // equal hash: consume both once, keep the total-order min
+          val m = (b1(i)._1,
+            if (pairLt(b2(j)._2, b1(i)._2)) b2(j)._2 else b1(i)._2)
           i += 1; j += 1; m
         }
       out(n) = p

@@ -2573,7 +2573,12 @@ object Embeddings {
       .orderBy(revSampleOrder(col("neighbor_id")).asc, col("neighbor_id").asc)
     val revSampled = rev.withColumn("rr", row_number().over(wRev))
       .where(col("rr") <= revCap).drop("rr")
-    edgesD.union(revSampled)
+    // DEDUPED union (the oracle's `e0 UNION revs`): a mutual edge whose
+    // reverse survives the sample would otherwise sit in the adjacency
+    // twice and double its pairs through the quadratic local join —
+    // the dedup is one exchange over N·(2k+R) rows, the join fan-out
+    // it prevents is the stage the cap exists to bound
+    edgesD.union(revSampled).distinct()
   }
 
   /** The two-table LSH seed edge list (NOT deduped — callers own the
@@ -2710,12 +2715,23 @@ object Embeddings {
       .select(col("query_id"), col("cand"))
     var scored = rescoreTop(seedCands, GraphBeam)
     for (h <- 1 to hops) {
-      val beam = scored.select(col("query_id"), col("cand"))
-      val expand = SelfJoin.on(beam, edges, Seq("cand"))
+      val beam = scored.select(col("query_id"), col("cand"), col("cos"))
+      // score ONLY the newly reached candidates — the carried beam
+      // already holds its exact cosines (same arithmetic, so ranks are
+      // unchanged vs rescoring the union; round-12 review finding) —
+      // then re-rank carried ∪ new to the beam width
+      val expand = SelfJoin.on(beam.select(col("query_id"), col("cand")),
+          edges, Seq("cand"))
         .select(col("query_id"), col("gn").as("cand"))
-      val cands = beam.union(expand)
         .where(col("query_id") =!= col("cand")).distinct()
-      scored = rescoreTop(cands, GraphBeam)
+        .join(beam.select(col("query_id"), col("cand")),
+          Seq("query_id", "cand"), "left_anti")
+      val union = beam.unionByName(
+        rescoreTop(expand, GraphBeam).select(col("query_id"), col("cand"), col("cos")))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("cos").desc, col("cand").asc)
+      scored = union.withColumn("rank", row_number().over(w))
+        .where(col("rank") <= GraphBeam)
       if (h < hops) scored = scored.localCheckpoint()
     }
     scored.where(col("rank") <= 3)
@@ -2741,8 +2757,10 @@ object Embeddings {
       // distinct BEFORE the reverse-sample rank: an edge found by both
       // hash tables must occupy one sample slot, not two (the oracle's
       // e0 is UNION-deduped) — and the join degree bound counts edges,
-      // not multiplicities
-      val edgesD = edges.distinct()
+      // not multiplicities. Only the round-1 seed union needs it: later
+      // rounds feed back a rank<=3 window output, which cannot hold
+      // duplicate (query_id, neighbor_id) pairs (round-12 review)
+      val edgesD = if (r == 1) edges.distinct() else edges
       val rev = edgesD.select(col("neighbor_id").as("query_id"),
         col("query_id").as("neighbor_id"))
       val und = nndAdjacency(edgesD, revCap)

@@ -1023,9 +1023,16 @@ object Misc {
   private[graft] def sketchQuantiles(s: SparkSession, sk: DataFrame,
                                      keep: Seq[String]): DataFrame = {
     val percents = s.createDataFrame(M17Percents.map(Tuple1.apply)).toDF("pct")
-    val base = sk.select(keep.map(col) ++ Seq(
-      array_sort(col("sk._2")).as("vs"),
-      size(col("sk")).cast("long").as("m")): _*)
+    // drop empty sketches BEFORE the rank lookup: m=0 would make the
+    // percentile rank 0 and element_at is 1-based (a runtime error) —
+    // and the oracle's rank join emits no row for an empty group, so
+    // dropping is also the parity-correct behavior. Empty rows cannot
+    // arise from a groupBy (a group implies >= 1 row) but CAN arrive
+    // from a corrupted stored partial (the store-probe path).
+    val base = sk.where(size(col("sk")) > 0)
+      .select(keep.map(col) ++ Seq(
+        array_sort(col("sk._2")).as("vs"),
+        size(col("sk")).cast("long").as("m")): _*)
     // broadcast the 5-row percent spine onto the sketch row(s) — the
     // declared-broadcast crossJoin shape StrictPlanCheck admits
     base.crossJoin(broadcast(percents))

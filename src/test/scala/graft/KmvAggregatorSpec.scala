@@ -103,6 +103,26 @@ class KmvAggregatorSpec extends GraftSuite {
     }
   }
 
+  test("pair sketch: NaN and signed-zero payloads keep the merge lattice (total-order tie-break)") {
+    // IEEE < is false for every NaN comparison, so a naive tie-break
+    // keeps the incumbent on the insert path while math.min keeps NaN
+    // on the merge path — same input set, different sketches. The
+    // total-order tie-break (Double.compare) must make both paths agree.
+    val a = KmvSketch.pairsAgg(2)
+    val xs = Seq((5L, java.lang.Double.NaN), (3L, 1.0))
+    val ys = Seq((5L, 2.0), (3L, -0.0))
+    def sk(s: Seq[(Long, Double)]) = s.foldLeft(a.zero)(a.reduce)
+    val viaReduce = sk(xs ++ ys)
+    val viaMerge = a.merge(sk(xs), sk(ys))
+    def bits(p: (Long, Double)) = (p._1, java.lang.Double.doubleToLongBits(p._2))
+    assert(viaReduce.map(bits).toSeq === viaMerge.map(bits).toSeq,
+      s"reduce path ${viaReduce.toSeq} != merge path ${viaMerge.toSeq}")
+    // total order: 2.0 beats NaN on hash 5; -0.0 beats 1.0 on hash 3
+    assert(viaMerge.map(bits).toSeq === Seq(
+      (3L, java.lang.Double.doubleToLongBits(-0.0)),
+      (5L, java.lang.Double.doubleToLongBits(2.0))))
+  }
+
   test("pair store merge: a non-contract stored row normalizes (sort, min value per hash)") {
     val m = new KmvSketch.KmvPairsMergeAgg(4)
     val contract = m.reduce(m.zero, Seq((1L, 1.0), (3L, 3.0), (5L, 5.0)))
