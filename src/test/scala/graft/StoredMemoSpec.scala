@@ -32,6 +32,36 @@ class StoredMemoSpec extends AnyFunSuite {
     assert(m.get(999) === "rebuilt")
   }
 
+  test("eviction prefers foreign-session keys — for plain dirKey strings AND tuple keys") {
+    // the round-11 advisory gap: composite tuple keys (codebook/lever
+    // memos lead with appId or a dirKey in position 0) must get the
+    // same live-session protection as plain string keys
+    val app = "app-live"
+    val m = new java.util.concurrent.ConcurrentHashMap[Any, String]()
+    // 10 live string keys, 4 live tuple keys, 6 foreign keys of both shapes
+    (1 to 10).foreach(i => m.put(s"$app|dir$i", "live"))
+    (1 to 4).foreach(i => m.put((s"$app|dir$i", i), "live-tuple"))
+    (1 to 3).foreach(i => m.put(s"app-dead|dir$i", "foreign"))
+    (1 to 3).foreach(i => m.put(("app-dead", i), "foreign-tuple"))
+    assert(m.size === 20)
+    StoredMemo.guard(m, "t", bound = 14, liveApp = Some(app))
+    assert(m.size === 14)
+    import scala.jdk.CollectionConverters._
+    val survivors = m.asScala.values.toSeq
+    assert(!survivors.contains("foreign") && !survivors.contains("foreign-tuple"),
+      s"foreign keys must be the preferred victims, kept: ${m.keySet()}")
+    assert(survivors.count(_ == "live") === 10 && survivors.count(_ == "live-tuple") === 4,
+      "every live-session key (both shapes) must survive when evicting foreigners suffices")
+  }
+
+  test("stored() guards AFTER the insert: the cache steady-states at the bound") {
+    val spark = SparkTestBase.spark
+    val m = new java.util.concurrent.ConcurrentHashMap[String, String]()
+    val app = spark.sparkContext.applicationId
+    (1 to 20).foreach(i => StoredMemo.stored(spark, m, "t", s"$app|k$i", bound = 8)(s"v$i"))
+    assert(m.size <= 8, s"cache must steady-state at the bound, got ${m.size}")
+  }
+
   test("dirTag is filesystem/table-safe and collision-resistant") {
     val a = StoredMemo.dirTag("/root/testdata/sf0.01")
     val b = StoredMemo.dirTag("/root/testdata/sf0.1")
