@@ -277,8 +277,14 @@ object KmvSketch {
         val arr = sk.toArray
         val clean =
           if (isAscendingDistinctPairs(arr)) arr
+          // per-hash min via pairLt, NOT an implicit Ordering[Double].min:
+          // normalization must share the insert/merge paths' one total
+          // order by construction (Scala 2.13's default Ordering happens
+          // to agree today, but only accidentally — round-13 advisory)
           else arr.groupBy(_._1).iterator
-            .map { case (h, g) => (h, g.iterator.map(_._2).min) }
+            .map { case (h, g) =>
+              (h, g.iterator.map(_._2).reduce((x, y) => if (pairLt(y, x)) y else x))
+            }
             .toArray.sortBy(_._1)
         kUnionPair(k, b, clean)
       }
