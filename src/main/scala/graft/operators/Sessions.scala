@@ -282,22 +282,7 @@ object Sessions {
   val SampleTarget = 200L
 
   def s05StratifiedSample(s: SparkSession, dir: String): DataFrame = {
-    val ev = enriched(s, dir)
-    // counts reused twice (total + quota) → persist (SURVEY M3)
-    val counts = ev.groupBy(col("date"), col("hour")).agg(count(lit(1)).as("cnt")).persist()
-    val total = counts.agg(sum(col("cnt")).as("total"))
-    val quota = counts.crossJoin(broadcast(total))
-      .withColumn("quota", greatest(lit(1L), expr(s"cnt * $SampleTarget div total")))
-      .select(col("date"), col("hour"), col("quota"))
-    // rand must be materialized in a Project before it can order a window
-    val w = Window.partitionBy(col("date"), col("hour"))
-      .orderBy(col("rnd"), col("event_id"))
-    val result = ev.join(broadcast(quota), Seq("date", "hour"))
-      .withColumn("rnd", rand(42))
-      .withColumn("rn", row_number().over(w))
-      .where(col("rn") <= col("quota"))
-      .groupBy(col("date"), col("hour"))
-      .agg(count(lit(1)).as("n_sampled"))
+    val (result, counts) = s05PlanWithCache(s, dir)
     // materialize the (one-row-per-stratum) result eagerly so the shared
     // counts cache can be released here — a terminal persist without
     // unpersist leaks one CacheManager entry per invocation for the
@@ -307,6 +292,42 @@ object Sessions {
     val out = result.localCheckpoint(eager = true)
     counts.unpersist()
     out
+  }
+
+  /** The un-checkpointed s05 plan + its counts cache (callers own the
+    * unpersist) — the form the plan specs inspect (the public entry
+    * checkpoints, which erases lineage). */
+  private[graft] def s05PlanWithCache(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    // narrow integer stratum keys: day/hour are integer-nanos arithmetic
+    // (UTC session), so neither event pass pays per-row timestamp
+    // formatting; the yyyy-MM-dd string is produced ONCE on the final
+    // per-stratum frame (~|strata| rows, never |events|)
+    val ev = Tables.events(s, dir).select(
+      expr("ts div 86400000000000").as("day"),
+      expr("(ts % 86400000000000) div 3600000000000").cast("int").as("hour"),
+      col("event_id"))
+    // counts reused twice (total + quota) → persist (SURVEY M3)
+    val counts = ev.groupBy(col("day"), col("hour")).agg(count(lit(1)).as("cnt")).persist()
+    val total = counts.agg(sum(col("cnt")).as("total"))
+    val quota = counts.crossJoin(broadcast(total))
+      .withColumn("quota", greatest(lit(1L), expr(s"cnt * $SampleTarget div total")))
+      .select(col("day"), col("hour"), col("quota"))
+    // the draw is a BOUNDED aggregate, not a window: quotaSample keeps
+    // the quota smallest (rnd, event_id) per stratum with map-side
+    // combine — same rows as row_number over (rnd, event_id) (pinned in
+    // StratifiedSampleSpec) but the exchange carries only the per-
+    // partition candidate caps, never the full event table through a
+    // per-stratum sort (round-13: the r12 sweep's one ≥2× read)
+    val result = ev.join(broadcast(quota), Seq("day", "hour"))
+      .withColumn("rnd", rand(42))
+      .groupBy(col("day"), col("hour"))
+      .agg(graft.functions.Aggregators.quotaSample(
+        col("quota"), col("rnd"), col("event_id")).as("sample"))
+      .select(
+        date_format(timestamp_micros(col("day") * 86400000000L), "yyyy-MM-dd").as("date"),
+        col("hour"),
+        size(col("sample")).cast("long").as("n_sampled"))
+    (result, counts)
   }
 
   val s05Sql: String =
