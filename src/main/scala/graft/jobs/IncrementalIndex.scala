@@ -127,6 +127,115 @@ object IncrementalIndex {
       .write.mode(SaveMode.Overwrite)
       .parquet(s"${p(indexDir, RhPostings)}/bid=$batchId")
 
+  // ------------------------------------------------------- compaction
+  /** Compacted-segment bid encoding: the consolidation of every batch
+    * partition with bid ≤ B lands in `bid = -2 - B`. Numeric, so the
+    * partition column stays LongType beside live `bid=<batchId>` dirs;
+    * strictly below the bootstrap's −1; and never equal to any real
+    * batch id — a probe's `exceptBid(b)` (b ≥ 0, the crash-replay
+    * contract) can therefore never drop compacted rows. Successive
+    * compactions nest: the segment for B₂ > B₁ folds the B₁ segment in
+    * (−2−B₁ passes the ≤ B₂ eligibility test like any other committed
+    * partition). */
+  def compactedBid(upToBid: Long): Long = -2L - upToBid
+
+  /** COMPACT a batch-keyed store table: rewrite every committed
+    * `bid=<id>` partition with id ≤ `upToBid` (bootstrap −1, batch ids,
+    * and any earlier compacted segment) into ONE consolidated
+    * `bid=<compactedBid(upToBid)>` segment, then delete the originals.
+    * This is the small-files lifecycle event the exactly-once ingest
+    * layout needs: months of 5 s micro-batches accrue one directory per
+    * batch forever; compaction bounds the store at (one consolidated
+    * segment) + (directories newer than the watermark), with the
+    * segment's file count set by the scan's `maxPartitionBytes`
+    * coalescing — data-proportional, never batch-count-proportional.
+    *
+    * Watermark contract: `upToBid` must be a COMMITTED batch id (its
+    * offsets durably past — with a live stream, at most the last
+    * completed batch minus one is always safe). Structured Streaming
+    * batch ids are monotone, so no future append can land under the
+    * watermark; an in-flight replayed batch b > upToBid keeps its own
+    * `bid=b` directory and its `exceptBid(b)` probe semantics intact.
+    *
+    * Crash-safe by RESUMABILITY, not atomicity (the two-phase layout a
+    * lake store without a transaction log can honor): phase 1 writes
+    * the consolidated segment (its `_SUCCESS` marker is the commit
+    * point); phase 2 deletes the originals. A crash between the phases
+    * leaves originals beside a committed segment — duplicated rows —
+    * and the documented recovery is to RE-RUN the same compaction,
+    * which sees the committed marker, skips the rewrite, and finishes
+    * the deletes (pinned in IncrementalIndexSpec). Probes must not read
+    * the store between a compaction crash and its re-run.
+    *
+    * [[graft.etl.Sinks.compact]] is the complementary OFFLINE event: a
+    * whole-table rewrite-and-swap for flat (non-batch-keyed) stores,
+    * which must not run beside a live stream. This form does bounded
+    * work (only partitions under the watermark) and leaves every
+    * newer-than-watermark directory untouched, so it can run between
+    * micro-batches of a live ingest. */
+  def compactBatchStore(s: SparkSession, indexDir: String, table: String,
+                        upToBid: Long): Unit = {
+    require(upToBid >= -1L, s"compaction watermark must be >= -1, got $upToBid")
+    val eligible = compactWritePhase(s, indexDir, table, upToBid)
+    if (eligible.nonEmpty) {
+      val fs = new org.apache.hadoop.fs.Path(p(indexDir, table))
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      eligible.foreach(d =>
+        fs.delete(new org.apache.hadoop.fs.Path(d), true))
+    }
+  }
+
+  /** Phase 1 of [[compactBatchStore]] — consolidate, don't delete.
+    * Returns the original partition directories phase 2 removes (empty
+    * = nothing to compact). Package-visible so the crash-resume spec
+    * can stop between the phases. */
+  private[graft] def compactWritePhase(s: SparkSession, indexDir: String,
+                                       table: String, upToBid: Long): Seq[String] = {
+    import org.apache.hadoop.fs.Path
+    val rootStr = p(indexDir, table)
+    val root = new Path(rootStr)
+    val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return Nil
+    val bidDirs = fs.listStatus(root).toSeq
+      .filter(_.isDirectory)
+      .flatMap { st =>
+        val n = st.getPath.getName
+        if (n.startsWith("bid="))
+          scala.util.Try(n.stripPrefix("bid=").toLong).toOption
+            .map(b => b -> st.getPath.toString)
+        else None
+      }
+    // watermarks are monotone: an existing segment covering B' > upToBid
+    // would make the new segment's label a lie about its contents
+    val newer = bidDirs.collect { case (b, _) if b < -1L && (-2L - b) > upToBid => -2L - b }
+    require(newer.isEmpty,
+      s"compaction watermark $upToBid is below an existing compacted segment's (${newer.sorted.lastOption.getOrElse(-1L)})")
+    val target = compactedBid(upToBid)
+    val eligible = bidDirs.filter { case (b, _) => b != target && b <= upToBid }
+    if (eligible.isEmpty) return Nil
+    val targetDir = s"$rootStr/bid=$target"
+    // the resume check: a committed segment (marker present) means a
+    // prior compaction crashed AFTER its write — the originals are all
+    // still on disk (deletes only follow the commit), so skip straight
+    // to finishing their removal
+    if (!fs.exists(new Path(targetDir, "_SUCCESS"))) {
+      s.read.parquet(eligible.map(_._2): _*)
+        .write.mode(SaveMode.Overwrite).parquet(targetDir)
+    }
+    eligible.map(_._2)
+  }
+
+  /** Compact the text-ingest store pair (st13's tables) at one
+    * watermark. */
+  def compactTextIndex(s: SparkSession, indexDir: String, upToBid: Long): Unit = {
+    compactBatchStore(s, indexDir, TextBands, upToBid)
+    compactBatchStore(s, indexDir, TextShingles, upToBid)
+  }
+
+  /** Compact the substring-postings store (st19's table). */
+  def compactSubstrIndex(s: SparkSession, indexDir: String, upToBid: Long): Unit =
+    compactBatchStore(s, indexDir, RhPostings, upToBid)
+
   /** Store-table read honoring the batch-keyed layout: optionally
     * EXCLUDES one batch id — a crash-replayed batch must probe the
     * store as of the last COMMITTED batch, not see its own crashed

@@ -255,4 +255,90 @@ class IncrementalIndexSpec extends GraftSuite {
       .collect().map(_.toString).sorted.toSeq
     assert(after === before, "probe verdicts must be bit-identical across compaction")
   }
+
+  /** bid partition directories under a batch-keyed store table. */
+  private def bidDirs(root: String): Set[Long] = {
+    val f = new java.io.File(root)
+    if (!f.exists()) Set.empty
+    else f.listFiles().filter(_.isDirectory).map(_.getName)
+      .filter(_.startsWith("bid=")).map(_.stripPrefix("bid=").toLong).toSet
+  }
+
+  test("watermark compaction of the bid-keyed store: row-preserving, bounded, resumable, nestable") {
+    import org.apache.spark.sql.SaveMode
+    val idx = Files.createTempDirectory("graft-compact-").toString
+    val docs = Tables.documents(spark, sf)
+    // bootstrap (bid −1) + four committed micro-batches (bids 0..3),
+    // the exactly-once ingest layout st13 accrues
+    IncrementalIndex.writeTextIndexBatch(spark,
+      docs.where(col("doc_id") % mod =!= 0), idx, batchId = -1L)
+    val arrivals = docs.where(col("doc_id") % mod === 0)
+    (0L to 3L).foreach(b =>
+      IncrementalIndex.writeTextIndexBatch(spark,
+        arrivals.where(col("doc_id") % 4 === b), idx, batchId = b))
+    val bandsRoot = s"$idx/${IncrementalIndex.TextBands}"
+    def rows(table: String): Seq[String] =
+      spark.read.parquet(s"$idx/$table").drop("bid")
+        .collect().map(_.toString).sorted.toSeq
+    val bandsBefore = rows(IncrementalIndex.TextBands)
+    val shBefore = rows(IncrementalIndex.TextShingles)
+    assert(bidDirs(bandsRoot) === Set(-1L, 0L, 1L, 2L, 3L))
+    // a probe pinned before/after: exceptBid(3) semantics must survive
+    // (the crash-replay contract — batch 3 is above the watermark)
+    val probeBatch = arrivals.where(col("doc_id") % 4 === 3)
+    val vBefore = IncrementalIndex.probeText(spark, probeBatch, idx,
+      exceptBid = Some(3L)).collect().map(_.toString).sorted.toSeq
+
+    // compact bids ≤ 2: bootstrap + batches 0..2 collapse to ONE
+    // segment; batch 3's directory is untouched
+    IncrementalIndex.compactTextIndex(spark, idx, upToBid = 2L)
+    assert(bidDirs(bandsRoot) === Set(IncrementalIndex.compactedBid(2L), 3L),
+      "store must hold exactly the consolidated segment + newer batches")
+    assert(rows(IncrementalIndex.TextBands) === bandsBefore,
+      "compaction must preserve band rows exactly")
+    assert(rows(IncrementalIndex.TextShingles) === shBefore,
+      "compaction must preserve shingle rows exactly")
+    val vAfter = IncrementalIndex.probeText(spark, probeBatch, idx,
+      exceptBid = Some(3L)).collect().map(_.toString).sorted.toSeq
+    assert(vAfter === vBefore,
+      "exceptBid probe verdicts must be identical across compaction")
+
+    // idempotent: re-running the same watermark is a no-op
+    IncrementalIndex.compactTextIndex(spark, idx, upToBid = 2L)
+    assert(rows(IncrementalIndex.TextBands) === bandsBefore)
+    assert(bidDirs(bandsRoot) === Set(IncrementalIndex.compactedBid(2L), 3L))
+
+    // watermarks are monotone: compacting below an existing segment's
+    // coverage must refuse (its label would lie about its contents)
+    val e = intercept[IllegalArgumentException] {
+      IncrementalIndex.compactBatchStore(spark, idx,
+        IncrementalIndex.TextBands, upToBid = 1L)
+    }
+    assert(e.getMessage.contains("watermark"))
+
+    // nesting: a later watermark folds the earlier segment in
+    IncrementalIndex.compactTextIndex(spark, idx, upToBid = 3L)
+    assert(bidDirs(bandsRoot) === Set(IncrementalIndex.compactedBid(3L)),
+      "the higher-watermark segment must subsume the earlier one")
+    assert(rows(IncrementalIndex.TextBands) === bandsBefore)
+    assert(rows(IncrementalIndex.TextShingles) === shBefore)
+
+    // crash-resume: phase 1 only (consolidated segment committed, the
+    // originals not yet deleted — the crash window), then the
+    // documented recovery: re-run the SAME compaction to completion
+    IncrementalIndex.writeTextIndexBatch(spark,
+      arrivals.where(col("doc_id") % 4 === 0), idx, batchId = 4L)
+    val withB4 = rows(IncrementalIndex.TextBands)
+    val leftover = IncrementalIndex.compactWritePhase(spark, idx,
+      IncrementalIndex.TextBands, upToBid = 4L)
+    assert(leftover.nonEmpty, "phase 1 must have consolidated something")
+    assert(bidDirs(bandsRoot) ===
+      Set(IncrementalIndex.compactedBid(3L), 4L, IncrementalIndex.compactedBid(4L)),
+      "the crash window holds originals beside the committed segment")
+    IncrementalIndex.compactBatchStore(spark, idx,
+      IncrementalIndex.TextBands, upToBid = 4L)
+    assert(bidDirs(bandsRoot) === Set(IncrementalIndex.compactedBid(4L)))
+    assert(rows(IncrementalIndex.TextBands) === withB4,
+      "resumed compaction must land exactly the pre-crash rows")
+  }
 }

@@ -74,6 +74,28 @@ class StoredParitySpec extends GraftSuite {
       "d44 spans after split append")
   }
 
+  test("compacted bid-store ≡ uncompacted: same rows, same serving readout") {
+    // the watermark-compaction parity (round-13): consolidating the
+    // committed bid partitions is a pure relayout — every probe is a
+    // function of the store's ROWS, so the compacted and uncompacted
+    // forms must serve identically
+    val docs = Tables.documents(spark, sf)
+    val plain = Files.createTempDirectory("graft-parity-nocompact-").toString
+    val compacted = Files.createTempDirectory("graft-parity-compact-").toString
+    for (dir <- Seq(plain, compacted); b <- 0L to 2L)
+      IncrementalIndex.writeSubstrIndexBatch(spark,
+        docs.where(col("doc_id") % 3 === b), dir, batchId = b)
+    IncrementalIndex.compactSubstrIndex(spark, compacted, upToBid = 1L)
+    assertSameRows(
+      spark.read.parquet(s"$plain/${IncrementalIndex.RhPostings}").drop("bid"),
+      spark.read.parquet(s"$compacted/${IncrementalIndex.RhPostings}").drop("bid"),
+      "rh postings across compaction")
+    assertSameRows(
+      IncrementalIndex.probeSubstrSpans(spark, plain),
+      IncrementalIndex.probeSubstrSpans(spark, compacted),
+      "span readout across compaction")
+  }
+
   test("kmv sketch store: merged persisted day partials ≡ the one-shot sketch") {
     import graft.functions.{KmvSketch, Portable}
     import graft.operators.Misc.KmvK

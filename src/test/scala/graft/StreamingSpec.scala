@@ -932,6 +932,86 @@ class StreamingSpec extends GraftSuite {
     }
   }
 
+  test("st13: watermark compaction between batches keeps the ingest exactly-once and the store bounded") {
+    // the small-files lifecycle under a LIVE ingest: compact committed
+    // bid partitions at a watermark between micro-batches, then keep
+    // ingesting — including a crash-replay AFTER the compaction, whose
+    // exceptBid probe must still see exactly the pre-crash store (the
+    // compacted segment's bid can never collide with a real batch id)
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import graft.jobs.IncrementalIndex
+    val mod = graft.operators.LlmText.IncrementalBatchMod
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id", "text", "lang", "source", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3), r.getLong(4)))
+    val corpusDf = docs.filter(_._1 % mod != 0).toSeq
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val arrivals = docs.filter(_._1 % mod == 0).sortBy(_._1).toSeq
+    val chunks = arrivals.grouped((arrivals.length + 2) / 3).toSeq
+    val expected = graft.operators.LlmText.d30IncrementalDedup(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    val idx = java.nio.file.Files.createTempDirectory("st13-compact-idx-").toString
+    IncrementalIndex.writeTextIndexBatch(spark, corpusDf, idx, batchId = -1L)
+    val cp = ckpt()
+    val ms = MemoryStream[(Long, String, String, String, Long)]
+    @volatile var poison = false
+    val got = scala.collection.mutable.Set.empty[(Long, Long, Boolean)]
+    def run(expectCrash: Boolean): Unit = {
+      val q = ms.toDF().toDF("doc_id", "text", "lang", "source", "n_chars")
+        .writeStream.outputMode("append")
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, bid: Long) =>
+          val v = IncrementalIndex.probeText(spark, batch, idx, exceptBid = Some(bid))
+            .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+          IncrementalIndex.writeTextIndexBatch(spark, batch, idx, bid)
+          got ++= v
+          if (poison && bid >= 1) throw new RuntimeException("poison-after-append")
+          ()
+        }
+        .option("checkpointLocation", cp)
+        .trigger(Trigger.AvailableNow()).start()
+      if (expectCrash) {
+        val e = intercept[Exception] { q.awaitTermination() }
+        assert(hasPoison(e), s"expected the poison crash, got $e")
+        poison = false
+      } else q.awaitTermination()
+    }
+    def bidDirsOf(table: String): Set[Long] =
+      new java.io.File(s"$idx/$table").listFiles().filter(_.isDirectory)
+        .map(_.getName).filter(_.startsWith("bid="))
+        .map(_.stripPrefix("bid=").toLong).toSet
+    ms.addData(chunks(0): _*); run(expectCrash = false) // batch 0 commits
+    // the maintenance event between batches: bootstrap + batch 0
+    // collapse to one segment — the store's directory count is now
+    // bounded by (1 + batches-since-watermark), not total batches ever
+    IncrementalIndex.compactTextIndex(spark, idx, upToBid = 0L)
+    assert(bidDirsOf(IncrementalIndex.TextBands) ===
+      Set(IncrementalIndex.compactedBid(0L)),
+      "after compaction the store must hold exactly the one segment")
+    // crash-replay ACROSS the compaction boundary: batch 1 appends,
+    // dies before its offsets commit, then replays with the same id —
+    // its exceptBid probe reads the compacted segment + nothing of its
+    // own crashed append
+    poison = true
+    ms.addData(chunks(1): _*); run(expectCrash = true)
+    run(expectCrash = false) // replay of batch 1
+    ms.addData(chunks(2): _*); run(expectCrash = false)
+    assert(got.toSet === expected,
+      "verdicts across a compaction + crash-replay must equal the one-shot d30 recompute")
+    assert(bidDirsOf(IncrementalIndex.TextBands) ===
+      Set(IncrementalIndex.compactedBid(0L), 1L, 2L))
+    // and the store's ROWS are exactly the one-shot build's
+    val oneShot = java.nio.file.Files.createTempDirectory("st13-compact-oneshot-").toString
+    IncrementalIndex.writeTextIndex(spark, Tables.documents(spark, sf), oneShot)
+    for (t <- Seq(IncrementalIndex.TextBands, IncrementalIndex.TextShingles)) {
+      val a = spark.read.parquet(s"$idx/$t").drop("bid")
+      val b = spark.read.parquet(s"$oneShot/$t")
+      assert(a.count() === b.count(), s"$t row count differs from one-shot")
+      assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty,
+        s"$t rows differ from the one-shot build after compaction")
+    }
+  }
+
   test("st14: a restart on the same checkpoint + index dir resumes — no refold, no index rewrite") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
