@@ -77,8 +77,151 @@ object IncrementalIndex {
   val LshBuckets = "lsh_buckets"
   val TruthTopK = "truth_topk"
   val QuantSketches = "quant_sketches"
+  val DocTombstones = "doc_tombstones"
+  val VecTombstones = "vec_tombstones"
 
   private def p(indexDir: String, table: String): String = s"$indexDir/$table"
+
+  // ------------------------------------------------------- tombstones
+  /** Which tombstone table filters which store table, on which id
+    * columns. Row-LOCAL tables (one row belongs to one id) filter
+    * exactly; the ranked artifacts (`graph_edges`, `truth_topk`) name
+    * BOTH endpoint columns — an edge or truth row dies when EITHER side
+    * is retracted (a serve may neither return a deleted id nor route
+    * through one) — and filtering them is sound but lossy: the rebuild
+    * is the completeness-restoring event (see [[vacuum]]). */
+  private val tombKeys: Map[String, (String, Seq[String])] = Map(
+    TextBands -> ((DocTombstones, Seq("doc_id"))),
+    TextShingles -> ((DocTombstones, Seq("doc_id"))),
+    Postings -> ((DocTombstones, Seq("doc_id"))),
+    DocNorms -> ((DocTombstones, Seq("doc_id"))),
+    RhPostings -> ((DocTombstones, Seq("doc_id"))),
+    CellMembers -> ((VecTombstones, Seq("vec_id"))),
+    LshBuckets -> ((VecTombstones, Seq("vec_id"))),
+    PqCodes -> ((VecTombstones, Seq("vec_id"))),
+    SqCodes -> ((VecTombstones, Seq("vec_id"))),
+    GraphEdges -> ((VecTombstones, Seq("query_id", "neighbor_id"))),
+    TruthTopK -> ((VecTombstones, Seq("query_id", "neighbor_id"))))
+
+  private def tableExists(s: SparkSession, path: String): Boolean = {
+    val hp = new org.apache.hadoop.fs.Path(path)
+    hp.getFileSystem(s.sparkContext.hadoopConfiguration).exists(hp)
+  }
+
+  /** Record upstream RETRACTIONS: the ids land append-only in the
+    * index's tombstone table (`ids` is a 1-column frame of doc ids).
+    * Deletion is the third lifecycle verb beside probe and append — a
+    * real corpus pipeline must remove retracted documents from every
+    * frozen artifact without rebuilding any of them; the tombstone
+    * table is the cheap half (probes anti-join it via [[liveTable]]),
+    * [[vacuum]] the physical half. */
+  def writeDocTombstones(s: SparkSession, ids: DataFrame, indexDir: String,
+                         mode: SaveMode = SaveMode.Append): Unit =
+    ids.select(col(ids.columns.head).cast("long").as("doc_id"))
+      .write.mode(mode).parquet(p(indexDir, DocTombstones))
+
+  /** [[writeDocTombstones]]'s embedding twin (vec ids). */
+  def writeVecTombstones(s: SparkSession, ids: DataFrame, indexDir: String,
+                         mode: SaveMode = SaveMode.Append): Unit =
+    ids.select(col(ids.columns.head).cast("long").as("vec_id"))
+      .write.mode(mode).parquet(p(indexDir, VecTombstones))
+
+  /** A store table with its tombstone set applied PROBE-SIDE: one
+    * broadcast anti-join per id column (the ranked artifacts pass both
+    * endpoints). The tombstone set is retraction-sized — ≪ corpus, the
+    * broadcast-dim discipline — so the filter costs one map-side
+    * probe per row until [[vacuum]] makes it free. Absent tombstone
+    * table (or a table with no id mapping) reads plain. */
+  def liveTable(s: SparkSession, indexDir: String, table: String): DataFrame = {
+    val df = s.read.parquet(p(indexDir, table))
+    tombKeys.get(table) match {
+      case Some((tomb, keys)) if tableExists(s, p(indexDir, tomb)) =>
+        val ids = s.read.parquet(p(indexDir, tomb))
+        val idCol = ids.columns.head
+        keys.foldLeft(df)((d, k) =>
+          d.join(broadcast(ids.select(col(idCol).as(k))), Seq(k), "left_anti"))
+      case _ => df
+    }
+  }
+
+  /** VACUUM — the physical half of deletion: rewrite every store table
+    * that has tombstoned rows, dropping them, then clear the tombstone
+    * tables (after a vacuum, [[liveTable]] ≡ the plain read). Flat
+    * tables rewrite wholesale through the [[graft.etl.Sinks.compact]]
+    * tmp-and-swap dance (crash-safe: the swap is the commit point, and
+    * tombstones are only cleared once every rewrite landed — a re-run
+    * resumes); bid-keyed tables rewrite ONLY the affected partitions
+    * (the directories that actually hold a tombstoned row), each
+    * through its own swap.
+    *
+    * Exactness contract: for row-local tables the vacuumed store is
+    * row-identical to a rebuild over the survivor corpus under the
+    * same frozen artifacts (stats/centroids/codebooks — TombstoneSpec
+    * pins it). The ranked artifacts (`graph_edges`, `truth_topk`) are
+    * only FILTERED — sound (no retracted id remains) but lossy (a
+    * deleted neighbor's slot is not refilled and routing through the
+    * deleted node is gone); restoring completeness is the explicit
+    * rebuild event ([[writeGraphIndex]]/[[writeTruthIndex]] over the
+    * survivors), never part of a vacuum. */
+  def vacuum(s: SparkSession, indexDir: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    for ((table, (tomb, keys)) <- tombKeys
+         if tableExists(s, p(indexDir, table)) &&
+           tableExists(s, p(indexDir, tomb))) {
+      val ids = s.read.parquet(p(indexDir, tomb))
+      val idCol = ids.columns.head
+      def drop(df: DataFrame): DataFrame =
+        keys.foldLeft(df)((d, k) =>
+          d.join(broadcast(ids.select(col(idCol).as(k))), Seq(k), "left_anti"))
+      val rootStr = p(indexDir, table)
+      val fs = new Path(rootStr).getFileSystem(s.sparkContext.hadoopConfiguration)
+      val bidDirs = fs.listStatus(new Path(rootStr)).toSeq
+        .filter(st => st.isDirectory && st.getPath.getName.startsWith("bid="))
+        .map(_.getPath.toString)
+      if (bidDirs.isEmpty) rewriteSwap(s, rootStr, drop(s.read.parquet(rootStr)))
+      else {
+        // affected partitions only: a directory is rewritten iff it
+        // holds at least one tombstoned row
+        val hit = keys.map(k =>
+            s.read.parquet(bidDirs: _*)
+              .withColumn("__dir", regexp_extract(input_file_name(), "(.*/bid=-?\\d+)/", 1))
+              .join(broadcast(ids.select(col(idCol).as(k))), Seq(k), "left_semi")
+              .select(col("__dir")))
+          .reduce(_ unionByName _)
+          .distinct().collect().map(_.getString(0)) // ≤ #dirs rows
+        hit.foreach(d => rewriteSwap(s, d, drop(s.read.parquet(d))))
+      }
+    }
+    for (tomb <- Seq(DocTombstones, VecTombstones)
+         if tableExists(s, p(indexDir, tomb)))
+      fsOf(s, p(indexDir, tomb)).delete(
+        new org.apache.hadoop.fs.Path(p(indexDir, tomb)), true)
+  }
+
+  private def fsOf(s: SparkSession, path: String) =
+    new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+
+  /** Rewrite `path` to hold exactly `df`'s rows via the tmp-and-swap
+    * dance ([[graft.etl.Sinks.compact]]'s crash-safety): write beside,
+    * move the original aside, swap in, drop the original. `df` must
+    * read FROM `path` lazily — the write materializes it before any
+    * rename touches the source files. The scratch names are DOT-
+    * prefixed siblings: Spark's readers skip dot-entries, so a crash
+    * leftover can never poison partition discovery of a bid-keyed
+    * table root (a `bid=3.vacuum-tmp` suffix-dir would). */
+  private def rewriteSwap(s: SparkSession, path: String, df: DataFrame): Unit = {
+    import org.apache.hadoop.fs.Path
+    val fs = fsOf(s, path)
+    val target = new Path(path)
+    val tmp = new Path(target.getParent, s".vacuum-tmp.${target.getName}")
+    val old = new Path(target.getParent, s".vacuum-old.${target.getName}")
+    df.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    if (fs.exists(old)) fs.delete(old, true) // leftover from a prior crash
+    require(fs.rename(target, old), s"vacuum could not move $path aside")
+    require(fs.rename(tmp, target), s"vacuum could not swap $tmp into $path")
+    require(fs.delete(old, true), s"vacuum could not remove $old")
+  }
 
   // ------------------------------------------------------------ build
   /** Write the text half of the index for `docs` (band entries +

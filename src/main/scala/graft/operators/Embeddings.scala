@@ -2894,11 +2894,21 @@ object Embeddings {
   /** One-hop beam serve over a graph CTE named `$graphCte` (seed =
     * own-bucket exact top-[[GraphBeam]], expand through the graph,
     * exact rescore); emits `${p}serve` (query_id, neighbor_id, cos) —
-    * e23Sql and e07's graph_serve leg interpolate the SAME text. */
-  private def serveFromGraphSql(p: String, graphCte: String): String =
+    * e23Sql, e24Sql, and e07's graph_serve leg interpolate the SAME
+    * text. `aliveCte` (e24) names a 1-column (vec_id) CTE restricting
+    * BOTH seed sides to non-retracted vectors; the expansion stage
+    * needs no filter of its own when `graphCte` is already
+    * endpoint-filtered (every reached candidate is alive by
+    * construction). */
+  private def serveFromGraphSql(p: String, graphCte: String,
+                                aliveCte: Option[String] = None): String = {
+    val aliveJoin = aliveCte
+      .map(a => s"\n  JOIN $a ax ON a.vec_id = ax.vec_id" +
+        s"\n  JOIN $a bx ON b.vec_id = bx.vec_id")
+      .getOrElse("")
     s""", ${p}sc0 AS (
        |  SELECT a.vec_id AS query_id, b.vec_id AS cand, $nndCosSql AS cos
-       |  FROM bv a JOIN bv b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+       |  FROM bv a JOIN bv b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id$aliveJoin
        |  WHERE a.vec_id % 5 = 0
        |), ${p}beam0 AS (
        |  SELECT query_id, cand FROM (
@@ -2918,6 +2928,7 @@ object Embeddings {
        |  JOIN qv b ON c.cand = b.vec_id
        |  WHERE c.query_id <> c.cand
        |)""".stripMargin
+  }
 
   val e23Sql: String =
     s"""$quantSql, bv AS (
@@ -2930,7 +2941,66 @@ object Embeddings {
        |  FROM serve) t
        |WHERE rank <= 3""".stripMargin
 
+  // ---------------------------------------------------------------- e24
+  // final + literal: e24Sql interpolates these during static init (the
+  // DefaultNndRevCap compile-time-constant discipline)
+  final val VecTombMod = 11
+  final val VecTombRem = 4
+
+  /** TOMBSTONED graph serve — e23 with a retraction set applied, the
+    * DELETION path a real corpus pipeline needs (upstream-retracted
+    * vectors must vanish from serving without rebuilding the frozen
+    * artifacts). The delete set rides as a TABLE and every stage
+    * applies it as a broadcast anti-join — the probe-side tombstone
+    * form ([[graft.jobs.IncrementalIndex.liveTable]] is the persisted
+    * twin): seeds exclude retracted vectors on both bucket sides, the
+    * stored graph drops every edge touching a retracted ENDPOINT
+    * (either side — a beam may neither return a deleted vector nor
+    * route THROUGH one), queries that were themselves retracted ask
+    * nothing, and the rescore reads only live vectors. The graph stays
+    * the FROZEN pre-deletion build: filtering is O(|edges|) probe-side
+    * work, while re-running the descent is the explicit rebuild event
+    * — the ranked-artifact trade-off documented on
+    * [[graft.jobs.IncrementalIndex.vacuum]] (a filtered graph loses
+    * the deleted nodes' routing, so recall can only be restored, never
+    * improved, by the rebuild; TombstoneSpec measures the gap).
+    *
+    * Scale shape: e23's joins plus one broadcast anti-join per stage —
+    * the tombstone set is retraction-sized (≪ corpus), exactly the
+    * broadcast-dim discipline. */
+  def e24TombstoneServe(s: SparkSession, dir: String): DataFrame = {
+    val vb = bucketedOf(s, dir)
+    val dels = vb.select(col("vec_id"))
+      .where(col("vec_id") % VecTombMod === VecTombRem)
+    val alive = vb.join(broadcast(dels), Seq("vec_id"), "left_anti")
+    val liveGraph = graphOf(s, dir, 1, DefaultNndRevCap)
+      .join(broadcast(dels.select(col("vec_id").as("query_id"))),
+        Seq("query_id"), "left_anti")
+      .join(broadcast(dels.select(col("vec_id").as("neighbor_id"))),
+        Seq("neighbor_id"), "left_anti")
+    graphServeOver(s, alive.where(col("vec_id") % 5 === 0), alive,
+      liveGraph, hops = 1)
+  }
+
+  val e24Sql: String =
+    s"""$quantSql, bv AS (
+       |  SELECT vec_id, q, ${bucketExprSqlFor(0)} AS bucket,
+       |    ${bucketExprSqlFor(1)} AS bucket_b
+       |  FROM qv
+       |)${nndCandsCteSql("")}${graphFromCandsSql("")}, alive AS (
+       |  SELECT vec_id FROM qv WHERE vec_id % $VecTombMod <> $VecTombRem
+       |), fgraph AS (
+       |  SELECT g.query_id, g.neighbor_id FROM graph g
+       |  JOIN alive gx ON g.query_id = gx.vec_id
+       |  JOIN alive gy ON g.neighbor_id = gy.vec_id
+       |)${serveFromGraphSql("t", "fgraph", aliveCte = Some("alive"))}
+       |SELECT query_id, neighbor_id, cos, rank FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+       |  FROM tserve) t
+       |WHERE rank <= 3""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e24_tombstone_serve" -> (e24TombstoneServe _),
     "e23_graph_serve" -> (e23GraphServe _),
     "e22_nn_descent" -> (e22NnDescent _),
     "e21_kmpp_seed" -> (e21KmppSeed _),
@@ -2961,6 +3031,7 @@ object Embeddings {
     * map keeps any future cross-reference out of static init — the
     * cross-object RerankC trap ([[graft.tools.InitOrderCheck]]). */
   lazy val oracleSql: Map[String, String] = Map(
+    "e24_tombstone_serve" -> e24Sql,
     "e23_graph_serve" -> e23Sql,
     "e22_nn_descent" -> e22Sql,
     "e21_kmpp_seed" -> e21Sql,

@@ -2091,12 +2091,18 @@ object LlmText {
     }
 
   private[graft] def d33SparseCosineQ(s: SparkSession, dir: String,
-                                      qMod: Long): DataFrame = {
+                                      qMod: Long): DataFrame =
+    sparseRankOver(storedPostings(s, dir), qMod)
+
+  /** The ranking core over an arbitrary weighted-postings frame —
+    * shared by d33 (the full stored table) and d48 (the table with a
+    * tombstone set anti-joined away), so the retrieval arithmetic
+    * cannot drift between the live and deletion-filtered paths. */
+  private[graft] def sparseRankOver(wts: DataFrame, qMod: Long): DataFrame = {
     // the table is probed three ways below (query postings, candidate
     // postings, self-norms), and per-branch column pruning makes the
     // subtrees differ, so ReuseExchange cannot dedup them — the
     // materialization is what lets all three read one artifact.
-    val wts = storedPostings(s, dir)
     val nrm = sparseNormsOf(wts)
     val qw = wts.where(col("doc_id") % qMod === 0)
       .select(col("term"), col("doc_id").as("query_id"), col("w").as("wq"))
@@ -2143,6 +2149,70 @@ object LlmText {
        |SELECT query_id, cand_id, cos, rnk FROM (
        |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, cand_id ASC) AS rnk
        |  FROM scored33) t
+       |WHERE rnk <= $SparseTopK""".stripMargin
+
+  // ---------------------------------------------------------------- d48
+  // final + literal: d48Sql interpolates these during static init (the
+  // DefaultNndRevCap compile-time-constant discipline)
+  final val DocTombMod = 7
+  final val DocTombRem = 3
+
+  /** TOMBSTONED sparse retrieval — d33 with a retraction set applied,
+    * the text half of the deletion path (e24's lexical twin): upstream-
+    * retracted documents must stop serving as candidates AND as
+    * queries, while the FROZEN index artifacts stay untouched — the
+    * term statistics (df → widf) remain the full-corpus values they
+    * were trained with, because a deletion retracts rows, it does not
+    * re-weight the index (re-weighting is [[graft.jobs.IncrementalIndex
+    * .reidf]], the explicit separate event). The delete set rides as a
+    * TABLE applied as ONE broadcast anti-join on the stored postings
+    * before the ranking core ([[sparseRankOver]] — shared with d33, so
+    * the live and filtered paths share every downstream definition);
+    * norms recompute over live rows only, which for per-doc self-norms
+    * equals dropping the deleted docs' rows. Unlike the ranked graph
+    * artifacts, THIS filter is exact: postings are row-local per doc,
+    * so the filtered serve is row-identical to a rebuild over the
+    * survivor corpus under the same frozen stats (TombstoneSpec pins
+    * the persisted-store form of that law). */
+  def d48TombstoneSparse(s: SparkSession, dir: String): DataFrame = {
+    val wts = storedPostings(s, dir)
+    val dels = wts.select(col("doc_id")).distinct()
+      .where(col("doc_id") % DocTombMod === DocTombRem)
+    sparseRankOver(
+      wts.join(broadcast(dels), Seq("doc_id"), "left_anti"), SparseQMod)
+  }
+
+  val d48Sql: String =
+    s"""$baseSql, tf48 AS (
+       |  SELECT doc_id, term, count(*) AS tf
+       |  FROM (SELECT doc_id, unnest(toks) AS term FROM base) GROUP BY 1, 2
+       |), wts48all AS (
+       |  -- weights under the FROZEN full-corpus df (deletion retracts
+       |  -- rows; it does not re-train the statistics)
+       |  SELECT doc_id, term, CAST(tf * ($QuantIdf // df) AS BIGINT) AS w
+       |  FROM tf48 JOIN (SELECT term, count(*) AS df FROM tf48 GROUP BY 1) d USING (term)
+       |  WHERE $QuantIdf // df > 0
+       |), wts48 AS (
+       |  SELECT * FROM wts48all WHERE doc_id % $DocTombMod <> $DocTombRem
+       |), nrm48 AS (
+       |  SELECT doc_id, CAST(sum(w * w) AS BIGINT) AS nw FROM wts48
+       |  GROUP BY 1 HAVING sum(w * w) > 0
+       |), dots48 AS (
+       |  SELECT q.doc_id AS query_id, c.doc_id AS cand_id,
+       |    CAST(sum(q.w * c.w) AS BIGINT) AS dot
+       |  FROM wts48 q JOIN wts48 c
+       |    ON q.term = c.term AND q.doc_id % $SparseQMod = 0 AND q.doc_id <> c.doc_id
+       |  GROUP BY 1, 2
+       |), scored48 AS (
+       |  SELECT d.query_id, d.cand_id,
+       |    CAST(d.dot AS DOUBLE) /
+       |      (sqrt(CAST(nq.nw AS DOUBLE)) * sqrt(CAST(nc.nw AS DOUBLE))) AS cos
+       |  FROM dots48 d JOIN nrm48 nq ON nq.doc_id = d.query_id
+       |               JOIN nrm48 nc ON nc.doc_id = d.cand_id
+       |)
+       |SELECT query_id, cand_id, cos, rnk FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, cand_id ASC) AS rnk
+       |  FROM scored48) t
        |WHERE rnk <= $SparseTopK""".stripMargin
 
   // ---------------------------------------------------------------- d34
@@ -3215,6 +3285,7 @@ object LlmText {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d48_tombstone_sparse" -> (d48TombstoneSparse _),
     "d47_leakage_split" -> (d47LeakageSplit _),
     "d46_keep_first_spans" -> (d46KeepFirstSpans _),
     "d45_remove_dup_spans" -> (d45RemoveDupSpans _),
@@ -3271,6 +3342,7 @@ object LlmText {
     * [[graft.tools.InitOrderCheck]]. Lazy = assembled on first use,
     * after both objects finish initializing. */
   lazy val oracleSql: Map[String, String] = Map(
+    "d48_tombstone_sparse" -> d48Sql,
     "d47_leakage_split" -> d47Sql,
     "d46_keep_first_spans" -> d46Sql,
     "d45_remove_dup_spans" -> d45Sql,

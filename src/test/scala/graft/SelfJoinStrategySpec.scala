@@ -35,6 +35,8 @@ class SelfJoinStrategySpec extends GraftSuite {
     "d33_sparse_cosine" -> (() => LlmText.d33SparseCosine(spark, sf)),
     "e22_nn_descent" -> (() => Embeddings.e22NnDescent(spark, sf)),
     "e23_graph_serve" -> (() => Embeddings.e23GraphServe(spark, sf)),
+    "e24_tombstone_serve" -> (() => Embeddings.e24TombstoneServe(spark, sf)),
+    "d48_tombstone_sparse" -> (() => LlmText.d48TombstoneSparse(spark, sf)),
     // m13's production ±60s window finds no pairs in the sparse sf0.001
     // fixture; the gate lives in RangeJoin.bucketed, so invariance is
     // pinned through it directly with a window wide enough to match
