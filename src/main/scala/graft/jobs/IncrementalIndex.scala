@@ -592,6 +592,54 @@ object IncrementalIndex {
   def probeLshBuckets(s: SparkSession, indexDir: String): DataFrame =
     s.read.parquet(p(indexDir, LshBuckets))
 
+  /** Batch-keyed LSH bucket append — st22's layout for [[LshBuckets]]:
+    * bootstrap rows take bid = −1 ([[writeTextIndexBatch]]'s
+    * convention), each micro-batch's rows land in their own idempotent
+    * `bid=<id>` partition so arrivals become retrievable by every
+    * later batch while replays overwrite themselves. */
+  def writeLshIndexBatch(s: SparkSession, vecs: DataFrame, indexDir: String,
+                         batchId: Long): Unit =
+    Embeddings.bucketedFrom(s, Embeddings.quantizedFrom(s, vecs))
+      .write.mode(SaveMode.Overwrite)
+      .parquet(s"${p(indexDir, LshBuckets)}/bid=$batchId")
+
+  /** The BOOTSTRAP graph for the online-insert lifecycle: the corpus's
+    * NN-Descent edges in the `bid=-1` partition of a batch-keyed
+    * [[GraphEdges]] store. Insert-time expansion reads EXACTLY this
+    * partition ([[probeGraphInsert]] — partition pruning drops every
+    * appended batch), the freeze that makes st22's arrivals
+    * split-invariant. */
+  def writeGraphBootstrapBatch(s: SparkSession, vecs: DataFrame, indexDir: String,
+                               rounds: Int = 1,
+                               revCap: Int = Embeddings.DefaultNndRevCap): Unit = {
+    val v = Embeddings.quantizedFrom(s, vecs)
+    Embeddings.nnDescentOver(s, Embeddings.bucketedFrom(s, v), v, rounds, revCap)
+      .write.mode(SaveMode.Overwrite)
+      .parquet(s"${p(indexDir, GraphEdges)}/bid=-1")
+  }
+
+  /** Append a batch's freshly computed insert edges (the
+    * [[probeGraphInsert]] output) under its idempotent bid partition. */
+  def writeGraphEdgesBatch(s: SparkSession, edges: DataFrame, indexDir: String,
+                           batchId: Long): Unit =
+    edges.write.mode(SaveMode.Overwrite)
+      .parquet(s"${p(indexDir, GraphEdges)}/bid=$batchId")
+
+  /** ONLINE INSERT probe — compute a batch of arriving vectors' edge
+    * lists against the store as it stands ([[graft.operators.Embeddings
+    * .graphInsertOver]]): seeds from the stored bucket table (corpus +
+    * every earlier arrival; `exceptBid` hides a crash-replayed batch's
+    * own append), expansion through the FROZEN bootstrap edges only.
+    * Returns the materialized batch-sized edge frame the caller appends
+    * via [[writeGraphEdgesBatch]]. */
+  def probeGraphInsert(s: SparkSession, batchVecs: DataFrame, indexDir: String,
+                       exceptBid: Option[Long] = None): DataFrame =
+    Embeddings.graphInsertOver(s,
+      Embeddings.bucketedFrom(s, Embeddings.quantizedFrom(s, batchVecs)),
+      storeTable(s, indexDir, LshBuckets, exceptBid),
+      s.read.parquet(s"${p(indexDir, GraphEdges)}/bid=-1"))
+      .localCheckpoint(true)
+
   /** Write the GROUND-TRUTH table: the exhaustive top-[[graft.operators
     * .Embeddings.MmrPoolN]] cosine ranking over the deterministic query
     * sample — the most expensive artifact of an ANN eval, always

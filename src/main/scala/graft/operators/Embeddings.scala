@@ -2999,6 +2999,130 @@ object Embeddings {
        |  FROM tserve) t
        |WHERE rank <= 3""".stripMargin
 
+  // --------------------------------------------------- online insert
+  /** ONLINE GRAPH INSERT — the maintenance half e23/st21 defer to: an
+    * arriving vector doesn't just QUERY the frozen graph, it JOINS it.
+    * Its edge list is computed against the store as of arrival (the
+    * HNSW/NSG online-insert shape reduced to its set-based core):
+    * seed candidates from BOTH stored hash tables' bucketmates
+    * (corpus + every earlier arrival — so later arrivals retrieve
+    * earlier ones) plus intra-batch keep-earlier partners; the seed
+    * top-[[GraphBeam]] expands ONE hop through the BOOTSTRAP graph
+    * (the localized-descent round, Dong et al.'s neighbors-of-
+    * neighbors); exact rescore of the union; top-3 becomes the
+    * vector's stored edge row.
+    *
+    * Expansion reads the FROZEN bootstrap edges, never the
+    * dynamically-appended ones: that makes a vector's edges a pure
+    * function of (itself, the earlier-id set, the frozen corpus graph)
+    * — split-invariant for ANY ascending-id micro-batch split, which
+    * is what gives st22 an exact one-shot oracle (the st13 census-form
+    * lever). The trade-off is real and documented: a production
+    * insert that expands through fresh edges routes better as the
+    * graph grows, but its result depends on batch boundaries — the
+    * periodic [[graft.jobs.IncrementalIndex.writeGraphIndex]] rebuild
+    * is the event that folds arrivals into the navigable structure.
+    *
+    * Scale shape: per batch, two bucket-keyed [[SelfJoin]]s against
+    * the stored bucket table (collision-width work, the d30 probe
+    * class), one edge join bounded by beam×3 rows, rescore joins on
+    * vector ids. No corpus-pairs stage; the corpus is never re-read
+    * beyond the collided buckets. */
+  private[graft] def graphInsertOver(s: SparkSession, arrivals: DataFrame,
+                                     index: DataFrame, graph: DataFrame): DataFrame = {
+    val dot = dotQ(s) _
+    val qv = arrivals.select(col("vec_id").as("query_id"), col("q").as("qa"),
+      col("nq").as("na"), col("bucket"), col("bucket_b"))
+    val cv = index.select(col("vec_id").as("cand"), col("q").as("qb"),
+        col("nq").as("nb"))
+      .unionByName(arrivals.select(col("vec_id").as("cand"),
+        col("q").as("qb"), col("nq").as("nb")))
+    def seedsOn(key: String): DataFrame = {
+      val stored = SelfJoin.on(
+        qv.select(col(key), col("query_id")),
+        index.select(col(key), col("vec_id").as("cand")), Seq(key))
+      val intra = SelfJoin.on(
+        qv.select(col(key), col("query_id")),
+        arrivals.select(col(key), col("vec_id").as("cand")), Seq(key))
+        .where(col("cand") < col("query_id"))
+      stored.select(col("query_id"), col("cand"))
+        .unionByName(intra.select(col("query_id"), col("cand")))
+    }
+    val seeds = seedsOn("bucket").unionByName(seedsOn("bucket_b"))
+      .where(col("query_id") =!= col("cand")).distinct()
+    def rescore(cands: DataFrame): DataFrame =
+      cands
+        .join(qv.select(col("query_id"), col("qa"), col("na")), Seq("query_id"))
+        .join(cv, Seq("cand"))
+        .select(col("query_id"), col("cand"),
+          (dot(col("qa"), col("qb")).cast("double") /
+            (sqrt(col("na").cast("double")) *
+              sqrt(col("nb").cast("double")))).as("cos"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("cand").asc)
+    val beam = rescore(seeds).withColumn("rn", row_number().over(w))
+      .where(col("rn") <= GraphBeam)
+      .select(col("query_id"), col("cand"))
+    val expand = SelfJoin.on(beam,
+        graph.select(col("query_id").as("cand"), col("neighbor_id").as("gn")),
+        Seq("cand"))
+      .select(col("query_id"), col("gn").as("cand"))
+      .where(col("query_id") =!= col("cand"))
+    val cands = seeds.unionByName(expand).distinct()
+    rescore(cands).withColumn("rank", row_number().over(w))
+      .where(col("rank") <= 3)
+      .select(col("query_id"), col("cand").as("neighbor_id"),
+        col("cos"), col("rank"))
+  }
+
+  /** st22's one-shot oracle: every arrival's insert-time edge list
+    * under the ascending-id arrival order ("earlier" ≡ corpus member
+    * or lower arrival id — d30's census convention). LAZY: it
+    * interpolates [[IncrementalBatchModE]], which reads LlmText
+    * (cross-object — the RerankC init-order trap). */
+  private[graft] lazy val onlineInsertSql: String =
+    s"""$quantSql, bva AS (
+       |  SELECT vec_id, q, ${bucketExprSqlFor(0)} AS bucket,
+       |    ${bucketExprSqlFor(1)} AS bucket_b
+       |  FROM qv
+       |), bv AS (
+       |  SELECT * FROM bva WHERE vec_id % $IncrementalBatchModE <> 0
+       |)${nndCandsCteSql("")}${graphFromCandsSql("")}, seeds AS (
+       |  SELECT a.vec_id AS query_id, b.vec_id AS cand
+       |  FROM bva a JOIN bva b ON a.bucket = b.bucket
+       |  WHERE a.vec_id % $IncrementalBatchModE = 0 AND b.vec_id <> a.vec_id
+       |    AND (b.vec_id % $IncrementalBatchModE <> 0 OR b.vec_id < a.vec_id)
+       |  UNION
+       |  SELECT a.vec_id AS query_id, b.vec_id AS cand
+       |  FROM bva a JOIN bva b ON a.bucket_b = b.bucket_b
+       |  WHERE a.vec_id % $IncrementalBatchModE = 0 AND b.vec_id <> a.vec_id
+       |    AND (b.vec_id % $IncrementalBatchModE <> 0 OR b.vec_id < a.vec_id)
+       |), sscore AS (
+       |  SELECT s.query_id, s.cand, $nndCosSql AS cos
+       |  FROM seeds s JOIN qv a ON s.query_id = a.vec_id
+       |               JOIN qv b ON s.cand = b.vec_id
+       |), sbeam AS (
+       |  SELECT query_id, cand FROM (
+       |    SELECT query_id, cand,
+       |      row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, cand ASC) AS rn
+       |    FROM sscore) t
+       |  WHERE rn <= $GraphBeam
+       |), icands AS (
+       |  SELECT query_id, cand FROM seeds
+       |  UNION
+       |  SELECT sb.query_id, g.neighbor_id AS cand
+       |  FROM sbeam sb JOIN graph g ON sb.cand = g.query_id
+       |  WHERE g.neighbor_id <> sb.query_id
+       |), iscored AS (
+       |  SELECT c.query_id, c.cand AS neighbor_id, $nndCosSql AS cos
+       |  FROM icands c JOIN qv a ON c.query_id = a.vec_id
+       |                JOIN qv b ON c.cand = b.vec_id
+       |)
+       |SELECT query_id, neighbor_id, cos, rank FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+       |  FROM iscored) t
+       |WHERE rank <= 3""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "e24_tombstone_serve" -> (e24TombstoneServe _),
     "e23_graph_serve" -> (e23GraphServe _),

@@ -1019,7 +1019,68 @@ object AdAnalytics {
 
   lazy val st21Sql: String = graft.operators.Embeddings.e23Sql
 
+  // ---------------------------------------------------------------- st22
+  /** STREAMING GRAPH-INGEST — the ONLINE-MAINTENANCE half st21 defers
+    * to (st13's class, not st17's): arriving vectors don't just query
+    * the graph, they JOIN it. The corpus bootstraps the batch-keyed
+    * (lsh_buckets, graph_edges) pair once (bid −1); each micro-batch
+    * then (1) computes its vectors' insert-time edge lists against the
+    * store as it stands ([[graft.jobs.IncrementalIndex
+    * .probeGraphInsert]]: bucketmate seeds over corpus + every earlier
+    * arrival, one localized hop through the FROZEN bootstrap edges,
+    * exact rescore — the online NN-Descent insert) and (2) appends its
+    * own bucket rows and edge rows under its idempotent bid partition,
+    * so LATER batches' seeds retrieve THIS batch's vectors. Readout =
+    * every arrival's stored edge list.
+    *
+    * Equivalence contract: ascending vec_id arrivals make "already
+    * inserted" ≡ "lower id", and insert-time expansion reads only the
+    * frozen bootstrap graph, so each vector's edges are a pure
+    * function of (itself, the earlier-id set, the corpus graph) — the
+    * final edge table equals the one-shot recompute for ANY
+    * ascending-id split (pinned in StreamingSpec, with the crash-
+    * replay exceptBid case). Rebuild-vs-online quality is measured,
+    * not assumed: GraphInsertSpec pins the recall gap against the
+    * full NN-Descent rebuild. */
+  def st22StreamingGraphIngest(s: SparkSession, dir: String): DataFrame = {
+    import graft.jobs.IncrementalIndex
+    import graft.operators.Embeddings
+    val modE = Embeddings.IncrementalBatchModE
+    val indexDir = java.nio.file.Files.createTempDirectory("graft-st22-idx-").toString
+    try {
+      val vecs = graft.Tables.embeddings(s, dir)
+      val corpus = vecs.where(col("vec_id") % modE =!= 0)
+      IncrementalIndex.writeLshIndexBatch(s, corpus, indexDir, batchId = -1L)
+      IncrementalIndex.writeGraphBootstrapBatch(s, corpus, indexDir)
+      val empty = vecs.limit(0)
+        .select(col("vec_id").as("query_id"), col("vec_id").as("neighbor_id"),
+          lit(0.0).as("cos"), lit(0).as("rank"))
+      Streams.runForeachBatchWithId(s, "append", empty)(
+        ss => Streams.tableStream(ss, dir, "embeddings")
+          .where(col("vec_id") % modE === 0)) { (store, batch, bid) =>
+        // probe BEFORE appending; exceptBid hides a crash-replayed
+        // batch's own crashed bucket append (st13's recovery contract)
+        val edges = IncrementalIndex.probeGraphInsert(s, batch, indexDir,
+          exceptBid = Some(bid))
+        IncrementalIndex.writeLshIndexBatch(s, batch, indexDir, bid)
+        IncrementalIndex.writeGraphEdgesBatch(s, edges, indexDir, bid)
+        store.unionByName(edges)
+      }
+    } finally {
+      val root = java.nio.file.Paths.get(indexDir)
+      if (java.nio.file.Files.exists(root)) {
+        val it = java.nio.file.Files.walk(root)
+          .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        try it.forEach(pp => { java.nio.file.Files.deleteIfExists(pp); () })
+        finally it.close()
+      }
+    }
+  }
+
+  lazy val st22Sql: String = graft.operators.Embeddings.onlineInsertSql
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "st22_streaming_graph_ingest" -> (st22StreamingGraphIngest _),
     "st21_streaming_graph_serve" -> (st21StreamingGraphServe _),
     "st20_streaming_quantiles" -> (st20StreamingQuantiles _),
     "st19_streaming_substr_ingest" -> (st19StreamingSubstrIngest _),
@@ -1047,6 +1108,7 @@ object AdAnalytics {
     * if either operator object's init re-entered this one — the
     * cross-object RerankC trap ([[graft.tools.InitOrderCheck]]). */
   lazy val oracleSql: Map[String, String] = Map(
+    "st22_streaming_graph_ingest" -> st22Sql,
     "st21_streaming_graph_serve" -> st21Sql,
     "st20_streaming_quantiles" -> st20Sql,
     "st19_streaming_substr_ingest" -> st19Sql,

@@ -1012,6 +1012,74 @@ class StreamingSpec extends GraftSuite {
     }
   }
 
+  test("st22: any ascending split + a crash-replay reproduces the one-shot insert edges") {
+    // the online-insert contract: each arrival's edge list is a pure
+    // function of (itself, the earlier-id set, the frozen bootstrap
+    // graph), so the final edge table must equal the single-batch
+    // recompute for ANY ascending split — including a batch that
+    // appended, crashed before its offsets committed, and replayed
+    // (exceptBid hides its own crashed bucket append)
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import graft.jobs.IncrementalIndex
+    val modE = graft.operators.Embeddings.IncrementalBatchModE
+    val vecs = Tables.embeddings(spark, sf)
+      .select("vec_id", "embedding", "label").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1), r.getInt(2)))
+    val corpusDf = vecs.filter(_._1 % modE != 0).toSeq
+      .toDF("vec_id", "embedding", "label")
+    val arrivals = vecs.filter(_._1 % modE == 0).sortBy(_._1).toSeq
+    val chunks = arrivals.grouped((arrivals.length + 2) / 3).toSeq
+    // one-shot reference: a fresh store, all arrivals in ONE probe
+    val oneIdx = java.nio.file.Files.createTempDirectory("st22-oneshot-").toString
+    IncrementalIndex.writeLshIndexBatch(spark, corpusDf, oneIdx, batchId = -1L)
+    IncrementalIndex.writeGraphBootstrapBatch(spark, corpusDf, oneIdx)
+    val expected = IncrementalIndex.probeGraphInsert(spark,
+        arrivals.toDF("vec_id", "embedding", "label"), oneIdx)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    // streamed: three batches, batch 1 crashes after its appends
+    val idx = java.nio.file.Files.createTempDirectory("st22-crash-idx-").toString
+    IncrementalIndex.writeLshIndexBatch(spark, corpusDf, idx, batchId = -1L)
+    IncrementalIndex.writeGraphBootstrapBatch(spark, corpusDf, idx)
+    val cp = ckpt()
+    val ms = MemoryStream[(Long, Seq[Float], Int)]
+    @volatile var poison = false
+    val got = scala.collection.mutable.Set.empty[(Long, Long, Int)]
+    def run(expectCrash: Boolean): Unit = {
+      val q = ms.toDF().toDF("vec_id", "embedding", "label")
+        .writeStream.outputMode("append")
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, bid: Long) =>
+          val edges = IncrementalIndex.probeGraphInsert(spark, batch, idx,
+            exceptBid = Some(bid))
+          IncrementalIndex.writeLshIndexBatch(spark, batch, idx, bid)
+          IncrementalIndex.writeGraphEdgesBatch(spark, edges, idx, bid)
+          got ++= edges.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3)))
+          if (poison && bid >= 1) throw new RuntimeException("poison-after-append")
+          ()
+        }
+        .option("checkpointLocation", cp)
+        .trigger(Trigger.AvailableNow()).start()
+      if (expectCrash) {
+        val e = intercept[Exception] { q.awaitTermination() }
+        assert(hasPoison(e), s"expected the poison crash, got $e")
+        poison = false
+      } else q.awaitTermination()
+    }
+    ms.addData(chunks(0): _*); run(expectCrash = false)
+    poison = true
+    ms.addData(chunks(1): _*); run(expectCrash = true) // appends landed, offsets did not
+    run(expectCrash = false) // replay of batch 1
+    ms.addData(chunks(2): _*); run(expectCrash = false)
+    assert(got.toSet === expected,
+      "streamed insert edges diverged from the one-shot recompute")
+    // and the stored edge table equals the emitted union (bootstrap
+    // partition aside) — what later serving reads
+    val storedEdges = spark.read.parquet(s"$idx/${IncrementalIndex.GraphEdges}")
+      .where(col("bid") >= 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    assert(storedEdges === expected, "stored edges diverged from the emitted union")
+  }
+
   test("st14: a restart on the same checkpoint + index dir resumes — no refold, no index rewrite") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
