@@ -609,80 +609,27 @@ object Embeddings {
     * sample stays bounded while the ANN sides use their index joins. */
   val RecallK = 3
 
-  def e07RecallAudit(s: SparkSession, dir: String): DataFrame = {
+  /** The shared audit frame: legs are (method, top-K candidate pairs);
+    * a LEFT join from the fixed method spine makes a zero-hit path
+    * report recall 0.0 instead of vanishing — the failing path is the
+    * one the audit exists to flag. |truth| = K·|queries| exactly
+    * (every query has ≥ K candidates by construction), so the
+    * denominator is a cheap count over the query subsample, not a
+    * second brute-force traversal; the oracle counts the truth CTE
+    * directly and the spec pins the two forms equal. */
+  private def recallAuditOver(s: SparkSession, dir: String,
+                              legs: Seq[(String, DataFrame)]): DataFrame = {
     val truth = e01KnnBrute(s, dir).where(col("rank") <= RecallK)
       .select(col("query_id"), col("neighbor_id"))
-    val lsh = e02AnnBucketed(s, dir).where(col("query_id") % 5 === 0)
-      .select(lit("lsh_bucketed").as("method"), col("query_id"), col("neighbor_id"))
-    // the four IVF paths share ONE materialized assignment stage (the
-    // d33 postings discipline): quantize + centroids + assignRanked run
-    // once instead of once per path — identical values (materialization
-    // changes no arithmetic), roughly half the audit's work. cvec rides
-    // along for e13's residual re-centering.
-    // the STORED artifacts ([[quantized]]'s vector column and
-    // [[cellRanked]]'s assignment table, both per-JVM checkpoints) —
-    // shared with every standalone IVF entry, so the audit audits THE
-    // index rather than a rebuilt twin; the codebook memo keys derive
-    // from the same shared frames the standalone e12/e13 defaults
-    // train from, so the audit reuses the index's trained codebooks.
-    val v = quantized(s, dir)
-    val ranked = cellRanked(s, dir)
-    val cb12 = pqCodebookOf(s, v, "q")
-    val cb13 = pqCodebookOf(s,
-      residualIndexOf(ranked, cellMembersOf(ranked)), "r")
-    val ivf = e05From(s, ranked).where(col("query_id") % 5 === 0)
-      .select(lit("ivf_nprobe").as("method"), col("query_id"), col("neighbor_id"))
-    val sketch = e08SketchRerank(s, dir).where(col("rank") <= RecallK)
-      .select(lit("sketch_rerank").as("method"), col("query_id"), col("neighbor_id"))
-    val ivfSketch = e10From(s, v, ranked).where(col("rank") <= RecallK)
-      .select(lit("ivf_sketch_rerank").as("method"), col("query_id"), col("neighbor_id"))
-    val ivfPq = e12From(s, v, ranked, Some(cb12)).where(col("rank") <= RecallK)
-      .select(lit("ivf_pq_adc").as("method"), col("query_id"), col("neighbor_id"))
-    val resPq = e13From(s, v, ranked, Some(cb13)).where(col("rank") <= RecallK)
-      .select(lit("residual_pq").as("method"), col("query_id"), col("neighbor_id"))
-    // SQ8 path: e14 trains from the stable quantized plan internally,
-    // so its lohi memo is shared with the standalone e14 entry (the
-    // cb12/cb13 discipline — the audit measures THE index)
-    val sq = e14SqRerank(s, dir).where(col("rank") <= RecallK)
-      .select(lit("sq8_rerank").as("method"), col("query_id"), col("neighbor_id"))
-    val ivfSq = e15From(s, v, ranked, Some(sqLohiOf(v)))
-      .where(col("rank") <= RecallK)
-      .select(lit("ivf_sq_rerank").as("method"), col("query_id"), col("neighbor_id"))
-    // ninth path: the graph round (e22) — served from the same stored
-    // graph index the standalone e22 default reads, so the audit
-    // measures THE index. The PINNED one-round/default-cap key, NOT
-    // the conf-read entry: an engaged nnd.rounds/revCap lever must not
-    // desynchronize the audit from its one-round oracle leg
-    // (round-11 advisory)
-    val nnd = graphOf(s, dir, 1, DefaultNndRevCap)
-      .where(col("query_id") % 5 === 0 && col("rank") <= RecallK)
-      .select(lit("nn_descent").as("method"), col("query_id"), col("neighbor_id"))
-    // tenth path: the graph-SERVE beam (e23) — navigates the same
-    // stored graph the nn_descent leg reads; pinned one-hop form
-    val gsrv = graphServe(s, dir, 1).where(col("rank") <= RecallK)
-      .select(lit("graph_serve").as("method"), col("query_id"), col("neighbor_id"))
-    // LEFT join from a fixed method spine: a path with ZERO truth hits
-    // must report recall 0.0, not vanish from the audit — the failing
-    // path is the one the audit exists to flag
-    val spine = s.createDataFrame(
-      Seq("lsh_bucketed", "ivf_nprobe", "sketch_rerank", "ivf_sketch_rerank",
-          "ivf_pq_adc", "residual_pq", "sq8_rerank", "ivf_sq_rerank",
-          "nn_descent", "graph_serve")
-        .map(Tuple1.apply))
-      .toDF("method")
+    val spine = s.createDataFrame(legs.map(l => Tuple1(l._1))).toDF("method")
+    val ann = legs.map { case (m, df) =>
+      df.select(lit(m).as("method"), col("query_id"), col("neighbor_id"))
+    }.reduce(_ unionByName _)
     val hits = spine.join(
-      lsh.unionByName(ivf).unionByName(sketch).unionByName(ivfSketch)
-        .unionByName(ivfPq).unionByName(resPq).unionByName(sq)
-        .unionByName(ivfSq).unionByName(nnd).unionByName(gsrv)
-        .join(truth, Seq("query_id", "neighbor_id"))
+      ann.join(truth, Seq("query_id", "neighbor_id"))
         .groupBy(col("method")).agg(count(lit(1)).as("raw_hits")),
       Seq("method"), "left")
       .select(col("method"), coalesce(col("raw_hits"), lit(0L)).as("n_hits"))
-    // |truth| = K·|queries| exactly (every query has ≥ K candidates by
-    // construction — the corpus is larger than K+1), so the denominator
-    // is a cheap count over the query subsample, not a second
-    // brute-force traversal; the oracle counts the truth CTE directly
-    // and the spec pins the two forms equal.
     val total = quantized(s, dir).where(col("vec_id") % 5 === 0)
       .agg((count(lit(1)) * RecallK).as("n_truth"))
     hits.crossJoin(broadcast(total))
@@ -690,135 +637,165 @@ object Embeddings {
         (col("n_hits").cast("double") / col("n_truth").cast("double")).as("recall"))
   }
 
-  val e07Sql: String = {
-    def cos(a: String, b: String): String =
-      s"""CAST(list_dot_product($a.q, $b.q) AS DOUBLE) /
-         |      (sqrt(CAST(list_dot_product($a.q, $a.q) AS DOUBLE)) *
-         |       sqrt(CAST(list_dot_product($b.q, $b.q) AS DOUBLE)))""".stripMargin
-    val planeLits = (0 until NumPlanes).map(p => s"[${planes(p).mkString(", ")}]")
-    val bucketExpr = (0 until NumPlanes).map { p =>
-      s"CASE WHEN list_dot_product(q, ${planeLits(p)}) > 0 THEN ${1L << p} ELSE 0 END"
-    }.mkString(" + ")
-    s"""$quantSql, truth AS (
+  /** The CORE audit family — four serving paths (LSH, IVF, sketch-
+    * rerank, composed IVF×sketch). Round-13 governance split: the
+    * audit had grown to ten embedded paths whose COLD price rose ~1 s
+    * per new path; e07 now audits the core four, [[e07bRecallQuantized]]
+    * the quantized four, [[e07cRecallGraph]] the graph two — every
+    * path still audited somewhere green, no single query pricing as
+    * the whole suite. */
+  def e07RecallAudit(s: SparkSession, dir: String): DataFrame = {
+    // the IVF paths share ONE materialized assignment stage (the d33
+    // postings discipline) — the STORED artifacts ([[quantized]]'s
+    // vector column and [[cellRanked]]'s assignment table), shared with
+    // every standalone entry, so the audit audits THE index rather
+    // than a rebuilt twin.
+    val v = quantized(s, dir)
+    val ranked = cellRanked(s, dir)
+    recallAuditOver(s, dir, Seq(
+      "lsh_bucketed" -> e02AnnBucketed(s, dir)
+        .where(col("query_id") % 5 === 0)
+        .select(col("query_id"), col("neighbor_id")),
+      "ivf_nprobe" -> e05From(s, ranked).where(col("query_id") % 5 === 0)
+        .select(col("query_id"), col("neighbor_id")),
+      "sketch_rerank" -> e08SketchRerank(s, dir).where(col("rank") <= RecallK)
+        .select(col("query_id"), col("neighbor_id")),
+      "ivf_sketch_rerank" -> e10From(s, v, ranked).where(col("rank") <= RecallK)
+        .select(col("query_id"), col("neighbor_id"))))
+  }
+
+  /** The QUANTIZED audit family (e07's split sibling): PQ-ADC,
+    * residual PQ, SQ8, composed IVF×SQ8 — the codebook memo keys
+    * derive from the same shared frames the standalone e12–e15
+    * defaults train from, so the audit reuses the index's trained
+    * codebooks (cvec rides along for e13's residual re-centering). */
+  def e07bRecallQuantized(s: SparkSession, dir: String): DataFrame = {
+    val v = quantized(s, dir)
+    val ranked = cellRanked(s, dir)
+    val cb12 = pqCodebookOf(s, v, "q")
+    val cb13 = pqCodebookOf(s,
+      residualIndexOf(ranked, cellMembersOf(ranked)), "r")
+    recallAuditOver(s, dir, Seq(
+      "ivf_pq_adc" -> e12From(s, v, ranked, Some(cb12))
+        .where(col("rank") <= RecallK)
+        .select(col("query_id"), col("neighbor_id")),
+      "residual_pq" -> e13From(s, v, ranked, Some(cb13))
+        .where(col("rank") <= RecallK)
+        .select(col("query_id"), col("neighbor_id")),
+      // e14 trains from the stable quantized plan internally, so its
+      // lohi memo is shared with the standalone e14 entry
+      "sq8_rerank" -> e14SqRerank(s, dir).where(col("rank") <= RecallK)
+        .select(col("query_id"), col("neighbor_id")),
+      "ivf_sq_rerank" -> e15From(s, v, ranked, Some(sqLohiOf(v)))
+        .where(col("rank") <= RecallK)
+        .select(col("query_id"), col("neighbor_id"))))
+  }
+
+  /** The GRAPH audit family (e07's split sibling): the NN-Descent
+    * round and the graph-serve beam — both served from the same stored
+    * graph index the standalone e22/e23 defaults read, at the PINNED
+    * one-round/default-cap/one-hop keys, NOT the conf-read entries: an
+    * engaged lever must not desynchronize the audit from its oracle
+    * legs (round-11 advisory). */
+  def e07cRecallGraph(s: SparkSession, dir: String): DataFrame =
+    recallAuditOver(s, dir, Seq(
+      "nn_descent" -> graphOf(s, dir, 1, DefaultNndRevCap)
+        .where(col("query_id") % 5 === 0 && col("rank") <= RecallK)
+        .select(col("query_id"), col("neighbor_id")),
+      "graph_serve" -> graphServe(s, dir, 1).where(col("rank") <= RecallK)
+        .select(col("query_id"), col("neighbor_id"))))
+
+  /** Exact-cosine text over two qv-shaped aliases — shared by the
+    * audit fragments. A `def` for init-order safety. */
+  private def recallCosSql(a: String, b: String): String =
+    s"""CAST(list_dot_product($a.q, $b.q) AS DOUBLE) /
+       |      (sqrt(CAST(list_dot_product($a.q, $a.q) AS DOUBLE)) *
+       |       sqrt(CAST(list_dot_product($b.q, $b.q) AS DOUBLE)))""".stripMargin
+
+  /** The brute-force truth CTE every audit family shares. */
+  private def recallTruthCte: String =
+    s""", truth AS (
        |  SELECT query_id, neighbor_id FROM (
        |    SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
        |      row_number() OVER (PARTITION BY a.vec_id
-       |        ORDER BY ${cos("a", "b")} DESC, b.vec_id ASC) AS rank
+       |        ORDER BY ${recallCosSql("a", "b")} DESC, b.vec_id ASC) AS rank
        |    FROM qv a JOIN qv b ON a.vec_id % 5 = 0 AND a.vec_id <> b.vec_id) t
        |  WHERE rank <= $RecallK
-       |), bv AS (
-       |  SELECT vec_id, q, $bucketExpr AS bucket, ${bucketExprSqlFor(1)} AS bucket_b FROM qv
-       |), lsh AS (
-       |  SELECT query_id, neighbor_id FROM (
-       |    SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
-       |      row_number() OVER (PARTITION BY a.vec_id
-       |        ORDER BY ${cos("a", "b")} DESC, b.vec_id ASC) AS rank
-       |    FROM bv a JOIN bv b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id) t
-       |  WHERE rank <= $RecallK AND query_id % 5 = 0
-       |)$assignedSqlCtes, ivf AS (
-       |  SELECT query_id, neighbor_id FROM (
-       |    SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
-       |      row_number() OVER (PARTITION BY a.vec_id
-       |        ORDER BY ${cos("a", "b")} DESC, b.vec_id ASC) AS rank
-       |    FROM assigned a JOIN assigned b ON a.cell = b.cell AND a.vec_id <> b.vec_id) t
-       |  WHERE rank <= $RecallK AND query_id % 5 = 0
-       |)$svCoarseSqlCtes, sketch AS (
+       |)""".stripMargin
+
+  /** Coarse-candidates → exact-reranked top-K leg, emitted as CTE
+    * `$out` from candidate CTE `$cands` (query_id, neighbor_id). */
+  private def recallRerankLegSql(out: String, cands: String,
+                                 queryFilter: String = ""): String =
+    s""", $out AS (
        |  SELECT query_id, neighbor_id FROM (
        |    SELECT c.query_id, c.neighbor_id,
        |      row_number() OVER (PARTITION BY c.query_id ORDER BY
-       |        ${cos("a", "b")} DESC, c.neighbor_id ASC) AS rank
-       |    FROM coarse c JOIN qv a ON c.query_id = a.vec_id
+       |        ${recallCosSql("a", "b")} DESC, c.neighbor_id ASC) AS rank
+       |    FROM $cands c JOIN qv a ON c.query_id = a.vec_id
        |                 JOIN qv b ON c.neighbor_id = b.vec_id) t
-       |  WHERE rank <= $RecallK
-       |)$ivfSketchSqlCtes, ivfsk AS (
-       |  SELECT query_id, neighbor_id FROM (
-       |    SELECT c.query_id, c.neighbor_id,
-       |      row_number() OVER (PARTITION BY c.query_id ORDER BY
-       |        ${cos("a", "b")} DESC, c.neighbor_id ASC) AS rank
-       |    FROM coarse10 c JOIN qv a ON c.query_id = a.vec_id
-       |                   JOIN qv b ON c.neighbor_id = b.vec_id) t
-       |  WHERE rank <= $RecallK
-       |)$pqSqlCtes, ivfpq AS (
-       |  SELECT query_id, neighbor_id FROM (
-       |    SELECT c.query_id, c.neighbor_id,
-       |      row_number() OVER (PARTITION BY c.query_id ORDER BY
-       |        ${cos("a", "b")} DESC, c.neighbor_id ASC) AS rank
-       |    FROM coarse12 c JOIN qv a ON c.query_id = a.vec_id
-       |                   JOIN qv b ON c.neighbor_id = b.vec_id) t
-       |  WHERE rank <= $RecallK
-       |)$residualPqSqlCtes, respq AS (
-       |  SELECT query_id, neighbor_id FROM (
-       |    SELECT c.query_id, c.neighbor_id,
-       |      row_number() OVER (PARTITION BY c.query_id ORDER BY
-       |        ${cos("a", "b")} DESC, c.neighbor_id ASC) AS rank
-       |    FROM coarse13 c JOIN qv a ON c.query_id = a.vec_id
-       |                   JOIN qv b ON c.neighbor_id = b.vec_id) t
-       |  WHERE rank <= $RecallK
-       |)$sqSqlCtes, sq14 AS (
-       |  SELECT query_id, neighbor_id FROM (
-       |    SELECT c.query_id, c.neighbor_id,
-       |      row_number() OVER (PARTITION BY c.query_id ORDER BY
-       |        ${cos("a", "b")} DESC, c.neighbor_id ASC) AS rank
-       |    FROM coarse14 c JOIN qv a ON c.query_id = a.vec_id
-       |                   JOIN qv b ON c.neighbor_id = b.vec_id) t
-       |  WHERE rank <= $RecallK
-       |)$ivfSqSqlCtes, sq15 AS (
-       |  SELECT query_id, neighbor_id FROM (
-       |    SELECT c.query_id, c.neighbor_id,
-       |      row_number() OVER (PARTITION BY c.query_id ORDER BY
-       |        ${cos("a", "b")} DESC, c.neighbor_id ASC) AS rank
-       |    FROM coarse15 c JOIN qv a ON c.query_id = a.vec_id
-       |                   JOIN qv b ON c.neighbor_id = b.vec_id) t
-       |  WHERE rank <= $RecallK
-       |)${nndCandsCteSql("nd")}, nnd AS (
-       |  SELECT query_id, neighbor_id FROM (
-       |    SELECT c.query_id, c.neighbor_id,
-       |      row_number() OVER (PARTITION BY c.query_id ORDER BY
-       |        ${cos("a", "b")} DESC, c.neighbor_id ASC) AS rank
-       |    FROM ndcands c JOIN qv a ON c.query_id = a.vec_id
-       |                  JOIN qv b ON c.neighbor_id = b.vec_id) t
-       |  WHERE rank <= $RecallK AND query_id % 5 = 0
-       |)${graphFromCandsSql("nd")}${serveFromGraphSql("gs", "ndgraph")}, gserve AS (
-       |  SELECT query_id, neighbor_id FROM (
-       |    SELECT query_id, neighbor_id,
-       |      row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
-       |    FROM gsserve) t
-       |  WHERE rank <= $RecallK
-       |), ann AS (
-       |  SELECT 'lsh_bucketed' AS method, query_id, neighbor_id FROM lsh
-       |  UNION ALL
-       |  SELECT 'ivf_nprobe' AS method, query_id, neighbor_id FROM ivf
-       |  UNION ALL
-       |  SELECT 'sketch_rerank' AS method, query_id, neighbor_id FROM sketch
-       |  UNION ALL
-       |  SELECT 'ivf_sketch_rerank' AS method, query_id, neighbor_id FROM ivfsk
-       |  UNION ALL
-       |  SELECT 'ivf_pq_adc' AS method, query_id, neighbor_id FROM ivfpq
-       |  UNION ALL
-       |  SELECT 'residual_pq' AS method, query_id, neighbor_id FROM respq
-       |  UNION ALL
-       |  SELECT 'sq8_rerank' AS method, query_id, neighbor_id FROM sq14
-       |  UNION ALL
-       |  SELECT 'ivf_sq_rerank' AS method, query_id, neighbor_id FROM sq15
-       |  UNION ALL
-       |  SELECT 'nn_descent' AS method, query_id, neighbor_id FROM nnd
-       |  UNION ALL
-       |  SELECT 'graph_serve' AS method, query_id, neighbor_id FROM gserve
+       |  WHERE rank <= $RecallK$queryFilter
+       |)""".stripMargin
+
+  /** The audit tail shared by the three families: method-tagged union,
+    * truth join, fixed VALUES spine (zero-hit paths report 0.0), exact
+    * integer recall. */
+  private def recallTailSql(legs: Seq[(String, String)]): String = {
+    val union = legs.map { case (m, cte) =>
+      s"  SELECT '$m' AS method, query_id, neighbor_id FROM $cte"
+    }.mkString("\n  UNION ALL\n")
+    val values = legs.map { case (m, _) => s"('$m')" }.mkString(", ")
+    s""", ann AS (
+       |$union
        |), raw AS (
        |  SELECT method, count(*) AS raw_hits
        |  FROM ann JOIN truth USING (query_id, neighbor_id) GROUP BY 1
        |), hits AS (
        |  SELECT m.method, CAST(coalesce(r.raw_hits, 0) AS BIGINT) AS n_hits
-       |  FROM (VALUES ('lsh_bucketed'), ('ivf_nprobe'), ('sketch_rerank'),
-       |               ('ivf_sketch_rerank'), ('ivf_pq_adc'), ('residual_pq'),
-       |               ('sq8_rerank'), ('ivf_sq_rerank'), ('nn_descent'),
-       |               ('graph_serve')) m(method)
+       |  FROM (VALUES $values) m(method)
        |  LEFT JOIN raw r ON m.method = r.method
        |), tot AS (SELECT CAST(count(*) AS BIGINT) AS n_truth FROM truth)
        |SELECT method, n_truth, n_hits,
        |  CAST(n_hits AS DOUBLE) / CAST(n_truth AS DOUBLE) AS recall
        |FROM hits, tot""".stripMargin
   }
+
+  val e07Sql: String =
+    s"""$quantSql$recallTruthCte, bv AS (
+       |  SELECT vec_id, q, ${bucketExprSqlFor(0)} AS bucket, ${bucketExprSqlFor(1)} AS bucket_b FROM qv
+       |), lsh AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+       |      row_number() OVER (PARTITION BY a.vec_id
+       |        ORDER BY ${recallCosSql("a", "b")} DESC, b.vec_id ASC) AS rank
+       |    FROM bv a JOIN bv b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id) t
+       |  WHERE rank <= $RecallK AND query_id % 5 = 0
+       |)$assignedSqlCtes, ivf AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+       |      row_number() OVER (PARTITION BY a.vec_id
+       |        ORDER BY ${recallCosSql("a", "b")} DESC, b.vec_id ASC) AS rank
+       |    FROM assigned a JOIN assigned b ON a.cell = b.cell AND a.vec_id <> b.vec_id) t
+       |  WHERE rank <= $RecallK AND query_id % 5 = 0
+       |)$svCoarseSqlCtes${recallRerankLegSql("sketch", "coarse")}$ivfSketchSqlCtes${recallRerankLegSql("ivfsk", "coarse10")}${recallTailSql(Seq(
+             "lsh_bucketed" -> "lsh", "ivf_nprobe" -> "ivf",
+             "sketch_rerank" -> "sketch", "ivf_sketch_rerank" -> "ivfsk"))}""".stripMargin
+
+  val e07bSql: String =
+    s"""$quantSql$recallTruthCte$assignedSqlCtes$pqSqlCtes${recallRerankLegSql("ivfpq", "coarse12")}$residualPqSqlCtes${recallRerankLegSql("respq", "coarse13")}$sqSqlCtes${recallRerankLegSql("sq14", "coarse14")}$ivfSqSqlCtes${recallRerankLegSql("sq15", "coarse15")}${recallTailSql(Seq(
+             "ivf_pq_adc" -> "ivfpq", "residual_pq" -> "respq",
+             "sq8_rerank" -> "sq14", "ivf_sq_rerank" -> "sq15"))}""".stripMargin
+
+  val e07cSql: String =
+    s"""$quantSql$recallTruthCte, bv AS (
+       |  SELECT vec_id, q, ${bucketExprSqlFor(0)} AS bucket, ${bucketExprSqlFor(1)} AS bucket_b FROM qv
+       |)${nndCandsCteSql("nd")}${recallRerankLegSql("nnd", "ndcands", queryFilter = " AND query_id % 5 = 0")}${graphFromCandsSql("nd")}${serveFromGraphSql("gs", "ndgraph")}, gserve AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT query_id, neighbor_id,
+       |      row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+       |    FROM gsserve) t
+       |  WHERE rank <= $RecallK
+       |)${recallTailSql(Seq("nn_descent" -> "nnd", "graph_serve" -> "gserve"))}""".stripMargin
 
   // ---------------------------------------------------------------- e08
   /** TWO-STAGE retrieval: coarse scan on 64-bit SIGN SKETCHES, exact
@@ -3142,6 +3119,8 @@ object Embeddings {
     "e09_incremental_semdedup" -> (e09IncrementalSemDedup _),
     "e08_sketch_rerank" -> (e08SketchRerank _),
     "e07_recall_audit" -> (e07RecallAudit _),
+    "e07b_recall_quantized" -> (e07bRecallQuantized _),
+    "e07c_recall_graph" -> (e07cRecallGraph _),
     "e06_sem_dedup" -> (e06SemDedup _),
     "e05_ivf_ann" -> (e05IvfAnn _),
     "e01_knn_brute" -> (e01KnnBrute _),
@@ -3173,6 +3152,8 @@ object Embeddings {
     "e09_incremental_semdedup" -> e09Sql,
     "e08_sketch_rerank" -> e08Sql,
     "e07_recall_audit" -> e07Sql,
+    "e07b_recall_quantized" -> e07bSql,
+    "e07c_recall_graph" -> e07cSql,
     "e06_sem_dedup" -> e06Sql,
     "e05_ivf_ann" -> e05Sql,
     "e01_knn_brute" -> e01Sql,

@@ -104,7 +104,7 @@ class PqIndexSpec extends GraftSuite {
     // r7's untrained (PqK-smallest-id) codebook recorded 69/300 for
     // ivf_pq_adc and 70/300 for residual_pq on this fixture; training
     // must never pay recall for compression (the whole point of Lloyd)
-    val hits = Embeddings.e07RecallAudit(spark, sf).collect()
+    val hits = Embeddings.e07bRecallQuantized(spark, sf).collect()
       .map(r => r.getString(0) -> r.getLong(2)).toMap
     assert(hits("ivf_pq_adc") >= 69L,
       s"trained PQ ADC recall regressed below the r7 seed record: ${hits("ivf_pq_adc")}")
