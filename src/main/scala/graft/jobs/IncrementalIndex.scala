@@ -79,6 +79,7 @@ object IncrementalIndex {
   val QuantSketches = "quant_sketches"
   val DocTombstones = "doc_tombstones"
   val VecTombstones = "vec_tombstones"
+  val BloomWords = "bloom_words"
 
   private def p(indexDir: String, table: String): String = s"$indexDir/$table"
 
@@ -938,6 +939,50 @@ object IncrementalIndex {
   def probeBench(s: SparkSession, batchDocs: DataFrame, indexDir: String): DataFrame = {
     val ex = LlmText.shingleSetsFrom(s, batchDocs)
       .select(col("doc_id"), explode(col("sh")).as("shingle"))
+    val bench = s.read.parquet(p(indexDir, BenchShingles))
+    ex.join(broadcast(bench), Seq("shingle"))
+      .groupBy(col("doc_id"), col("bench_id"))
+      .agg(countDistinct(col("shingle")).as("n_shared"))
+      .where(col("n_shared") >= LlmText.ContaminationMinShared)
+      .localCheckpoint(true)
+  }
+
+  /** Freeze the benchmark's Bloom filter beside its shingle store: the
+    * sparse (widx, word, bits, k) table of
+    * [[graft.functions.BloomFilter.wordsDF]] over the SAME capped rare-
+    * shingle set [[writeBenchIndex]] persists — the two halves of the
+    * decontamination serve pair (the bits prefilter + the exact verify
+    * list). Geometry (bits, k) rides IN the store, so a probe under any
+    * session conf applies the hashing the filter was built with. */
+  def writeBloomIndex(s: SparkSession, benchDocs: DataFrame, indexDir: String,
+                      bits: Int, k: Int): Unit = {
+    val ex = LlmText.shingleSetsFrom(s, benchDocs)
+      .select(col("doc_id").as("bench_id"), explode(col("sh")).as("shingle"))
+    val rare = ex.groupBy(col("shingle"))
+      .agg(countDistinct(col("bench_id")).as("df"))
+      .where(col("df") <= LlmText.BenchHotShingleCap)
+      .select(col("shingle"))
+    graft.functions.BloomFilter.wordsDF(rare, "shingle", bits, k)
+      .write.mode(SaveMode.Overwrite).parquet(p(indexDir, BloomWords))
+  }
+
+  /** [[probeBench]] with the STORED Bloom filter probed map-side before
+    * the exact verify join — the Bloom-join serve path (d49's streaming
+    * deployment). Reading the filter is one bounded collect (≤ bits/64
+    * rows — the filter, never the data); the verdicts are EXACTLY
+    * [[probeBench]]'s (no false negatives; the verify join removes the
+    * false positives), so st23 shares st17's oracle and its any-split
+    * equivalence contract (stateless per-batch probe of a frozen store). */
+  def probeBenchBloom(s: SparkSession, batchDocs: DataFrame, indexDir: String): DataFrame = {
+    import graft.functions.BloomFilter
+    import s.implicits._
+    val stored = s.read.parquet(p(indexDir, BloomWords))
+    val (bits, k) = stored.select(col("bits"), col("k")).as[(Int, Int)].head()
+    val words = BloomFilter.dense(
+      stored.select(col("widx"), col("word")).as[(Long, Long)].collect().toSeq, bits)
+    val ex = LlmText.shingleSetsFrom(s, batchDocs)
+      .select(col("doc_id"), explode(col("sh")).as("shingle"))
+      .where(BloomFilter.mightContain(words, col("shingle"), bits, k))
     val bench = s.read.parquet(p(indexDir, BenchShingles))
     ex.join(broadcast(bench), Seq("shingle"))
       .groupBy(col("doc_id"), col("bench_id"))

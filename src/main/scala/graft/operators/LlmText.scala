@@ -2215,6 +2215,62 @@ object LlmText {
        |  FROM scored48) t
        |WHERE rnk <= $SparseTopK""".stripMargin
 
+  // ---------------------------------------------------------------- d49
+  /** Bloom-join DECONTAMINATION — d18's benchmark n-gram-overlap check
+    * with the classic Bloom-join prefilter in front of the exact verify
+    * (Bloom, CACM 1970; Mackert & Lohman, VLDB 1986; the same shape
+    * Spark's own runtime bloom-filter join injection plants): the
+    * benchmark's rare-shingle set is summarized ONCE into an m-bit
+    * filter ([[graft.functions.BloomFilter]] — a distributed `bit_or`
+    * build, 64 KiB at the default geometry), every training shingle
+    * probes the broadcast BITS map-side, and only probe-positive
+    * shingles reach d18's exact broadcast join and threshold aggregate.
+    *
+    * The answer is EXACTLY d18's: a Bloom filter has no false
+    * negatives, so the prefilter cannot drop a true match, and the
+    * verify join discards the ~(1−e^(−k·n/m))^k false positives — so
+    * the oracle is d18's VERBATIM, and BloomFilterSpec pins the plans
+    * row-identical plus the candidate-volume reduction the filter buys.
+    *
+    * Why at 100 TB: d18 broadcasts the benchmark's shingle STRINGS —
+    * fine for a bounded eval suite, but the moment the blocklist
+    * outgrows the broadcast budget (contamination against a large
+    * held-out corpus, a multi-GB URL/license blocklist) the exact join
+    * degrades to shuffling every (doc, shingle) of the corpus. The
+    * filter is ~50× smaller than the strings at 10 bits/key, so it
+    * stays broadcast at sizes where strings cannot, and the corpus-side
+    * exchange of the shuffled verify carries only the ε-fraction of
+    * shingles the filter passes — the shuffle-volume lever, measured in
+    * BloomFilterSpec's reduction read. Geometry levers
+    * `spark.graft.bloom.bits` / `spark.graft.bloom.k` (CONFIG.md). */
+  def d49BloomDecontamination(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.BloomFilter
+    val bits = s.conf.get(BloomFilter.BitsConf, BloomFilter.DefaultBits.toString).toInt
+    val k = s.conf.get(BloomFilter.KConf, BloomFilter.DefaultK.toString).toInt
+    val ex = withShingleSet(s, base(s, dir))
+      .select(col("doc_id"), explode(col("sh")).as("shingle"))
+    val bench = ex.where(col("doc_id") % ContaminationMod === 0)
+      .select(col("doc_id").as("bench_id"), col("shingle"))
+    val rare = bench.groupBy(col("shingle"))
+      .agg(countDistinct(col("bench_id")).as("df"))
+      .where(col("df") <= BenchHotShingleCap)
+      .select(col("shingle"))
+    // the filter is built over the DISTINCT rare shingles (`rare` is
+    // already the distinct set) — filter size tracks the benchmark,
+    // never the corpus
+    val words = BloomFilter.buildWords(rare, "shingle", bits, k)
+    val benchOk = bench.join(broadcast(rare), Seq("shingle"), "left_semi")
+    ex.where(col("doc_id") % ContaminationMod =!= 0)
+      .where(BloomFilter.mightContain(words, col("shingle"), bits, k))
+      .join(broadcast(benchOk), Seq("shingle"))
+      .groupBy(col("doc_id"), col("bench_id"))
+      .agg(countDistinct(col("shingle")).as("n_shared"))
+      .where(col("n_shared") >= ContaminationMinShared)
+  }
+
+  /** The exact form IS the law: d49's oracle is d18's verbatim. */
+  val d49Sql: String = d18Sql
+
   // ---------------------------------------------------------------- d34
   /** HYBRID retrieval fusion — Reciprocal Rank Fusion (Cormack, Clarke
     * & Büttcher, SIGIR 2009; the default hybrid mode of every current
@@ -3286,6 +3342,7 @@ object LlmText {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d48_tombstone_sparse" -> (d48TombstoneSparse _),
+    "d49_bloom_decontamination" -> (d49BloomDecontamination _),
     "d47_leakage_split" -> (d47LeakageSplit _),
     "d46_keep_first_spans" -> (d46KeepFirstSpans _),
     "d45_remove_dup_spans" -> (d45RemoveDupSpans _),
@@ -3343,6 +3400,7 @@ object LlmText {
     * after both objects finish initializing. */
   lazy val oracleSql: Map[String, String] = Map(
     "d48_tombstone_sparse" -> d48Sql,
+    "d49_bloom_decontamination" -> d49Sql,
     "d47_leakage_split" -> d47Sql,
     "d46_keep_first_spans" -> d46Sql,
     "d45_remove_dup_spans" -> d45Sql,

@@ -1079,7 +1079,57 @@ object AdAnalytics {
 
   lazy val st22Sql: String = graft.operators.Embeddings.onlineInsertSql
 
+  // ---------------------------------------------------------------- st23
+  /** Streaming BLOOM-JOIN decontamination — st17 with d49's broadcast
+    * bits prefilter in front of the per-batch exact verify: the frozen
+    * serve pair is now (bench_shingles, bloom_words) — the strings for
+    * the verify, the BITS for the map-side prefilter — and every
+    * arriving micro-batch's shingles probe the filter before any join.
+    * Same contract as st17 (stateless probe of a frozen store ⇒ the
+    * verdict table equals batch d18 for ANY split in ANY order), and
+    * the filter changes no verdict (no false negatives; the verify
+    * join removes false positives — BloomFilterSpec), so the oracle is
+    * d18's verbatim. What the bits buy in deployment: the per-batch
+    * probe ships 64 KiB instead of the benchmark's shingle strings to
+    * every task, and only the ε-fraction of batch shingles the filter
+    * passes enters the join — the st17 steady-state cost with the
+    * broadcast and probe volume decoupled from the benchmark's size. */
+  def st23StreamingBloom(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.BloomFilter
+    import graft.jobs.IncrementalIndex
+    import graft.operators.LlmText
+    val mod = LlmText.ContaminationMod
+    val bits = s.conf.get(BloomFilter.BitsConf, BloomFilter.DefaultBits.toString).toInt
+    val k = s.conf.get(BloomFilter.KConf, BloomFilter.DefaultK.toString).toInt
+    val indexDir = java.nio.file.Files.createTempDirectory("graft-st23-idx-").toString
+    try {
+      val docs = graft.Tables.documents(s, dir)
+      val bench = docs.where(col("doc_id") % mod === 0)
+      IncrementalIndex.writeBenchIndex(s, bench, indexDir)
+      IncrementalIndex.writeBloomIndex(s, bench, indexDir, bits, k)
+      val empty = docs.limit(0)
+        .select(col("doc_id"), col("doc_id").as("bench_id"),
+          lit(0L).as("n_shared"))
+      Streams.runForeachBatch(s, "append", empty)(
+        ss => Streams.tableStream(ss, dir, "documents")
+          .where(col("doc_id") % mod =!= 0)) { (store, batch) =>
+        store.unionByName(IncrementalIndex.probeBenchBloom(s, batch, indexDir))
+      }
+    } finally {
+      val root = java.nio.file.Paths.get(indexDir)
+      if (java.nio.file.Files.exists(root)) {
+        val it = java.nio.file.Files.walk(root)
+          .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        try it.forEach(pp => { java.nio.file.Files.deleteIfExists(pp); () })
+        finally it.close()
+      }
+    }
+  }
+
+  lazy val st23Sql: String = graft.operators.LlmText.d18Sql
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "st23_streaming_bloom" -> (st23StreamingBloom _),
     "st22_streaming_graph_ingest" -> (st22StreamingGraphIngest _),
     "st21_streaming_graph_serve" -> (st21StreamingGraphServe _),
     "st20_streaming_quantiles" -> (st20StreamingQuantiles _),
@@ -1109,6 +1159,7 @@ object AdAnalytics {
     * cross-object RerankC trap ([[graft.tools.InitOrderCheck]]). */
   lazy val oracleSql: Map[String, String] = Map(
     "st22_streaming_graph_ingest" -> st22Sql,
+    "st23_streaming_bloom" -> st23Sql,
     "st21_streaming_graph_serve" -> st21Sql,
     "st20_streaming_quantiles" -> st20Sql,
     "st19_streaming_substr_ingest" -> st19Sql,
