@@ -2251,10 +2251,14 @@ object LlmText {
       .select(col("doc_id"), explode(col("sh")).as("shingle"))
     val bench = ex.where(col("doc_id") % ContaminationMod === 0)
       .select(col("doc_id").as("bench_id"), col("shingle"))
+    // materialized once: the rare set feeds both the filter build (an
+    // action) and the verify join — without the checkpoint the bench
+    // aggregation would run twice. Bounded by the benchmark vocabulary.
     val rare = bench.groupBy(col("shingle"))
       .agg(countDistinct(col("bench_id")).as("df"))
       .where(col("df") <= BenchHotShingleCap)
       .select(col("shingle"))
+      .localCheckpoint(true)
     // the filter is built over the DISTINCT rare shingles (`rare` is
     // already the distinct set) — filter size tracks the benchmark,
     // never the corpus

@@ -636,6 +636,48 @@ class StreamingSpec extends GraftSuite {
     assert(run(shuffled) === expected, "shuffled split diverged from d18")
   }
 
+  test("st23: the bloom-prefiltered probe keeps st17's any-split/any-order equivalence") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import graft.functions.BloomFilter
+    import graft.jobs.IncrementalIndex
+    val mod = graft.operators.LlmText.ContaminationMod
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id", "text", "lang", "source", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3), r.getLong(4)))
+    val benchDf = docs.filter(_._1 % mod == 0).toSeq
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val arrivals = docs.filter(_._1 % mod != 0).sortBy(_._1).toSeq
+    val expected = graft.operators.LlmText.d18Contamination(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(expected.nonEmpty, "fixture must plant benchmark overlap")
+
+    def run(chunks: Seq[Seq[(Long, String, String, String, Long)]]): Set[(Long, Long, Long)] = {
+      val indexDir = java.nio.file.Files.createTempDirectory("st23-spec-idx-").toString
+      IncrementalIndex.writeBenchIndex(spark, benchDf, indexDir)
+      IncrementalIndex.writeBloomIndex(spark, benchDf, indexDir,
+        BloomFilter.DefaultBits, BloomFilter.DefaultK)
+      val ms = MemoryStream[(Long, String, String, String, Long)]
+      val got = scala.collection.mutable.Set.empty[(Long, Long, Long)]
+      val q = ms.toDF().toDF("doc_id", "text", "lang", "source", "n_chars")
+        .writeStream.outputMode("append")
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          got ++= IncrementalIndex.probeBenchBloom(spark, batch, indexDir).collect()
+            .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+          ()
+        }
+        .option("checkpointLocation", ckpt()).start()
+      chunks.foreach { c => ms.addData(c: _*); q.processAllAvailable() }
+      q.stop()
+      got.toSet
+    }
+
+    assert(run(arrivals.grouped(31).toSeq) === expected,
+      "multi-batch ascending split diverged from d18")
+    val shuffled = new scala.util.Random(11).shuffle(arrivals.grouped(23).toSeq)
+    assert(run(shuffled) === expected, "shuffled split diverged from d18")
+  }
+
   test("st16: every ascending micro-batch split reproduces the all-pairs phash verdicts") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
