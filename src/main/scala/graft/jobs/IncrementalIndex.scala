@@ -80,6 +80,8 @@ object IncrementalIndex {
   val DocTombstones = "doc_tombstones"
   val VecTombstones = "vec_tombstones"
   val BloomWords = "bloom_words"
+  val ClusterLabels = "cluster_labels"
+  val LabelRemaps = "label_remaps"
 
   private def p(indexDir: String, table: String): String = s"$indexDir/$table"
 
@@ -126,6 +128,21 @@ object IncrementalIndex {
                          mode: SaveMode = SaveMode.Append): Unit =
     ids.select(col(ids.columns.head).cast("long").as("vec_id"))
       .write.mode(mode).parquet(p(indexDir, VecTombstones))
+
+  /** Batch-keyed tombstone append — st24's layout for [[VecTombstones]]
+    * (the [[writeLshIndexBatch]] convention applied to retractions):
+    * each micro-batch's retracted ids land in their own idempotent
+    * `bid=<id>` partition, so a crash-replayed batch OVERWRITES its
+    * earlier append instead of duplicating it. Exactly-once here is
+    * doubly assured: the bid overwrite gives no-duplicate storage, and
+    * tombstone application is a SET anti-join ([[liveTable]]) that a
+    * duplicate id could not perturb anyway — the replay-safety is
+    * structural at both layers. */
+  def writeVecTombstonesBatch(s: SparkSession, ids: DataFrame, indexDir: String,
+                              batchId: Long): Unit =
+    ids.select(col(ids.columns.head).cast("long").as("vec_id"))
+      .write.mode(SaveMode.Overwrite)
+      .parquet(s"${p(indexDir, VecTombstones)}/bid=$batchId")
 
   /** A store table with its tombstone set applied PROBE-SIDE: one
     * broadcast anti-join per id column (the ranked artifacts pass both
@@ -693,6 +710,25 @@ object IncrementalIndex {
       probeGraph(s, indexDir), hops = 1)
       .localCheckpoint(true)
 
+  /** e24's tombstoned serve over the PERSISTED pair — [[probeGraphServe]]
+    * with every stage reading through [[liveTable]]: seeds come from
+    * live bucket rows only, the stored graph drops every edge touching
+    * a retracted ENDPOINT (either side — a beam may neither return a
+    * deleted vector nor route through one), retracted queries ask
+    * nothing, and the rescore reads only live vectors. The graph stays
+    * the frozen pre-deletion build; st24 folds a retraction STREAM into
+    * the tombstone table and reads this probe once the stream drains —
+    * tombstones are a set, so the readout is split/order invariant and
+    * equals the in-JVM batch form ([[graft.operators.Embeddings
+    * .e24TombstoneServe]]) by construction. The standing e-suite query
+    * sample (vec_id % 5 = 0) keeps the two forms row-identical. */
+  def probeGraphServeLive(s: SparkSession, indexDir: String): DataFrame = {
+    val alive = liveTable(s, indexDir, LshBuckets)
+    Embeddings.graphServeOver(s, alive.where(col("vec_id") % 5 === 0), alive,
+      liveTable(s, indexDir, GraphEdges), hops = 1)
+      .localCheckpoint(true)
+  }
+
   /** Write the SKETCH STORE: one KMV cardinality sketch per
     * (event_type, day) over the batch's events — the rollup-cube
     * practice (Druid/Pinot sketch columns): the base table is read
@@ -781,6 +817,25 @@ object IncrementalIndex {
   private[graft] def probeTextLazy(s: SparkSession, batchDocs: DataFrame,
                                    indexDir: String,
                                    exceptBid: Option[Long] = None): (DataFrame, Seq[DataFrame]) = {
+    val (pairs, baseB) = probeTextPairsStage(s, batchDocs, indexDir, exceptBid)
+    val matches = pairs.groupBy(col("new_id")).agg(count(lit(1)).as("n_matches"))
+    val out = baseB.select(col("doc_id"))
+      .join(matches.withColumnRenamed("new_id", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_matches"), lit(0L)).as("n_matches"))
+      .withColumn("is_dup", col("n_matches") > 0)
+    (out, Seq(baseB))
+  }
+
+  /** The VERIFIED-PAIR stage shared by [[probeTextLazy]] (which counts
+    * the pairs per batch doc — d30's verdict readout) and
+    * [[probeTextPairs]] (which keeps them — the EDGES st25's online
+    * clustering folds into its label store). Returns the un-
+    * materialized `(new_id, old_id)` frame plus the batch base cache
+    * the caller must unpersist. */
+  private def probeTextPairsStage(s: SparkSession, batchDocs: DataFrame,
+                                  indexDir: String,
+                                  exceptBid: Option[Long]): (DataFrame, DataFrame) = {
     val baseB = LlmText.baseFrom(batchDocs).persist()
     val bandsB = LlmText.bandEntriesOf(s, LlmText.sigOf(s, baseB))
     val shB = LlmText.shingleSetsOf(s, baseB)
@@ -810,17 +865,240 @@ object IncrementalIndex {
       .unionByName(shB.select(col("doc_id"), col("sh")))
     val ver = SelfJoin.on(
       cand, shB.select(col("doc_id").as("new_id"), col("sh").as("sh_n")), Seq("new_id"))
-    val matches = SelfJoin.on(
+    val pairs = SelfJoin.on(
       ver, shAll.select(col("doc_id").as("old_id"), col("sh").as("sh_o")), Seq("old_id"))
       .where(size(array_intersect(col("sh_n"), col("sh_o"))).cast("double") /
         size(array_union(col("sh_n"), col("sh_o"))).cast("double") >= LlmText.NeardupThreshold)
-      .groupBy(col("new_id")).agg(count(lit(1)).as("n_matches"))
-    val out = baseB.select(col("doc_id"))
-      .join(matches.withColumnRenamed("new_id", "doc_id"), Seq("doc_id"), "left")
-      .select(col("doc_id"),
-        coalesce(col("n_matches"), lit(0L)).as("n_matches"))
-      .withColumn("is_dup", col("n_matches") > 0)
-    (out, Seq(baseB))
+      .select(col("new_id"), col("old_id"))
+    (pairs, baseB)
+  }
+
+  /** A batch's verified near-dup EDGES against the stored index (plus
+    * its own earlier members) — the pair form of [[probeText]]'s
+    * verdicts, materialized batch-sized. These are exactly the edges
+    * the one-shot d14 clustering would derive for (batch doc, earlier
+    * doc) pairs, which is what makes st25's incremental labeling
+    * oracle-equal to the full recompute. */
+  def probeTextPairs(s: SparkSession, batchDocs: DataFrame, indexDir: String,
+                     exceptBid: Option[Long] = None): DataFrame = {
+    val (pairs, baseB) = probeTextPairsStage(s, batchDocs, indexDir, exceptBid)
+    val materialized = pairs.localCheckpoint(true)
+    baseB.unpersist()
+    materialized
+  }
+
+  // ------------------------------------------ online cluster labels
+  /** ONLINE CONNECTED-COMPONENT MAINTENANCE (st25's store) — the
+    * union-find-as-log design: near-dup cluster labels must stay
+    * current as documents arrive, but a label is a GLOBAL property (a
+    * new doc can BRIDGE two existing clusters, relabeling every member
+    * of the losing one), so naive maintenance rewrites the full label
+    * table per batch. Instead the store is two append-only,
+    * batch-keyed tables:
+    *
+    *  - `cluster_labels` (doc_id, label) — one row per doc that has
+    *    ever appeared in a verified near-dup edge, stamped with the
+    *    component min AS OF its batch (singletons have no row — d14's
+    *    exclusion, so the readout matches the one-shot oracle shape).
+    *  - `label_remaps`  (src, dst) — one row per MERGE event: when a
+    *    batch bridges components, the losing labels point at the new
+    *    min. Rows only ever point DOWNWARD (dst < src), so the remap
+    *    graph is a forest of chains toward each component's final min.
+    *
+    * A batch's work ([[applyClusterBatch]]) touches only batch-sized
+    * frames: probe edges, resolve the matched endpoints' CURRENT
+    * labels through the (merge-event-sized) remap closure, run
+    * min-label propagation on the CONTRACTED graph — nodes are the
+    * batch's docs plus the distinct labels they touched, never the
+    * clusters' members — and append one label partition + one remap
+    * partition. Member relabeling is DEFERRED to the readout
+    * ([[resolveClusterLabels]]): one remap-closure build (tiny) plus
+    * one broadcast join against the label log. The full corpus is
+    * never re-paired and the label table never rewritten in place —
+    * the rewrite is the explicit [[rebaseClusterLabels]] maintenance
+    * event (the vacuum/compaction class).
+    *
+    * Why the readout equals the one-shot d14 for ANY ascending-id
+    * split: the edge SET accumulated by bootstrap + probes is exactly
+    * the one-shot candidate-verify edge set (stored bands hold every
+    * earlier doc; intra-batch adds the keep-earlier half), components
+    * of a fixed edge set are split-invariant, and the incremental min
+    * is the true min by induction — a bridge's contracted component
+    * {new ids} ∪ {touched label mins} contains the merged component's
+    * global min. Pinned in StreamingSpec (any split + crash-replay ≡
+    * d14) and by st25's oracle row (d14Sql verbatim). */
+  def writeClusterBootstrap(s: SparkSession, corpusDocs: DataFrame,
+                            indexDir: String): Unit = {
+    writeTextIndexBatch(s, corpusDocs, indexDir, batchId = -1L)
+    val edges = selfTextEdges(s, indexDir)
+    val labels =
+      if (edges.isEmpty)
+        corpusDocs.limit(0).select(col("doc_id").cast("long").as("doc_id"),
+          col("doc_id").cast("long").as("label"))
+      else LlmText.minLabelComponents(edges.select(col("new_id").as("doc_a"),
+          col("old_id").as("doc_b")), LlmText.MaxClusterRounds)
+        .select(col("doc_id"), col("cluster_id").as("label"))
+    labels.write.mode(SaveMode.Overwrite)
+      .parquet(s"${p(indexDir, ClusterLabels)}/bid=-1")
+    // an explicitly-empty remap partition so every later storeTable
+    // read finds the table (merge events may only come much later)
+    labels.limit(0).select(col("doc_id").as("src"), col("label").as("dst"))
+      .write.mode(SaveMode.Overwrite)
+      .parquet(s"${p(indexDir, LabelRemaps)}/bid=-1")
+  }
+
+  /** Corpus-INTERNAL verified near-dup pairs, derived from the stored
+    * bootstrap partition itself (one band self-join + shingle verify —
+    * d03's one-join form over the store instead of the fixture). */
+  private def selfTextEdges(s: SparkSession, indexDir: String): DataFrame = {
+    val bands = s.read.parquet(s"${p(indexDir, TextBands)}/bid=-1")
+    val sh = s.read.parquet(s"${p(indexDir, TextShingles)}/bid=-1")
+    val cand = SelfJoin.on(
+        bands.select(col("band"), col("band_key"), col("doc_id").as("new_id")),
+        bands.select(col("band"), col("band_key"), col("doc_id").as("old_id")),
+        Seq("band", "band_key"))
+      .where(col("old_id") < col("new_id"))
+      .select(col("new_id"), col("old_id")).distinct()
+    val ver = SelfJoin.on(
+      cand, sh.select(col("doc_id").as("new_id"), col("sh").as("sh_n")), Seq("new_id"))
+    SelfJoin.on(
+      ver, sh.select(col("doc_id").as("old_id"), col("sh").as("sh_o")), Seq("old_id"))
+      .where(size(array_intersect(col("sh_n"), col("sh_o"))).cast("double") /
+        size(array_union(col("sh_n"), col("sh_o"))).cast("double") >= LlmText.NeardupThreshold)
+      .select(col("new_id"), col("old_id"))
+      .localCheckpoint(true)
+  }
+
+  /** The remap CLOSURE as a lookup: (src → final label), following
+    * merge chains across batches to each component's current min.
+    * Chains only point downward, so the closure is the component-min
+    * labeling of the (tiny) remap graph. Empty-remap guard: an empty
+    * frame, so `resolve` joins are no-ops. */
+  private def remapClosure(s: SparkSession, indexDir: String,
+                           exceptBid: Option[Long]): DataFrame = {
+    val rem = storeTable(s, indexDir, LabelRemaps, exceptBid)
+      .select(col("src"), col("dst"))
+    if (rem.isEmpty) rem.limit(0).select(col("src"), col("dst").as("final"))
+    else LlmText.minLabelComponents(
+        rem.select(col("src").as("doc_a"), col("dst").as("doc_b")),
+        LlmText.MaxClusterRounds)
+      .select(col("doc_id").as("src"), col("cluster_id").as("final"))
+  }
+
+  /** Resolve a 1-column label frame through the remap closure. */
+  private def resolveThrough(labels: DataFrame, closure: DataFrame,
+                             labelCol: String): DataFrame =
+    labels.join(broadcast(closure.withColumnRenamed("src", labelCol)),
+        Seq(labelCol), "left")
+      .withColumn(labelCol, coalesce(col("final"), col(labelCol)))
+      .drop("final")
+
+  /** Fold ONE batch of arriving documents into the cluster store:
+    * probe → contract → append (see [[writeClusterBootstrap]] for the
+    * design). Probe-before-append with `exceptBid` throughout, so a
+    * crash-replayed batch recomputes identically and its four
+    * partition overwrites (bands, shingles, labels, remaps) are
+    * idempotent. */
+  def applyClusterBatch(s: SparkSession, batchDocs: DataFrame, indexDir: String,
+                        batchId: Long): Unit = {
+    val pairs = probeTextPairs(s, batchDocs, indexDir, exceptBid = Some(batchId))
+    writeTextIndexBatch(s, batchDocs, indexDir, batchId)
+    val labelsPath = s"${p(indexDir, ClusterLabels)}/bid=$batchId"
+    val remapsPath = s"${p(indexDir, LabelRemaps)}/bid=$batchId"
+    if (pairs.isEmpty) {
+      // nothing matched: explicit empty partitions keep the replay
+      // overwrite idempotent even across a crash that wrote them
+      val emptyLab = pairs.select(col("new_id").as("doc_id"), col("new_id").as("label"))
+      emptyLab.write.mode(SaveMode.Overwrite).parquet(labelsPath)
+      emptyLab.select(col("doc_id").as("src"), col("label").as("dst"))
+        .write.mode(SaveMode.Overwrite).parquet(remapsPath)
+      return
+    }
+    val labStore = storeTable(s, indexDir, ClusterLabels, Some(batchId))
+      .select(col("doc_id"), col("label"))
+    val closure = remapClosure(s, indexDir, Some(batchId))
+    // contract: each matched endpoint enters as its CURRENT resolved
+    // label (batch members and previously-singleton store docs enter
+    // as themselves — a store lookup miss resolves to the id)
+    val contracted = resolveThrough(
+      pairs.join(labStore.withColumnRenamed("doc_id", "old_id"), Seq("old_id"), "left")
+        .select(col("new_id"), coalesce(col("label"), col("old_id")).as("node")),
+      closure, "node")
+      .select(col("new_id").as("doc_a"), col("node").as("doc_b"))
+    val comps = LlmText.minLabelComponents(contracted, LlmText.MaxClusterRounds)
+      .select(col("doc_id").as("node"), col("cluster_id").as("comp"))
+    val batchIds = batchDocs.select(col("doc_id").cast("long").as("doc_id"))
+    val batchNodes = comps.join(batchIds.withColumnRenamed("doc_id", "node"),
+      Seq("node"), "left_semi")
+    val oldNodes = comps.join(batchIds.withColumnRenamed("doc_id", "node"),
+      Seq("node"), "left_anti")
+    // label rows: every batch doc in an edge, plus store docs that had
+    // never been labeled (previous singletons matched for the first
+    // time — their node entered the contraction as their own id)
+    val prevSingletons = oldNodes.join(
+      labStore.withColumnRenamed("doc_id", "node"), Seq("node"), "left_anti")
+    batchNodes.unionByName(prevSingletons)
+      .select(col("node").as("doc_id"), col("comp").as("label"))
+      .write.mode(SaveMode.Overwrite).parquet(labelsPath)
+    // merge events: a non-batch node whose component found a smaller
+    // min was a losing label — point it at the winner
+    oldNodes.where(col("comp") =!= col("node"))
+      .select(col("node").as("src"), col("comp").as("dst"))
+      .write.mode(SaveMode.Overwrite).parquet(remapsPath)
+  }
+
+  /** The label READOUT: every labeled doc with its label resolved
+    * through the accumulated merge log — st25's final answer, equal to
+    * the one-shot d14 clustering over everything ingested so far. */
+  def resolveClusterLabels(s: SparkSession, indexDir: String): DataFrame = {
+    val closure = remapClosure(s, indexDir, None)
+    resolveThrough(
+      storeTable(s, indexDir, ClusterLabels, None)
+        .select(col("doc_id"), col("label")),
+      closure, "label")
+      .select(col("doc_id"), col("label").as("cluster_id"))
+      .localCheckpoint(true)
+  }
+
+  /** REBASE — the maintenance event that keeps the merge log bounded
+    * on a 24/7 deployment: fold the remap closure into the label rows
+    * and reset the remap table to its empty bootstrap partition.
+    * Readout rows are unchanged and the closure join becomes a no-op
+    * (parity pinned in IncrementalIndexSpec). Unlike
+    * [[compactBatchStore]] this rewrites ROW VALUES (labels resolve),
+    * so the watermark must cover EVERY label partition and the store
+    * must be quiesced (between micro-batches — the
+    * [[graft.etl.Sinks.compact]] class, not the between-batch-safe
+    * bounded form). Same two-phase crash discipline: the resolved
+    * segment's `_SUCCESS` is the commit point; a re-run after a crash
+    * sees it, skips the rewrite, and finishes the deletes. */
+  def rebaseClusterLabels(s: SparkSession, indexDir: String, upToBid: Long): Unit = {
+    import org.apache.hadoop.fs.Path
+    val root = p(indexDir, ClusterLabels)
+    val fs = fsOf(s, root)
+    val dirs = fs.listStatus(new Path(root)).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("bid="))
+    val bids = dirs.map(_.getPath.getName.stripPrefix("bid=").toLong)
+    require(bids.forall(b => b <= upToBid && b >= -1L || b < -1L && (-2L - b) <= upToBid),
+      s"rebase watermark $upToBid must cover every label partition (found bids ${bids.sorted.mkString(",")})")
+    val target = compactedBid(upToBid)
+    val targetDir = s"$root/bid=$target"
+    if (!fs.exists(new Path(targetDir, "_SUCCESS"))) {
+      // materialized BEFORE any delete: the resolved plan reads the
+      // directories phase 2 removes
+      resolveClusterLabels(s, indexDir)
+        .select(col("doc_id"), col("cluster_id").as("label"))
+        .write.mode(SaveMode.Overwrite).parquet(targetDir)
+    }
+    dirs.filter(_.getPath.getName != s"bid=$target")
+      .foreach(d => fs.delete(d.getPath, true))
+    // the merge log is folded in: reset to the empty bootstrap
+    // partition (applyClusterBatch never writes remaps at bid=-1)
+    val remRoot = p(indexDir, LabelRemaps)
+    for (st <- fsOf(s, remRoot).listStatus(new Path(remRoot))
+         if st.isDirectory && st.getPath.getName.startsWith("bid=") &&
+           st.getPath.getName != "bid=-1")
+      fsOf(s, remRoot).delete(st.getPath, true)
   }
 
   /** e09's verdicts against the STORED index: the batch assigns to the

@@ -3344,7 +3344,63 @@ object LlmText {
        |FROM assigned""".stripMargin
   }
 
+  // ---------------------------------------------------------------- d50
+  /** QUALITY-KEYED survivor selection — keep the BEST member of each
+    * near-dup cluster instead of d09's keep-first. Production corpus
+    * pipelines (the RefinedWeb/CCNet recipe) pick the canonical
+    * representative by QUALITY, not arrival order: near-duplicates are
+    * usually truncations, boilerplate-injected mirrors, or extraction
+    * variants of one underlying document, and keep-first throws away
+    * the clean long variant whenever a mangled copy has the smaller id.
+    * The selection unit is d14's connected COMPONENT (not d09's
+    * direct-pair rule — a transitive chain keeps exactly one member),
+    * and the quality key is deliberately an exact INTEGER: the distinct-
+    * token count (the information-richest variant wins; among near-dups
+    * the superset/longest extraction maximizes it), tie-broken by min
+    * doc_id — integer comparisons are bit-exact cross-engine, so the
+    * kept set cannot drift between Spark and the oracle the way a
+    * float-scored argmax could. Emits the full assignment (kept flag)
+    * rather than just survivors: the downstream writer keeps
+    * `kept = true` rows, and the flag form makes the choice auditable
+    * per cluster.
+    *
+    * Scale shape: the expensive half IS d14's clustering, already
+    * priced and memoized (the d03 verified-pair store); on top ride
+    * one map-side token-stat projection, a corpus-spine left join
+    * against the (small) non-singleton label table, and ONE window
+    * over cluster-sized partitions — cluster cardinality ~N with
+    * near-dup-group-sized groups (singletons dominate), so the
+    * row_number carries no skew risk. No new shuffle class vs d47. */
+  def d50QualitySurvivors(s: SparkSession, dir: String): DataFrame = {
+    val clusters = d14NeardupClusters(s, dir)
+    val quality = base(s, dir).select(col("doc_id"),
+      size(array_distinct(col("toks"))).as("n_distinct"))
+    val assigned = quality
+      .join(clusters, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"),
+        col("n_distinct"))
+    val w = Window.partitionBy(col("cluster_id"))
+      .orderBy(col("n_distinct").desc, col("doc_id").asc)
+    assigned.withColumn("kept", row_number().over(w) === 1)
+  }
+
+  val d50Sql: String =
+    s"""$clusterSqlCtes, comp AS (
+       |  SELECT doc_id, min(r) AS cluster_id FROM reach GROUP BY doc_id
+       |), qual AS (
+       |  SELECT doc_id, len(list_distinct(toks)) AS n_distinct FROM base
+       |), assigned AS (
+       |  SELECT q.doc_id, coalesce(c.cluster_id, q.doc_id) AS cluster_id, q.n_distinct
+       |  FROM qual q LEFT JOIN comp c ON q.doc_id = c.doc_id
+       |)
+       |SELECT doc_id, cluster_id, n_distinct,
+       |  (row_number() OVER (PARTITION BY cluster_id
+       |     ORDER BY n_distinct DESC, doc_id ASC) = 1) AS kept
+       |FROM assigned""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d50_quality_survivors" -> (d50QualitySurvivors _),
     "d48_tombstone_sparse" -> (d48TombstoneSparse _),
     "d49_bloom_decontamination" -> (d49BloomDecontamination _),
     "d47_leakage_split" -> (d47LeakageSplit _),
@@ -3403,6 +3459,7 @@ object LlmText {
     * [[graft.tools.InitOrderCheck]]. Lazy = assembled on first use,
     * after both objects finish initializing. */
   lazy val oracleSql: Map[String, String] = Map(
+    "d50_quality_survivors" -> d50Sql,
     "d48_tombstone_sparse" -> d48Sql,
     "d49_bloom_decontamination" -> d49Sql,
     "d47_leakage_split" -> d47Sql,

@@ -1128,7 +1128,124 @@ object AdAnalytics {
 
   lazy val st23Sql: String = graft.operators.LlmText.d18Sql
 
+  // ---------------------------------------------------------------- st24
+  /** STREAMING RETRACTIONS — the DELETE verb of the index lifecycle as
+    * a stream (the cell st13-class ingest and e24's batch tombstones
+    * leave open: build and append arrive online in st13/st22, but
+    * deletions in a real pipeline arrive online too — DMCA takedowns,
+    * opt-outs, upstream corrections). The corpus's frozen serve pair
+    * (lsh_buckets, graph_edges — e23/e24's store) is built once; each
+    * micro-batch of retraction ids then lands in its own idempotent
+    * `bid=<id>` partition of the vec_tombstones table
+    * ([[graft.jobs.IncrementalIndex.writeVecTombstonesBatch]]); the
+    * readout once the stream drains is the tombstoned serve over the
+    * persisted pair ([[graft.jobs.IncrementalIndex
+    * .probeGraphServeLive]] — every stage anti-joins the tombstone
+    * set).
+    *
+    * Equivalence contract (why the oracle is e24's verbatim):
+    * tombstones are a SET — the union of the bid partitions equals the
+    * full retraction set for ANY split in ANY order, and application
+    * is an anti-join that duplicates cannot perturb — so the drained
+    * readout equals batch e24 row-for-row (and a crash-replayed batch
+    * simply overwrites its own partition; StreamingSpec pins both).
+    * Steady-state deployment cost: per batch, one retraction-sized
+    * parquet append — the serve price is paid by READS, each a
+    * broadcast anti-join of the accumulated (retraction-sized ≪
+    * corpus) id set, until [[graft.jobs.IncrementalIndex.vacuum]]
+    * rewrites the touched partitions and makes reads free again. */
+  def st24StreamingRetraction(s: SparkSession, dir: String): DataFrame = {
+    import graft.jobs.IncrementalIndex
+    import graft.operators.Embeddings
+    val indexDir = java.nio.file.Files.createTempDirectory("graft-st24-idx-").toString
+    try {
+      val vecs = graft.Tables.embeddings(s, dir)
+      IncrementalIndex.writeLshIndex(s, vecs, indexDir)
+      IncrementalIndex.writeGraphIndex(s, vecs, indexDir)
+      val empty = vecs.limit(0).select(col("vec_id"))
+      Streams.runForeachBatchWithId(s, "append", empty)(
+        ss => Streams.tableStream(ss, dir, "embeddings")
+          .where(col("vec_id") % Embeddings.VecTombMod === Embeddings.VecTombRem)
+          .select(col("vec_id"))) { (store, batch, bid) =>
+        IncrementalIndex.writeVecTombstonesBatch(s, batch, indexDir, bid)
+        store.unionByName(batch)
+      }
+      IncrementalIndex.probeGraphServeLive(s, indexDir)
+    } finally {
+      val root = java.nio.file.Paths.get(indexDir)
+      if (java.nio.file.Files.exists(root)) {
+        val it = java.nio.file.Files.walk(root)
+          .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        try it.forEach(pp => { java.nio.file.Files.deleteIfExists(pp); () })
+        finally it.close()
+      }
+    }
+  }
+
+  lazy val st24Sql: String = graft.operators.Embeddings.e24Sql
+
+  // ---------------------------------------------------------------- st25
+  /** STREAMING CLUSTER MAINTENANCE — online connected components, the
+    * hardest maintenance verb in the dedup lifecycle: d14's cluster
+    * label is a GLOBAL property (an arriving document can BRIDGE two
+    * existing clusters, changing every member's label), yet a real
+    * corpus pipeline needs labels current as documents arrive — for
+    * d47's leakage-free splits and d50's quality survivors — without
+    * relabeling the corpus per batch. The union-find-as-log design
+    * ([[graft.jobs.IncrementalIndex.writeClusterBootstrap]]): the
+    * corpus bootstraps (text index + component labels at bid −1); each
+    * micro-batch probes its verified near-dup EDGES against the store,
+    * contracts the touched components (nodes = batch docs + the
+    * distinct labels they reached — never the clusters' members), runs
+    * min-label propagation on that batch-sized graph, and appends one
+    * label partition + one merge-event partition. The readout resolves
+    * the label log through the merge closure — equal to the one-shot
+    * d14 clustering over the full corpus for ANY ascending-id split
+    * (components of a fixed edge set are split-invariant; the
+    * incremental min is the true min by induction), which is why the
+    * oracle is d14Sql VERBATIM. Crash-replay: probe-before-append with
+    * `exceptBid` across all four partitions, pinned in StreamingSpec.
+    *
+    * Steady-state deployment cost: per batch, one batch-sized LSH
+    * probe + one contraction over the batch's edge count + four
+    * batch-sized appends; the merge log grows one row per bridge
+    * EVENT (bounded by total cluster count, ≪ corpus), and
+    * [[graft.jobs.IncrementalIndex.rebaseClusterLabels]] is the
+    * maintenance event that folds it flat. */
+  def st25StreamingClusters(s: SparkSession, dir: String): DataFrame = {
+    import graft.jobs.IncrementalIndex
+    import graft.operators.LlmText
+    val mod = LlmText.IncrementalBatchMod
+    val indexDir = java.nio.file.Files.createTempDirectory("graft-st25-idx-").toString
+    try {
+      val docs = graft.Tables.documents(s, dir)
+      IncrementalIndex.writeClusterBootstrap(s,
+        docs.where(col("doc_id") % mod =!= 0), indexDir)
+      val empty = docs.limit(0)
+        .select(col("doc_id"), col("doc_id").as("cluster_id"))
+      Streams.runForeachBatchWithId(s, "append", empty)(
+        ss => Streams.tableStream(ss, dir, "documents")
+          .where(col("doc_id") % mod === 0)) { (store, batch, bid) =>
+        IncrementalIndex.applyClusterBatch(s, batch, indexDir, bid)
+        store
+      }
+      IncrementalIndex.resolveClusterLabels(s, indexDir)
+    } finally {
+      val root = java.nio.file.Paths.get(indexDir)
+      if (java.nio.file.Files.exists(root)) {
+        val it = java.nio.file.Files.walk(root)
+          .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        try it.forEach(pp => { java.nio.file.Files.deleteIfExists(pp); () })
+        finally it.close()
+      }
+    }
+  }
+
+  lazy val st25Sql: String = graft.operators.LlmText.d14Sql
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "st25_streaming_clusters" -> (st25StreamingClusters _),
+    "st24_streaming_retraction" -> (st24StreamingRetraction _),
     "st23_streaming_bloom" -> (st23StreamingBloom _),
     "st22_streaming_graph_ingest" -> (st22StreamingGraphIngest _),
     "st21_streaming_graph_serve" -> (st21StreamingGraphServe _),
@@ -1158,6 +1275,8 @@ object AdAnalytics {
     * if either operator object's init re-entered this one — the
     * cross-object RerankC trap ([[graft.tools.InitOrderCheck]]). */
   lazy val oracleSql: Map[String, String] = Map(
+    "st25_streaming_clusters" -> st25Sql,
+    "st24_streaming_retraction" -> st24Sql,
     "st22_streaming_graph_ingest" -> st22Sql,
     "st23_streaming_bloom" -> st23Sql,
     "st21_streaming_graph_serve" -> st21Sql,

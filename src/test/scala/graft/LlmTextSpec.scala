@@ -1667,6 +1667,37 @@ class LlmTextSpec extends GraftSuite {
       s"fixture's max reverse in-degree $rawRev never engages the cap R=$R")
   }
 
+  test("d50: exactly one survivor per cluster, and it is the quality argmax") {
+    val rows = LlmText.d50QualitySurvivors(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getBoolean(3)))
+    val nDocs = Tables.documents(spark, sf).count()
+    assert(rows.length.toLong === nDocs, "every doc must be assigned exactly once")
+    assert(rows.map(_._1).distinct.length === rows.length, "duplicate assignments")
+    rows.groupBy(_._2).foreach { case (c, g) =>
+      val kept = g.filter(_._4)
+      assert(kept.length === 1, s"cluster $c kept ${kept.length} members, want 1")
+      // the survivor is the exact-integer argmax: max distinct-token
+      // count, ties to the smaller doc_id
+      val best = g.minBy(x => (-x._3, x._1))
+      assert(kept.head._1 === best._1,
+        s"cluster $c kept ${kept.head} but the quality argmax is $best")
+    }
+    // the rule must actually DIFFER from keep-first on this corpus:
+    // some multi-doc cluster's best member is not its min id (otherwise
+    // the quality key is vacuous here and the test proves nothing)
+    val multi = rows.groupBy(_._2).filter(_._2.length > 1)
+    assert(multi.nonEmpty, "fixture must have multi-doc clusters")
+    assert(multi.values.exists(g => g.filter(_._4).head._1 != g.map(_._1).min),
+      "quality argmax always coincided with min-id — the negative control is vacuous")
+    // cluster ids must agree with d14's labeling (singletons are their
+    // own cluster)
+    val d14 = LlmText.d14NeardupClusters(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.foreach { case (id, c, _, _) =>
+      assert(c === d14.getOrElse(id, id), s"doc $id cluster $c != d14 ${d14.getOrElse(id, id)}")
+    }
+  }
+
   test("d47: split is cluster-atomic (no leakage), covers every doc once; doc-keyed hashing would leak") {
     val rows = LlmText.d47LeakageSplit(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))

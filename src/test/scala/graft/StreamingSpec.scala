@@ -1122,6 +1122,141 @@ class StreamingSpec extends GraftSuite {
     assert(storedEdges === expected, "stored edges diverged from the emitted union")
   }
 
+  test("st24: any retraction split + a crash-replay reproduces the batch e24 serve") {
+    // tombstones are a SET: the union of the bid partitions equals the
+    // full retraction set for any split in any order, application is an
+    // anti-join duplicates cannot perturb, and a crash-replayed batch
+    // overwrites its own bid partition — so the drained readout must be
+    // row-identical to the in-JVM batch form (e24) however the stream
+    // delivered the deletes
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import graft.jobs.IncrementalIndex
+    import graft.operators.Embeddings
+    val expected = Embeddings.e24TombstoneServe(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    val idx = java.nio.file.Files.createTempDirectory("st24-crash-idx-").toString
+    val vecs = Tables.embeddings(spark, sf)
+    IncrementalIndex.writeLshIndex(spark, vecs, idx)
+    IncrementalIndex.writeGraphIndex(spark, vecs, idx)
+    val dels = vecs
+      .where(col("vec_id") % Embeddings.VecTombMod === Embeddings.VecTombRem)
+      .select("vec_id").collect().map(_.getLong(0)).sorted
+    // deliver out of ascending order: retraction order must not matter
+    val chunks = dels.reverse.grouped((dels.length + 2) / 3).toSeq
+    val cp = ckpt()
+    val ms = MemoryStream[Long]
+    @volatile var poison = false
+    def run(expectCrash: Boolean): Unit = {
+      val q = ms.toDF().toDF("vec_id")
+        .writeStream.outputMode("append")
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, bid: Long) =>
+          IncrementalIndex.writeVecTombstonesBatch(spark, batch, idx, bid)
+          if (poison && bid >= 1) throw new RuntimeException("poison-after-append")
+          ()
+        }
+        .option("checkpointLocation", cp)
+        .trigger(Trigger.AvailableNow()).start()
+      if (expectCrash) {
+        val e = intercept[Exception] { q.awaitTermination() }
+        assert(hasPoison(e), s"expected the poison crash, got $e")
+        poison = false
+      } else q.awaitTermination()
+    }
+    ms.addData(chunks(0): _*); run(expectCrash = false)
+    poison = true
+    ms.addData(chunks(1): _*); run(expectCrash = true) // append landed, offsets did not
+    run(expectCrash = false) // replay of batch 1 overwrites bid=1
+    ms.addData(chunks(2): _*); run(expectCrash = false)
+    // stored retraction set = the delivered set, no replay duplicates
+    val stored = spark.read
+      .parquet(s"$idx/${IncrementalIndex.VecTombstones}")
+    assert(stored.count() === dels.length.toLong,
+      "crash-replay duplicated tombstone rows — bid overwrite failed")
+    assert(stored.select("vec_id").collect().map(_.getLong(0)).sorted
+      .sameElements(dels), "stored retraction ids differ from the delivered set")
+    val got = IncrementalIndex.probeGraphServeLive(spark, idx)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    assert(got === expected,
+      "streamed-retraction serve diverged from the batch e24 form")
+  }
+
+  test("st25: bridge + crash-replay reproduce the one-shot clusters; rebase folds the merge log") {
+    // constructed corpus exercising every path of the union-find-as-log
+    // design: P-family docs where arrival E (id 10) BRIDGES the
+    // bootstrap component {3,11} with the bootstrap singleton 7 (the
+    // merge event that appends a remap row), a second arrival wave
+    // where 30 matches the PREVIOUS batch's unmatched arrival 20 (the
+    // previously-singleton store-doc labeling path) and 40 re-attaches
+    // to the merged component, plus an untouched corpus doc 13 that
+    // must stay absent (d14's singleton exclusion)
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import graft.jobs.IncrementalIndex
+    val p = (0 until 18).map(i => s"w$i").mkString(" ")   // 16 word-trigrams
+    val bTxt = s"$p bxa bxb bxc"                          // jacc(E,B)=16/19≈.84 ≥ .8
+    val dTxt = s"$p dya dyb dyc"                          // jacc(B,D)=16/22≈.73 < .8
+    val u2 = (0 until 18).map(i => s"u$i").mkString(" ")
+    def row(id: Long, t: String) = (id, t, "en", "t", t.length.toLong)
+    val corpus = Seq(row(3, bTxt), row(7, dTxt), row(11, bTxt), row(13,
+      (0 until 18).map(i => s"z$i").mkString(" ")))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val arrivals = Seq(row(10, p), row(20, u2), row(30, u2), row(40, p))
+    // one-shot reference: bootstrap over everything at once
+    val oneIdx = java.nio.file.Files.createTempDirectory("st25-oneshot-").toString
+    IncrementalIndex.writeClusterBootstrap(spark,
+      corpus.unionByName(arrivals.toDF("doc_id", "text", "lang", "source", "n_chars")), oneIdx)
+    val expected = IncrementalIndex.resolveClusterLabels(spark, oneIdx)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(expected === Set((3L, 3L), (7L, 3L), (10L, 3L), (11L, 3L), (40L, 3L),
+      (20L, 20L), (30L, 20L)),
+      "the constructed corpus must produce the designed components")
+    // streamed: two ascending batches, batch 1 crashes after its appends
+    val idx = java.nio.file.Files.createTempDirectory("st25-crash-idx-").toString
+    IncrementalIndex.writeClusterBootstrap(spark, corpus, idx)
+    val cp = ckpt()
+    val ms = MemoryStream[(Long, String, String, String, Long)]
+    @volatile var poison = false
+    def run(expectCrash: Boolean): Unit = {
+      val q = ms.toDF().toDF("doc_id", "text", "lang", "source", "n_chars")
+        .writeStream.outputMode("append")
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, bid: Long) =>
+          IncrementalIndex.applyClusterBatch(spark, batch, idx, bid)
+          if (poison && bid >= 1) throw new RuntimeException("poison-after-append")
+          ()
+        }
+        .option("checkpointLocation", cp)
+        .trigger(Trigger.AvailableNow()).start()
+      if (expectCrash) {
+        val e = intercept[Exception] { q.awaitTermination() }
+        assert(hasPoison(e), s"expected the poison crash, got $e")
+        poison = false
+      } else q.awaitTermination()
+    }
+    ms.addData(arrivals.take(2): _*); run(expectCrash = false) // 10 bridges, 20 floats
+    poison = true
+    ms.addData(arrivals.drop(2): _*); run(expectCrash = true)  // appends landed, offsets did not
+    run(expectCrash = false)                                   // replay of batch 1
+    val got = IncrementalIndex.resolveClusterLabels(spark, idx)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === expected, "streamed labels diverged from the one-shot clustering")
+    // the bridge REALLY happened: label 7 lost to 3 via a merge-event row
+    val remaps = spark.read.parquet(s"$idx/${IncrementalIndex.LabelRemaps}")
+    assert(remaps.where(col("src") === 7 && col("dst") === 3).count() === 1L,
+      "expected exactly one 7→3 merge event in the remap log")
+    // rebase: readout unchanged, merge log reset, label partitions folded
+    IncrementalIndex.rebaseClusterLabels(spark, idx, upToBid = 1L)
+    val rebased = IncrementalIndex.resolveClusterLabels(spark, idx)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(rebased === expected, "rebase changed the readout")
+    assert(spark.read.parquet(s"$idx/${IncrementalIndex.LabelRemaps}").isEmpty,
+      "rebase must fold the merge log flat")
+    val labDirs = new java.io.File(s"$idx/${IncrementalIndex.ClusterLabels}")
+      .listFiles().filter(_.isDirectory).map(_.getName).toSet
+    assert(labDirs === Set(s"bid=${IncrementalIndex.compactedBid(1L)}"),
+      s"rebase must leave one consolidated label segment, got $labDirs")
+  }
+
   test("st14: a restart on the same checkpoint + index dir resumes — no refold, no index rewrite") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
