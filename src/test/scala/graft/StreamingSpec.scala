@@ -1251,10 +1251,23 @@ class StreamingSpec extends GraftSuite {
     assert(rebased === expected, "rebase changed the readout")
     assert(spark.read.parquet(s"$idx/${IncrementalIndex.LabelRemaps}").isEmpty,
       "rebase must fold the merge log flat")
-    val labDirs = new java.io.File(s"$idx/${IncrementalIndex.ClusterLabels}")
+    def labDirs(): Set[String] = new java.io.File(s"$idx/${IncrementalIndex.ClusterLabels}")
       .listFiles().filter(_.isDirectory).map(_.getName).toSet
-    assert(labDirs === Set(s"bid=${IncrementalIndex.compactedBid(1L)}"),
-      s"rebase must leave one consolidated label segment, got $labDirs")
+    assert(labDirs() === Set(s"bid=${IncrementalIndex.compactedBid(1L)}"),
+      s"rebase must leave one consolidated label segment, got ${labDirs()}")
+    // crash window: a rebase that committed its segment (_SUCCESS) but
+    // died before the deletes leaves an original beside it; the
+    // documented recovery is to RE-RUN the same rebase, which sees the
+    // marker, skips the rewrite, and finishes the deletes
+    val seg = s"$idx/${IncrementalIndex.ClusterLabels}/bid=${IncrementalIndex.compactedBid(1L)}"
+    spark.read.parquet(seg).limit(2)
+      .write.parquet(s"$idx/${IncrementalIndex.ClusterLabels}/bid=0")
+    IncrementalIndex.rebaseClusterLabels(spark, idx, upToBid = 1L)
+    assert(labDirs() === Set(s"bid=${IncrementalIndex.compactedBid(1L)}"),
+      "re-running the rebase must finish the crashed deletes")
+    val resumed = IncrementalIndex.resolveClusterLabels(spark, idx)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(resumed === expected, "resumed rebase changed the readout")
   }
 
   test("st14: a restart on the same checkpoint + index dir resumes — no refold, no index rewrite") {
