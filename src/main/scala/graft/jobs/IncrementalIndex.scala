@@ -695,6 +695,25 @@ object IncrementalIndex {
   def probeGraph(s: SparkSession, indexDir: String): DataFrame =
     s.read.parquet(p(indexDir, GraphEdges))
 
+  /** Write the (lsh_buckets, graph_edges) serve pair for the FIXTURE
+    * corpus through the in-JVM memo path ([[graft.operators.Embeddings
+    * .bucketedOf]] / [[graft.operators.Embeddings.graphOf]] at the
+    * pinned build levers) — row-identical to [[writeLshIndex]] +
+    * [[writeGraphIndex]] over the same corpus (the memo-vs-stored
+    * parity StoredParitySpec pins), but the build is SHARED with every
+    * other memo consumer in the JVM: a warm process pays the parquet
+    * write, not a recompute, which is exactly how a deployment derives
+    * its store from an already-materialized build artifact. Memo-
+    * disabled (cold) runs recompute through the same definitions, so
+    * both prices stay honest. st21/st24 use this; st22 builds over a
+    * corpus SUBSET and keeps the explicit writers. */
+  def writeServePair(s: SparkSession, dir: String, indexDir: String): Unit = {
+    Embeddings.bucketedOf(s, dir)
+      .write.mode(SaveMode.Overwrite).parquet(p(indexDir, LshBuckets))
+    Embeddings.graphOf(s, dir, 1, Embeddings.DefaultNndRevCap)
+      .write.mode(SaveMode.Overwrite).parquet(p(indexDir, GraphEdges))
+  }
+
   /** e23's graph-serve beam for a BATCH of query vectors against the
     * PERSISTED (lsh_buckets, graph_edges) pair — the online-ANN-serving
     * probe (st21's per-batch form): the batch hashes its own buckets

@@ -996,8 +996,7 @@ object AdAnalytics {
     val indexDir = java.nio.file.Files.createTempDirectory("graft-st21-idx-").toString
     try {
       val vecs = graft.Tables.embeddings(s, dir)
-      IncrementalIndex.writeLshIndex(s, vecs, indexDir)
-      IncrementalIndex.writeGraphIndex(s, vecs, indexDir)
+      IncrementalIndex.writeServePair(s, dir, indexDir)
       val empty = vecs.limit(0)
         .select(col("vec_id").as("query_id"), col("vec_id").as("neighbor_id"),
           lit(0.0).as("cos"), lit(0).as("rank"))
@@ -1160,8 +1159,7 @@ object AdAnalytics {
     val indexDir = java.nio.file.Files.createTempDirectory("graft-st24-idx-").toString
     try {
       val vecs = graft.Tables.embeddings(s, dir)
-      IncrementalIndex.writeLshIndex(s, vecs, indexDir)
-      IncrementalIndex.writeGraphIndex(s, vecs, indexDir)
+      IncrementalIndex.writeServePair(s, dir, indexDir)
       val empty = vecs.limit(0).select(col("vec_id"))
       Streams.runForeachBatchWithId(s, "append", empty)(
         ss => Streams.tableStream(ss, dir, "embeddings")
