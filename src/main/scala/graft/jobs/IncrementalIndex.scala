@@ -949,11 +949,38 @@ object IncrementalIndex {
   def writeClusterBootstrap(s: SparkSession, corpusDocs: DataFrame,
                             indexDir: String): Unit = {
     writeTextIndexBatch(s, corpusDocs, indexDir, batchId = -1L)
-    val edges = selfTextEdges(s, indexDir)
+    writeBootstrapLabels(s, selfTextEdges(s, indexDir), indexDir)
+  }
+
+  /** [[writeClusterBootstrap]] for the FIXTURE corpus (st25's form —
+    * the [[writeServePair]] discipline): the corpus-internal edge set
+    * equals the memoized d03 verified-pair store restricted to
+    * corpus-side endpoints (a band collision between two corpus docs
+    * does not care which other docs exist), so a warm process derives
+    * the bootstrap labels from the already-materialized pair table
+    * instead of re-running the candidate self-join + verify; cold runs
+    * recompute through the same definitions. The band/shingle index
+    * write is the honest per-corpus ingest cost either way (st13's
+    * bootstrap class). */
+  def writeClusterBootstrapFixture(s: SparkSession, dir: String,
+                                   indexDir: String): Unit = {
+    val mod = LlmText.IncrementalBatchMod
+    writeTextIndexBatch(s,
+      graft.Tables.documents(s, dir).where(col("doc_id") % mod =!= 0),
+      indexDir, batchId = -1L)
+    val edges = LlmText.d03LshNeardup(s, dir)
+      .where(col("jaccard") >= LlmText.NeardupThreshold &&
+        col("doc_a") % mod =!= 0 && col("doc_b") % mod =!= 0)
+      .select(col("doc_a").as("new_id"), col("doc_b").as("old_id"))
+    writeBootstrapLabels(s, edges, indexDir)
+  }
+
+  private def writeBootstrapLabels(s: SparkSession, edges: DataFrame,
+                                   indexDir: String): Unit = {
     val labels =
       if (edges.isEmpty)
-        corpusDocs.limit(0).select(col("doc_id").cast("long").as("doc_id"),
-          col("doc_id").cast("long").as("label"))
+        edges.limit(0).select(col("new_id").cast("long").as("doc_id"),
+          col("new_id").cast("long").as("label"))
       else LlmText.minLabelComponents(edges.select(col("new_id").as("doc_a"),
           col("old_id").as("doc_b")), LlmText.MaxClusterRounds)
         .select(col("doc_id"), col("cluster_id").as("label"))

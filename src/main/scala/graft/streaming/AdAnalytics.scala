@@ -1217,8 +1217,7 @@ object AdAnalytics {
     val indexDir = java.nio.file.Files.createTempDirectory("graft-st25-idx-").toString
     try {
       val docs = graft.Tables.documents(s, dir)
-      IncrementalIndex.writeClusterBootstrap(s,
-        docs.where(col("doc_id") % mod =!= 0), indexDir)
+      IncrementalIndex.writeClusterBootstrapFixture(s, dir, indexDir)
       val empty = docs.limit(0)
         .select(col("doc_id"), col("doc_id").as("cluster_id"))
       Streams.runForeachBatchWithId(s, "append", empty)(
