@@ -183,6 +183,26 @@ class StoredParitySpec extends GraftSuite {
       "quantile store vs streaming readout")
   }
 
+  test("cluster bootstrap: memoized-d03 fixture path ≡ subset self-join path") {
+    // writeClusterBootstrapFixture derives the corpus-internal edges by
+    // restricting the memoized d03 pair store to corpus-side endpoints;
+    // writeClusterBootstrap re-derives them with a band self-join over
+    // the written subset index. Same corpus partition ⇒ identical
+    // bootstrap labels — the claim that lets st25's warm runs skip the
+    // candidate self-join without changing a single row.
+    val mod = graft.operators.LlmText.IncrementalBatchMod
+    val viaMemo = Files.createTempDirectory("graft-cboot-memo-").toString
+    val viaSelf = Files.createTempDirectory("graft-cboot-self-").toString
+    IncrementalIndex.writeClusterBootstrapFixture(spark, sf, viaMemo)
+    IncrementalIndex.writeClusterBootstrap(spark,
+      Tables.documents(spark, sf).where(col("doc_id") % mod =!= 0), viaSelf)
+    val a = spark.read.parquet(s"$viaMemo/${IncrementalIndex.ClusterLabels}")
+      .select(col("doc_id"), col("label"))
+    val b = spark.read.parquet(s"$viaSelf/${IncrementalIndex.ClusterLabels}")
+      .select(col("doc_id"), col("label"))
+    assertSameRows(a, b, "bootstrap labels")
+  }
+
   test("d03 verified pairs: memo-served ≡ fresh recompute (cold conf)") {
     val warm = LlmText.d03LshNeardup(spark, sf)
     spark.conf.set(StoredMemo.DisableConf, "true")
