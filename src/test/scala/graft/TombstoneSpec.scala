@@ -160,4 +160,35 @@ class TombstoneSpec extends GraftSuite {
       "vacuum must drop exactly the tombstoned rows")
     assert(rowsAfter.nonEmpty)
   }
+
+  test("bid-partitioned tombstone table (st24's layout): liveTable and vacuum read it as a set") {
+    // st24 accrues the retraction set as one bid=<batchId> partition
+    // per micro-batch; liveTable must read the UNION of partitions and
+    // vacuum must fold + clear the partitioned table exactly like the
+    // flat form
+    import spark.implicits._
+    val idx = Files.createTempDirectory("graft-tomb-bidset-").toString
+    IncrementalIndex.writeServePair(spark, sf, idx)
+    val ids = delIds.collect().map(_.getLong(0)).sorted
+    val (h1, h2) = ids.splitAt(ids.length / 2)
+    IncrementalIndex.writeVecTombstonesBatch(spark, h1.toSeq.toDF("vec_id"), idx, 0L)
+    IncrementalIndex.writeVecTombstonesBatch(spark, h2.toSeq.toDF("vec_id"), idx, 1L)
+    val memo = Embeddings.e24TombstoneServe(spark, sf)
+      .select("query_id", "neighbor_id", "rank")
+    assertSameRows(
+      IncrementalIndex.probeGraphServeLive(spark, idx)
+        .select("query_id", "neighbor_id", "rank"),
+      memo, "bid-partitioned tombstones: live serve vs in-JVM e24")
+    IncrementalIndex.vacuum(spark, idx)
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$idx/${IncrementalIndex.VecTombstones}")),
+      "vacuum must clear the partitioned tombstone table")
+    assert(spark.read.parquet(s"$idx/${IncrementalIndex.LshBuckets}")
+      .where(col("vec_id").isin(ids: _*)).count() === 0L,
+      "vacuum must drop retracted ids from the bucket table")
+    assertSameRows(
+      IncrementalIndex.probeGraphServeLive(spark, idx)
+        .select("query_id", "neighbor_id", "rank"),
+      memo, "post-vacuum serve (liveTable ≡ plain read)")
+  }
 }
