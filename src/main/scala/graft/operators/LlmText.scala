@@ -2087,7 +2087,16 @@ object LlmText {
         (graft.StoredMemo.dirKey(s, dir), s.conf.get(SparseMaxDfConf, "1000").toInt)) {
       val docs = base(s, dir)
       val tf = tfOf(docs)
-      weightedPostingsOf(tf, termStatsOf(s, docs, tf)).localCheckpoint()
+      // doc_id-keyed layout at a scale-adaptive partition count: the
+      // build's last exchange is AQE-coalesced (1 partition at fixture
+      // scale) and localCheckpoint freezes that layout — the ranking
+      // core's dots stage (probe side of the term self-join + partial
+      // aggregate, Σ_t qdf·df rows) then runs single-task. Measured
+      // r13: d33 dots 15.6 s → spread across cores (plans/r13). Keyed
+      // repartition keeps the exchange deterministic (guide §2.5).
+      weightedPostingsOf(tf, termStatsOf(s, docs, tf))
+        .repartition(graft.StoredMemo.storeParts(s), col("doc_id"))
+        .localCheckpoint()
     }
 
   private[graft] def d33SparseCosineQ(s: SparkSession, dir: String,
