@@ -85,6 +85,17 @@ object IncrementalIndex {
 
   private def p(indexDir: String, table: String): String = s"$indexDir/$table"
 
+  /** Spread a narrow input across cores before a per-row-heavy
+    * derivation (shingling, quantization, hashing). Batch frames from a
+    * one-file stream source and the fixture's one-file parquet scans
+    * arrive as a SINGLE partition, so every probe/build that derives
+    * per-row features ran its map stage one-core regardless of cluster
+    * size (r13 measurement: st23's bloom probe 3.7 s narrow vs 2.2 s
+    * spread at sf0.1; guide §2.5 input skew — repartition immediately
+    * after a narrow read). Conditional, so an already-parallel input
+    * (a real deployment's many-file scan) pays nothing. */
+  private def spread(df: DataFrame): DataFrame = graft.Tables.spreadIfNarrow(df)
+
   // ------------------------------------------------------- tombstones
   /** Which tombstone table filters which store table, on which id
     * columns. Row-LOCAL tables (one row belongs to one id) filter
@@ -249,13 +260,36 @@ object IncrementalIndex {
     * released before return). */
   def writeTextIndex(s: SparkSession, docs: DataFrame, indexDir: String,
                      mode: SaveMode = SaveMode.Overwrite): Unit = {
-    val baseDf = LlmText.baseFrom(docs).persist()
+    val baseDf = LlmText.baseFrom(spread(docs)).persist()
     try {
       LlmText.bandEntriesOf(s, LlmText.sigOf(s, baseDf))
         .write.mode(mode).parquet(p(indexDir, TextBands))
       LlmText.shingleSetsOf(s, baseDf)
         .write.mode(mode).parquet(p(indexDir, TextShingles))
     } finally { baseDf.unpersist(); () }
+  }
+
+  /** FIXTURE-path bootstrap writer for the batch-keyed text index: the
+    * `bid=-1` corpus partition derived from the in-JVM memoized band/
+    * shingle tables ([[graft.operators.LlmText.bandsOf]]/[[graft
+    * .operators.LlmText.shinglesOf]]) filtered by `pred` — row-identical
+    * to [[writeTextIndexBatch]] over the same docs because both
+    * derivations are per-doc pure functions (parity pinned in
+    * IncrementalIndexSpec), but a warm process pays the parquet write,
+    * not a tokenize→shingle→minhash recompute ([[writeServePair]]'s
+    * discipline; cold runs rebuild through the same definitions).
+    * st13/st25 bootstrap through this; the per-batch APPENDS keep the
+    * explicit [[writeTextIndexBatch]] — arriving data is computed when
+    * it arrives, that cost is the measured steady state. */
+  def writeTextIndexFixtureBootstrap(s: SparkSession, dir: String,
+                                     indexDir: String,
+                                     pred: org.apache.spark.sql.Column): Unit = {
+    LlmText.bandsOf(s, dir).where(pred)
+      .write.mode(SaveMode.Overwrite)
+      .parquet(s"${p(indexDir, TextBands)}/bid=-1")
+    LlmText.shinglesOf(s, dir).where(pred)
+      .write.mode(SaveMode.Overwrite)
+      .parquet(s"${p(indexDir, TextShingles)}/bid=-1")
   }
 
   /** IDEMPOTENT per-batch append for the streaming ingest twins: the
@@ -270,7 +304,7 @@ object IncrementalIndex {
     * layout (flat files and bid dirs must not mix under one root). */
   def writeTextIndexBatch(s: SparkSession, docs: DataFrame, indexDir: String,
                           batchId: Long): Unit = {
-    val baseDf = LlmText.baseFrom(docs).persist()
+    val baseDf = LlmText.baseFrom(spread(docs)).persist()
     try {
       LlmText.bandEntriesOf(s, LlmText.sigOf(s, baseDf))
         .write.mode(SaveMode.Overwrite)
@@ -284,7 +318,7 @@ object IncrementalIndex {
   /** [[writeTextIndexBatch]]'s substring-postings twin (st19's append). */
   def writeSubstrIndexBatch(s: SparkSession, docs: DataFrame, indexDir: String,
                             batchId: Long): Unit =
-    LlmText.rhPostingsFrom(s, docs)
+    LlmText.rhPostingsFrom(s, spread(docs))
       .write.mode(SaveMode.Overwrite)
       .parquet(s"${p(indexDir, RhPostings)}/bid=$batchId")
 
@@ -434,7 +468,7 @@ object IncrementalIndex {
     * [[appendCellSurvivors]] is the survivors-only curation policy. */
   private[graft] def appendCellMembers(s: SparkSession, vecs: DataFrame,
                                        indexDir: String, mode: SaveMode): Unit =
-    Embeddings.assignRanked(s, Embeddings.quantizedFrom(s, vecs),
+    Embeddings.assignRanked(s, Embeddings.quantizedFrom(s, spread(vecs)),
         s.read.parquet(p(indexDir, CellCentroids)))
       .where(col("rn") === 1)
       .select(col("cell"), col("vec_id"), col("q"), col("nq"))
@@ -617,7 +651,7 @@ object IncrementalIndex {
     * later batch while replays overwrite themselves. */
   def writeLshIndexBatch(s: SparkSession, vecs: DataFrame, indexDir: String,
                          batchId: Long): Unit =
-    Embeddings.bucketedFrom(s, Embeddings.quantizedFrom(s, vecs))
+    Embeddings.bucketedFrom(s, Embeddings.quantizedFrom(s, spread(vecs)))
       .write.mode(SaveMode.Overwrite)
       .parquet(s"${p(indexDir, LshBuckets)}/bid=$batchId")
 
@@ -630,8 +664,30 @@ object IncrementalIndex {
   def writeGraphBootstrapBatch(s: SparkSession, vecs: DataFrame, indexDir: String,
                                rounds: Int = 1,
                                revCap: Int = Embeddings.DefaultNndRevCap): Unit = {
-    val v = Embeddings.quantizedFrom(s, vecs)
+    val v = Embeddings.quantizedFrom(s, spread(vecs))
     Embeddings.nnDescentOver(s, Embeddings.bucketedFrom(s, v), v, rounds, revCap)
+      .write.mode(SaveMode.Overwrite)
+      .parquet(s"${p(indexDir, GraphEdges)}/bid=-1")
+  }
+
+  /** FIXTURE-path bootstrap for st22's (lsh_buckets, graph_edges)
+    * ingest pair: the `bid=-1` corpus partitions derived from the
+    * in-JVM memo path — the bucket rows are a vec_id filter of the
+    * corpus bucket memo (per-row pure hash), the bootstrap graph is
+    * its own memoized descent over the subset ([[graft.operators
+    * .Embeddings.ingestGraphOf]]) — row-identical to
+    * [[writeLshIndexBatch]] + [[writeGraphBootstrapBatch]] over the
+    * same subset (parity pinned in IncrementalIndexSpec), but a warm
+    * process pays the parquet writes ([[writeServePair]]'s
+    * discipline); cold runs rebuild through the same definitions. */
+  def writeGraphBootstrapFixture(s: SparkSession, dir: String,
+                                 indexDir: String): Unit = {
+    val modE = Embeddings.IncrementalBatchModE
+    Embeddings.bucketedOf(s, dir)
+      .where(col("vec_id") % modE =!= 0)
+      .write.mode(SaveMode.Overwrite)
+      .parquet(s"${p(indexDir, LshBuckets)}/bid=-1")
+    Embeddings.ingestGraphOf(s, dir)
       .write.mode(SaveMode.Overwrite)
       .parquet(s"${p(indexDir, GraphEdges)}/bid=-1")
   }
@@ -653,7 +709,7 @@ object IncrementalIndex {
   def probeGraphInsert(s: SparkSession, batchVecs: DataFrame, indexDir: String,
                        exceptBid: Option[Long] = None): DataFrame =
     Embeddings.graphInsertOver(s,
-      Embeddings.bucketedFrom(s, Embeddings.quantizedFrom(s, batchVecs)),
+      Embeddings.bucketedFrom(s, Embeddings.quantizedFrom(s, spread(batchVecs))),
       storeTable(s, indexDir, LshBuckets, exceptBid),
       s.read.parquet(s"${p(indexDir, GraphEdges)}/bid=-1"))
       .localCheckpoint(true)
@@ -724,7 +780,7 @@ object IncrementalIndex {
   def probeGraphServe(s: SparkSession, batchVecs: DataFrame,
                       indexDir: String): DataFrame =
     Embeddings.graphServeOver(s,
-      Embeddings.bucketedFrom(s, Embeddings.quantizedFrom(s, batchVecs)),
+      Embeddings.bucketedFrom(s, Embeddings.quantizedFrom(s, spread(batchVecs))),
       s.read.parquet(p(indexDir, LshBuckets)),
       probeGraph(s, indexDir), hops = 1)
       .localCheckpoint(true)
@@ -855,7 +911,7 @@ object IncrementalIndex {
   private def probeTextPairsStage(s: SparkSession, batchDocs: DataFrame,
                                   indexDir: String,
                                   exceptBid: Option[Long]): (DataFrame, DataFrame) = {
-    val baseB = LlmText.baseFrom(batchDocs).persist()
+    val baseB = LlmText.baseFrom(spread(batchDocs)).persist()
     val bandsB = LlmText.bandEntriesOf(s, LlmText.sigOf(s, baseB))
     val shB = LlmText.shingleSetsOf(s, baseB)
     val probe = bandsB
@@ -965,14 +1021,47 @@ object IncrementalIndex {
   def writeClusterBootstrapFixture(s: SparkSession, dir: String,
                                    indexDir: String): Unit = {
     val mod = LlmText.IncrementalBatchMod
-    writeTextIndexBatch(s,
-      graft.Tables.documents(s, dir).where(col("doc_id") % mod =!= 0),
-      indexDir, batchId = -1L)
-    val edges = LlmText.d03LshNeardup(s, dir)
-      .where(col("jaccard") >= LlmText.NeardupThreshold &&
-        col("doc_a") % mod =!= 0 && col("doc_b") % mod =!= 0)
-      .select(col("doc_a").as("new_id"), col("doc_b").as("old_id"))
-    writeBootstrapLabels(s, edges, indexDir)
+    writeTextIndexFixtureBootstrap(s, dir, indexDir,
+      col("doc_id") % mod =!= 0)
+    bootstrapLabelsOf(s, dir).write.mode(SaveMode.Overwrite)
+      .parquet(s"${p(indexDir, ClusterLabels)}/bid=-1")
+    // an explicitly-empty remap partition so every later storeTable
+    // read finds the table (merge events may only come much later)
+    bootstrapLabelsOf(s, dir).limit(0)
+      .select(col("doc_id").as("src"), col("label").as("dst"))
+      .write.mode(SaveMode.Overwrite)
+      .parquet(s"${p(indexDir, LabelRemaps)}/bid=-1")
+  }
+
+  /** In-JVM memo of the fixture bootstrap LABELS (the corpus-subset
+    * min-label components over the memoized d03 edge table) — the third
+    * artifact [[writeClusterBootstrapFixture]] persists, derived once
+    * per (session, dir, result levers) like the pair store it rides.
+    * Keyed on the same levers as the d03 memo (they change the edges)
+    * plus the batch mod. Cold runs recompute through the same
+    * definitions. */
+  private val bootLabelsCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Int, Int, Long, String), DataFrame]()
+
+  private def bootstrapLabelsOf(s: SparkSession, dir: String): DataFrame = {
+    val mod = LlmText.IncrementalBatchMod
+    val key = (graft.StoredMemo.dirKey(s, dir), mod,
+      s.conf.get(LlmText.BandRowsConf, "1").toInt,
+      s.conf.get(LlmText.MaxBucketConf, "0").toLong,
+      s.conf.get(SelfJoin.StrategyConf, "broadcast"))
+    graft.StoredMemo.stored(s, bootLabelsCache, "cluster-bootstrap-labels", key) {
+      val edges = LlmText.d03LshNeardup(s, dir)
+        .where(col("jaccard") >= LlmText.NeardupThreshold &&
+          col("doc_a") % mod =!= 0 && col("doc_b") % mod =!= 0)
+        .select(col("doc_a"), col("doc_b"))
+      val labels =
+        if (edges.isEmpty)
+          edges.limit(0).select(col("doc_a").cast("long").as("doc_id"),
+            col("doc_a").cast("long").as("label"))
+        else LlmText.minLabelComponents(edges, LlmText.MaxClusterRounds)
+          .select(col("doc_id"), col("cluster_id").as("label"))
+      labels.localCheckpoint(true)
+    }
   }
 
   private def writeBootstrapLabels(s: SparkSession, edges: DataFrame,
@@ -1158,7 +1247,7 @@ object IncrementalIndex {
                                     indexDir: String): DataFrame = {
     def dot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
       graft.functions.ArrayOps.longDot(s, a, b)
-    val asgB = Embeddings.assignRanked(s, Embeddings.quantizedFrom(s, batchVecs),
+    val asgB = Embeddings.assignRanked(s, Embeddings.quantizedFrom(s, spread(batchVecs)),
         s.read.parquet(p(indexDir, CellCentroids)))
       .where(col("rn") === 1)
       .select(col("cell"), col("vec_id"), col("q"), col("nq"))
@@ -1208,7 +1297,7 @@ object IncrementalIndex {
     * batch) partners. Returns the materialized batch-sized frame. */
   def probeMedia(s: SparkSession, batchDocs: DataFrame, indexDir: String): DataFrame = {
     import graft.operators.Multimodal
-    val ph = Multimodal.withPhash(s, batchDocs)
+    val ph = Multimodal.withPhash(s, spread(batchDocs))
     val bandsB = Multimodal.phashBandKeys(ph)
     val probe = bandsB.select(col("band"), col("band_key"),
       col("media_id").as("new_id"), col("phash").as("ph_n"))
@@ -1241,8 +1330,15 @@ object IncrementalIndex {
     * benchmark is the explicit rebuild event. Eval suites are bounded by
     * construction (thousands of docs), so the stored table is
     * broadcast-sized at any corpus scale. */
-  def writeBenchIndex(s: SparkSession, benchDocs: DataFrame, indexDir: String): Unit = {
-    val ex = LlmText.shingleSetsFrom(s, benchDocs)
+  def writeBenchIndex(s: SparkSession, benchDocs: DataFrame, indexDir: String): Unit =
+    benchRowsFrom(s, LlmText.shingleSetsFrom(s, spread(benchDocs)))
+      .write.mode(SaveMode.Overwrite).parquet(p(indexDir, BenchShingles))
+
+  /** The capped rare-shingle rows for a bench shingle-set frame — the
+    * shared derivation of [[writeBenchIndex]] and its fixture-memo
+    * twin. */
+  private def benchRowsFrom(s: SparkSession, shingleSets: DataFrame): DataFrame = {
+    val ex = shingleSets
       .select(col("doc_id").as("bench_id"), explode(col("sh")).as("shingle"))
     val rare = ex.groupBy(col("shingle"))
       .agg(countDistinct(col("bench_id")).as("df"))
@@ -1250,8 +1346,31 @@ object IncrementalIndex {
       .select(col("shingle"))
     ex.join(broadcast(rare), Seq("shingle"))
       .select(col("bench_id"), col("shingle"))
-      .write.mode(SaveMode.Overwrite).parquet(p(indexDir, BenchShingles))
   }
+
+  /** In-JVM memo of the fixture benchmark-shingle store (the d18 bench
+    * half at the standing `doc_id % ContaminationMod = 0` sample) —
+    * derived from the memoized shingle table; st17/st23's bootstraps
+    * pay the parquet write warm, the recompute cold ([[writeServePair]]
+    * discipline). */
+  private val benchRowsCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Long), DataFrame]()
+
+  private def benchRowsOf(s: SparkSession, dir: String): DataFrame = {
+    val mod = LlmText.ContaminationMod
+    graft.StoredMemo.stored(s, benchRowsCache, "bench-shingle-rows",
+        (graft.StoredMemo.dirKey(s, dir), mod)) {
+      benchRowsFrom(s,
+        LlmText.shinglesOf(s, dir).where(col("doc_id") % mod === 0))
+        .localCheckpoint(true)
+    }
+  }
+
+  /** Fixture-path twin of [[writeBenchIndex]] at the standing bench
+    * sample — one memo-served parquet write warm. */
+  def writeBenchIndexFixture(s: SparkSession, dir: String, indexDir: String): Unit =
+    benchRowsOf(s, dir)
+      .write.mode(SaveMode.Overwrite).parquet(p(indexDir, BenchShingles))
 
   /** d18's contamination verdicts for a batch of training docs against
     * the STORED benchmark list: batch shingles explode map-side, the
@@ -1261,7 +1380,7 @@ object IncrementalIndex {
     * micro-batch split of the training side reproduces the batch d18
     * exactly (st17's contract). Returns the materialized frame. */
   def probeBench(s: SparkSession, batchDocs: DataFrame, indexDir: String): DataFrame = {
-    val ex = LlmText.shingleSetsFrom(s, batchDocs)
+    val ex = LlmText.shingleSetsFrom(s, spread(batchDocs))
       .select(col("doc_id"), explode(col("sh")).as("shingle"))
     val bench = s.read.parquet(p(indexDir, BenchShingles))
     ex.join(broadcast(bench), Seq("shingle"))
@@ -1280,7 +1399,7 @@ object IncrementalIndex {
     * session conf applies the hashing the filter was built with. */
   def writeBloomIndex(s: SparkSession, benchDocs: DataFrame, indexDir: String,
                       bits: Int, k: Int): Unit = {
-    val ex = LlmText.shingleSetsFrom(s, benchDocs)
+    val ex = LlmText.shingleSetsFrom(s, spread(benchDocs))
       .select(col("doc_id").as("bench_id"), explode(col("sh")).as("shingle"))
     val rare = ex.groupBy(col("shingle"))
       .agg(countDistinct(col("bench_id")).as("df"))
@@ -1289,6 +1408,17 @@ object IncrementalIndex {
     graft.functions.BloomFilter.wordsDF(rare, "shingle", bits, k)
       .write.mode(SaveMode.Overwrite).parquet(p(indexDir, BloomWords))
   }
+
+  /** Fixture-path twin of [[writeBloomIndex]]: the bits table derived
+    * from the memoized bench-shingle rows (the distinct shingles of the
+    * capped store ARE the filter's key set — same rows either way). The
+    * word aggregate itself is bits/64-bounded and cheap; the memo saves
+    * the bench-side shingle recompute. */
+  def writeBloomIndexFixture(s: SparkSession, dir: String, indexDir: String,
+                             bits: Int, k: Int): Unit =
+    graft.functions.BloomFilter.wordsDF(
+        benchRowsOf(s, dir).select(col("shingle")).distinct(), "shingle", bits, k)
+      .write.mode(SaveMode.Overwrite).parquet(p(indexDir, BloomWords))
 
   /** [[probeBench]] with the STORED Bloom filter probed map-side before
     * the exact verify join — the Bloom-join serve path (d49's streaming
@@ -1304,7 +1434,7 @@ object IncrementalIndex {
     val (bits, k) = stored.select(col("bits"), col("k")).as[(Int, Int)].head()
     val words = BloomFilter.dense(
       stored.select(col("widx"), col("word")).as[(Long, Long)].collect().toSeq, bits)
-    val ex = LlmText.shingleSetsFrom(s, batchDocs)
+    val ex = LlmText.shingleSetsFrom(s, spread(batchDocs))
       .select(col("doc_id"), explode(col("sh")).as("shingle"))
       .where(BloomFilter.mightContain(words, col("shingle"), bits, k))
     val bench = s.read.parquet(p(indexDir, BenchShingles))

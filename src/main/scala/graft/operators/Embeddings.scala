@@ -2596,6 +2596,30 @@ object Embeddings {
       nnDescentRounds(s, dir, rounds, revCap).localCheckpoint()
     }
 
+  /** The st22 INGEST-BOOTSTRAP graph: the descent iterate at pinned
+    * levers over the fixture's ingest-corpus subset
+    * (vec_id % [[IncrementalBatchModE]] ≠ 0 — the rows that exist
+    * before the stream starts). Same memo discipline as [[graphOf]]
+    * ([[graft.jobs.IncrementalIndex.writeServePair]]'s precedent): a
+    * warm process derives the persisted bootstrap from the one
+    * materialized build; cold (memo-disabled) runs recompute through
+    * the same definitions, so the build price stays measured. The
+    * subset graph is NOT a filter of the full-corpus graph (descent
+    * edges depend on the candidate pool), hence its own memo. */
+  private val ingestGraphCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Int, String), DataFrame]()
+
+  private[graft] def ingestGraphOf(s: SparkSession, dir: String): DataFrame =
+    graft.StoredMemo.stored(s, ingestGraphCache, "ingest-bootstrap-graph",
+        (graft.StoredMemo.dirKey(s, dir), IncrementalBatchModE,
+          s.conf.get(SelfJoin.StrategyConf, "broadcast"))) {
+      val v = quantizedFrom(s, Tables.spreadIfNarrow(
+          Tables.embeddings(s, dir), s"$dir/embeddings")
+        .where(col("vec_id") % IncrementalBatchModE =!= 0))
+      nnDescentOver(s, bucketedFrom(s, v), v, 1, DefaultNndRevCap)
+        .localCheckpoint()
+    }
+
   /** The descent iterate at PINNED levers over the stored fixture
     * index — the FRESH builder ([[graphOf]] is its memo; [[graft.jobs
     * .IncrementalIndex.writeGraphIndex]] persists the same iterate over

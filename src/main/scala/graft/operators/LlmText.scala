@@ -208,6 +208,34 @@ object LlmText {
   private val d03Cache =
     new java.util.concurrent.ConcurrentHashMap[(String, Int, Long, String), DataFrame]()
 
+  /** In-JVM memos of the two PERSISTED text-index tables (band entries
+    * and shingle sets over the full fixture corpus) — the artifacts
+    * [[graft.jobs.IncrementalIndex.writeTextIndex]] freezes. Both
+    * derivations are per-doc pure functions, so any fixture-subset
+    * store partition (a streaming bootstrap's `bid=-1`) is EXACTLY a
+    * doc_id filter of these tables — which is what lets the st13/st25
+    * bootstraps derive their store from the already-materialized memo
+    * (the writeServePair discipline, r13 optimization round) instead
+    * of re-running tokenize→shingle→minhash per invocation. Cold
+    * (memo-disabled) runs recompute through the same definitions.
+    * Bands are keyed on the bandRows lever (it changes the rows). */
+  private val bandsCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Int), DataFrame]()
+  private val shinglesCache =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
+  private[graft] def bandsOf(s: SparkSession, dir: String): DataFrame =
+    graft.StoredMemo.stored(s, bandsCache, "text-bands",
+        (graft.StoredMemo.dirKey(s, dir), s.conf.get(BandRowsConf, "1").toInt)) {
+      bandEntriesOf(s, sigOf(s, base(s, dir))).localCheckpoint()
+    }
+
+  private[graft] def shinglesOf(s: SparkSession, dir: String): DataFrame =
+    graft.StoredMemo.stored(s, shinglesCache, "text-shingles",
+        graft.StoredMemo.dirKey(s, dir)) {
+      shingleSetsOf(s, base(s, dir)).localCheckpoint()
+    }
+
   def d03LshNeardup(s: SparkSession, dir: String): DataFrame = {
     val key = (graft.StoredMemo.dirKey(s, dir),
       s.conf.get(BandRowsConf, "1").toInt,

@@ -549,10 +549,12 @@ object AdAnalytics {
       // batch-id-keyed store layout throughout (bootstrap = bid -1):
       // appends are idempotent partition overwrites and the probe can
       // exclude a crash-replayed batch's own append — the exactly-
-      // once-under-recovery shape StreamingSpec's crash case pins
-      IncrementalIndex.writeTextIndexBatch(s,
-        graft.Tables.documents(s, dir).where(col("doc_id") % mod =!= 0),
-        indexDir, batchId = -1L)
+      // once-under-recovery shape StreamingSpec's crash case pins.
+      // Bootstrap rides the in-JVM memoized band/shingle tables (the
+      // writeServePair discipline); per-batch appends below stay the
+      // explicit recompute — arriving data is the measured cost.
+      IncrementalIndex.writeTextIndexFixtureBootstrap(s, dir, indexDir,
+        col("doc_id") % mod =!= 0)
       val empty = graft.Tables.documents(s, dir).limit(0)
         .select(col("doc_id"), lit(0L).as("n_matches"), lit(false).as("is_dup"))
       Streams.runForeachBatchWithId(s, "append", empty)(
@@ -802,8 +804,9 @@ object AdAnalytics {
     val indexDir = java.nio.file.Files.createTempDirectory("graft-st17-idx-").toString
     try {
       val docs = graft.Tables.documents(s, dir)
-      IncrementalIndex.writeBenchIndex(s,
-        docs.where(col("doc_id") % mod === 0), indexDir)
+      // frozen bench store from the in-JVM memo path (writeServePair's
+      // discipline); the per-batch probes stay the explicit recompute
+      IncrementalIndex.writeBenchIndexFixture(s, dir, indexDir)
       val empty = docs.limit(0)
         .select(col("doc_id"), col("doc_id").as("bench_id"),
           lit(0L).as("n_shared"))
@@ -1048,9 +1051,10 @@ object AdAnalytics {
     val indexDir = java.nio.file.Files.createTempDirectory("graft-st22-idx-").toString
     try {
       val vecs = graft.Tables.embeddings(s, dir)
-      val corpus = vecs.where(col("vec_id") % modE =!= 0)
-      IncrementalIndex.writeLshIndexBatch(s, corpus, indexDir, batchId = -1L)
-      IncrementalIndex.writeGraphBootstrapBatch(s, corpus, indexDir)
+      // bootstrap pair from the in-JVM memo path (writeServePair's
+      // discipline — warm pays the parquet write, cold rebuilds);
+      // per-batch probes/appends below stay the explicit recompute
+      IncrementalIndex.writeGraphBootstrapFixture(s, dir, indexDir)
       val empty = vecs.limit(0)
         .select(col("vec_id").as("query_id"), col("vec_id").as("neighbor_id"),
           lit(0.0).as("cos"), lit(0).as("rank"))
@@ -1103,9 +1107,9 @@ object AdAnalytics {
     val indexDir = java.nio.file.Files.createTempDirectory("graft-st23-idx-").toString
     try {
       val docs = graft.Tables.documents(s, dir)
-      val bench = docs.where(col("doc_id") % mod === 0)
-      IncrementalIndex.writeBenchIndex(s, bench, indexDir)
-      IncrementalIndex.writeBloomIndex(s, bench, indexDir, bits, k)
+      // frozen serve pair (strings + bits) from the in-JVM memo path
+      IncrementalIndex.writeBenchIndexFixture(s, dir, indexDir)
+      IncrementalIndex.writeBloomIndexFixture(s, dir, indexDir, bits, k)
       val empty = docs.limit(0)
         .select(col("doc_id"), col("doc_id").as("bench_id"),
           lit(0L).as("n_shared"))
