@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
-import graft.functions.{ArrayOps, LongDot, MinHashSigExpr, PHash64Expr, RollingHash, SimHashExpr, WordShinglesExpr}
+import graft.functions.{ArrayOps, BloomProbeExpr, LongDot, MinHashSigExpr, PHash64Expr, RollingHash, SimHashExpr, WordShinglesExpr}
 
 /** Session extension registering the graft-native Catalyst expressions —
   * activate with `spark.sql.extensions=graft.GraftExtensions` at session
@@ -44,6 +44,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[PHash64Expr].getName, PHash64Expr.Name),
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         PHash64Expr(children(0), children(1))))
+    ext.injectFunction((
+      new FunctionIdentifier(BloomProbeExpr.Name),
+      new ExpressionInfo(classOf[BloomProbeExpr].getName, BloomProbeExpr.Name),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        BloomProbeExpr(children(0), children(1), children(2), children(3))))
     // analysis-time guardrail (opt-in via spark.graft.strictPlans)
     ext.injectCheckRule(session => graft.plans.StrictPlanCheck(session))
     // scan pushdown for range predicates on the normalized events ts

@@ -1436,7 +1436,7 @@ object IncrementalIndex {
       stored.select(col("widx"), col("word")).as[(Long, Long)].collect().toSeq, bits)
     val ex = LlmText.shingleSetsFrom(s, spread(batchDocs))
       .select(col("doc_id"), explode(col("sh")).as("shingle"))
-      .where(BloomFilter.mightContain(words, col("shingle"), bits, k))
+      .where(BloomFilter.mightContainFast(s, words, col("shingle"), bits, k))
     val bench = s.read.parquet(p(indexDir, BenchShingles))
     ex.join(broadcast(bench), Seq("shingle"))
       .groupBy(col("doc_id"), col("bench_id"))

@@ -1091,7 +1091,11 @@ object Embeddings {
     val dot = dotQ(s) _
     val v = quantized(s, dir)
     val cents = centroidsOf(s, v)
-    val asg = assignRanked(s, v, cents).where(col("rn") === 1)
+    // the primary-cell assignment IS the stored IVF table ([[cellRanked]]
+    // — same assignRanked(v, centroidsOf(v)) definition, memoized): read
+    // it instead of re-ranking the corpus twice (asg feeds BOTH the
+    // centroid-sum and the member count below; r13 optimization round)
+    val asg = cellRanked(s, dir).where(col("rn") === 1)
       .select(col("cell"), col("vec_id"), col("q"))
     val newc = asg
       .select(col("cell"), col("q"), explode(sequence(lit(1), lit(Dim))).as("i"))
@@ -2360,9 +2364,17 @@ object Embeddings {
     * picks. */
   private def kmppRound(s: SparkSession, v: DataFrame, centers: DataFrame,
                         round: Int): DataFrame = {
+    // materialized once per round: d2 feeds BOTH the phi broadcast and
+    // the selection filter, and without the checkpoint each of those
+    // re-evaluates the cross-join subtree — which itself embeds every
+    // PREVIOUS round's unmaterialized selection, so total evaluation
+    // count grew geometrically in rounds (r13 measurement: e21 3.4 s,
+    // almost all tiny re-planned jobs; ~1.8 s with the per-round cut).
+    // Corpus-sized (one row per vector), same as the oracle's CTE.
     val d2 = v.crossJoin(broadcast(centers))
       .select(col("vec_id"), sqDist(s).as("dist"))
       .groupBy(col("vec_id")).agg(min(col("dist")).as("d2"))
+      .localCheckpoint()
     val phi = d2.agg(sum(col("d2")).as("phi"))
     val coin = graft.functions.Portable.h64(
       concat(lit(s"kmpp:$round:"), col("vec_id").cast("string")))
@@ -2372,8 +2384,13 @@ object Embeddings {
           lit(KmppOversample).cast("decimal(38,0)") *
           lit(Two60).cast("decimal(38,0)"))
       .select(col("vec_id"))
+    // the round's center table is broadcast by the NEXT round's cross
+    // join AND by the final assignment — materialize it (≤ 1 +
+    // rounds·oversample rows) so those broadcasts serve a built table
+    // instead of re-running the round
     centers.unionByName(v.join(sel, Seq("vec_id"))
       .select(col("vec_id").as("cid"), col("q").as("cvec"), col("nq").as("ncv")))
+      .localCheckpoint()
   }
 
   def e21KmppSeed(s: SparkSession, dir: String): DataFrame = {

@@ -2302,7 +2302,7 @@ object LlmText {
     val words = BloomFilter.buildWords(rare, "shingle", bits, k)
     val benchOk = bench.join(broadcast(rare), Seq("shingle"), "left_semi")
     ex.where(col("doc_id") % ContaminationMod =!= 0)
-      .where(BloomFilter.mightContain(words, col("shingle"), bits, k))
+      .where(BloomFilter.mightContainFast(s, words, col("shingle"), bits, k))
       .join(broadcast(benchOk), Seq("shingle"))
       .groupBy(col("doc_id"), col("bench_id"))
       .agg(countDistinct(col("shingle")).as("n_shared"))

@@ -51,6 +51,20 @@ object DiagBloom {
         .bitwiseAND(call_function("shiftleft", lit(1L), pmod(p, lit(64L)).cast("int"))) =!= lit(0L)
     }.reduce(_ && _)
     time("inline h1/h2 k=7") { noop(df.where(inline)) }
+    // node isolation
+    time("h2 only (2-arg xxhash)") {
+      noop(df.where(h2(x) > 0))
+    }
+    time("element_at(w, const)") {
+      noop(df.where(element_at(w, (pmod(xxhash64(x), lit(8192L))).cast("int") + 1) =!= lit(123L)))
+    }
+    time("shiftleft call") {
+      noop(df.where(call_function("shiftleft", lit(1L),
+        pmod(xxhash64(x), lit(64L)).cast("int")) =!= lit(0L)))
+    }
+    time("pmod(h1+h2) no element_at") {
+      noop(df.where(pmod(h1(x) + h2(x), lit(bits.toLong)) > 0))
+    }
     spark.stop()
   }
 }

@@ -39,49 +39,36 @@ object DiagStream {
     }
 
     // full-query warm passes
-    time("st22 full (warm1)") { noop(AdAnalytics.st22StreamingGraphIngest(spark, sfDir)) }
-    time("st22 full (warm2)") { noop(AdAnalytics.st22StreamingGraphIngest(spark, sfDir)) }
-    time("st23 full (warm1)") { noop(AdAnalytics.st23StreamingBloom(spark, sfDir)) }
-    time("st23 full (warm2)") { noop(AdAnalytics.st23StreamingBloom(spark, sfDir)) }
+    time("st13 full (warm1)") { noop(AdAnalytics.st13StreamingIngest(spark, sfDir)) }
+    time("st13 full (warm2)") { noop(AdAnalytics.st13StreamingIngest(spark, sfDir)) }
+    time("st19 full (warm1)") { noop(AdAnalytics.st19StreamingSubstrIngest(spark, sfDir)) }
+    time("st19 full (warm2)") { noop(AdAnalytics.st19StreamingSubstrIngest(spark, sfDir)) }
     time("st25 full (warm1)") { noop(AdAnalytics.st25StreamingClusters(spark, sfDir)) }
     time("st25 full (warm2)") { noop(AdAnalytics.st25StreamingClusters(spark, sfDir)) }
-
-    // ---- st22 phases
-    {
-      val modE = Embeddings.IncrementalBatchModE
-      val indexDir = java.nio.file.Files.createTempDirectory("diag-st22-").toString
-      val vecs = graft.Tables.embeddings(spark, sfDir)
-      val corpus = vecs.where(col("vec_id") % modE =!= 0)
-      time("st22.writeLshIndexBatch") { IncrementalIndex.writeLshIndexBatch(spark, corpus, indexDir, -1L) }
-      time("st22.writeGraphBootstrap") { IncrementalIndex.writeGraphBootstrapBatch(spark, corpus, indexDir) }
-      val batch = vecs.where(col("vec_id") % modE === 0)
-      val edges = time("st22.probeGraphInsert") { IncrementalIndex.probeGraphInsert(spark, batch, indexDir, Some(0L)) }
-      time("st22.appendBatch") {
-        IncrementalIndex.writeLshIndexBatch(spark, batch, indexDir, 0L)
-        IncrementalIndex.writeGraphEdgesBatch(spark, edges, indexDir, 0L)
-      }
-    }
-    // ---- st23 phases
-    {
-      import graft.functions.BloomFilter
-      val mod = LlmText.ContaminationMod
-      val indexDir = java.nio.file.Files.createTempDirectory("diag-st23-").toString
-      val docs = graft.Tables.documents(spark, sfDir)
-      val bench = docs.where(col("doc_id") % mod === 0)
-      time("st23.writeBenchIndex") { IncrementalIndex.writeBenchIndex(spark, bench, indexDir) }
-      time("st23.writeBloomIndex") { IncrementalIndex.writeBloomIndex(spark, bench, indexDir, BloomFilter.DefaultBits, BloomFilter.DefaultK) }
-      val batch = docs.where(col("doc_id") % mod =!= 0)
-      time("st23.probeBenchBloom") { noop(IncrementalIndex.probeBenchBloom(spark, batch, indexDir)) }
-    }
-    // ---- st25 phases
-    {
+    locally {
       val mod = LlmText.IncrementalBatchMod
-      val indexDir = java.nio.file.Files.createTempDirectory("diag-st25-").toString
-      time("st25.writeClusterBootstrapFix") { IncrementalIndex.writeClusterBootstrapFixture(spark, sfDir, indexDir) }
+      val indexDir = java.nio.file.Files.createTempDirectory("diag2-st25-").toString
+      time("st25.bootstrapFixture") { IncrementalIndex.writeClusterBootstrapFixture(spark, sfDir, indexDir) }
       val batch = graft.Tables.documents(spark, sfDir).where(col("doc_id") % mod === 0)
+      time("st25.probeTextPairs") { IncrementalIndex.probeTextPairs(spark, batch, indexDir, Some(0L)).count() }
       time("st25.applyClusterBatch") { IncrementalIndex.applyClusterBatch(spark, batch, indexDir, 0L) }
-      time("st25.resolveClusterLabels") { noop(IncrementalIndex.resolveClusterLabels(spark, indexDir)) }
+      time("st25.resolve") { noop(IncrementalIndex.resolveClusterLabels(spark, indexDir)) }
     }
+    locally {
+      val mod = LlmText.IncrementalBatchMod
+      val indexDir = java.nio.file.Files.createTempDirectory("diag2-st13-").toString
+      time("st13.bootstrapFixture") { IncrementalIndex.writeTextIndexFixtureBootstrap(spark, sfDir, indexDir, col("doc_id") % mod =!= 0) }
+      val batch = graft.Tables.documents(spark, sfDir).where(col("doc_id") % mod === 0)
+      time("st13.probeText") { noop(IncrementalIndex.probeText(spark, batch, indexDir, Some(0L))) }
+      time("st13.appendBatch") { IncrementalIndex.writeTextIndexBatch(spark, batch, indexDir, 0L) }
+    }
+    locally {
+      val indexDir = java.nio.file.Files.createTempDirectory("diag2-st19-").toString
+      val docs = graft.Tables.documents(spark, sfDir)
+      time("st19.writeSubstrBatch") { IncrementalIndex.writeSubstrIndexBatch(spark, docs, indexDir, 0L) }
+      time("st19.probeSubstrSpans") { noop(IncrementalIndex.probeSubstrSpans(spark, indexDir)) }
+    }
+
     spark.stop()
   }
 }

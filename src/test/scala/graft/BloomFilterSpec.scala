@@ -66,6 +66,28 @@ class BloomFilterSpec extends GraftSuite {
     assert(misses === 0L, s"$misses inserted keys probed false")
   }
 
+  test("native bloom_probe expression is verdict-identical to the composable chain") {
+    // the hash-identity contract of BloomProbeExpr: the native probe
+    // must reproduce the SQL-built filter's bit arithmetic exactly —
+    // probe the FULL corpus shingle stream (hits, misses, both hash
+    // tails) both ways at two geometries and diff the verdict columns
+    val all = LlmText.shingleSetsFrom(spark, Tables.documents(spark, sf))
+      .select(explode(col("sh")).as("shingle"))
+    for ((bits, k) <- Seq((BloomFilter.DefaultBits, BloomFilter.DefaultK), (4096, 3))) {
+      val words = BloomFilter.buildWords(rareShingles, "shingle", bits, k)
+      val disagree = all
+        .withColumn("slow", BloomFilter.mightContain(words, col("shingle"), bits, k))
+        .withColumn("fast", BloomFilter.mightContainFast(spark, words, col("shingle"), bits, k))
+        .where(col("slow") =!= col("fast"))
+        .count()
+      assert(disagree === 0L,
+        s"bits=$bits k=$k: $disagree shingles probe differently native vs composable")
+      // and the native path must actually be in play under the test
+      // session (the extension registers it)
+      assert(spark.catalog.functionExists(graft.functions.BloomProbeExpr.Name))
+    }
+  }
+
   test("measured FPR on disjoint probes stays within the theoretical bound") {
     // deliberately tight geometry so the theoretical FPR is ~0.1 and the
     // measurement is a real read, not a zero-vs-zero triviality

@@ -108,10 +108,19 @@ class PlanAuditSpec extends GraftSuite {
   }
 
   test("e11 retrain step assigns via the broadcast centroid dim, never a shuffled product") {
+    // the serving plan reads the STORED assignment since r13 (e11 rides
+    // the cellRanked memo instead of re-ranking the corpus twice); the
+    // broadcast-dim shape is pinned on the assignment BUILD pipeline,
+    // which is what the memo materializes
+    val v = Embeddings.quantized(spark, sf)
+    val pBuild = plan(Embeddings.assignRanked(spark, v, Embeddings.centroidsOf(spark, v)))
+    assert(pBuild.contains("BroadcastNestedLoopJoin"),
+      s"assignment build should ride the broadcast centroid dim:\n$pBuild")
+    assert(!pBuild.contains("CartesianProduct"), s"cartesian in the assignment build:\n$pBuild")
     val p = plan(Embeddings.e11KmeansStep(spark, sf))
-    assert(p.contains("BroadcastNestedLoopJoin"),
-      s"assignment should ride the broadcast centroid dim:\n$p")
     assert(!p.contains("CartesianProduct"), s"cartesian in the retrain step:\n$p")
+    assert(p.contains("Scan ExistingRDD"),
+      s"e11 should serve the stored assignment table:\n$p")
   }
 
   test("area-top3 composite broadcasts the city dim") {
