@@ -105,6 +105,9 @@ object Embeddings {
   private[graft] def bruteRankedOf(s: SparkSession, dir: String): DataFrame =
     graft.StoredMemo.stored(s, bruteCache, "brute-truth",
         graft.StoredMemo.dirKey(s, dir)) {
+      // layout note (r13): deliberately NOT repartitioned — consumers
+      // either aggregate or broadcast this table, and the measured A/B
+      // showed the compact AQE layout faster for e16's iterative rounds
       bruteRankedFrom(s, quantized(s, dir)).localCheckpoint()
     }
 
@@ -426,6 +429,9 @@ object Embeddings {
     graft.StoredMemo.stored(s, rankedCache, "ivf-assignment",
         graft.StoredMemo.dirKey(s, dir)) {
       val v = quantized(s, dir)
+      // layout note (r13): deliberately NOT repartitioned — the e05/
+      // e12-e15 consumers join it broadcast-side or aggregate it, and
+      // the measured A/B favored the compact AQE layout
       assignRanked(s, v, centroidsOf(s, v)).localCheckpoint()
     }
 
@@ -2610,6 +2616,8 @@ object Embeddings {
     graft.StoredMemo.stored(s, graphCache, "nnd-graph",
         (graft.StoredMemo.dirKey(s, dir), rounds, revCap,
           s.conf.get(SelfJoin.StrategyConf, "broadcast"))) {
+      // layout note (r13): deliberately NOT repartitioned — the serve
+      // paths broadcast this edge table, so a compact layout is cheaper
       nnDescentRounds(s, dir, rounds, revCap).localCheckpoint()
     }
 

@@ -249,6 +249,11 @@ object LlmText {
       // per invocation for the JVM lifetime — with d09/d11/d14/d17 each
       // embedding d03, a bench sweep leaked the full shingle table
       // several times over.
+      // layout note (r13): deliberately NOT repartitioned — the pair
+      // table is small and its consumers are iterative/aggregating
+      // (d14/d17 loops), which the measured A/B showed run faster over
+      // the compact AQE layout (contrast storedPostings, whose fan-out
+      // probe DID need the spread)
       val out = verified.localCheckpoint(eager = true)
       caches.foreach(_.unpersist())
       out
@@ -3126,8 +3131,21 @@ object LlmText {
         col("n_windows"))
   }
 
+  /** In-JVM memo of the maximal-span WORKLIST (d44's output is exactly
+    * the artifact a dedup deployment materializes beside the postings
+    * index — the spans the rewrite pass cuts): the d03-pairs precedent
+    * applied to the substring family, so d44 serves it and d45 rides it
+    * instead of re-running the df-count + island windows per query.
+    * Keyed on dir only (window/min-docs are compile-time constants);
+    * cold runs recompute through the same definitions (r13). */
+  private val spansCache =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
   def d44CrossdocSpans(s: SparkSession, dir: String): DataFrame =
-    spansFromPostings(rhPostings(s, dir))
+    graft.StoredMemo.stored(s, spansCache, "crossdoc-spans",
+        graft.StoredMemo.dirKey(s, dir)) {
+      spansFromPostings(rhPostings(s, dir)).localCheckpoint(eager = true)
+    }
 
   /** Shared CTE chain ending in `spans44` (one row per maximal
     * cross-doc duplicated span) — d44 selects it verbatim, d45 rewrites

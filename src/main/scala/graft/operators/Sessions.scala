@@ -54,7 +54,11 @@ object Sessions {
 
   def sessionized(s: SparkSession, dir: String): DataFrame =
     graft.StoredMemo.stored(s, sessCache, "sessionized-events",
-      graft.StoredMemo.dirKey(s, dir))(sessionizedPlan(s, dir).localCheckpoint())
+      graft.StoredMemo.dirKey(s, dir))(
+      // layout note (r13): deliberately NOT repartitioned — the s-suite
+      // consumers aggregate immediately, and the measured A/B favored
+      // the compact AQE layout over a 32-way spread
+      sessionizedPlan(s, dir).localCheckpoint())
 
   /** The un-materialized build pipeline — the form whose physical plan
     * (one user_id exchange) PlanAuditSpec pins. */
