@@ -85,15 +85,18 @@ object IncrementalIndex {
 
   private def p(indexDir: String, table: String): String = s"$indexDir/$table"
 
-  /** Spread a narrow input across cores before a per-row-heavy
-    * derivation (shingling, quantization, hashing). Batch frames from a
-    * one-file stream source and the fixture's one-file parquet scans
-    * arrive as a SINGLE partition, so every probe/build that derives
-    * per-row features ran its map stage one-core regardless of cluster
-    * size (r13 measurement: st23's bloom probe 3.7 s narrow vs 2.2 s
-    * spread at sf0.1; guide §2.5 input skew — repartition immediately
-    * after a narrow read). Conditional, so an already-parallel input
-    * (a real deployment's many-file scan) pays nothing. */
+  /** Spread a narrow input across cores before a per-row-HEAVY
+    * derivation (shingling — ~100 µs/row of string splitting and
+    * hashing). Batch frames from a one-file stream source and the
+    * fixture's one-file parquet scans arrive as a SINGLE partition, so
+    * such a probe/build ran its map stage one-core regardless of
+    * cluster size (r13 measurement: st23's bloom probe 3.7 s narrow vs
+    * 2.2 s spread at sf0.1; guide §2.5 input skew — repartition
+    * immediately after a narrow read). Conditional, so an
+    * already-parallel input pays nothing. Applied ONLY on the text/
+    * shingle paths: the vector-side derivations (quantize, phash) are
+    * ~1–10 µs/row, where the measured A/B showed the batch-sized
+    * exchange costs more than it parallelizes. */
   private def spread(df: DataFrame): DataFrame = graft.Tables.spreadIfNarrow(df)
 
   // ------------------------------------------------------- tombstones
@@ -284,10 +287,15 @@ object IncrementalIndex {
   def writeTextIndexFixtureBootstrap(s: SparkSession, dir: String,
                                      indexDir: String,
                                      pred: org.apache.spark.sql.Column): Unit = {
-    LlmText.bandsOf(s, dir).where(pred)
+    // coalesce the write: the memo tables carry the corpus-wide spread
+    // layout, which would land ~32 tiny files per bootstrap partition —
+    // the small-files cost every later probe re-pays at open time
+    // (guide §6); these tables are a few MB, so a handful of files is
+    // the right landing size
+    LlmText.bandsOf(s, dir).where(pred).coalesce(4)
       .write.mode(SaveMode.Overwrite)
       .parquet(s"${p(indexDir, TextBands)}/bid=-1")
-    LlmText.shinglesOf(s, dir).where(pred)
+    LlmText.shinglesOf(s, dir).where(pred).coalesce(4)
       .write.mode(SaveMode.Overwrite)
       .parquet(s"${p(indexDir, TextShingles)}/bid=-1")
   }
@@ -462,13 +470,34 @@ object IncrementalIndex {
     appendCellMembers(s, vecs, indexDir, SaveMode.Overwrite)
   }
 
+  /** Fixture-path twin of [[writeCellIndex]] at st14's standing shape
+    * (members = the `vec_id % modE != 0` ingest corpus, centroids
+    * trained on the FULL fixture — e09's oracle formulation): both
+    * halves derive from the in-JVM memo path ([[graft.operators
+    * .Embeddings.cellRanked]] is assignRanked(v, centroidsOf(v)) over
+    * the same training set, and assignment is per-row pure given the
+    * centroids, so the vec_id filter of the stored table is
+    * row-identical to re-assigning the subset — the
+    * writeTextIndexFixtureBootstrap discipline). Warm pays the parquet
+    * writes; cold rebuilds through the same definitions. */
+  def writeCellIndexFixture(s: SparkSession, dir: String, indexDir: String): Unit = {
+    val modE = Embeddings.IncrementalBatchModE
+    Embeddings.centroidsOf(s, Embeddings.quantized(s, dir))
+      .write.mode(SaveMode.Overwrite).parquet(p(indexDir, CellCentroids))
+    Embeddings.cellRanked(s, dir)
+      .where(col("rn") === 1 && col("vec_id") % modE =!= 0)
+      .select(col("cell"), col("vec_id"), col("q"), col("nq"))
+      .coalesce(4)
+      .write.mode(SaveMode.Overwrite).parquet(p(indexDir, CellMembers))
+  }
+
   /** Assign `vecs` against the STORED centroids and write their member
     * rows. `Append` is the ingest fold — st14's census form appends the
     * FULL batch (e09 counts matches against every earlier arrival);
     * [[appendCellSurvivors]] is the survivors-only curation policy. */
   private[graft] def appendCellMembers(s: SparkSession, vecs: DataFrame,
                                        indexDir: String, mode: SaveMode): Unit =
-    Embeddings.assignRanked(s, Embeddings.quantizedFrom(s, spread(vecs)),
+    Embeddings.assignRanked(s, Embeddings.quantizedFrom(s, vecs),
         s.read.parquet(p(indexDir, CellCentroids)))
       .where(col("rn") === 1)
       .select(col("cell"), col("vec_id"), col("q"), col("nq"))
@@ -651,7 +680,7 @@ object IncrementalIndex {
     * later batch while replays overwrite themselves. */
   def writeLshIndexBatch(s: SparkSession, vecs: DataFrame, indexDir: String,
                          batchId: Long): Unit =
-    Embeddings.bucketedFrom(s, Embeddings.quantizedFrom(s, spread(vecs)))
+    Embeddings.bucketedFrom(s, Embeddings.quantizedFrom(s, vecs))
       .write.mode(SaveMode.Overwrite)
       .parquet(s"${p(indexDir, LshBuckets)}/bid=$batchId")
 
@@ -664,7 +693,7 @@ object IncrementalIndex {
   def writeGraphBootstrapBatch(s: SparkSession, vecs: DataFrame, indexDir: String,
                                rounds: Int = 1,
                                revCap: Int = Embeddings.DefaultNndRevCap): Unit = {
-    val v = Embeddings.quantizedFrom(s, spread(vecs))
+    val v = Embeddings.quantizedFrom(s, vecs)
     Embeddings.nnDescentOver(s, Embeddings.bucketedFrom(s, v), v, rounds, revCap)
       .write.mode(SaveMode.Overwrite)
       .parquet(s"${p(indexDir, GraphEdges)}/bid=-1")
@@ -683,11 +712,12 @@ object IncrementalIndex {
   def writeGraphBootstrapFixture(s: SparkSession, dir: String,
                                  indexDir: String): Unit = {
     val modE = Embeddings.IncrementalBatchModE
+    // coalesced like the text bootstrap: small store, few files
     Embeddings.bucketedOf(s, dir)
-      .where(col("vec_id") % modE =!= 0)
+      .where(col("vec_id") % modE =!= 0).coalesce(4)
       .write.mode(SaveMode.Overwrite)
       .parquet(s"${p(indexDir, LshBuckets)}/bid=-1")
-    Embeddings.ingestGraphOf(s, dir)
+    Embeddings.ingestGraphOf(s, dir).coalesce(4)
       .write.mode(SaveMode.Overwrite)
       .parquet(s"${p(indexDir, GraphEdges)}/bid=-1")
   }
@@ -709,7 +739,7 @@ object IncrementalIndex {
   def probeGraphInsert(s: SparkSession, batchVecs: DataFrame, indexDir: String,
                        exceptBid: Option[Long] = None): DataFrame =
     Embeddings.graphInsertOver(s,
-      Embeddings.bucketedFrom(s, Embeddings.quantizedFrom(s, spread(batchVecs))),
+      Embeddings.bucketedFrom(s, Embeddings.quantizedFrom(s, batchVecs)),
       storeTable(s, indexDir, LshBuckets, exceptBid),
       s.read.parquet(s"${p(indexDir, GraphEdges)}/bid=-1"))
       .localCheckpoint(true)
@@ -764,9 +794,12 @@ object IncrementalIndex {
     * both prices stay honest. st21/st24 use this; st22 builds over a
     * corpus SUBSET and keeps the explicit writers. */
   def writeServePair(s: SparkSession, dir: String, indexDir: String): Unit = {
-    Embeddings.bucketedOf(s, dir)
+    // coalesced writes: the bucket memo carries the corpus-wide spread
+    // layout (~32 partitions), which would land 32 tiny files every
+    // later probe re-pays at open time (guide §6)
+    Embeddings.bucketedOf(s, dir).coalesce(4)
       .write.mode(SaveMode.Overwrite).parquet(p(indexDir, LshBuckets))
-    Embeddings.graphOf(s, dir, 1, Embeddings.DefaultNndRevCap)
+    Embeddings.graphOf(s, dir, 1, Embeddings.DefaultNndRevCap).coalesce(4)
       .write.mode(SaveMode.Overwrite).parquet(p(indexDir, GraphEdges))
   }
 
@@ -780,7 +813,7 @@ object IncrementalIndex {
   def probeGraphServe(s: SparkSession, batchVecs: DataFrame,
                       indexDir: String): DataFrame =
     Embeddings.graphServeOver(s,
-      Embeddings.bucketedFrom(s, Embeddings.quantizedFrom(s, spread(batchVecs))),
+      Embeddings.bucketedFrom(s, Embeddings.quantizedFrom(s, batchVecs)),
       s.read.parquet(p(indexDir, LshBuckets)),
       probeGraph(s, indexDir), hops = 1)
       .localCheckpoint(true)
@@ -1247,7 +1280,7 @@ object IncrementalIndex {
                                     indexDir: String): DataFrame = {
     def dot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
       graft.functions.ArrayOps.longDot(s, a, b)
-    val asgB = Embeddings.assignRanked(s, Embeddings.quantizedFrom(s, spread(batchVecs)),
+    val asgB = Embeddings.assignRanked(s, Embeddings.quantizedFrom(s, batchVecs),
         s.read.parquet(p(indexDir, CellCentroids)))
       .where(col("rn") === 1)
       .select(col("cell"), col("vec_id"), col("q"), col("nq"))
@@ -1297,7 +1330,7 @@ object IncrementalIndex {
     * batch) partners. Returns the materialized batch-sized frame. */
   def probeMedia(s: SparkSession, batchDocs: DataFrame, indexDir: String): DataFrame = {
     import graft.operators.Multimodal
-    val ph = Multimodal.withPhash(s, spread(batchDocs))
+    val ph = Multimodal.withPhash(s, batchDocs)
     val bandsB = Multimodal.phashBandKeys(ph)
     val probe = bandsB.select(col("band"), col("band_key"),
       col("media_id").as("new_id"), col("phash").as("ph_n"))

@@ -606,8 +606,9 @@ object AdAnalytics {
     val indexDir = java.nio.file.Files.createTempDirectory("graft-st14-idx-").toString
     try {
       val vecs = graft.Tables.embeddings(s, dir)
-      IncrementalIndex.writeCellIndex(s, vecs.where(col("vec_id") % mod =!= 0),
-        indexDir, centroidTrain = Some(vecs))
+      // frozen cell index from the in-JVM memo path (the
+      // writeServePair discipline); per-batch probes stay explicit
+      IncrementalIndex.writeCellIndexFixture(s, dir, indexDir)
       val empty = vecs.limit(0)
         .select(col("label").as("cell"), col("vec_id"),
           lit(0L).as("n_matches"), lit(true).as("kept"))
