@@ -52,8 +52,14 @@ private[graft] object StoredMemo {
   val StorePartsConf = "spark.graft.store.partitions"
 
   def storeParts(s: SparkSession): Int =
-    s.conf.getOption(StorePartsConf).map(_.toInt)
-      .getOrElse(s.sparkContext.defaultParallelism)
+    s.conf.getOption(StorePartsConf).map { v =>
+      val n = try v.trim.toInt catch {
+        case _: NumberFormatException => throw new IllegalArgumentException(
+          s"$StorePartsConf must be a positive integer, got '$v'")
+      }
+      require(n > 0, s"$StorePartsConf must be a positive integer, got '$v'")
+      n
+    }.getOrElse(s.sparkContext.defaultParallelism)
 
   def disabled(s: SparkSession): Boolean =
     s.conf.getOption(DisableConf).exists(_.trim.equalsIgnoreCase("true"))

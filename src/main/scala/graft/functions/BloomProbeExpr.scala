@@ -103,8 +103,16 @@ object BloomProbeExpr {
   }
 
   /** The per-row probe — called from generated code too, so it must
-    * stay a static pure function of its arguments. */
+    * stay a static pure function of its arguments. Fails fast on a
+    * (words, bits) geometry mismatch: `bloom_probe` is registered as a
+    * public SQL function, and an unguarded `words[pos >> 6]` would
+    * surface a caller's bad geometry as an ArrayIndexOutOfBounds deep
+    * inside codegen instead of a named contract violation (the
+    * composable element_at chain degrades to null/false there). */
   def probe(s: UTF8String, words: Array[Long], bits: Int, k: Int): Boolean = {
+    require(bits > 0 && bits <= words.length.toLong * 64L,
+      s"$Name: bits=$bits exceeds the words array capacity " +
+        s"(${words.length} words = ${words.length.toLong * 64L} bits)")
     val h1 = pmod(XxHash64Function.hash(s, StringType, 42L), 1L << 60)
     val h2 = pmod(XxHash64Function.hash(s, StringType, H2Seed), 1L << 31) | 1L
     var i = 0

@@ -278,7 +278,7 @@ object IncrementalIndex {
     * .operators.LlmText.shinglesOf]]) filtered by `pred` — row-identical
     * to [[writeTextIndexBatch]] over the same docs because both
     * derivations are per-doc pure functions (parity pinned in
-    * IncrementalIndexSpec), but a warm process pays the parquet write,
+    * FixtureParitySpec), but a warm process pays the parquet write,
     * not a tokenize→shingle→minhash recompute ([[writeServePair]]'s
     * discipline; cold runs rebuild through the same definitions).
     * st13/st25 bootstrap through this; the per-batch APPENDS keep the
@@ -478,8 +478,9 @@ object IncrementalIndex {
     * the same training set, and assignment is per-row pure given the
     * centroids, so the vec_id filter of the stored table is
     * row-identical to re-assigning the subset — the
-    * writeTextIndexFixtureBootstrap discipline). Warm pays the parquet
-    * writes; cold rebuilds through the same definitions. */
+    * writeTextIndexFixtureBootstrap discipline; parity pinned in
+    * FixtureParitySpec). Warm pays the parquet writes; cold rebuilds
+    * through the same definitions. */
   def writeCellIndexFixture(s: SparkSession, dir: String, indexDir: String): Unit = {
     val modE = Embeddings.IncrementalBatchModE
     Embeddings.centroidsOf(s, Embeddings.quantized(s, dir))
@@ -706,7 +707,7 @@ object IncrementalIndex {
     * its own memoized descent over the subset ([[graft.operators
     * .Embeddings.ingestGraphOf]]) — row-identical to
     * [[writeLshIndexBatch]] + [[writeGraphBootstrapBatch]] over the
-    * same subset (parity pinned in IncrementalIndexSpec), but a warm
+    * same subset (parity pinned in FixtureParitySpec), but a warm
     * process pays the parquet writes ([[writeServePair]]'s
     * discipline); cold runs rebuild through the same definitions. */
   def writeGraphBootstrapFixture(s: SparkSession, dir: String,

@@ -2394,9 +2394,18 @@ object Embeddings {
     // join AND by the final assignment — materialize it (≤ 1 +
     // rounds·oversample rows) so those broadcasts serve a built table
     // instead of re-running the round
-    centers.unionByName(v.join(sel, Seq("vec_id"))
+    val grown = centers.unionByName(v.join(sel, Seq("vec_id"))
       .select(col("vec_id").as("cid"), col("q").as("cvec"), col("nq").as("ncv")))
       .localCheckpoint()
+    // the checkpoint above is eager, so the round's corpus-sized d2
+    // blocks are consumed — release them now instead of leaking one
+    // per round to GC/ContextCleaner (the d03Cache discipline; r13
+    // advisory). At 100 TB the per-round pin is thereby bounded to
+    // the one in-flight round, and CONFIG.md documents the reliable-
+    // checkpoint lever for clusters where executor-local blocks of
+    // even one round are too hot to hold.
+    d2.unpersist()
+    grown
   }
 
   def e21KmppSeed(s: SparkSession, dir: String): DataFrame = {
@@ -2407,17 +2416,32 @@ object Embeddings {
     val minId = v.agg(min(col("vec_id")).as("mid"))
     val c0 = v.join(broadcast(minId), col("vec_id") === col("mid"))
       .select(col("vec_id").as("cid"), col("q").as("cvec"), col("nq").as("ncv"))
-    val cands = (1 to KmppRounds).foldLeft(c0)((c, r) => kmppRound(s, v, c, r))
+    // each fold step's checkpoint is eager, so the PREVIOUS round's
+    // (bounded) center table is consumed the moment the next one
+    // exists — release it as we go (c0 is lazy, nothing to release)
+    val cands = (1 to KmppRounds).foldLeft(c0) { (c, r) =>
+      val next = kmppRound(s, v, c, r)
+      if (r > 1) c.unpersist()
+      next
+    }
     val asg = v.crossJoin(broadcast(cands))
       .withColumn("dist", sqDist(s))
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("vec_id")).orderBy(col("dist").asc, col("cid").asc)))
       .where(col("rn") === 1)
-    asg.groupBy(col("cid")).agg(count(lit(1)).as("weight"))
+    // materialize the (≤ KmppSeeds-row) result eagerly so every
+    // per-invocation checkpoint this query pinned — the corpus frame
+    // and the final center table — can be released HERE instead of
+    // accumulating one set per invocation until GC (r13 advisory).
+    val out = asg.groupBy(col("cid")).agg(count(lit(1)).as("weight"))
       .withColumn("seed_rank", row_number().over(
         Window.orderBy(col("weight").desc, col("cid").asc)))
       .where(col("seed_rank") <= KmppSeeds)
       .select(col("seed_rank"), col("cid"), col("weight"))
+      .localCheckpoint(eager = true)
+    cands.unpersist()
+    v.unpersist()
+    out
   }
 
   /** The oracle unrolls the same [[KmppRounds]] rounds as CTEs. */

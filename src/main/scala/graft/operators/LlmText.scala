@@ -3131,21 +3131,33 @@ object LlmText {
         col("n_windows"))
   }
 
-  /** In-JVM memo of the maximal-span WORKLIST (d44's output is exactly
-    * the artifact a dedup deployment materializes beside the postings
-    * index — the spans the rewrite pass cuts): the d03-pairs precedent
-    * applied to the substring family, so d44 serves it and d45 rides it
-    * instead of re-running the df-count + island windows per query.
+  /** In-JVM memo of the maximal-span WORKLIST (the artifact a dedup
+    * deployment materializes beside the postings index — the spans the
+    * rewrite pass cuts): the d03-pairs precedent applied to the
+    * substring family. CONSUMERS of the worklist (d45's rewrite) ride
+    * it; d44 itself does NOT (r13 verdict item 6: d44's output IS this
+    * table, so serving it from the memo priced the query at a 0.02 s
+    * map-read of its own result — serve-your-own-output accounting).
     * Keyed on dir only (window/min-docs are compile-time constants);
     * cold runs recompute through the same definitions (r13). */
   private val spansCache =
     new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
 
-  def d44CrossdocSpans(s: SparkSession, dir: String): DataFrame =
+  private[graft] def spansWorklist(s: SparkSession, dir: String): DataFrame =
     graft.StoredMemo.stored(s, spansCache, "crossdoc-spans",
         graft.StoredMemo.dirKey(s, dir)) {
       spansFromPostings(rhPostings(s, dir)).localCheckpoint(eager = true)
     }
+
+  /** d44's readout recomputes the df-count + island aggregation from
+    * the STORED postings per invocation — the postings table is the
+    * persisted index artifact ([[rhPostings]]); the aggregation over it
+    * is the query's honest serve work and stays in the timed region
+    * (r13 verdict item 6). Row-identical to [[spansWorklist]] by
+    * construction (same `spansFromPostings` over the same postings —
+    * StoredParitySpec pins the persisted-store twin). */
+  def d44CrossdocSpans(s: SparkSession, dir: String): DataFrame =
+    spansFromPostings(rhPostings(s, dir))
 
   /** Shared CTE chain ending in `spans44` (one row per maximal
     * cross-doc duplicated span) — d44 selects it verbatim, d45 rewrites
@@ -3210,7 +3222,7 @@ object LlmText {
     * Reference anchor: the dedup family's survivor rewrite (d09/d28)
     * at character-span granularity. */
   def d45RemoveDupSpans(s: SparkSession, dir: String): DataFrame =
-    rewriteWithoutSpans(s, dir, d44CrossdocSpans(s, dir))
+    rewriteWithoutSpans(s, dir, spansWorklist(s, dir))
 
   /** The span-cut rewrite core shared by d45 (cut every duplicated
     * span) and d46 (cut only non-keeper occurrences): spans in, the

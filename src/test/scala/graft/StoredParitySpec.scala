@@ -57,11 +57,15 @@ class StoredParitySpec extends GraftSuite {
     assertSameRows(stored, persisted, "cell members")
   }
 
-  test("d44 spans: persisted-postings probe ≡ the memo-served query, and appends compose") {
-    // serving from the persisted store equals the in-JVM memo path
+  test("d44 spans: persisted-postings probe ≡ the recomputing query ≡ the worklist memo, and appends compose") {
+    // the query recomputes its aggregation from the stored postings per
+    // invocation (r14 — the r13 verdict's accounting fix); the persisted
+    // store, the in-JVM worklist memo (d45's input), and the query must
+    // all serve identical rows
     val stored = LlmText.d44CrossdocSpans(spark, sf)
     val persisted = IncrementalIndex.probeSubstrSpans(spark, indexDir)
     assertSameRows(stored, persisted, "d44 spans")
+    assertSameRows(stored, LlmText.spansWorklist(spark, sf), "d44 spans vs worklist memo")
     // day-N append: splitting the corpus into two writes serves the
     // same spans as the one-shot build (the df filter recomputes over
     // the store as it stands — cross-batch duplicates surface)
