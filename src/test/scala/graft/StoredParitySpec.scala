@@ -78,6 +78,26 @@ class StoredParitySpec extends GraftSuite {
       "d44 spans after split append")
   }
 
+  test("PQ/SQ code tables: in-JVM codes memo ≡ persisted codes store") {
+    // r14: the encoded code tables joined the codebook/quantizer behind
+    // the stored-index memo discipline — the memo-served rows must
+    // equal the persisted pq_codes / sq_codes the store writers land
+    val v = Embeddings.quantized(spark, sf)
+    val ranked = Embeddings.cellRanked(spark, sf)
+    val memoPq = Embeddings.pqCodesOf(spark,
+        ranked.where(col("rn") === 1)
+          .select(col("cell"), col("vec_id"), col("q")),
+        "q", Embeddings.pqCodebookOf(spark, v, "q"))
+      .withColumnRenamed("neighbor_id", "vec_id")
+    val persistedPq = spark.read.parquet(s"$indexDir/${IncrementalIndex.PqCodes}")
+    assertSameRows(memoPq, persistedPq, "pq codes")
+    val memoSq = Embeddings.sqCodesOf(spark, v, Embeddings.sqLohiOf(v))
+      .select(col("vec_id"), col("codes"))
+    val persistedSq = spark.read.parquet(s"$indexDir/${IncrementalIndex.SqCodes}")
+      .select(col("vec_id"), col("codes"))
+    assertSameRows(memoSq, persistedSq, "sq codes")
+  }
+
   test("compacted bid-store ≡ uncompacted: same rows, same serving readout") {
     // the watermark-compaction parity (round-13): consolidating the
     // committed bid partitions is a pure relayout — every probe is a
